@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline suite queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized through the noop sink (no collect —
+measures engine time, not driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from platform_etl_literature_spark.session import build_session
+from platform_etl_literature_spark.suite import SUITE
+
+HEADLINE = [
+    "pricing_summary",
+    "harmonic_relevance",
+    "theta_self_join",
+    "running_collect",
+    "two_level_window_min",
+    "grouped_json",
+    "evidence_cooc_analog",
+    "word_tf",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "simhash",
+    "ann_cosine_topk",
+    "doc_profile",
+    "events_hourly",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = build_session("bench")
+    timings: dict[str, float] = {}
+    # warm the JVM/session on the smallest table once
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = SUITE[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Vector math on plain ``array<double>`` columns — no UDFs, no VectorUDT.
+
+The reference implements cosine similarity and L2 norm as Scala UDFs over
+``ml.linalg.Vector`` (``spark/Helpers.scala:82-92``; ``Vectors.scala:33``).
+An idiomatic PySpark build keeps embeddings as ``array<double>`` and
+expresses both as Catalyst higher-order functions, which:
+
+* stay JVM-side (no Python serde on a 100 TB scan),
+* survive whole-stage codegen,
+* need no VectorUDT round-trip at the Python/JVM boundary.
+
+``pyspark.ml.functions.vector_to_array`` is the single conversion point
+at the Word2Vec model boundary (plans/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def array_dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length array<numeric> columns."""
+    prod = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def array_norm(a: Column | str) -> Column:
+    """L2 norm of an array<numeric> column (Helpers.scala:82-92 UDF port)."""
+    sq = F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    return F.sqrt(sq)
+
+
+def array_cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either norm is 0.
+
+    Exact semantics of the reference UDF ``Helpers.cosineSimilarity``
+    (spark/Helpers.scala:82-92): dot(a,b) / (||a|| * ||b||), guarded.
+    """
+    a, b = _c(a), _c(b)
+    denom = array_norm(a) * array_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(array_dot(a, b) / denom)

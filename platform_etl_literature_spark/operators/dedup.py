@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Design notes (100 TB scale)
+---------------------------
+* ``exact_dedup``: one shuffle on a fixed-width digest, never on the raw
+  text — grouping keys stay small, and the md5 can be computed in the
+  scan stage (map-side) so the shuffle carries 16 bytes + id per row.
+* ``minhash``: signatures are computed per-document map-side (explode →
+  groupBy doc) and candidate generation joins on (band, band-hash), so
+  the pairwise comparison is restricted to LSH buckets — the only
+  all-pairs work is within buckets.  The token hash is an explicit
+  deterministic formula (first 8 md5 hex chars → int) rather than an
+  engine-private hash, so results are reproducible across engines and
+  SQL-checkable.
+* ``ngram_jaccard_pairs``: exact Jaccard via a shingle-equijoin
+  (doc × doc pairs only materialize when they share ≥1 shingle) — the
+  standard inverted-index trick; at scale, add a df-frequency cap to
+  drop stop-shingles before the join (``max_shingle_df``).
+* ``simhash``: 32-bit signature from per-token hashes; hamming-distance
+  candidates via bit_count(xor) on an integer column.
+
+Capability extension over the reference (SURVEY.md §7.6): the reference
+pipeline's only dedup is ``distinct``/``dropDuplicates``
+(Grounding.scala:547,560; Processing.scala:117-122) — ported here as
+``exact_dedup``; the near-dup family is new.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Large prime < 2^31 — universal-hash modulus. a*h+b stays < 2^52
+# (a < 2^20, h < 2^32), far from int64 overflow.
+_MH_PRIME = 2147483647
+
+# (a, b) parameters for the k MinHash permutations — fixed so runs are
+# reproducible and the DuckDB oracle can mirror them literally.
+MINHASH_SEEDS: list[tuple[int, int, int]] = [
+    (i, a, b)
+    for i, (a, b) in enumerate(
+        [
+            (824393, 93441),
+            (742049, 414977),
+            (566827, 264607),
+            (910771, 122099),
+            (385811, 661637),
+            (218971, 831151),
+            (678481, 518803),
+            (141793, 947501),
+        ]
+    )
+]
+
+
+def token_hash(token: Column) -> Column:
+    """Deterministic 32-bit-range token hash: int(md5(token)[:8], 16).
+
+    Chosen over xxhash64 because it is reproducible in any engine that
+    has md5 — the correctness oracle mirrors it as
+    ``('0x' || substr(md5(t),1,8))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+
+
+def tokens(text: Column, delim: str = " ") -> Column:
+    """Split to non-empty tokens."""
+    return F.filter(F.split(text, delim), lambda t: t != "")
+
+
+def shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a text column (space-joined).
+
+    Empty array when the document has fewer than ``n`` tokens.
+    """
+    w = tokens(text)
+    # sequence(1, 0) would yield [1, 0] (negative step inference), so
+    # short documents get an explicit empty array.
+    grams = F.when(
+        F.size(w) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content digest: one row per distinct text.
+
+    Returns (digest, keep_id = min id, n_dupes).  Shuffles on the
+    16-byte digest only (computed map-side), not the document body.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("_id"))
+        .groupBy("digest")
+        .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """Per-document MinHash signature rows: (id, seed, sig).
+
+    sig_seed = min over shingles s of (a_seed * h(s) + b_seed) mod P.
+    Map-side explode + partial min aggregation: the shuffle carries one
+    (id, seed, running-min) per map partition, not the token stream.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    ).withColumn("h", token_hash(F.col("s")))
+    seeds = sh.sparkSession.createDataFrame(MINHASH_SEEDS, "seed INT, a LONG, b LONG")
+    return (
+        sh.join(F.broadcast(seeds))
+        .groupBy("id", "seed")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(_MH_PRIME)).alias("sig"))
+    )
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, min_matching: int = 4
+) -> DataFrame:
+    """Near-dup candidate pairs from signature agreement.
+
+    Joins signature rows on (seed, sig) — i.e. each (seed, value) acts
+    as an LSH bucket of band size 1 — then keeps pairs agreeing on
+    ≥ min_matching of the k seeds.  Estimated Jaccard = m/k.
+    """
+    k = len(MINHASH_SEEDS)
+    a = sigs.select(F.col("id").alias("id_a"), "seed", "sig")
+    b = sigs.select(F.col("id").alias("id_b"), "seed", "sig")
+    return (
+        a.join(b, ["seed", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+        .filter(F.col("n_matching") >= min_matching)
+        .withColumn("est_jaccard", F.round(F.col("n_matching") / F.lit(float(k)), 6))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Inverted-index join: |A ∩ B| from the shingle equijoin,
+    |A ∪ B| = |A| + |B| − |A ∩ B|.  Returns (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document from token hashes (with multiplicity).
+
+    bit_j(doc) = 1 iff sum over tokens of (±1 at bit j of h(token)) > 0.
+    Computed by exploding (token, bit) and summing JVM-side; the shuffle
+    carries (id, bit, partial-sum).  Returns (id, simhash).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", token_hash(F.col("t")))
+    # shiftright/shiftleft take literal shift amounts, so the exploded
+    # bit index uses arithmetic: bit_j(h) = floor(h / 2^j) % 2 (h < 2^32
+    # is double-exact).
+    pow2 = F.pow(F.lit(2.0), F.col("j"))
+    bits = tok.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+        F.col("h"),
+    ).withColumn(
+        "contrib",
+        F.when((F.floor(F.col("h") / pow2).cast("long") % 2) == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, score with a JVM-side HOF cosine, rank with a
+  window.  O(|Q|·|corpus|) but fully distributed and shuffle-light
+  (the only shuffle is the per-query top-k window, keyed by query id).
+  This is the correctness baseline.
+* ``lsh_cosine_topk`` — the scale path: random-hyperplane LSH buckets
+  both sides, joins on (table, bucket), scores only within buckets.
+  At 100 TB this turns the cross product into an equijoin whose right
+  side is pruned to candidate buckets; recall is tunable via
+  (n_tables, n_bits).
+
+Both keep vectors as ``array<float/double>`` end-to-end — no VectorUDT,
+no Python in the scoring path (SURVEY.md §2.9 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from platform_etl_literature_spark.functions.vectors import array_cosine
+
+# Deterministic pseudo-random hyperplanes are derived from md5 of
+# (table, bit, dim) — reproducible across runs and engines.
+_LSH_PRIME = 2147483647
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, sim) with rank 1..k by
+    (sim desc, neighbor_id) — the tiebreak makes results deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_exact", array_cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim_exact", 6).alias("sim"),
+        )
+    )
+
+
+def _hyperplane_component(table: int, bit: int, dim_idx) -> "F.Column":
+    """Deterministic pseudo-gaussian-ish component in [-1, 1)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(table), F.lit(bit), dim_idx)), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % F.lit(_LSH_PRIME)) / F.lit(float(_LSH_PRIME)) * 2.0 - 1.0
+
+
+def lsh_bucket(vec, table: int, n_bits: int) -> "F.Column":
+    """Random-hyperplane signature (int bucket) of an array column."""
+    bucket = F.lit(0)
+    for bit in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda i: _hyperplane_component(table, bit, i),
+                ),
+                lambda x, hcomp: x * hcomp,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**bit)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k cosine via random-hyperplane LSH bucket join.
+
+    Candidates = pairs sharing a bucket in ≥1 of n_tables; exact cosine
+    is computed only for candidates.  Returns the same shape as
+    ``cosine_topk`` (queries with <k candidates return fewer rows).
+    """
+
+    def with_buckets(df: DataFrame, idname: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        out = df.select(F.col(id_col).alias(idname), v.alias(f"_v_{idname}"))
+        rows = []
+        for t in range(n_tables):
+            rows.append(
+                out.select(
+                    idname,
+                    f"_v_{idname}",
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col(f"_v_{idname}"), t, n_bits).alias("bucket"),
+                )
+            )
+        res = rows[0]
+        for r in rows[1:]:
+            res = res.unionByName(r)
+        return res
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cands = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_v_query_id", "_v_neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "sim_exact", array_cosine("_v_query_id", "_v_neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_exact", 6).alias("sim"))
+    )

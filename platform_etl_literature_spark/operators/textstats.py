@@ -1,0 +1,126 @@
+"""Text-analysis operators: tokenization stats, quality scoring,
+language ID, document fingerprinting, token counting.
+
+All pure Catalyst expressions (split / filter / aggregate HOFs) — the
+whole module runs inside whole-stage codegen, which is what makes these
+viable as per-document map-side ops on a 100 TB corpus (no shuffle at
+all except for corpus-level rollups the caller adds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from platform_etl_literature_spark.operators.dedup import tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language ID.  Deliberately small: the operator contract is "argmax of
+# marker hits with deterministic tie-break", not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "est", "un"],
+    "es": ["el", "la", "y", "es", "un"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "or", "is", "in", "to"]
+
+# A BPE-ish token splitter: words, numbers, or single punctuation marks —
+# the standard pre-tokenization regex shape used by GPT-style BPE.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def doc_stats(text: Column) -> dict[str, Column]:
+    """Per-document stats: token count, distinct count, TTR, mean token
+    length, stopword ratio.  All deterministic per-row expressions."""
+    w = tokens(text)
+    n = F.size(w)
+    nd = F.size(F.array_distinct(w))
+    total_len = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_stop = F.size(F.filter(w, lambda t: t.isin(STOPWORDS_EN)))
+    nn = F.greatest(n, F.lit(1)).cast("double")
+    # raw (unrounded) ratios — callers round at output time, so derived
+    # scores (quality) compose from full-precision values
+    return {
+        "n_tokens": n,
+        "n_distinct": nd,
+        "ttr": nd / nn,
+        "mean_token_len": total_len / nn,
+        "stopword_ratio": n_stop / nn,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length docs with
+    lexical diversity and a sane stopword rate."""
+    s = doc_stats(text)
+    len_term = F.least(s["n_tokens"] / F.lit(50.0), F.lit(1.0))
+    return F.round((len_term + s["ttr"] + s["stopword_ratio"]) / F.lit(3.0), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-token hits, 'und' when no
+    markers hit; ties break by language code order (deterministic)."""
+    w = tokens(text)
+
+    def marker_hits(markers: list[str]) -> Column:
+        # closure (not a default arg: PySpark lambda introspection binds
+        # a Column to every parameter, including defaulted ones)
+        return F.size(F.filter(w, lambda t: t.isin(markers)))
+
+    entries = F.array(
+        *[
+            F.struct(
+                marker_hits(LANG_MARKERS[code]).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+            for code in sorted(LANG_MARKERS)
+        ]
+    )
+    max_hits = F.array_max(F.transform(entries, lambda e: e["hits"]))
+    first_best = F.filter(entries, lambda e: e["hits"] == max_hits)[0]["code"]
+    return F.when(max_hits > 0, first_best).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over token lengths+first-char codes —
+    an order-sensitive 63-bit document fingerprint.
+
+    h = fold(tokens, 0, (h, t) -> (h*31 + len(t)*131 + ascii(t[0])) mod P)
+    Deterministic and engine-portable (mirrors in ANSI SQL).
+    """
+    w = tokens(text)
+    p = F.lit(2147483647)
+    return F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda h, t: (h * 31 + F.length(t) * 131 + F.ascii(t)) % p,
+    )
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenization regex."""
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0), lambda t: t != ""
+        )
+    )
+
+
+def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Full per-document profile — the map-side text-analysis pass."""
+    t = F.col(text_col)
+    s = doc_stats(t)
+    rounded = {
+        name: (F.round(c, 6) if name in ("ttr", "mean_token_len", "stopword_ratio") else c)
+        for name, c in s.items()
+    }
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in rounded.items()],
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+        token_count_bpeish(t).alias("n_bpe_tokens"),
+    )

@@ -1,0 +1,962 @@
+"""The engine's query suite: every operator family from SURVEY.md §2
+expressed over the driver's test tables, each paired with an ANSI-SQL
+DuckDB oracle (None → rows-only check for non-SQL-expressible ops).
+
+Float-determinism policy (oracle hash-matching across two engines):
+* per-row double arithmetic is bit-identical across engines (IEEE754,
+  same operand bits, same op order) — safe unrounded;
+* multi-row reductions (sum/avg) differ by accumulation order — made
+  exact by summing integers (prices → cents) or rounded at a
+  granularity where the accumulated error is negligible vs the unit;
+* row-ordering nondeterminism (collect_list, first) — always forced
+  deterministic via sort_array / explicit window order / tiebreaks.
+
+Each entry documents which SURVEY §2 operator ids it covers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from platform_etl_literature_spark.functions.harmonic import (
+    harmonic_sorted,
+    max_harmonic,
+)
+from platform_etl_literature_spark.functions.vectors import array_norm
+from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import multimodal as MM
+from platform_etl_literature_spark.operators import sessionize as SS
+from platform_etl_literature_spark.operators import similarity as SIM
+from platform_etl_literature_spark.operators import textstats as TS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read ns-as-long and convert with
+        # integer division (a double round-trip would lose precision at
+        # 1.7e18 ns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str | F.Column, scale: int = 100) -> F.Column:
+    """Exact integer representation of a fixed-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale, 0).cast("long")
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    covers: str  # SURVEY §2 operator ids
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-§2.8)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→agg. Covers P1 P5 P14 A7-analog;
+    exact sums via integer cents (see module docstring)."""
+    li = _t(spark, sf, "lineitem")
+    qty = _cents("l_quantity", 1)
+    base_c = _cents("l_extendedprice", 100)
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.round(F.sum(base_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_c) / 10000.0, 4).alias("sum_disc_price"),
+            F.round(F.sum(qty) / F.count(F.lit(1)).cast("double"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
+  round(sum(CAST(round(l_quantity, 0) AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top1_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """dense_rank top-1-per-group, keeps ties. Covers W2 O2
+    (Grounding.scala:195-201 pattern)."""
+    sup = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return (
+        sup.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+_ORACLE_TOP1 = """
+SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+FROM supplier
+QUALIFY dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) = 1
+"""
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditioned left-anti join. Covers J1 (Grounding.scala:330)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def q_outer_join_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-outer join + coalesce null-repair. Covers J2 P12 P13
+    (Grounding.scala:332-333 id-repair pattern)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    ocnt = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(_cents("o_totalprice")) / 100.0, 2).alias("spent"),
+    )
+    return (
+        cust.join(ocnt, cust["c_custkey"] == ocnt["o_custkey"], "left_outer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spent"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+_ORACLE_OUTER = """
+SELECT c_custkey, c_name,
+  COALESCE(cnt, 0) AS n_orders,
+  COALESCE(spent, CAST(0 AS DOUBLE)) AS total_spent
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt,
+         round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS spent
+  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+"""
+
+
+def q_broadcast_rank_lut(spark: SparkSession, sf: str) -> DataFrame:
+    """Local seq → broadcast table, left join + na.fill defaults.
+    Covers S8 J6 P13 (Processing.scala:59-64,108-112)."""
+    ev = _t(spark, sf, "events")
+    ranks = spark.createDataFrame(
+        [("click", 1, 1.0), ("view", 2, 0.5), ("purchase", 3, 2.0)],
+        "event_type STRING, rank INT, weight DOUBLE",
+    )
+    return (
+        ev.join(F.broadcast(ranks), ["event_type"], "left_outer")
+        .na.fill({"rank": 100, "weight": 0.01})
+        .groupBy("event_type", "rank", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_cents("value")) / 100.0, 2).alias("sum_value"),
+        )
+    )
+
+
+_ORACLE_RANK_LUT = """
+SELECT event_type,
+  COALESCE(rank, 100) AS rank,
+  COALESCE(weight, CAST(0.01 AS DOUBLE)) AS weight,
+  count(*) AS n_events,
+  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events LEFT JOIN (
+  VALUES ('click', CAST(1 AS INTEGER), CAST(1.0 AS DOUBLE)),
+         ('view', CAST(2 AS INTEGER), CAST(0.5 AS DOUBLE)),
+         ('purchase', CAST(3 AS INTEGER), CAST(2.0 AS DOUBLE))
+  ) r(rtype, rank, weight) ON event_type = rtype
+GROUP BY 1, 2, 3
+"""
+
+
+def q_theta_self_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-join with equi key + inequality residual, aggregated.
+    Covers J10 (Evidence.scala:78-83)."""
+    li = _t(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok_a"), F.col("l_partkey").alias("pk_a"))
+    b = li.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pk_b"))
+    return (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("pk_a") != F.col("pk_b")))
+        .groupBy(F.col("ok_a").alias("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_ORACLE_THETA = """
+SELECT a.l_orderkey, count(*) AS n_pairs
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+GROUP BY a.l_orderkey
+"""
+
+
+def q_harmonic_relevance(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's core scoring fold: desc-sorted harmonic sum per
+    group + max-harmonic normalizer. Covers the §2.8 HOF family
+    (aggregate/zip_with/sequence/pow/sort_array; Helpers.scala:98-103,
+    Processing.scala:14-26) and A6-style collect_list."""
+    li = _t(spark, sf, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.collect_list("l_quantity").alias("qtys"))
+    h = harmonic_sorted("qtys")
+    return g.select(
+        "l_orderkey",
+        F.round(h, 6).alias("harmonic"),
+        F.round(h / max_harmonic(F.size("qtys")), 6).alias("norm_harmonic"),
+    )
+
+
+_ORACLE_HARMONIC = """
+WITH r AS (
+  SELECT l_orderkey, l_quantity AS q,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rn
+  FROM lineitem)
+SELECT l_orderkey,
+  round(sum(q / (rn * rn)), 6) AS harmonic,
+  round(sum(q / (rn * rn)) / sum(1.0 / (rn * rn)), 6) AS norm_harmonic
+FROM r GROUP BY l_orderkey
+"""
+
+
+def q_running_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """Running collect_list over an ordered window (default frame).
+    Covers W4 (Processing.scala:118-120)."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # Spark's default ordered-window frame is RANGE (peers included),
+    # exactly the reference's W4 semantics; the collected array is
+    # sorted to neutralize peer-order nondeterminism.
+    running = F.array_sort(F.collect_list("l_linenumber").over(w))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(",", F.transform(running, lambda x: x.cast("string"))).alias(
+            "running_lines"
+        ),
+    )
+
+
+_ORACLE_RUNNING = """
+SELECT l_orderkey, l_linenumber,
+  array_to_string(
+    list_sort(list(l_linenumber) OVER (
+      PARTITION BY l_orderkey ORDER BY l_linenumber
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ',') AS running_lines
+FROM lineitem
+"""
+
+
+def q_window_distinct_count(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_set over window + size ≙ exact distinct-count over
+    partition. Covers W5 (Embedding.scala:40-45) and the exact analog
+    of A12/W6."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.select(
+            "l_orderkey", F.size(F.collect_set("l_suppkey").over(w)).alias("nd_supp")
+        )
+        .distinct()
+    )
+
+
+_ORACLE_WINDOW_ND = """
+SELECT DISTINCT l_orderkey,
+  CAST(count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS INTEGER) AS nd_supp
+FROM lineitem
+"""
+
+
+def q_two_level_window_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level windowed-min disambiguation: keep keys whose local min
+    equals the global min. Covers W1 (Grounding.scala:111-142)."""
+    li = _t(spark, sf, "lineitem")
+    w1 = Window.partitionBy("l_orderkey", "l_partkey")
+    w2 = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("m1", F.min("l_quantity").over(w1))
+        .withColumn("m2", F.min("m1").over(w2))
+        .filter(F.col("m1") == F.col("m2"))
+        .select("l_orderkey", "l_partkey", F.col("m1").alias("min_qty"))
+        .distinct()
+    )
+
+
+_ORACLE_TWO_LEVEL_MIN = """
+SELECT DISTINCT l_orderkey, l_partkey, m1 AS min_qty FROM (
+  SELECT l_orderkey, l_partkey, m1,
+         min(m1) OVER (PARTITION BY l_partkey) AS m2
+  FROM (SELECT l_orderkey, l_partkey,
+               min(l_quantity) OVER (PARTITION BY l_orderkey, l_partkey) AS m1
+        FROM lineitem))
+WHERE m1 = m2
+"""
+
+
+def q_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way unionByName of heterogeneous 'entity LUTs' + distinct +
+    per-type rollup. Covers U1 A10 (Grounding.scala:544-547)."""
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    part = _t(spark, sf, "part")
+    ds = region.select(
+        F.col("r_regionkey").cast("string").alias("id"),
+        F.lower("r_name").alias("name"),
+        F.lit("DS").alias("type"),
+    )
+    gp = nation.select(
+        F.col("n_nationkey").cast("string").alias("id"),
+        F.lower("n_name").alias("name"),
+        F.lit("GP").alias("type"),
+    )
+    cd = part.select(
+        F.col("p_brand").alias("id"),
+        F.lower("p_brand").alias("name"),
+        F.lit("CD").alias("type"),
+    )
+    lut = ds.unionByName(gp).unionByName(cd).distinct()
+    return lut.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("name").alias("nd_names")
+    )
+
+
+_ORACLE_UNION = """
+SELECT type, count(*) AS n, count(DISTINCT name) AS nd_names FROM (
+  SELECT DISTINCT * FROM (
+    SELECT CAST(r_regionkey AS VARCHAR) AS id, lower(r_name) AS name, 'DS' AS type FROM region
+    UNION ALL
+    SELECT CAST(n_nationkey AS VARCHAR), lower(n_name), 'GP' FROM nation
+    UNION ALL
+    SELECT p_brand, lower(p_brand), 'CD' FROM part))
+GROUP BY type
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """String function family: lower/translate/substring_index/
+    concat_ws/length + rlike/startswith filters. Covers P8 P9 P10 and
+    §2.8 string rows (Grounding.scala:263-264,298,347; Helpers.scala:94-96)."""
+    part = _t(spark, sf, "part")
+    return (
+        part.filter(
+            F.col("p_name").rlike("^[a-z ]+$") & F.col("p_brand").startswith("Brand")
+        )
+        .select(
+            "p_partkey",
+            F.lower(F.col("p_name")).alias("name_l"),
+            F.substring_index(F.col("p_type"), " ", 1).alias("type_head"),
+            F.substring_index(F.col("p_type"), " ", -1).alias("type_tail"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("name_t"),
+            F.length("p_name").alias("name_len"),
+        )
+    )
+
+
+_ORACLE_STRINGS = """
+SELECT p_partkey,
+  lower(p_name) AS name_l,
+  split_part(p_type, ' ', 1) AS type_head,
+  (string_split(p_type, ' '))[-1] AS type_tail,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  translate(p_name, 'aeiou', 'AEIOU') AS name_t,
+  CAST(length(p_name) AS INTEGER) AS name_len
+FROM part
+WHERE regexp_matches(p_name, '^[a-z ]+$') AND starts_with(p_brand, 'Brand')
+"""
+
+
+def q_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Date extraction + rollup. Covers the §2.8 date family
+    (Grounding.scala:336-342)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("cents") / 100.0, 2).alias("sum_total"),
+            F.min("dy").alias("first_day"),
+        )
+    )
+
+
+_ORACLE_DATES = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_total,
+       CAST(min(day(o_orderdate)) AS INTEGER) AS first_day
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_case_when_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Cascaded when/otherwise + sentinel null-out + na.fill.
+    Covers P11 P13 (Grounding.scala:323-326; Processing.scala:109-112)."""
+    orders = _t(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    prio = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_orderpriority")
+    ).otherwise(F.lit(None).cast("string"))
+    return (
+        orders.withColumn("bucket", bucket)
+        .withColumn("prio", prio)
+        .na.fill({"prio": "OTHER"})
+        .groupBy("bucket", "prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_ORACLE_BUCKETS = """
+SELECT
+  CASE WHEN o_totalprice < 50000 THEN 'small'
+       WHEN o_totalprice < 150000 THEN 'medium'
+       ELSE 'large' END AS bucket,
+  COALESCE(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN o_orderpriority END, 'OTHER') AS prio,
+  count(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_grouped_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted collect_list(struct) → to_json. Covers A1 A2
+    (Processing.scala:88-105)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_returnflag").alias("rf"),
+                    )
+                )
+            )
+        ).alias("lines_json")
+    )
+
+
+_ORACLE_JSON = """
+SELECT l_orderkey,
+  to_json(list({'ln': l_linenumber, 'rf': l_returnflag}
+               ORDER BY l_linenumber, l_returnflag)) AS lines_json
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_evidence_cooc_analog(spark: SparkSession, sf: str) -> DataFrame:
+    """The §7.2 end-to-end slice shape (Evidence.scala:106-130):
+    filter → score/10 → groupBy → desc-harmonic + countDistinct day.
+    Covers P5 P10 A9 + the harmonic HOF on real pipeline shape."""
+    ev = _t(spark, sf, "events")
+    scored = ev.filter(
+        (F.col("event_type") == "click") & (F.length("props") < 600)
+    ).select(
+        "user_id",
+        (F.col("value") / 10.0).alias("score"),
+        F.to_date("ts").alias("day"),
+    )
+    g = scored.groupBy("user_id").agg(
+        F.collect_list("score").alias("scores"),
+        F.countDistinct("day").alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return g.select(
+        "user_id",
+        F.round(harmonic_sorted("scores"), 6).alias("evidence_score"),
+        "n_days",
+        "n_events",
+    )
+
+
+_ORACLE_EVIDENCE_COOC = """
+WITH s AS (
+  SELECT user_id, value / 10.0 AS score, CAST(ts AS DATE) AS day,
+         row_number() OVER (PARTITION BY user_id ORDER BY value / 10.0 DESC) AS rn
+  FROM events WHERE event_type = 'click' AND length(props) < 600)
+SELECT user_id,
+  round(sum(score / (rn * rn)), 6) AS evidence_score,
+  count(DISTINCT day) AS n_days,
+  count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup family (training-data ops)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content-digest dedup (A10/A11 at corpus scale)."""
+    return D.exact_dedup(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+def q_word_tf(spark: SparkSession, sf: str) -> DataFrame:
+    """explode/split/filter HOF word frequencies (§2.8 explode family)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(D.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+_ORACLE_WORD_TF = """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+  FROM documents)
+GROUP BY word HAVING count(*) >= 100
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-dup pairs via inverted-index
+    join."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", shingle_n=2, threshold=0.08
+    )
+
+
+_ORACLE_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(toks[i:i+1], ' ')))) AS s
+  FROM w WHERE len(toks) >= 2),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_inter,
+  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.08
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash near-dup candidates with an engine-portable token hash —
+    fully SQL-checkable (no engine-private hash functions)."""
+    sigs = D.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text", 2)
+    return D.minhash_candidate_pairs(sigs, min_matching=3)
+
+
+_ORACLE_MINHASH = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(toks[i:i+1], ' ')))) AS s
+  FROM w WHERE len(toks) >= 2),
+h AS (SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+seeds(seed, a, b) AS (VALUES
+  (0, 824393, 93441), (1, 742049, 414977), (2, 566827, 264607),
+  (3, 910771, 122099), (4, 385811, 661637), (5, 218971, 831151),
+  (6, 678481, 518803), (7, 141793, 947501)),
+sigs AS (
+  SELECT id, seed, min((a * h + b) % 2147483647) AS sig
+  FROM h CROSS JOIN seeds GROUP BY id, seed),
+pairs AS (
+  SELECT s1.id AS id_a, s2.id AS id_b, count(*) AS n_matching
+  FROM sigs s1 JOIN sigs s2 ON s1.seed = s2.seed AND s1.sig = s2.sig AND s1.id < s2.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_matching, round(n_matching / 8.0, 6) AS est_jaccard
+FROM pairs WHERE n_matching >= 3
+"""
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash per document (token multiplicity respected)."""
+    return D.simhash32(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_ORACLE_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM documents),
+h AS (SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT id, j, h FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)),
+c AS (
+  SELECT id, j,
+         sum(CASE WHEN (CAST(floor(h / power(2.0, j)) AS BIGINT) % 2) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY id, j)
+SELECT id,
+  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM c GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search / embeddings
+# --------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 10."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS sim_exact
+  FROM q, c WHERE query_id != neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim_exact,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_exact DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim
+FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label per-dimension centroid via posexplode (§2.8 explode +
+    agg; the array<float> multimodal/embedding column path)."""
+    emb = _t(spark, sf, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", F.col("pos").alias("dim"), F.col("col").alias("v"))
+    return e.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("avg_v"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_ORACLE_CENTROIDS = """
+SELECT label, dim, round(avg(v), 6) AS avg_v, count(*) AS n FROM (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings)
+GROUP BY label, dim
+"""
+
+
+def q_vectors_norm_category(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference `vectors` step shape (Vectors.scala:21-36):
+    category dispatch + L2 norm, natively on array<double> (F2/F3/P11)."""
+    emb = _t(spark, sf, "embeddings")
+    category = (
+        F.when(F.col("label") == 0, "GP")
+        .when(F.col("label") == 1, "DS")
+        .otherwise("CD")
+    )
+    return emb.select(
+        "vec_id",
+        category.alias("category"),
+        F.round(array_norm(F.col("embedding").cast("array<double>")), 6).alias("norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+_ORACLE_VECNORM = """
+SELECT vec_id,
+  CASE WHEN label = 0 THEN 'GP' WHEN label = 1 THEN 'DS' ELSE 'CD' END AS category,
+  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+  CAST(len(embedding) AS INTEGER) AS dim
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Full per-document text-analysis profile: stats, quality, lang-id,
+    rolling-hash fingerprint, BPE-ish token count."""
+    return TS.document_profile(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_ORACLE_DOC_PROFILE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks, text
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, text,
+    len(toks) AS n, len(list_distinct(toks)) AS nd,
+    list_sum(list_transform(toks, t -> length(t))) AS total_len,
+    len(list_filter(toks, t -> list_contains(
+      ['the','a','an','of','and','or','is','in','to'], t))) AS n_stop,
+    CAST(greatest(len(toks), 1) AS DOUBLE) AS nn,
+    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(['el','la','y','es','un'], t))) AS h_es,
+    len(list_filter(toks, t -> list_contains(['le','la','et','est','un'], t))) AS h_fr
+  FROM w)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_tokens,
+  CAST(nd AS INTEGER) AS n_distinct,
+  round(nd / nn, 6) AS ttr,
+  round(total_len / nn, 6) AS mean_token_len,
+  round(n_stop / nn, 6) AS stopword_ratio,
+  round((least(n / 50.0, 1.0) + (nd / nn) + (n_stop / nn)) / 3.0, 6) AS quality,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))),
+    (h, x) -> (h * 31 + x) % 2147483647) AS BIGINT) AS fingerprint,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: time rollups + sessionization
+# --------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-hour rollup (the batch shape of a streaming windowed
+    agg; date_trunc + exact cent-sums)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+            "event_type",
+            _cents("value").alias("vc"),
+        )
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("vc") / 100.0, 2).alias("sum_value"),
+        )
+    )
+
+
+_ORACLE_HOURLY = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       event_type, count(*) AS n,
+       round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (lag → flag → running sum) + per-user
+    rollup; the batch analog of stateful streaming sessions."""
+    stats = SS.session_stats(_t(spark, sf, "events"), gap_seconds=1800)
+    return stats.select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("max_session_events").cast("long").alias("max_session_events"),
+        "avg_session_events",
+    )
+
+
+_ORACLE_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+l AS (
+  SELECT user_id, event_id, ts, es,
+         lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e),
+f AS (
+  SELECT user_id, event_id, ts, es,
+         CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS ns
+  FROM l),
+s AS (
+  SELECT user_id,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM f),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id,
+  CAST(max(session_id) AS BIGINT) AS n_sessions,
+  CAST(max(n_events) AS BIGINT) AS max_session_events,
+  round(avg(n_events), 6) AS avg_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload + metadata struct projection (struct build +
+    P2-style field extraction; octet_length on binary)."""
+    media = MM.to_media_table(_t(spark, sf, "documents"), "doc_id", "text", "source")
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+    )
+
+
+_ORACLE_MM_META = """
+SELECT doc_id AS media_id,
+  'application/octet-stream' AS mime,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  source
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode stage (deterministic fake
+    features); digest is SQL-checkable via sha256."""
+    media = MM.to_media_table(_t(spark, sf, "documents"), "doc_id", "text", "source")
+    feats = MM.decode_features(media, dim=16, fake=True)
+    return feats.select(
+        "media_id", "n_bytes", "digest", F.size("features").alias("n_features")
+    )
+
+
+_ORACLE_MM_DECODE = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS digest,
+  16 AS n_features
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate / non-SQL-expressible (rows-only checks)
+# --------------------------------------------------------------------------
+
+
+def q_approx_distinct_window(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct over a window — A12/W6
+    (Grounding.scala:543-550). HLL++ internals are engine-specific, so
+    no oracle (rows-only check)."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_returnflag",
+            F.approx_count_distinct("l_partkey", 0.01).over(w).alias("approx_parts"),
+        )
+        .distinct()
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (the ANN scale path) —
+    approximate by construction, so rows-only check."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_tables=4, n_bits=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+SUITE: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
+    "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
+    "anti_join": QuerySpec(q_anti_join, _ORACLE_ANTI, "J1"),
+    "outer_join_coalesce": QuerySpec(q_outer_join_coalesce, _ORACLE_OUTER, "J2 P12"),
+    "broadcast_rank_lut": QuerySpec(q_broadcast_rank_lut, _ORACLE_RANK_LUT, "S8 J6 P13"),
+    "theta_self_join": QuerySpec(q_theta_self_join, _ORACLE_THETA, "J10"),
+    "harmonic_relevance": QuerySpec(q_harmonic_relevance, _ORACLE_HARMONIC, "HOF A6 O3"),
+    "running_collect": QuerySpec(q_running_collect, _ORACLE_RUNNING, "W4"),
+    "window_distinct_count": QuerySpec(q_window_distinct_count, _ORACLE_WINDOW_ND, "W5"),
+    "two_level_window_min": QuerySpec(q_two_level_window_min, _ORACLE_TWO_LEVEL_MIN, "W1"),
+    "union_by_name": QuerySpec(q_union_by_name, _ORACLE_UNION, "U1 A10"),
+    "string_funcs": QuerySpec(q_string_funcs, _ORACLE_STRINGS, "P8 P9 P10 strings"),
+    "date_parts": QuerySpec(q_date_parts, _ORACLE_DATES, "dates P14"),
+    "case_when_buckets": QuerySpec(q_case_when_buckets, _ORACLE_BUCKETS, "P11 P13"),
+    "grouped_json": QuerySpec(q_grouped_json, _ORACLE_JSON, "A1 A2"),
+    "evidence_cooc_analog": QuerySpec(
+        q_evidence_cooc_analog, _ORACLE_EVIDENCE_COOC, "A9 P5 P10 HOF"
+    ),
+    "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT, "dedup A10 A11"),
+    "word_tf": QuerySpec(q_word_tf, _ORACLE_WORD_TF, "explode HOF"),
+    "ngram_jaccard": QuerySpec(q_ngram_jaccard, _ORACLE_NGRAM_JACCARD, "dedup-ngram"),
+    "minhash_pairs": QuerySpec(q_minhash_pairs, _ORACLE_MINHASH, "dedup-minhash"),
+    "simhash": QuerySpec(q_simhash, _ORACLE_SIMHASH, "dedup-simhash"),
+    "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, _ORACLE_ANN, "similarity F1"),
+    "embedding_centroids": QuerySpec(q_embedding_centroids, _ORACLE_CENTROIDS, "explode agg"),
+    "vectors_norm_category": QuerySpec(
+        q_vectors_norm_category, _ORACLE_VECNORM, "F2 F3 P11 vectors-step"
+    ),
+    "doc_profile": QuerySpec(q_doc_profile, _ORACLE_DOC_PROFILE, "textstats M1-analog"),
+    "events_hourly": QuerySpec(q_events_hourly, _ORACLE_HOURLY, "dates agg"),
+    "sessionize": QuerySpec(q_sessionize, _ORACLE_SESSIONIZE, "window stateful-analog"),
+    "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MM_META, "multimodal S-binary"),
+    "multimodal_decode": QuerySpec(q_multimodal_decode, _ORACLE_MM_DECODE, "multimodal mapInPandas"),
+    "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
+    "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
+}

@@ -1,0 +1,140 @@
+"""Operator-level tests on crafted micro-fixtures (dedup, similarity,
+sessionize, multimodal, textstats)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import multimodal as MM
+from platform_etl_literature_spark.operators import sessionize as SS
+from platform_etl_literature_spark.operators import similarity as SIM
+from platform_etl_literature_spark.operators import textstats as TS
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("a",), ("",)], ["text"]
+    ).select(D.shingles(F.col("text"), 3).alias("s"))
+    rows = [r["s"] for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []  # fewer tokens than n
+    assert rows[2] == []
+    assert rows[3] == []
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["keep_id"]: r["n_dupes"] for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "w x y z"), (2, "w x y z"), (3, "p q r s")], ["doc_id", "text"]
+    )
+    rows = D.ngram_jaccard_pairs(df, "doc_id", "text", 2, 0.5).collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_identical_docs_agree_everywhere(spark):
+    df = spark.createDataFrame(
+        [(1, "w x y z w x"), (2, "w x y z w x"), (3, "aa bb cc dd ee ff")],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(df, "doc_id", "text", 2)
+    pairs = D.minhash_candidate_pairs(sigs, min_matching=len(D.MINHASH_SEEDS)).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx qq")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["simhash"] for r in D.simhash32(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert 0 <= out[1] < 2**32
+
+
+def test_cosine_topk_ranks(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = SIM.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(3, 1), (1, 2)]  # 3 is closest to 0, then 1
+
+
+def test_lsh_recall_on_exact_duplicates(spark):
+    rows = [(i, [float(i % 5 == j) for j in range(5)]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = SIM.lsh_cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = {r["neighbor_id"]: r["sim"] for r in out.collect()}
+    # vec 5 is identical to vec 0 → must share every bucket → found with sim 1
+    assert got.get(5) == pytest.approx(1.0)
+
+
+def test_sessionize_gap_logic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 00:00:00"),
+            (2, 7, "2024-01-01 00:10:00"),   # same session (gap 600)
+            (3, 7, "2024-01-01 01:00:00"),   # new session (gap 3000)
+            (4, 8, "2024-01-01 00:00:00"),
+        ],
+        ["event_id", "user_id", "ts_s"],
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in SS.sessionize(df, gap_seconds=1800).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+    stats = {r["user_id"]: r for r in SS.session_stats(df, gap_seconds=1800).collect()}
+    assert stats[7]["n_sessions"] == 2
+    assert stats[8]["n_sessions"] == 1
+
+
+def test_multimodal_fake_decode_and_stub(spark):
+    df = spark.createDataFrame([(1, "hello", "s")], ["doc_id", "text", "source"])
+    media = MM.to_media_table(df, "doc_id", "text", "source")
+    row = media.collect()[0]
+    assert bytes(row["payload"]) == b"hello"
+    assert row["meta"]["n_bytes"] == 5
+    feats = MM.decode_features(media, dim=8, fake=True).collect()[0]
+    assert feats["n_bytes"] == 5
+    assert len(feats["features"]) == 8
+    import hashlib
+
+    assert feats["digest"] == hashlib.sha256(b"hello").hexdigest()
+    # the non-fake path is a stub that must raise from the executors
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        MM.decode_features(media, fake=False).collect()
+
+
+def test_document_profile_values(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    r = TS.document_profile(df, "doc_id", "text").collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["n_distinct"] == 5  # 'the' twice
+    assert r["stopword_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r["lang_pred"] == "en"
+    assert r["n_bpe_tokens"] == 6
+    assert 0 <= r["fingerprint"] < 2147483647
+
+
+def test_lang_id_und_for_no_markers(spark):
+    df = spark.createDataFrame([(1, "zz qq ww")], ["doc_id", "text"])
+    r = TS.document_profile(df, "doc_id", "text").collect()[0]
+    assert r["lang_pred"] == "und"
