@@ -1,0 +1,158 @@
+"""Native text-normalization pipeline — the Spark NLP replacement.
+
+The reference grounds entity labels via a Spark NLP pipeline
+(Grounding.scala:45-108): two tokenizer branches producing a symbol
+token column ``TT`` and a stopword-cleaned, normalized, stemmed label
+column ``LT``, plus a Greek→Latin ``normalise`` (Helpers.scala:94-96)
+and key generation (Grounding.scala:367-387).
+
+This rebuild expresses the same capability with Catalyst primitives:
+
+* tokenization → ``split`` on the branch's delimiter class
+  (LT branch splits on whitespace + ``- / : , ;``; TT branch on
+  whitespace + ``: , ;`` — Grounding.scala:52,58),
+* stopword removal → ``filter`` HOF with the exact case-sensitive list
+  (Grounding.scala:19-31: google list + "a","i" + capitalized forms),
+* normalization → ``lower`` + ``regexp_replace`` of ``[^\\w\\d\\s]``
+  (subsumes the explicit ``-``/``/``/``,`` patterns of the two
+  Normalizer configs, Grounding.scala:63-68,77-82),
+* stemming → Porter stemmer as an **Arrow-batched pandas UDF** over the
+  token array (the only Python in the pipeline; Spark NLP's JVM Stemmer
+  is Porter-style).
+
+Token-level parity with Spark NLP internals is not bit-guaranteed and
+does not need to be (SURVEY.md §7.3): grounding keys only need to be
+consistent between the LUT side and the mention side, and both sides
+run this same pipeline.
+
+Scale note: the stemmer UDF is applied to the exploded *variant* stream
+once per (entity-synonym | mention-label), all map-side; everything
+else is whole-stage-codegen.  For a 100 TB corpus the token stream can
+optionally be deduplicated before stemming (distinct labelN keys are
+~10^6-10^7, far smaller than mentions).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from platform_etl_literature_spark.functions.porter import stem
+
+# Stop word list: google list + "a"/"i", case-sensitive with capitalized
+# variants (Grounding.scala:19-31).
+GOOGLE_STOP_WORDS = (
+    "about above after again against all am an and any are aren't as at be because "
+    "been before being below between both but by can't cannot could couldn't did didn't do does doesn't doing don't down "
+    "during each few for from further had hadn't has hasn't have haven't having he he'd he'll he's her here here's hers "
+    "herself him himself his how how's i'd i'll i'm i've if in into is isn't it it's its itself let's me more most mustn't "
+    "my myself no nor not of off on once only or other ought our ours ourselves out over own same shan't she she'd she'll "
+    "she's should shouldn't so some such than that that's the their theirs them themselves then there there's these they "
+    "they'd they'll they're they've this those through to too under until up very was wasn't we we'd we'll we're we've "
+    "were weren't what what's when when's where where's which while who who's whom why why's with won't would wouldn't "
+    "you you'd you'll you're you've your yours yourself yourselves"
+).split(" ")
+
+ALL_STOP_WORDS = (
+    ["a", "i"] + GOOGLE_STOP_WORDS + [w.capitalize() for w in GOOGLE_STOP_WORDS]
+)
+
+LABEL_T = "LT"  # stemmed-label key type
+TOKEN_T = "TT"  # symbol key type
+
+_LT_SPLIT = r"[\s\-/:,;]+"  # Tokenizer splitChars - / : , ; (Grounding.scala:52)
+_TT_SPLIT = r"[\s:,;]+"  # TokenizerSymbol splitChars : , ; (Grounding.scala:58)
+_CLEANUP = r"[^\w\d\s]"  # Normalizer cleanup patterns (Grounding.scala:67,81)
+
+
+def normalise(c: Column) -> Column:
+    """Greek→Latin letter mapping (Helpers.scala:94-96)."""
+    return F.translate(c, "αβγδεζηικλμνξπτυω", "abgdezhiklmnxptuo")
+
+
+# Ship the stemmer by value inside the UDF pickle: executors must not
+# need this package on their import path (spark-submit without --py-files,
+# driver launched from another cwd, etc).
+from platform_etl_literature_spark.functions import porter as _porter_module
+
+for _cp_name in ("pyspark.cloudpickle", "cloudpickle"):
+    try:  # pragma: no cover - defensive
+        import importlib
+
+        importlib.import_module(_cp_name).register_pickle_by_value(_porter_module)
+    except Exception:
+        pass
+
+
+def _make_stem_udf():
+    _stem = stem
+
+    def stem_arrays(tokens: pd.Series) -> pd.Series:
+        return tokens.map(
+            lambda arr: None if arr is None else [_stem(t) for t in arr]
+        )
+
+    return F.pandas_udf(stem_arrays, ArrayType(StringType()))
+
+
+_stem_tokens = _make_stem_udf()
+
+
+def _nonempty(arr: Column) -> Column:
+    return F.filter(arr, lambda t: t.isNotNull() & (t != ""))
+
+
+def token_terms(text: Column) -> Column:
+    """TT branch: symbol tokens — split, lowercase, strip punctuation."""
+    toks = F.split(text, _TT_SPLIT)
+    return _nonempty(
+        F.transform(toks, lambda t: F.regexp_replace(F.lower(t), _CLEANUP, ""))
+    )
+
+
+def label_terms_unstemmed(text: Column) -> Column:
+    """LT branch before stemming: split, case-sensitive stopword
+    removal (on raw tokens, as the reference cleans before lowering),
+    lowercase, strip punctuation."""
+    toks = F.split(text, _LT_SPLIT)
+    kept = F.filter(toks, lambda t: ~t.isin(ALL_STOP_WORDS))
+    return _nonempty(
+        F.transform(kept, lambda t: F.regexp_replace(F.lower(t), _CLEANUP, ""))
+    )
+
+
+def normalise_sentence(
+    df: DataFrame, text_col: str, prefix: str
+) -> DataFrame:
+    """Add ``{prefix}_TT`` and ``{prefix}_LT`` token-array columns —
+    the capability of ``Grounding.normaliseSentence`` (:144-158) +
+    the NLP pipeline, with stemming as the single Python stage."""
+    t = F.col(text_col)
+    return df.withColumn(f"{prefix}_{TOKEN_T}", token_terms(t)).withColumn(
+        f"{prefix}_{LABEL_T}", _stem_tokens(label_terms_unstemmed(t))
+    )
+
+
+def generate_key(prefix: str, key_type: Column) -> Column:
+    """Grounding key from the token columns (Grounding.scala:367-387):
+    LT → sorted-distinct concatenation; TT → order-preserving
+    concatenation."""
+    lt = F.col(f"{prefix}_{LABEL_T}")
+    tt = F.col(f"{prefix}_{TOKEN_T}")
+    return F.when(
+        key_type == LABEL_T,
+        F.array_join(F.array_sort(_nonempty(F.array_distinct(lt))), ""),
+    ).when(key_type == TOKEN_T, F.array_join(_nonempty(tt), ""))
+
+
+def with_keys_column(
+    df: DataFrame, prefix: str, key_column: str, key_type_col: str = "keyType"
+) -> DataFrame:
+    """Attach the grounding key and drop empty keys
+    (Grounding.generateKeysColumn:367-387)."""
+    out = df.withColumn(key_column, generate_key(prefix, F.col(key_type_col)))
+    return out.filter(
+        F.col(key_column).isNotNull() & (F.length(key_column) > 0)
+    )

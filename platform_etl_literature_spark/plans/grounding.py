@@ -1,0 +1,535 @@
+"""Grounding: match EPMC NER mentions against Open Targets entity LUTs.
+
+Re-expression of the reference's ``Grounding`` step
+(Grounding.scala:563-610 and helpers) as an idiomatic PySpark plan:
+
+* entity LUT build: per-entity synonym explosion → normalization →
+  key-gen → 3-way unionByName → windowed ambiguity count
+  (transformDiseases :389-429, transformTargets :431-487,
+  transformDrugs :489-516, loadEntityLUT :518-554),
+* pmid/pmcid repair via anti + outer joins (loadEntities :314-350),
+* label grounding with dense_rank top-1 (mapEntities :160-206),
+* two-level windowed-min disambiguation and nested-struct rebuild
+  (disambiguate :111-142, resolveEntities :208-312).
+
+Scale design: the LUT is broadcast (small dimension vs the corpus);
+every explode/normalize stage is map-side; the only shuffles are the
+grounding joins' build side exchange (none — broadcast), the window
+partitions in disambiguation (keyed by (pmid,pmcid,type,keyword) — high
+cardinality, no skew hot key), and the final dedups.  The
+nested-field-space rename is pure-plan (positional struct cast), NOT an
+RDD round-trip as in the reference (Helpers.scala:166-175), so parquet
+pushdown and column pruning survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from platform_etl_literature_spark.functions.text import (
+    LABEL_T,
+    TOKEN_T,
+    normalise,
+    normalise_sentence,
+    with_keys_column,
+)
+
+
+# ---------------------------------------------------------------------------
+# schema utilities
+# ---------------------------------------------------------------------------
+
+
+def _rename_spaces(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name.replace(" ", "_"), _rename_spaces(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_rename_spaces(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _rename_spaces(dt.keyType), _rename_spaces(dt.valueType), dt.valueContainsNull
+        )
+    return dt
+
+
+def replace_spaces_schema(df: DataFrame) -> DataFrame:
+    """Rewrite every (nested) field name containing spaces to use '_'.
+
+    Capability of ``Helpers.replaceSpacesSchema`` (Helpers.scala:166-175)
+    without the RDD round-trip: a positional struct cast keeps the plan
+    columnar and pushdown-friendly.
+    """
+    out = []
+    for f in df.schema.fields:
+        new_dt = _rename_spaces(f.dataType)
+        col = F.col(f"`{f.name}`")
+        if new_dt != f.dataType:
+            col = col.cast(new_dt)
+        out.append(col.alias(f.name.replace(" ", "_")))
+    return df.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# LUT build
+# ---------------------------------------------------------------------------
+
+
+def _clean_and_score(c: Column, score: float, key_type: str) -> Column:
+    """Wrap a synonym array into (key, factor, keyType) structs
+    (Grounding.cleanAndScoreArrayColumn:362-365)."""
+    return F.transform(
+        F.coalesce(c, F.array()),
+        lambda x: F.struct(
+            x.alias("key"), F.lit(score).alias("factor"), F.lit(key_type).alias("keyType")
+        ),
+    )
+
+
+def _explode_variants(df: DataFrame, variant_cols: list[str], distinct: bool) -> DataFrame:
+    arr = F.flatten(F.array(*[F.col(c) for c in variant_cols]))
+    if distinct:
+        arr = F.filter(F.array_distinct(arr), lambda c: F.length(c["key"]) > 0)
+    return (
+        df.withColumn("_text", F.explode(arr))
+        .withColumn("text", F.col("_text.key"))
+        .withColumn("factor", F.col("_text.factor"))
+        .withColumn("keyType", F.col("_text.keyType"))
+        .select("keywordId", "text", "factor", "keyType")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+
+
+def _normalise_and_key(df: DataFrame, prefix: str) -> DataFrame:
+    return with_keys_column(normalise_sentence(df, "text", prefix), prefix, "key")
+
+
+def transform_diseases(diseases: DataFrame) -> DataFrame:
+    """Disease LUT variants (Grounding.transformDiseases:389-429):
+    name=1.0, exact=0.999, narrow=0.998, broad=0.997, related=0.996 —
+    all label-type keys."""
+    d = (
+        diseases.selectExpr("id as keywordId", "name", "synonyms.*")
+        .withColumn("nameC", _clean_and_score(F.array(F.col("name")), 1.0, LABEL_T))
+        .withColumn("exactC", _clean_and_score(F.col("hasExactSynonym"), 0.999, LABEL_T))
+        .withColumn("narrowC", _clean_and_score(F.col("hasNarrowSynonym"), 0.998, LABEL_T))
+        .withColumn("broadC", _clean_and_score(F.col("hasBroadSynonym"), 0.997, LABEL_T))
+        .withColumn("relatedC", _clean_and_score(F.col("hasRelatedSynonym"), 0.996, LABEL_T))
+    )
+    variants = _explode_variants(
+        d, ["nameC", "broadC", "exactC", "narrowC", "relatedC"], distinct=False
+    )
+    return _normalise_and_key(variants, "efoTerms")
+
+
+def transform_targets(targets: DataFrame) -> DataFrame:
+    """Target LUT variants (Grounding.transformTargets:431-487): name
+    (label 1.0), symbol (token 1.0), synonyms 0.999, obsolete 0.998,
+    protein accessions (token 0.999)."""
+    t = (
+        targets.select(
+            F.col("id").alias("keywordId"),
+            F.col("approvedName").alias("name"),
+            F.col("approvedSymbol").alias("symbol"),
+            F.col("symbolSynonyms.label").alias("symbolSynonyms"),
+            F.col("nameSynonyms.label").alias("nameSynonyms"),
+            F.col("obsoleteSymbols.label").alias("obsoleteSymbols"),
+            F.col("obsoleteNames.label").alias("obsoleteNames"),
+            F.array_distinct(
+                F.coalesce(F.col("proteinIds.id"), F.lit([]).cast("array<string>"))
+            ).alias("accessions"),
+        )
+        .withColumn("nameC", _clean_and_score(F.array(F.col("name")), 1.0, LABEL_T))
+        .withColumn("symbolC", _clean_and_score(F.array(F.col("symbol")), 1.0, TOKEN_T))
+        .withColumn("nameSynonymsC", _clean_and_score(F.col("nameSynonyms"), 0.999, LABEL_T))
+        .withColumn(
+            "symbolSynonymsC", _clean_and_score(F.col("symbolSynonyms"), 0.999, TOKEN_T)
+        )
+        .withColumn("accessionsC", _clean_and_score(F.col("accessions"), 0.999, TOKEN_T))
+        .withColumn(
+            "obsoleteNamesC", _clean_and_score(F.col("obsoleteNames"), 0.998, LABEL_T)
+        )
+        .withColumn(
+            "obsoleteSymbolsC", _clean_and_score(F.col("obsoleteSymbols"), 0.998, TOKEN_T)
+        )
+    )
+    variants = _explode_variants(
+        t,
+        [
+            "nameC",
+            "symbolC",
+            "nameSynonymsC",
+            "symbolSynonymsC",
+            "obsoleteNamesC",
+            "obsoleteSymbolsC",
+            "accessionsC",
+        ],
+        distinct=True,
+    )
+    return _normalise_and_key(variants, "targetTerms")
+
+
+def transform_drugs(drugs: DataFrame) -> DataFrame:
+    """Drug LUT variants (Grounding.transformDrugs:489-516): name and
+    synonyms under BOTH key types."""
+    d = (
+        drugs.selectExpr("id as keywordId", "name", "tradeNames", "synonyms")
+        .withColumn("nameL", _clean_and_score(F.array(F.col("name")), 1.0, LABEL_T))
+        .withColumn("nameT", _clean_and_score(F.array(F.col("name")), 1.0, TOKEN_T))
+        .withColumn("tradeNamesL", _clean_and_score(F.col("tradeNames"), 0.999, LABEL_T))
+        .withColumn("tradeNamesT", _clean_and_score(F.col("tradeNames"), 0.999, TOKEN_T))
+        .withColumn("synonymsL", _clean_and_score(F.col("synonyms"), 0.999, LABEL_T))
+        .withColumn("synonymsT", _clean_and_score(F.col("synonyms"), 0.999, TOKEN_T))
+    )
+    variants = _explode_variants(
+        d,
+        ["nameL", "nameT", "tradeNamesL", "tradeNamesT", "synonymsL", "synonymsT"],
+        distinct=False,
+    )
+    return _normalise_and_key(variants, "drugTerms")
+
+
+def load_entity_lut(
+    targets: DataFrame, diseases: DataFrame, drugs: DataFrame
+) -> DataFrame:
+    """3-way union of entity LUTs + ambiguity count per (type, labelN)
+    (Grounding.loadEntityLUT:518-554).  The result is small relative to
+    the corpus and is broadcast by the caller."""
+    cols = ["key as labelN", "type", "keywordId", "factor"]
+    ds = transform_diseases(diseases).withColumn("type", F.lit("DS")).selectExpr(*cols)
+    gp = transform_targets(targets).withColumn("type", F.lit("GP")).selectExpr(*cols)
+    cd = transform_drugs(drugs).withColumn("type", F.lit("CD")).selectExpr(*cols)
+    w = Window.partitionBy("type", "labelN")
+    return (
+        ds.unionByName(gp)
+        .unionByName(cd)
+        .distinct()
+        .withColumn(
+            "uniqueKeywordIdsPerLabelN",
+            F.approx_count_distinct("keywordId", 0.01).over(w),
+        )
+    )
+
+
+def load_epmc_ids(df: DataFrame) -> DataFrame:
+    """PMID↔PMCID lookup (Grounding.loadEPMCIDs:556-561).
+
+    PMID is cast to string: the corpus pmid column is string, and under
+    ANSI type coercion (Spark ≥4 default) ``coalesce(string, bigint)``
+    would otherwise flip the repaired pmid column to bigint.
+    """
+    return (
+        df.selectExpr("cast(PMID as string) as pmid_lut", "PMCID as pmcid_lut")
+        .filter(
+            F.col("pmcid_lut").isNotNull()
+            & F.col("pmid_lut").isNotNull()
+            & F.col("pmcid_lut").startswith("PMC")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus load + id repair
+# ---------------------------------------------------------------------------
+
+
+def _null_out_sentinels(c: Column) -> Column:
+    return F.when(c.isNotNull() & (c != "") & (c != "0"), c)
+
+
+def load_entities(df: DataFrame, epmcids: DataFrame) -> DataFrame:
+    """Sentinel null-out, pmid repair via anti/outer joins, date split,
+    sentence explode, failure diagnostics (Grounding.loadEntities:314-350)."""
+    e_ids = F.broadcast(epmcids)
+    pm_ids = F.broadcast(epmcids)
+
+    repaired = (
+        df.withColumn("trace_source", F.input_file_name())
+        .withColumn("pmid", _null_out_sentinels(F.col("pmid")))
+        .withColumn("pmcid", _null_out_sentinels(F.col("pmcid")))
+        .withColumn("failed_pmid", F.col("pmid").isNull())
+        .withColumn("failed_pmcid", F.col("pmcid").isNull())
+        .withColumn(
+            "failed_pmcid_and_pmid", F.col("pmcid").isNull() & F.col("pmid").isNull()
+        )
+        # drop rows whose pmid is a known id but pmcid is missing
+        .join(
+            pm_ids,
+            (F.col("pmid_lut") == F.col("pmid")) & F.col("pmcid").isNull(),
+            "left_anti",
+        )
+        .withColumn(
+            "failed_pmid_not_pmcid", F.col("pmid").isNull() & F.col("pmcid").isNotNull()
+        )
+        # recover pmid from pmcid
+        .join(e_ids, F.col("pmcid") == F.col("pmcid_lut"), "left_outer")
+        .withColumn("pmid", F.coalesce(F.col("pmid"), F.col("pmid_lut")))
+        .drop("pmid_lut", "pmcid_lut")
+        .withColumn(
+            "failed_recover_pmid_not_pmcid",
+            F.col("failed_pmid_not_pmcid") & F.col("pmid").isNotNull(),
+        )
+        .withColumn(
+            "date",
+            F.when(
+                F.col("pubDate").isNotNull() & (F.col("pubDate") != ""),
+                F.col("pubDate").cast("date"),
+            ),
+        )
+        .withColumn("failed_date", F.col("date").isNull())
+        .withColumn("year", F.when(F.col("date").isNotNull(), F.year("date")))
+        .withColumn("month", F.when(F.col("date").isNotNull(), F.month("date")))
+        .withColumn("day", F.when(F.col("date").isNotNull(), F.dayofmonth("date")))
+    )
+    return (
+        repaired.withColumn("sentence", F.explode("sentences"))
+        .drop("sentences")
+        .select("*", "sentence.*")
+        .drop("sentence")
+        .withColumn("section", F.lower(F.col("section")))
+        .withColumn("failed_section", F.col("section").isNull())
+        .withColumn("failed_sentence", F.col("text").rlike("[^\\x20-\\x7e]"))
+    )
+
+
+def filter_entities(df: DataFrame) -> DataFrame:
+    """Drop failure-diagnostic columns, keep resolvable rows
+    (Grounding.filterEntities:352-360)."""
+    failed = [c for c in df.columns if c.startswith("failed_")]
+    return (
+        df.drop(*failed)
+        .filter(F.col("pmid").isNotNull())
+        .filter(F.col("section").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# grounding + disambiguation
+# ---------------------------------------------------------------------------
+
+
+def map_entities(entities: DataFrame, luts: DataFrame) -> DataFrame:
+    """Ground NER labels: normalize each mention label under its
+    key-type variants, join the LUT, keep dense_rank-1 candidates
+    (Grounding.mapEntities:160-206)."""
+    labels = (
+        entities.withColumn("match", F.explode("matches"))
+        .select("*", "match.*")
+        .drop("match", "matches")
+        .withColumn("nLabel", normalise(F.col("label")))
+        .withColumn(
+            "textV",
+            F.when(
+                F.col("type") == "DS",
+                F.array(
+                    F.struct(
+                        F.col("nLabel").alias("keyValue"), F.lit(LABEL_T).alias("keyType")
+                    )
+                ),
+            ).when(
+                F.col("type").isin("GP", "CD"),
+                F.array(
+                    F.struct(
+                        F.col("nLabel").alias("keyValue"), F.lit(LABEL_T).alias("keyType")
+                    ),
+                    F.struct(
+                        F.col("nLabel").alias("keyValue"), F.lit(TOKEN_T).alias("keyType")
+                    ),
+                ),
+            ),
+        )
+        .withColumn("_textV", F.explode("textV"))
+        .withColumn("text", F.col("_textV.keyValue"))
+        .withColumn("keyType", F.col("_textV.keyType"))
+    )
+    keyed = with_keys_column(
+        normalise_sentence(labels, "text", "nerTerms"), "nerTerms", "labelN"
+    )
+    w = Window.partitionBy("type", "labelN").orderBy(F.col("factor").desc())
+    out_cols = sorted(
+        {"type", "label", "labelN", "keywordId"} | set(luts.columns) - {"factor"}
+    )
+    return (
+        keyed.join(luts, ["type", "labelN"], "left_outer")
+        .withColumn("isMapped", F.col("keywordId").isNotNull())
+        .filter(F.col("isMapped"))
+        .withColumn("rank", F.dense_rank().over(w))
+        .filter(F.col("rank") == 1)
+        .select(*out_cols)
+        .dropDuplicates(["type", "label", "keywordId"])
+    )
+
+
+def disambiguate(
+    df: DataFrame,
+    keyword_col: str,
+    label_counts_col: str,
+    type_col: str = "type",
+) -> DataFrame:
+    """Two-level windowed-min ambiguity filter: keep keywords whose
+    per-publication ambiguity is ≤ the keyword's global minimum
+    (Grounding.disambiguate:111-142)."""
+    per_pub = Window.partitionBy("pmid", "pmcid", type_col, keyword_col)
+    overall = Window.partitionBy(type_col, keyword_col)
+    min_pub = "_min_ambiguity_per_pub"
+    min_all = "_min_ambiguity_overall"
+    return (
+        df.withColumn(min_pub, F.min(label_counts_col).over(per_pub))
+        .withColumn(min_all, F.min(min_pub).over(overall))
+        .filter(F.col(min_pub) <= F.col(min_all))
+        .drop(min_pub, min_all)
+    )
+
+
+_BASE_COLS = [
+    "pmid",
+    "pmcid",
+    "pubDate",
+    "date",
+    "year",
+    "month",
+    "day",
+    "organisms",
+    "section",
+    "text",
+    "trace_source",
+]
+
+
+def resolve_entities(
+    entities: DataFrame, mapped_labels: DataFrame
+) -> dict[str, DataFrame]:
+    """Attach grounded keywordIds to matches and co-occurrences,
+    disambiguate, rebuild the nested output structs
+    (Grounding.resolveEntities:208-312)."""
+    merged_matches = (
+        entities.withColumn("match", F.explode("matches"))
+        .drop("matches")
+        .select("*", "match.*")
+        .drop("match")
+        .join(F.broadcast(mapped_labels), ["type", "label"], "left_outer")
+        .withColumn("isMapped", F.col("keywordId").isNotNull())
+    )
+
+    valid_matches = (
+        merged_matches.filter(F.col("isMapped"))
+        .transform(lambda d: disambiguate(d, "keywordId", "uniqueKeywordIdsPerLabelN"))
+        .withColumn(
+            "match",
+            F.struct(
+                "endInSentence",
+                "label",
+                "labelN",
+                "sectionEnd",
+                "sectionStart",
+                "startInSentence",
+                "type",
+                "keywordId",
+                "isMapped",
+            ),
+        )
+        .select(*_BASE_COLS, "match")
+    )
+
+    ml1 = mapped_labels.select(
+        F.col("type").alias("_t1"),
+        F.col("label").alias("_l1"),
+        F.col("labelN").alias("labelN1"),
+        F.col("keywordId").alias("keywordId1"),
+        F.col("uniqueKeywordIdsPerLabelN").alias("uniqueKeywordIdsPerLabelN1"),
+    )
+    ml2 = mapped_labels.select(
+        F.col("type").alias("_t2"),
+        F.col("label").alias("_l2"),
+        F.col("labelN").alias("labelN2"),
+        F.col("keywordId").alias("keywordId2"),
+        F.col("uniqueKeywordIdsPerLabelN").alias("uniqueKeywordIdsPerLabelN2"),
+    )
+
+    merged_cooc = (
+        entities.withColumn("cooc", F.explode("co-occurrence"))
+        .drop("co-occurrence")
+        .select("*", "cooc.*")
+        .drop("cooc")
+        .withColumn("type1", F.substring_index(F.col("type"), "-", 1))
+        .withColumn("type2", F.substring_index(F.col("type"), "-", -1))
+        .drop("type")
+        .join(
+            F.broadcast(ml1),
+            (F.col("type1") == F.col("_t1")) & (F.col("label1") == F.col("_l1")),
+            "left_outer",
+        )
+        .drop("_t1", "_l1")
+        .join(
+            F.broadcast(ml2),
+            (F.col("type2") == F.col("_t2")) & (F.col("label2") == F.col("_l2")),
+            "left_outer",
+        )
+        .drop("_t2", "_l2")
+        .withColumn(
+            "isMapped", F.col("keywordId1").isNotNull() & F.col("keywordId2").isNotNull()
+        )
+    )
+
+    valid_cooc = (
+        merged_cooc.filter(F.col("isMapped"))
+        .transform(
+            lambda d: disambiguate(d, "keywordId1", "uniqueKeywordIdsPerLabelN1", "type1")
+        )
+        .transform(
+            lambda d: disambiguate(d, "keywordId2", "uniqueKeywordIdsPerLabelN2", "type2")
+        )
+        .withColumn(
+            "co-occurrence",
+            F.struct(
+                F.col("end1"),
+                F.col("end2"),
+                F.col("sentEvidenceScore").alias("evidence_score"),
+                F.col("label1"),
+                F.col("labelN1"),
+                F.col("keywordId1"),
+                F.col("label2"),
+                F.col("labelN2"),
+                F.col("keywordId2"),
+                F.col("start1"),
+                F.col("start2"),
+                F.concat_ws("-", "type1", "type2").alias("type"),
+                F.col("type1"),
+                F.col("type2"),
+                F.col("isMapped"),
+            ),
+        )
+        .select(*_BASE_COLS, "co-occurrence")
+    )
+
+    return {
+        "matchesFailed": merged_matches.filter(~F.col("isMapped")),
+        "matches": valid_matches,
+        "cooccurrencesFailed": merged_cooc.filter(~F.col("isMapped")),
+        "cooccurrences": valid_cooc,
+    }
+
+
+def compute(
+    epmc: DataFrame,
+    epmcids: DataFrame,
+    targets: DataFrame,
+    diseases: DataFrame,
+    drugs: DataFrame,
+) -> dict[str, DataFrame]:
+    """Full grounding step (Grounding.compute:563-610)."""
+    id_lut = load_epmc_ids(epmcids)
+    luts = F.broadcast(load_entity_lut(targets, diseases, drugs))
+    sentences = filter_entities(load_entities(replace_spaces_schema(epmc), id_lut))
+    mapped_labels = map_entities(sentences, luts).persist()
+    return resolve_entities(sentences, mapped_labels)

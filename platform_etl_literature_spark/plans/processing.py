@@ -1,0 +1,157 @@
+"""Processing step: flatten grounded matches/co-occurrences and build
+the literature index (section-weighted harmonic relevance + sentence
+JSON per publication).
+
+Re-expression of ``Processing`` (Processing.scala:28-125,180-223).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from platform_etl_literature_spark.config import DEFAULT_SECTION_RANKS, SectionRank
+from platform_etl_literature_spark.functions.harmonic import harmonic_value
+from platform_etl_literature_spark.plans import grounding
+
+
+def section_rank_table(
+    spark: SparkSession, ranks: list[SectionRank] | None = None
+) -> DataFrame:
+    """Lift the config section-rank list to a broadcastable table
+    (Processing.scala:59-64)."""
+    ranks = ranks if ranks is not None else DEFAULT_SECTION_RANKS
+    return spark.createDataFrame(
+        [(r.section, r.rank, r.weight) for r in ranks],
+        "section STRING, rank INT, weight DOUBLE",
+    )
+
+
+def filter_matches(df: DataFrame, is_mapped: bool = True) -> DataFrame:
+    """Flatten the match struct, keep (un)mapped rows
+    (Processing.filterMatches:41-51)."""
+    return df.select("*", "match.*").drop("match").filter(F.col("isMapped") == is_mapped)
+
+
+def filter_cooccurrences(df: DataFrame, is_mapped: bool = True) -> DataFrame:
+    """Flatten the co-occurrence struct (Processing.filterCooccurrences:28-39).
+
+    The hyphenated source column requires backtick quoting in SQL; the
+    DataFrame API addresses it directly.
+    """
+    return (
+        df.select("*", F.col("`co-occurrence`.*"))
+        .drop("co-occurrence")
+        .filter(F.col("isMapped") == is_mapped)
+    )
+
+
+def literature_index(
+    df: DataFrame,
+    spark: SparkSession,
+    ranks: list[SectionRank] | None = None,
+) -> DataFrame:
+    """Per-(pmid, keyword) relevance for the search index
+    (Processing.filterMatchesForCH:53-125):
+
+    * per (pmid, section, keyword): the section weight repeated per
+      mention (title fixed to its configured weight once),
+    * per (pmid, keyword): weights flattened in section-rank order →
+      positional harmonic sum,
+    * per pmid: title/abstract mentions serialized to a JSON sentences
+      blob.
+    """
+    ranks = ranks if ranks is not None else DEFAULT_SECTION_RANKS
+    title_weight = next(r.weight for r in ranks if r.section == "title")
+    rank_table = F.broadcast(section_rank_table(spark, ranks))
+
+    w_section_kw = Window.partitionBy("pmid", "section", "keywordId")
+    w_kw = Window.partitionBy("pmid", "keywordId").orderBy(F.col("rank").asc())
+
+    fdf = df.withColumn("pmid", F.col("pmid").cast("long")).withColumnRenamed(
+        "type", "keywordType"
+    )
+
+    sentences_df = (
+        fdf.filter(F.col("section").isin("title", "abstract"))
+        .groupBy("pmid", "section")
+        .agg(
+            F.struct(
+                F.col("section"),
+                F.collect_list(
+                    F.struct(
+                        "label",
+                        "keywordType",
+                        "keywordId",
+                        "startInSentence",
+                        "endInSentence",
+                        "sectionStart",
+                        "sectionEnd",
+                    )
+                ).alias("matches"),
+            ).alias("sentencesBySection")
+        )
+        .groupBy("pmid")
+        .agg(F.to_json(F.collect_list("sentencesBySection")).alias("sentences"))
+    )
+
+    return (
+        fdf.join(rank_table, ["section"], "left_outer")
+        .na.fill({"rank": 100, "weight": 0.01})
+        .withColumn(
+            "keywordSectionV",
+            F.when(
+                F.col("section") != "title",
+                F.collect_list("weight").over(w_section_kw),
+            ).otherwise(F.array(F.lit(title_weight))),
+        )
+        .dropDuplicates(["pmid", "section", "keywordId"])
+        .withColumn("relevanceV", F.flatten(F.collect_list("keywordSectionV").over(w_kw)))
+        .withColumn("relevance", harmonic_value(F.col("relevanceV")))
+        .dropDuplicates(["pmid", "keywordId"])
+        .join(sentences_df, ["pmid"], "left_outer")
+        .select(
+            "pmid",
+            "pmcid",
+            "date",
+            "year",
+            "month",
+            "day",
+            "keywordId",
+            "relevance",
+            "keywordType",
+            "sentences",
+        )
+    )
+
+
+def run(
+    spark: SparkSession,
+    epmc: DataFrame,
+    epmcids: DataFrame,
+    targets: DataFrame,
+    diseases: DataFrame,
+    drugs: DataFrame,
+    ranks: list[SectionRank] | None = None,
+) -> dict[str, DataFrame]:
+    """Full processing step (Processing.apply:180-223): grounding →
+    persist reused branches → flatten → literature index.
+
+    Returns the five output DataFrames; writing is the caller's choice
+    (sources.write_to), so steps compose in-memory OR via files.
+    """
+    g = grounding.compute(epmc, epmcids, targets, diseases, drugs)
+    for name in ("matches", "cooccurrences"):
+        g[name].persist(StorageLevel.DISK_ONLY)
+
+    matches = filter_matches(g["matches"], is_mapped=True)
+    coocs = filter_cooccurrences(g["cooccurrences"], is_mapped=True)
+    return {
+        "failedMatches": g["matchesFailed"],
+        "failedCooccurrences": g["cooccurrencesFailed"],
+        "matches": matches,
+        "cooccurrences": coocs,
+        "literatureIndex": literature_index(matches, spark, ranks),
+    }
