@@ -69,29 +69,30 @@ def cosine_topk(
     )
 
 
-def _hyperplane_component(table: int, bit: int, dim_idx) -> "F.Column":
-    """Deterministic pseudo-gaussian-ish component in [-1, 1)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(table), F.lit(bit), dim_idx)), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return (h % F.lit(_LSH_PRIME)) / F.lit(float(_LSH_PRIME)) * 2.0 - 1.0
+def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane, components in [-1, 1).
+
+    Computed driver-side (md5 of "table:bit:dim") and shipped as an
+    array literal: the per-row work is then a single zip_with dot
+    product in whole-stage codegen, instead of re-deriving the
+    hyperplane with per-element md5 expressions on every row.
+    """
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{table}:{bit}:{d}".encode()).hexdigest()[:8], 16)
+        out.append((h % _LSH_PRIME) / float(_LSH_PRIME) * 2.0 - 1.0)
+    return out
 
 
-def lsh_bucket(vec, table: int, n_bits: int) -> "F.Column":
+def lsh_bucket(vec, table: int, n_bits: int, dim: int) -> "F.Column":
     """Random-hyperplane signature (int bucket) of an array column."""
     bucket = F.lit(0)
     for bit in range(n_bits):
+        plane = F.lit(_hyperplane(table, bit, dim))
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda i: _hyperplane_component(table, bit, i),
-                ),
-                lambda x, hcomp: x * hcomp,
-            ),
+            F.zip_with(vec, plane, lambda x, hcomp: x * hcomp),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -107,13 +108,18 @@ def lsh_cosine_topk(
     k: int = 5,
     n_tables: int = 4,
     n_bits: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via random-hyperplane LSH bucket join.
 
     Candidates = pairs sharing a bucket in ≥1 of n_tables; exact cosine
     is computed only for candidates.  Returns the same shape as
     ``cosine_topk`` (queries with <k candidates return fewer rows).
+    ``dim`` is the embedding dimensionality (inferred from the first
+    corpus row when omitted).
     """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
 
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
@@ -125,7 +131,7 @@ def lsh_cosine_topk(
                     idname,
                     f"_v_{idname}",
                     F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col(f"_v_{idname}"), t, n_bits).alias("bucket"),
+                    lsh_bucket(F.col(f"_v_{idname}"), t, n_bits, dim).alias("bucket"),
                 )
             )
         res = rows[0]

@@ -1,0 +1,108 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.11) — this is the
+new-capability extension (§7.6): file-source ingestion → event-time
+windowed aggregation with watermark-based late-data handling → sinks.
+
+Design:
+* The same transformations run on batch and streaming DataFrames
+  (Structured Streaming's contract), so every streaming query here has
+  a batch twin used by the tests as the correctness oracle.
+* Watermarks bound state: ``hourly_counts`` keeps at most
+  (watermark / window) panes per key group in the state store —
+  at 100 TB/day ingest the state size is governed by key cardinality ×
+  pane count, not by throughput.
+* Sessionization uses the built-in ``session_window`` (gap-based
+  event-time sessions) rather than custom ``applyInPandasWithState`` —
+  JVM-side state, mergeable across micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet directory.
+
+    Streaming readers need an explicit schema; it is taken from a
+    static read (driver-side metadata only).  The TIMESTAMP(NANOS)
+    column is read as long and converted with integer division —
+    identical to the batch loader.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source monitors directories; select just the events file
+    # via a glob filter so the table dir can hold other tables too
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window counts with a watermark.
+
+    Works identically on batch and streaming inputs; on a stream the
+    watermark lets Spark finalize + evict panes older than max(event
+    time) - watermark, so late events inside the bound still update
+    their pane and older ones are dropped.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based event-time sessions per user via ``session_window``
+    (the streaming-native equivalent of operators.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, query_name: str, output_mode: str = "append"
+) -> "object":
+    """Drain a streaming DataFrame into an in-memory table with the
+    available-now trigger (process everything, then stop).  Returns the
+    StreamingQuery; caller awaits termination and reads
+    ``spark.table(query_name)``."""
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,66 @@
+"""CLI end-to-end: fixture inputs written in the reference's actual
+source formats (EPMC json, gzipped csv lookup, entity parquet) → `all`
+steps → outputs on disk."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from platform_etl_literature_spark import main as cli
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_inputs")
+    fixtures.epmc_df(spark).write.mode("overwrite").json(str(d / "epmc"))
+    (
+        fixtures.epmcids_df(spark)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(str(d / "epmcids"))
+    )
+    fixtures.targets_df(spark).write.mode("overwrite").parquet(str(d / "targets"))
+    fixtures.diseases_df(spark).write.mode("overwrite").parquet(str(d / "diseases"))
+    fixtures.drugs_df(spark).write.mode("overwrite").parquet(str(d / "drugs"))
+    return d
+
+
+def test_cli_all_steps(spark, input_dir, tmp_path):
+    out = tmp_path / "out"
+    cfg = {
+        "inputs": {
+            "epmc": {"format": "json", "path": str(input_dir / "epmc")},
+            "epmcids": {
+                "format": "csv",
+                "path": str(input_dir / "epmcids"),
+                "options": {"header": "true", "inferSchema": "true"},
+            },
+            "targets": {"format": "parquet", "path": str(input_dir / "targets")},
+            "diseases": {"format": "parquet", "path": str(input_dir / "diseases")},
+            "drugs": {"format": "parquet", "path": str(input_dir / "drugs")},
+        },
+        "output": {"dir": str(out), "format": "parquet"},
+        "word2vec": {"vector_size": 8, "num_partitions": 1, "seed": 7},
+        "evidence": {"threshold": -2.0},
+    }
+    cfg_file = tmp_path / "conf.json"
+    cfg_file.write_text(json.dumps(cfg))
+
+    cli.main(["all", "--config", str(cfg_file)])
+
+    matches = spark.read.parquet(str(out / "matches"))
+    assert matches.count() > 0
+    assert {"pmid", "label", "keywordId", "isMapped"} <= set(matches.columns)
+    vectors = spark.read.parquet(str(out / "vectors"))
+    assert {r["category"] for r in vectors.collect()} == {"target", "disease", "drug"}
+    evidence = spark.read.parquet(str(out / "evidence"))
+    ev = evidence.collect()
+    assert len(ev) == 1
+    assert ev[0]["targetFromSourceId"].startswith("ENSG")
+    # literature index + failed outputs also landed
+    assert spark.read.parquet(str(out / "literatureIndex")).count() > 0
+    assert spark.read.parquet(str(out / "failedMatches")).count() == 1

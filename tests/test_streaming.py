@@ -1,0 +1,71 @@
+"""Structured Streaming tests: the streaming queries must produce the
+same results as their batch twins over the full (finite) events table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_literature_spark.streaming import (
+    hourly_counts,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(EVENTS)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(spark, stream, name):
+    # complete mode: append would hold back windows newer than the
+    # watermark, which never close on a finite input
+    q = run_to_memory(stream, name, output_mode="complete")
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
+def test_streaming_hourly_counts_match_batch(spark, batch_events):
+    stream = read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
+    got = _drain(spark, hourly_counts(stream), "hourly_t")
+    expected = hourly_counts(batch_events)  # same code path, batch input
+    g = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in expected.collect()}
+    assert g == e
+    assert len(g) > 0
+
+
+def test_streaming_sessions_match_batch(spark, batch_events):
+    stream = read_events_stream(spark, SF_DIR)
+    got = _drain(spark, session_windows(stream), "sessions_t")
+    expected = session_windows(batch_events)
+    g = sorted(tuple(r) for r in got.collect())
+    e = sorted(tuple(r) for r in expected.collect())
+    assert g == e
+    assert len(g) > 0
+
+
+def test_session_window_agrees_with_batch_sessionizer(spark, batch_events):
+    """The streaming-native session_window and the batch window-function
+    sessionizer must agree on session counts per user."""
+    from platform_etl_literature_spark.operators.sessionize import session_stats
+
+    sw = (
+        session_windows(batch_events, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    batch = session_stats(batch_events, gap_seconds=1800).select(
+        "user_id", "n_sessions"
+    )
+    g = {r["user_id"]: r["n_sessions"] for r in sw.collect()}
+    e = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert g == e
