@@ -894,6 +894,257 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Remaining §2 families + join-type extensions
+# --------------------------------------------------------------------------
+
+
+def q_scan_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """input_file_name provenance column — S6 (Grounding.scala:322).
+    Reduced to the distinct basename so the oracle is a constant."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("source_file")
+    ).distinct()
+
+
+_ORACLE_PROVENANCE = "SELECT 'lineitem.parquet' AS source_file"
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """left_semi (EXISTS) — completes the join family alongside J1's
+    anti join."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+_ORACLE_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def q_agg_first_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic analog of the reference's first()/collect_set aggs
+    (A3/A4, Processing.scala:134-148): 'first' is made well-defined by
+    minimizing an (epoch, key) integer encoding, collect_set is
+    canonicalized by sorting."""
+    orders = _t(spark, sf, "orders")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; route through
+    # TIMESTAMP (session tz = UTC)
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    enc = epoch * 100000000 + F.col("o_orderkey")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(enc).alias("enc"),
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_custkey",
+            (F.col("enc") % 100000000).alias("first_order_key"),
+            (F.col("enc") / F.lit(100000000)).cast("long").alias("first_order_epoch"),
+            "priorities",
+            "n_orders",
+        )
+    )
+
+
+_ORACLE_FIRST_DET = """
+WITH g AS (
+  SELECT o_custkey,
+         min(CAST(floor(epoch(o_orderdate)) AS BIGINT) * 100000000 + o_orderkey) AS enc,
+         array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey,
+  enc % 100000000 AS first_order_key,
+  enc // 100000000 AS first_order_epoch,
+  priorities, n_orders
+FROM g
+"""
+
+
+def q_pivot_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (training-pipeline extension; the reference has none —
+    SURVEY §2.4 note): per-user event-type counts as columns."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+_ORACLE_PIVOT = """
+SELECT user_id,
+  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+  count(*) FILTER (WHERE event_type = 'signup') AS n_signup
+FROM events GROUP BY user_id
+"""
+
+
+def q_range_join_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast band dimension —
+    training-pipeline extension."""
+    orders = _t(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0), ("large", 150000.0, 1e12)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_cents("o_totalprice")) / 100.0, 2).alias("total"),
+        )
+    )
+
+
+_ORACLE_RANGE_JOIN = """
+SELECT band, count(*) AS n,
+  round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total
+FROM orders JOIN (VALUES
+    ('small', CAST(0 AS DOUBLE), CAST(50000 AS DOUBLE)),
+    ('medium', CAST(50000 AS DOUBLE), CAST(150000 AS DOUBLE)),
+    ('large', CAST(150000 AS DOUBLE), CAST(1e12 AS DOUBLE))
+  ) b(band, lo, hi) ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (training-pipeline extension; Spark lacks a
+    native ASOF join).
+
+    Implemented scalably as a union + carry-forward window (one shuffle
+    on the user key, O(n log n) per user) instead of a range-join
+    explosion.  Timestamps compare as exact microsecond integers so the
+    oracle's ASOF semantics match bit-for-bit.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "tn", F.expr("ts div 1000")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "tn")
+        .agg(F.min("event_id").alias("cid"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tn", "event_id"
+    )
+    unioned = clicks.select(
+        "user_id", "tn", F.lit(0).alias("kind"), "cid", F.lit(None).cast("long").alias("event_id")
+    ).unionByName(
+        purchases.select(
+            "user_id", "tn", F.lit(1).alias("kind"), F.lit(None).cast("long").alias("cid"), "event_id"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tn", "kind").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        unioned.withColumn("click_id", F.last("cid", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "click_id")
+    )
+
+
+_ORACLE_ASOF = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS tn, min(event_id) AS cid
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts)::BIGINT AS tn
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, c.cid AS click_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tn >= c.tn
+"""
+
+
+def q_struct_expand(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct build + P2-style ``select("*", "s.*")`` expansion
+    (Processing.scala:35,48; Grounding.scala:169)."""
+    nation = _t(spark, sf, "nation")
+    nested = nation.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"), F.col("n_regionkey").alias("region")
+        ).alias("meta"),
+    )
+    return nested.select("*", "meta.*").drop("meta")
+
+
+_ORACLE_STRUCT_EXPAND = """
+SELECT n_nationkey, n_name AS name, n_regionkey AS region FROM nation
+"""
+
+
+def q_text_normalize_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """The grounding text-normalization pipeline (M1/M2: tokenize →
+    stopwords → normalize → Porter stem → key-gen) applied to the
+    documents table.  The stemmer is a Python-side pandas UDF, so no
+    SQL oracle (rows-only check)."""
+    from platform_etl_literature_spark.functions.text import (
+        normalise_sentence,
+        with_keys_column,
+    )
+
+    docs = _t(spark, sf, "documents").withColumn("keyType", F.lit("LT"))
+    keyed = with_keys_column(
+        normalise_sentence(docs, "text", "docTerms"), "docTerms", "labelN"
+    )
+    return keyed.select(
+        "doc_id",
+        F.length("labelN").alias("key_len"),
+        F.size(F.col("docTerms_LT")).alias("n_stemmed_tokens"),
+    )
+
+
+def q_word2vec_synonyms(spark: SparkSession, sf: str) -> DataFrame:
+    """Word2Vec train + getVectors (M3/M4) on per-document token sets;
+    returns the vector-table shape of the `vectors` step.  Iterative ML
+    training is not SQL-expressible (rows-only check)."""
+    from platform_etl_literature_spark.config import Word2VecConfig
+    from platform_etl_literature_spark.plans.embedding import make_word2vec_model
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("terms")
+    )
+    model = make_word2vec_model(
+        docs,
+        Word2VecConfig(vector_size=16, num_partitions=1, max_iter=1, seed=42),
+    )
+    vecs = model.getVectors()
+    from pyspark.ml.functions import vector_to_array
+
+    return vecs.select(
+        "word",
+        F.round(array_norm(vector_to_array(F.col("vector"))), 6).alias("norm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate / non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------------
 
@@ -962,4 +1213,15 @@ SUITE: dict[str, QuerySpec] = {
     "multimodal_decode": QuerySpec(q_multimodal_decode, _ORACLE_MM_DECODE, "multimodal mapInPandas"),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
+    "scan_provenance": QuerySpec(q_scan_provenance, _ORACLE_PROVENANCE, "S6"),
+    "semi_join": QuerySpec(q_semi_join, _ORACLE_SEMI, "J-semi"),
+    "agg_first_deterministic": QuerySpec(
+        q_agg_first_deterministic, _ORACLE_FIRST_DET, "A3 A4"
+    ),
+    "pivot_event_types": QuerySpec(q_pivot_event_types, _ORACLE_PIVOT, "pivot-ext"),
+    "range_join_bands": QuerySpec(q_range_join_bands, _ORACLE_RANGE_JOIN, "range-join-ext"),
+    "asof_join": QuerySpec(q_asof_join, _ORACLE_ASOF, "asof-join-ext"),
+    "struct_expand": QuerySpec(q_struct_expand, _ORACLE_STRUCT_EXPAND, "P2"),
+    "text_normalize_keys": QuerySpec(q_text_normalize_keys, None, "M1 M2"),
+    "word2vec_synonyms": QuerySpec(q_word2vec_synonyms, None, "M3 M4 S7"),
 }
