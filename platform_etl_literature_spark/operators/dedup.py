@@ -106,18 +106,25 @@ def minhash_signatures(
     """Per-document MinHash signature rows: (id, seed, sig).
 
     sig_seed = min over shingles s of (a_seed * h(s) + b_seed) mod P.
-    Map-side explode + partial min aggregation: the shuffle carries one
-    (id, seed, running-min) per map partition, not the token stream.
+
+    Computed as ONE wide aggregation (k min-columns per document, then
+    an unpivot) instead of a seeds cross-join: the shingle stream is
+    never amplified k×, map-side partial aggregation reduces each
+    partition to one row per doc, and the shuffle carries k longs per
+    doc.  At 100 TB this is the difference between shuffling the token
+    stream ×k and shuffling one signature row per document.
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
     ).withColumn("h", token_hash(F.col("s")))
-    seeds = sh.sparkSession.createDataFrame(MINHASH_SEEDS, "seed INT, a LONG, b LONG")
-    return (
-        sh.join(F.broadcast(seeds))
-        .groupBy("id", "seed")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(_MH_PRIME)).alias("sig"))
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"sig{i}")
+        for i, a, b in MINHASH_SEEDS
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    k = len(MINHASH_SEEDS)
+    stack = ", ".join(f"{i}, sig{i}" for i, _, _ in MINHASH_SEEDS)
+    return wide.selectExpr("id", f"stack({k}, {stack}) as (seed, sig)")
 
 
 def minhash_candidate_pairs(
@@ -196,27 +203,22 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
     ).withColumn("h", token_hash(F.col("t")))
-    # shiftright/shiftleft take literal shift amounts, so the exploded
-    # bit index uses arithmetic: bit_j(h) = floor(h / 2^j) % 2 (h < 2^32
-    # is double-exact).
-    pow2 = F.pow(F.lit(2.0), F.col("j"))
-    bits = tok.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-        F.col("h"),
-    ).withColumn(
-        "contrib",
-        F.when((F.floor(F.col("h") / pow2).cast("long") % 2) == 1, 1).otherwise(-1),
+    # One wide aggregation: 32 per-bit ±1 sums per document (literal
+    # shift amounts keep shiftright usable), then the signature is a
+    # single arithmetic combine — no 32× bit explode, one shuffle of
+    # 32 ints per doc.
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
     )
-    return (
-        bits.groupBy("id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
+    sig = None
+    for j in range(32):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+        sig = term if sig is None else sig + term
+    return bit_sums.select("id", sig.alias("simhash"))

@@ -1,0 +1,65 @@
+"""IO layer tests: multi-format read/write, partitionBy, schema
+override (Helpers.scala:108-126, 208-235 capabilities)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from platform_etl_literature_spark.sources import (
+    IOResource,
+    IOResourceConfig,
+    read_from,
+    write_to,
+)
+
+
+def test_roundtrip_formats(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    confs = {
+        "p": IOResourceConfig("parquet", str(tmp_path / "p")),
+        "j": IOResourceConfig("json", str(tmp_path / "j")),
+        "c": IOResourceConfig(
+            "csv", str(tmp_path / "c"), options={"header": "true"}
+        ),
+    }
+    write_to({k: IOResource(df, c) for k, c in confs.items()})
+    confs["c"].options["inferSchema"] = "true"
+    back = read_from(spark, confs)
+    for k in confs:
+        assert back[k].data.count() == 100, k
+    assert dict(back["p"].data.dtypes)["v"] == "double"
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+    )
+    cfg = IOResourceConfig("parquet", str(tmp_path / "pt"), partition_by=["bucket"])
+    write_to({"t": IOResource(df, cfg)})
+    # hive-style layout on disk
+    parts = sorted(p.name for p in (tmp_path / "pt").iterdir() if p.is_dir())
+    assert parts == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+    back = spark.read.parquet(str(tmp_path / "pt")).filter(F.col("bucket") == "2")
+    assert back.count() == 250
+    # partition filter must prune, not scan+filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_explicit_schema_skips_inference(spark, tmp_path):
+    p = tmp_path / "s.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    cfg = IOResourceConfig(
+        "csv", str(p), options={"header": "true"}, schema=schema
+    )
+    out = read_from(spark, {"s": cfg})["s"].data
+    assert out.schema == schema
+    assert out.count() == 2

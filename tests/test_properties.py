@@ -1,0 +1,150 @@
+"""Property tests (SURVEY.md §5.3): harmonic-fn invariants, Porter
+stemmer sanity, MinHash bounds, salted-agg equivalence.
+
+Pure-Python properties run under hypothesis; Spark equivalences run on
+one batched DataFrame per test (a Spark job per hypothesis example
+would be prohibitively slow)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from platform_etl_literature_spark.functions.harmonic import (
+    harmonic_sorted,
+    harmonic_value,
+)
+from platform_etl_literature_spark.functions.porter import stem
+
+
+def py_harmonic_sorted(vals: list[float]) -> float:
+    return sum(v / (i + 1) ** 2 for i, v in enumerate(sorted(vals, reverse=True)))
+
+
+@given(st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), max_size=20))
+@settings(max_examples=200)
+def test_python_reference_harmonic_props(vals):
+    h = py_harmonic_sorted(vals)
+    assert h >= 0
+    # permutation invariance
+    shuffled = vals[:]
+    random.Random(1).shuffle(shuffled)
+    assert py_harmonic_sorted(shuffled) == pytest.approx(h)
+    # bounded by first-term dominance: h <= max * sum(1/i^2) < max * pi^2/6
+    if vals:
+        assert h <= max(vals) * 1.644934066848227
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=0, max_size=20))
+@settings(max_examples=500)
+def test_porter_total_and_stable(word):
+    s = stem(word)
+    assert isinstance(s, str)
+    if word:
+        assert len(s) >= 1
+    assert s == s.lower()
+    if len(word) <= 2:
+        assert s == word
+
+
+def test_porter_known_stems():
+    # classic examples from the published algorithm description
+    cases = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "plastered": "plaster",
+        "motoring": "motor",
+        "conflated": "conflat",
+        "troubled": "troubl",
+        "sized": "size",
+        "hopping": "hop",
+        "falling": "fall",
+        "happy": "happi",
+        "relational": "relat",
+        "conditional": "condit",
+        "digitizer": "digit",
+        "operator": "oper",
+        "feudalism": "feudal",
+        "adoption": "adopt",
+        "activate": "activ",
+    }
+    for w, expected in cases.items():
+        assert stem(w) == expected, f"{w} -> {stem(w)} != {expected}"
+
+
+def test_spark_harmonic_matches_python_reference(spark):
+    rng = random.Random(42)
+    rows = [
+        (i, [round(rng.uniform(0, 50), 2) for _ in range(rng.randint(0, 12))])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id INT, vals ARRAY<DOUBLE>")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", harmonic_sorted("vals").alias("h")).collect()
+    }
+    for i, vals in rows:
+        assert got[i] == pytest.approx(py_harmonic_sorted(vals)), f"id {i}"
+
+
+def test_spark_harmonic_value_order_sensitivity(spark):
+    df = spark.createDataFrame([(1,)], "id INT").select(
+        harmonic_value(F.array(F.lit(1.0), F.lit(4.0))).alias("asc"),
+        harmonic_value(F.array(F.lit(4.0), F.lit(1.0))).alias("desc"),
+    )
+    r = df.collect()[0]
+    assert r["asc"] == pytest.approx(1.0 + 1.0)  # 1/1 + 4/4
+    assert r["desc"] == pytest.approx(4.0 + 0.25)  # 4/1 + 1/4
+
+
+def test_minhash_estimate_bounds(spark):
+    from platform_etl_literature_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 40)))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    sigs = D.minhash_signatures(df, "doc_id", "text", 2)
+    pairs = D.minhash_candidate_pairs(sigs, min_matching=1).collect()
+    assert all(0.0 <= p["est_jaccard"] <= 1.0 for p in pairs)
+    assert all(p["id_a"] < p["id_b"] for p in pairs)
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from platform_etl_literature_spark.operators.skew import salted_agg
+
+    rng = random.Random(3)
+    rows = [
+        ("hot" if rng.random() < 0.7 else f"k{rng.randint(0, 5)}", rng.randint(1, 100))
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, v INT")
+    got = {
+        r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("v", "count"), "total": ("v", "sum"), "vmin": ("v", "min"), "vmax": ("v", "max")},
+        ).collect()
+    }
+    expected = {
+        r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == expected
