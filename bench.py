@@ -34,6 +34,7 @@ HEADLINE = [
     "doc_profile",
     "events_hourly",
     "sessionize",
+    "literature_pipeline",
 ]
 
 

@@ -90,8 +90,20 @@ def _make_stem_udf():
     _stem = stem
 
     def stem_arrays(tokens: pd.Series) -> pd.Series:
+        # per-batch memo: vocabularies are tiny relative to the token
+        # stream, so the stemmer runs ~once per distinct token (a plain
+        # dict, not lru_cache — a wrapper would break by-value pickling)
+        cache: dict[str, str] = {}
+
+        def cached(t: str) -> str:
+            r = cache.get(t)
+            if r is None:
+                r = _stem(t)
+                cache[t] = r
+            return r
+
         return tokens.map(
-            lambda arr: None if arr is None else [_stem(t) for t in arr]
+            lambda arr: None if arr is None else [cached(t) for t in arr]
         )
 
     return F.pandas_udf(stem_arrays, ArrayType(StringType()))

@@ -193,6 +193,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cosine ≥ threshold.
+
+    Brute-force exact variant (O(n²) pairs, broadcast one side) — the
+    correctness baseline; at corpus scale route candidates through
+    ``similarity.lsh_cosine_topk`` buckets first and verify with this
+    formula.  Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    from platform_etl_literature_spark.functions.vectors import array_cosine
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", array_cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document from token hashes (with multiplicity).
 

@@ -247,14 +247,24 @@ def _null_out_sentinels(c: Column) -> Column:
     return F.when(c.isNotNull() & (c != "") & (c != "0"), c)
 
 
-def load_entities(df: DataFrame, epmcids: DataFrame) -> DataFrame:
+def load_entities(
+    df: DataFrame, epmcids: DataFrame, trace_source: bool = True
+) -> DataFrame:
     """Sentinel null-out, pmid repair via anti/outer joins, date split,
-    sentence explode, failure diagnostics (Grounding.loadEntities:314-350)."""
+    sentence explode, failure diagnostics (Grounding.loadEntities:314-350).
+
+    ``trace_source=False`` for derived (multi-source) corpora:
+    ``input_file_name()`` resolves only over single-source plans.
+    """
     e_ids = F.broadcast(epmcids)
     pm_ids = F.broadcast(epmcids)
 
+    traced = df.withColumn(
+        "trace_source", F.input_file_name() if trace_source else F.lit("")
+    )
+
     repaired = (
-        df.withColumn("trace_source", F.input_file_name())
+        traced
         .withColumn("pmid", _null_out_sentinels(F.col("pmid")))
         .withColumn("pmcid", _null_out_sentinels(F.col("pmcid")))
         .withColumn("failed_pmid", F.col("pmid").isNull())
@@ -322,10 +332,17 @@ def map_entities(entities: DataFrame, luts: DataFrame) -> DataFrame:
     """Ground NER labels: normalize each mention label under its
     key-type variants, join the LUT, keep dense_rank-1 candidates
     (Grounding.mapEntities:160-206)."""
+    # The produced mapping depends ONLY on (type, label) — the mention
+    # stream is deduplicated to distinct (type, label) pairs BEFORE the
+    # normalization pipeline runs, so the Porter-stemmer UDF and key-gen
+    # process each distinct surface form once instead of once per
+    # mention.  (The reference normalizes the full mention stream and
+    # dedups at the end, Grounding.scala:167-203 — same result, ~|mentions|
+    # / |distinct labels| times the work.)
     labels = (
         entities.withColumn("match", F.explode("matches"))
-        .select("*", "match.*")
-        .drop("match", "matches")
+        .select(F.col("match.type").alias("type"), F.col("match.label").alias("label"))
+        .dropDuplicates(["type", "label"])
         .withColumn("nLabel", normalise(F.col("label")))
         .withColumn(
             "textV",
@@ -526,10 +543,18 @@ def compute(
     targets: DataFrame,
     diseases: DataFrame,
     drugs: DataFrame,
+    trace_source: bool = True,
 ) -> dict[str, DataFrame]:
     """Full grounding step (Grounding.compute:563-610)."""
     id_lut = load_epmc_ids(epmcids)
     luts = F.broadcast(load_entity_lut(targets, diseases, drugs))
-    sentences = filter_entities(load_entities(replace_spaces_schema(epmc), id_lut))
-    mapped_labels = map_entities(sentences, luts).persist()
+    sentences = filter_entities(
+        load_entities(replace_spaces_schema(epmc), id_lut, trace_source)
+    )
+    # DISK_ONLY like the reference (Grounding.scala:603): the mapping is
+    # reused by matches + cooccurrences resolution and must not compete
+    # with execution memory
+    from pyspark.storagelevel import StorageLevel
+
+    mapped_labels = map_entities(sentences, luts).persist(StorageLevel.DISK_ONLY)
     return resolve_entities(sentences, mapped_labels)

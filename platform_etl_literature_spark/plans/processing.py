@@ -135,6 +135,7 @@ def run(
     diseases: DataFrame,
     drugs: DataFrame,
     ranks: list[SectionRank] | None = None,
+    trace_source: bool = True,
 ) -> dict[str, DataFrame]:
     """Full processing step (Processing.apply:180-223): grounding →
     persist reused branches → flatten → literature index.
@@ -142,7 +143,7 @@ def run(
     Returns the five output DataFrames; writing is the caller's choice
     (sources.write_to), so steps compose in-memory OR via files.
     """
-    g = grounding.compute(epmc, epmcids, targets, diseases, drugs)
+    g = grounding.compute(epmc, epmcids, targets, diseases, drugs, trace_source)
     for name in ("matches", "cooccurrences"):
         g[name].persist(StorageLevel.DISK_ONLY)
 

@@ -33,9 +33,13 @@ def build_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    # local mode: the driver IS the executor — size its heap to the box
+    # (only effective at first JVM launch; harmless afterwards)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         # reference session conf (Helpers.scala:40-46)
         .config("spark.driver.maxResultSize", "0")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

@@ -626,6 +626,31 @@ FROM pairs WHERE n_matching >= 3
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.5) — the vector-space
+    member of the dedup family."""
+    return D.embedding_cosine_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.5
+    )
+
+
+_ORACLE_DEDUP_EMB = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) = 0
+             THEN 0.0
+             ELSE list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        END, 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) = 0
+           THEN 0.0
+           ELSE list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      END >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash per document (token multiplicity respected)."""
     return D.simhash32(_t(spark, sf, "documents"), "doc_id", "text")
@@ -1149,6 +1174,20 @@ def q_word2vec_synonyms(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_literature_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship grounding+processing pipeline end-to-end over a
+    literature corpus derived deterministically from the test tables
+    (see benchdata.py) — entity-LUT build, normalization+stemming,
+    label grounding, disambiguation, section-weighted harmonic
+    relevance.  Stemming is Python-side, so rows-only check."""
+    from platform_etl_literature_spark.benchdata import run_literature_pipeline
+
+    li = run_literature_pipeline(spark, sf)
+    return li.select(
+        "pmid", "keywordId", "keywordType", F.round("relevance", 6).alias("relevance")
+    )
+
+
 def q_approx_distinct_window(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct over a window — A12/W6
     (Grounding.scala:543-550). HLL++ internals are engine-specific, so
@@ -1201,6 +1240,9 @@ SUITE: dict[str, QuerySpec] = {
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, _ORACLE_NGRAM_JACCARD, "dedup-ngram"),
     "minhash_pairs": QuerySpec(q_minhash_pairs, _ORACLE_MINHASH, "dedup-minhash"),
     "simhash": QuerySpec(q_simhash, _ORACLE_SIMHASH, "dedup-simhash"),
+    "dedup_embedding_cosine": QuerySpec(
+        q_dedup_embedding_cosine, _ORACLE_DEDUP_EMB, "dedup-embedding"
+    ),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, _ORACLE_ANN, "similarity F1"),
     "embedding_centroids": QuerySpec(q_embedding_centroids, _ORACLE_CENTROIDS, "explode agg"),
     "vectors_norm_category": QuerySpec(
@@ -1224,4 +1266,7 @@ SUITE: dict[str, QuerySpec] = {
     "struct_expand": QuerySpec(q_struct_expand, _ORACLE_STRUCT_EXPAND, "P2"),
     "text_normalize_keys": QuerySpec(q_text_normalize_keys, None, "M1 M2"),
     "word2vec_synonyms": QuerySpec(q_word2vec_synonyms, None, "M3 M4 S7"),
+    "literature_pipeline": QuerySpec(
+        q_literature_pipeline, None, "flagship grounding+processing e2e"
+    ),
 }

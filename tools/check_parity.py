@@ -28,6 +28,8 @@ def canon(df, float_dp=6):
     sort rows."""
     import pandas as pd
 
+    if len(df) == 0:
+        return []
     df = df[sorted(df.columns)]
     out = pd.DataFrame()
     for c in df.columns:
