@@ -100,6 +100,78 @@ def lsh_bucket(vec, table: int, n_bits: int, dim: int) -> "F.Column":
     return bucket
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via an IVF (inverted-file) index:
+    k-means coarse quantizer → corpus rows assigned to their nearest
+    centroid list → each query probes its ``n_probe`` nearest lists →
+    exact cosine only within probed lists.
+
+    The centroid table is tiny and shipped as literal arrays, so both
+    the corpus assignment and the query probe are map-side expressions;
+    the only shuffle is the equijoin on ``list_id`` (pruned to probed
+    lists) plus the final per-query top-k window.  At 100 TB the corpus
+    assignment is computed once and persisted with the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def dist_entries(vec):
+        # squared L2 to each centroid as literal-array dot products
+        entries = []
+        for i, c in enumerate(centroids):
+            cl = F.lit(c)
+            d = F.aggregate(
+                F.zip_with(vec, cl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+        return F.array(*entries)
+
+    cv = F.col(vec_col).cast("array<double>")
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("cvec"),
+        F.array_min(dist_entries(cv))["i"].alias("list_id"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        cv.alias("qvec"),
+        F.slice(F.array_sort(dist_entries(cv)), 1, n_probe).alias("_probe"),
+    ).select(
+        "query_id", "qvec", F.explode(F.transform("_probe", lambda e: e["i"])).alias("list_id")
+    )
+
+    scored = (
+        probed.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_exact", array_cosine("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_exact", 6).alias("sim"))
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -564,7 +564,12 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     Σdf² join blowup); trigram df² is ~20× smaller with the same exact
     semantics."""
     return D.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", shingle_n=3, threshold=0.08
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=0.08,
+        broadcast_index=True,  # index fits in memory at test scale
     )
 
 
@@ -1207,8 +1212,19 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (the ANN scale path) —
     approximate by construction, so rows-only check."""
     emb = _t(spark, sf, "embeddings")
+    # n_bits chosen so buckets hold ~2^-4 of the corpus (recall ~0.7-0.8
+    # at 8 tables on this data; more bits → empty buckets → recall loss)
     return SIM.lsh_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_tables=4, n_bits=8
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_tables=8, n_bits=4
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (k-means inverted-file) approximate top-k — the second ANN
+    scale path; approximate by construction, rows-only check."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=3
     )
 
 
@@ -1255,6 +1271,7 @@ SUITE: dict[str, QuerySpec] = {
     "multimodal_decode": QuerySpec(q_multimodal_decode, _ORACLE_MM_DECODE, "multimodal mapInPandas"),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
+    "ivf_ann_topk": QuerySpec(q_ivf_ann_topk, None, "similarity-ivf"),
     "scan_provenance": QuerySpec(q_scan_provenance, _ORACLE_PROVENANCE, "S6"),
     "semi_join": QuerySpec(q_semi_join, _ORACLE_SEMI, "J-semi"),
     "agg_first_deterministic": QuerySpec(

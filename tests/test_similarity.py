@@ -1,0 +1,52 @@
+"""ANN recall tests: LSH and IVF approximations against the exact
+brute-force baseline on the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from platform_etl_literature_spark.operators import similarity as SIM
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(SIM.cosine_topk(emb, q, k=5))
+    approx = _topk_sets(SIM.ivf_cosine_topk(emb, q, k=5, n_lists=4, n_probe=2))
+    hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(SIM.cosine_topk(emb, q, k=5))
+    # n_bits sizes buckets: 2^4 buckets over 500 vectors ≈ 30/bucket.
+    # Too many bits → sub-singleton buckets → recall collapses.
+    approx = _topk_sets(SIM.lsh_cosine_topk(emb, q, k=5, n_tables=8, n_bits=4))
+    hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
+
+
+def test_exact_topk_is_symmetric_sane(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = SIM.cosine_topk(emb, q, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["sim"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
