@@ -1112,6 +1112,63 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tn >= c.tn
 """
 
 
+def q_cube_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — grouping-sets family
+    (training-pipeline extension; reference has none, SURVEY §2.4)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("l_quantity", 1)).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+_ORACLE_CUBE = """
+SELECT COALESCE(l_returnflag, '<all>') AS rf,
+       COALESCE(l_linestatus, '<all>') AS ls,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric RANGE frame: trailing 1-hour event count/sum per user —
+    the window shape of stream-style trailing aggregates (extension)."""
+    ev = _t(spark, sf, "events")
+    epoch = F.floor(F.col("ts").cast("double")).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum(_cents("value")).over(w) / 100.0, 2).alias("sum_trailing_1h"),
+    )
+
+
+_ORACLE_RANGE_FRAME = """
+SELECT event_id, user_id,
+  count(*) OVER w AS n_trailing_1h,
+  round(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w / 100.0, 2) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_struct_expand(spark: SparkSession, sf: str) -> DataFrame:
     """Struct build + P2-style ``select("*", "s.*")`` expansion
     (Processing.scala:35,48; Grounding.scala:169)."""
@@ -1281,6 +1338,10 @@ SUITE: dict[str, QuerySpec] = {
     "range_join_bands": QuerySpec(q_range_join_bands, _ORACLE_RANGE_JOIN, "range-join-ext"),
     "asof_join": QuerySpec(q_asof_join, _ORACLE_ASOF, "asof-join-ext"),
     "struct_expand": QuerySpec(q_struct_expand, _ORACLE_STRUCT_EXPAND, "P2"),
+    "cube_rollup": QuerySpec(q_cube_rollup, _ORACLE_CUBE, "grouping-sets-ext"),
+    "window_range_frame": QuerySpec(
+        q_window_range_frame, _ORACLE_RANGE_FRAME, "range-frame-ext"
+    ),
     "text_normalize_keys": QuerySpec(q_text_normalize_keys, None, "M1 M2"),
     "word2vec_synonyms": QuerySpec(q_word2vec_synonyms, None, "M3 M4 S7"),
     "literature_pipeline": QuerySpec(
