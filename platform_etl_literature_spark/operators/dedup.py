@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Large prime < 2^31 — universal-hash modulus. a*h+b stays < 2^52
 # (a < 2^20, h < 2^32), far from int64 overflow.
@@ -135,8 +136,14 @@ def minhash_candidate_pairs(
     Joins signature rows on (seed, sig) — i.e. each (seed, value) acts
     as an LSH bucket of band size 1 — then keeps pairs agreeing on
     ≥ min_matching of the k seeds.  Estimated Jaccard = m/k.
+
+    The signature DataFrame feeds both sides of the self-join; without a
+    persist the whole shingle→hash→min aggregation runs twice, so it is
+    cached here (MEMORY_AND_DISK — signatures are k longs per doc, tiny
+    relative to the corpus even at 100 TB).
     """
     k = len(MINHASH_SEEDS)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     a = sigs.select(F.col("id").alias("id_a"), "seed", "sig")
     b = sigs.select(F.col("id").alias("id_b"), "seed", "sig")
     return (
@@ -166,11 +173,17 @@ def ngram_jaccard_pairs(
     ``broadcast_index=True`` broadcasts one side of the shingle
     self-join — ~35% faster when the exploded index fits in memory
     (small corpora / sampled audits); leave False at corpus scale.
+
+    The exploded shingle index feeds three consumers (both join sides
+    and the per-doc sizes), so it is persisted: tokenize+shingle+explode
+    is the expensive part and must run once, not three times.  At corpus
+    scale the index spills to disk (MEMORY_AND_DISK), which is still far
+    cheaper than recomputation.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")

