@@ -124,37 +124,45 @@ def ivf_cosine_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    import numpy as np
+
     train = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    centroids = np.array([list(map(float, c)) for c in model.clusterCenters()])
 
-    def dist_entries(vec):
-        # squared L2 to each centroid as literal-array dot products
-        entries = []
-        for i, c in enumerate(centroids):
-            cl = F.lit(c)
-            d = F.aggregate(
-                F.zip_with(vec, cl, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-        return F.array(*entries)
+    # Nearest-list ranking in ONE Arrow batch per partition: squared-L2
+    # to every centroid via ‖x‖² − 2x·c + ‖c‖² as a numpy matmul.  (The
+    # HOF formulation shipped n_lists × dim literal doubles into the
+    # expression tree — codegen cost scaled with the quantizer, not the
+    # data.)  Ties broken by list index (argsort is stable).
+    cent_sq = (centroids * centroids).sum(axis=1)  # (L,)
+    probe_n = n_probe
+
+    def _nearest_lists(v):
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.asarray([_np.asarray(row, dtype=_np.float64) for row in v])
+        if len(X) == 0:
+            return _pd.Series([], dtype=object)
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ centroids.T) + cent_sq[None, :]
+        order = _np.argsort(d2, axis=1, kind="stable")  # (n, L)
+        return _pd.Series([row.tolist() for row in order])
+
+    _lists_udf = F.pandas_udf(_nearest_lists, "array<int>")
 
     cv = F.col(vec_col).cast("array<double>")
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         cv.alias("cvec"),
-        F.array_min(dist_entries(cv))["i"].alias("list_id"),
+        _lists_udf(cv)[0].alias("list_id"),
     )
     probed = queries.select(
         F.col(id_col).alias("query_id"),
         cv.alias("qvec"),
-        F.slice(F.array_sort(dist_entries(cv)), 1, n_probe).alias("_probe"),
-    ).select(
-        "query_id", "qvec", F.explode(F.transform("_probe", lambda e: e["i"])).alias("list_id")
+        F.explode(F.slice(_lists_udf(cv), 1, probe_n)).alias("list_id"),
     )
 
     scored = (
@@ -193,23 +201,40 @@ def lsh_cosine_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
+    # All n_tables × n_bits hyperplane projections in ONE Arrow batch per
+    # partition: a numpy (batch × dim) @ (dim × T·B) matmul replaces
+    # T·B zip_with/aggregate folds per row.  The HOF formulation built a
+    # literal-laden expression tree (T·B·dim literal doubles) whose
+    # codegen+eval cost dwarfed the data at any scale; the matmul is the
+    # vectorized scale path and keeps the same deterministic md5 planes.
+    import numpy as np
+
+    planes = np.array(
+        [_hyperplane(t, b, dim) for t in range(n_tables) for b in range(n_bits)]
+    )  # (T*B, dim)
+    bit_weights = (1 << np.arange(n_bits)).astype("int64")
+    n_t, n_b = n_tables, n_bits
+
+    def _bucket_batches(v):
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.asarray([_np.asarray(row, dtype=_np.float64) for row in v])
+        if len(X) == 0:
+            return _pd.Series([], dtype=object)
+        signs = (X @ planes.T) > 0  # (n, T*B)
+        buckets = signs.reshape(len(X), n_t, n_b) @ bit_weights  # (n, T)
+        return _pd.Series([row.tolist() for row in buckets])
+
+    _buckets_udf = F.pandas_udf(_bucket_batches, "array<long>")
+
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
-        out = df.select(F.col(id_col).alias(idname), v.alias(f"_v_{idname}"))
-        rows = []
-        for t in range(n_tables):
-            rows.append(
-                out.select(
-                    idname,
-                    f"_v_{idname}",
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col(f"_v_{idname}"), t, n_bits, dim).alias("bucket"),
-                )
-            )
-        res = rows[0]
-        for r in rows[1:]:
-            res = res.unionByName(r)
-        return res
+        return df.select(
+            F.col(id_col).alias(idname),
+            v.alias(f"_v_{idname}"),
+            F.posexplode(_buckets_udf(v)).alias("tbl", "bucket"),
+        )
 
     qb = with_buckets(queries, "query_id")
     cb = with_buckets(corpus, "neighbor_id")
