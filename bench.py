@@ -32,8 +32,11 @@ HEADLINE = [
     "simhash",
     "ann_cosine_topk",
     "doc_profile",
+    "tfidf_terms",
+    "json_props_extract",
     "events_hourly",
     "sessionize",
+    "interval_join_views_clicks",
     "literature_pipeline",
 ]
 

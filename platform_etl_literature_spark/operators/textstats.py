@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from platform_etl_literature_spark.operators.dedup import tokens
 
@@ -122,6 +123,42 @@ def token_count_bpeish(text: Column) -> Column:
         F.filter(
             F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0), lambda t: t != ""
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = in-document term count; df = number of documents containing the
+    term; idf = ln(N/df).  Ranking uses the integer-exact key
+    (tf desc, df asc, term asc) — same order as tf·idf for fixed tf, and
+    deterministic across engines (a float-ranked top-k could flip on the
+    last ulp of ln).  The reported tfidf rounds idf before the product
+    so the value is engine-portable too.
+
+    Scale shape: two hash aggregations (term stream → (doc,term) tf →
+    term df) and a broadcast of the single-row corpus count; the top-k
+    window shuffles on doc_id only.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("idf", F.round(F.log(F.col("n_docs") / F.col("df")), 6))
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
     )
 
 

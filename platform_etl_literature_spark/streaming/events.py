@@ -92,6 +92,61 @@ def session_windows(
     )
 
 
+def view_click_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: each view pairs with the same
+    user's clicks landing within ``max_delay`` after it.
+
+    Both sides carry watermarks and the join condition bounds click_ts
+    relative to view_ts, so the state store can evict a buffered row
+    once the other side's watermark passes its join range — state is
+    bounded by (watermark + max_delay) × arrival rate, not by stream
+    length.  Works identically on batch inputs (the test oracle).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            # integer microseconds: exact in any engine (a seconds double
+            # would round-trip through float division)
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once by event id under replays/retries:
+    ``dropDuplicatesWithinWatermark`` keeps one row per event_id and
+    evicts its dedup state once the watermark passes the event's
+    timestamp — bounded state, unlike a plain streaming
+    ``dropDuplicates`` which must remember every id forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "object":

@@ -1292,6 +1292,82 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF with an
+    integer-exact ranking key (see operators.textstats.tfidf_top_terms)."""
+    return TS.tfidf_top_terms(_t(spark, sf, "documents"), "doc_id", "text", k=3)
+
+
+_ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+total AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df,
+  round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) AS tfidf
+FROM tf JOIN dft USING (term) CROSS JOIN total
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3
+"""
+
+
+def q_json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field extraction from the events props column (the from_json
+    direction the reference never needed — it only writes with to_json,
+    Processing.scala:105) + aggregation per event_type."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_ORACLE_JSON_PROPS = """
+SELECT event_type,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_interval_join_views_clicks(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (streaming.events.
+    view_click_interval_join): views paired with same-user clicks within
+    10 minutes after them.  The exact same function runs on streaming
+    inputs with state bounded by watermark + join range."""
+    from platform_etl_literature_spark.streaming.events import (
+        view_click_interval_join,
+    )
+
+    ev = _t(spark, sf, "events")
+    return view_click_interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+_ORACLE_INTERVAL_JOIN = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+  epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL '10 minutes'
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -1349,5 +1425,12 @@ SUITE: dict[str, QuerySpec] = {
     "word2vec_synonyms": QuerySpec(q_word2vec_synonyms, None, "M3 M4 S7"),
     "literature_pipeline": QuerySpec(
         q_literature_pipeline, None, "flagship grounding+processing e2e"
+    ),
+    "tfidf_terms": QuerySpec(q_tfidf_terms, _ORACLE_TFIDF, "textstats-tfidf-ext"),
+    "json_props_extract": QuerySpec(
+        q_json_props_extract, _ORACLE_JSON_PROPS, "json-extract-ext"
+    ),
+    "interval_join_views_clicks": QuerySpec(
+        q_interval_join_views_clicks, _ORACLE_INTERVAL_JOIN, "stream-interval-join-ext"
     ),
 }

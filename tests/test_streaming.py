@@ -12,6 +12,10 @@ from platform_etl_literature_spark.streaming import (
     run_to_memory,
     session_windows,
 )
+from platform_etl_literature_spark.streaming.events import (
+    dedup_within_watermark,
+    view_click_interval_join,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 EVENTS = f"{SF_DIR}/events.parquet"
@@ -51,6 +55,56 @@ def test_streaming_sessions_match_batch(spark, batch_events):
     e = sorted(tuple(r) for r in expected.collect())
     assert g == e
     assert len(g) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, batch_events):
+    """Stream-stream inner interval join (views ⋈ same-user clicks
+    within 10 min) must equal the identical function on batch inputs."""
+    stream = read_events_stream(spark, SF_DIR)
+    joined = view_click_interval_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    # append mode: inner stream-stream joins emit as soon as both sides
+    # match; no watermark-held results matter for rows well inside the
+    # finite input's time range
+    q = run_to_memory(joined, "vc_join_t", output_mode="append")
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table("vc_join_t").collect())
+    expected = sorted(
+        tuple(r)
+        for r in view_click_interval_join(
+            batch_events.filter(F.col("event_type") == "view"),
+            batch_events.filter(F.col("event_type") == "click"),
+        ).collect()
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_dedup_within_watermark_drops_replays(spark):
+    """A stream replayed twice (two copies of the file) must come out
+    with exactly one row per event_id."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(EVENTS).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    replayed = stream.unionByName(stream)  # same file delivered twice
+    q = run_to_memory(
+        dedup_within_watermark(replayed), "dedup_t", output_mode="append"
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.table("dedup_t")
+    n_batch = spark.read.parquet(EVENTS).count()
+    assert got.count() == n_batch
+    assert got.select("event_id").distinct().count() == n_batch
 
 
 def test_session_window_agrees_with_batch_sessionizer(spark, batch_events):
