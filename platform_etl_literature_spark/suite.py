@@ -1368,6 +1368,101 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+def q_lang_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of predicted vs labeled
+    language over the documents table (the lang column is ground truth)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.col("lang"), TS.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_ORACLE_LANG_EVAL = """
+WITH w AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+s AS (
+  SELECT lang,
+    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(['el','la','y','es','un'], t))) AS h_es,
+    len(list_filter(toks, t -> list_contains(['le','la','et','est','un'], t))) AS h_fr
+  FROM w)
+SELECT lang,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  count(*) AS n
+FROM s
+GROUP BY 1, 2
+"""
+
+
+def q_knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN classification over the embeddings table: each query vector's
+    label predicted by majority vote of its 5 nearest neighbors (ties →
+    smaller label), checked against the stored ground-truth label."""
+    emb = _t(spark, sf, "embeddings")
+    knn = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        knn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        votes.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"), "votes")
+        .join(truth, "query_id")
+        .withColumn(
+            "correct", (F.col("pred_label") == F.col("true_label")).cast("int")
+        )
+    )
+
+
+_ORACLE_KNN_VOTE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, label AS n_label, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, n_label,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS sim_exact
+  FROM q, c WHERE query_id != neighbor_id),
+knn AS (
+  SELECT query_id, neighbor_id, n_label
+  FROM s
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim_exact DESC, neighbor_id) <= 5),
+votes AS (
+  SELECT query_id, n_label, count(*) AS votes
+  FROM knn GROUP BY 1, 2),
+pred AS (
+  SELECT query_id, n_label AS pred_label, votes
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY votes DESC, n_label ASC) = 1)
+SELECT p.query_id, p.pred_label, p.votes, e.label AS true_label,
+  CAST(p.pred_label = e.label AS INTEGER) AS correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -1433,4 +1528,6 @@ SUITE: dict[str, QuerySpec] = {
     "interval_join_views_clicks": QuerySpec(
         q_interval_join_views_clicks, _ORACLE_INTERVAL_JOIN, "stream-interval-join-ext"
     ),
+    "lang_eval": QuerySpec(q_lang_eval, _ORACLE_LANG_EVAL, "textstats-langid-eval"),
+    "knn_label_vote": QuerySpec(q_knn_label_vote, _ORACLE_KNN_VOTE, "similarity-knn-eval"),
 }

@@ -26,6 +26,9 @@ def test_roundtrip_formats(spark, tmp_path):
         "c": IOResourceConfig(
             "csv", str(tmp_path / "c"), options={"header": "true"}
         ),
+        # beyond the reference's json/parquet/csv: the config-driven
+        # layer passes any built-in format through unchanged
+        "o": IOResourceConfig("orc", str(tmp_path / "o")),
     }
     write_to({k: IOResource(df, c) for k, c in confs.items()})
     confs["c"].options["inferSchema"] = "true"

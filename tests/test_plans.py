@@ -1,0 +1,87 @@
+"""Physical-plan shape regressions: the properties that make the suite
+scale (filter pushdown into the parquet scan, column pruning, broadcast
+of small sides, semi/anti join strategies) asserted on the optimized /
+executed plans, so a refactor that silently loses one fails CI, not the
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from platform_etl_literature_spark.suite import SUITE
+
+
+def _formatted_plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _simple_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    """The shipdate filter must reach the parquet scan and the scan must
+    not read columns the query never touches."""
+    plan = _formatted_plan(SUITE["pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan[:4000]
+    # column pruning: the widest lineitem columns are not in ReadSchema
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_broadcast_rank_lut_broadcasts(spark, sf_dir):
+    plan = _simple_plan(SUITE["broadcast_rank_lut"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    semi = _simple_plan(SUITE["semi_join"].fn(spark, sf_dir))
+    anti = _simple_plan(SUITE["anti_join"].fn(spark, sf_dir))
+    assert "LeftSemi" in semi, semi[:3000]
+    assert "LeftAnti" in anti, anti[:3000]
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    """Brute-force cosine top-k must broadcast the (small) query set,
+    never shuffle the corpus against it."""
+    plan = _simple_plan(SUITE["ann_cosine_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
+
+
+def test_doc_profile_single_scan_single_tokenize(spark, sf_dir):
+    """The full text profile must be one projection over one scan — no
+    shuffle, and exactly one split() of the text column (the tokenize-
+    once contract; a regression here multiplies corpus CPU by ~7)."""
+    df = SUITE["doc_profile"].fn(spark, sf_dir)
+    plan = _simple_plan(df)
+    assert "Exchange" not in plan, plan[:3000]
+    assert plan.count("split(text") <= 1, plan[:3000]
+
+
+def test_whole_stage_codegen_covers_relational_core(spark, sf_dir):
+    """The relational-core queries must run inside whole-stage codegen
+    (a Python/interpreted stage in the hot path would show up here)."""
+    for name in ("pricing_summary", "top1_per_group", "grouped_json"):
+        df = SUITE[name].fn(spark, sf_dir)
+        df.collect()  # AQE only finalizes (and codegens) the plan on execution
+        plan = _simple_plan(df)
+        # codegen stages print as "*(n) Operator" in the simple format
+        assert "*(" in plan, f"{name}: {plan[:2000]}"
+        assert "BatchEvalPython" not in plan, f"{name}: {plan[:2000]}"
+
+
+def test_aggregations_are_partial_first(spark, sf_dir):
+    """groupBy aggregations must map-side combine (partial_*) before the
+    shuffle — the property that keeps shuffle volume proportional to
+    group count, not row count, at 100 TB."""
+    df = SUITE["pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = _simple_plan(df)
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]
