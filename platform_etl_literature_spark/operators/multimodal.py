@@ -104,3 +104,98 @@ def decode_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Data
             )
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    every: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample every ``every``-th frame from each media payload — the
+    video path (a real decoder seeks keyframes; the fake slices the
+    payload into fixed-size chunks).  One mapInPandas stage, rows fan
+    out (media → sampled frames) inside the Arrow batch, no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame extraction requires video codecs not present here; "
+                    "pass fake=True for the deterministic chunking stand-in"
+                )
+            ids, idxs, sizes, digests = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    digests.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "n_bytes": sizes, "digest": digests}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int = 8, height: int = 8, fake: bool = False
+) -> DataFrame:
+    """Resize stub — the image path.  Emits a payload of exactly
+    width×height bytes per row (deterministically derived from the
+    source payload's sha256) with updated metadata; schema identical to
+    the input media table so resize stages compose.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires codecs not present here; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            payloads = pdf["payload"].map(
+                lambda b: (hashlib.sha256(bytes(b)).digest() * ((n // 32) + 1))[:n]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": f"image/raw;w={width};h={height}",
+                    "n_bytes": n,
+                    "source": pdf["source"],
+                }
+            )
+
+    flat = media.select(
+        "media_id", "payload", F.col("meta.source").alias("source")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    return flat.mapInPandas(run, out_schema).select(
+        "media_id",
+        "payload",
+        F.struct("mime", "n_bytes", "source").alias("meta"),
+    )

@@ -926,6 +926,28 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over binary media payloads (every 4th 64-byte
+    frame, deterministic fake codec) — rows fan out inside one
+    mapInPandas stage; digests are SQL-checkable via sha256 because the
+    corpus text is ASCII (byte substring == char substring)."""
+    media = MM.to_media_table(_t(spark, sf, "documents"), "doc_id", "text", "source")
+    return MM.frame_sample(media, frame_bytes=64, every=4, fake=True)
+
+
+_ORACLE_MM_FRAMES = """
+SELECT doc_id AS media_id,
+  CAST(i AS BIGINT) AS frame_idx,
+  CAST(octet_length(encode(substr(text, i * 64 + 1, 64))) AS BIGINT) AS n_bytes,
+  sha256(substr(text, i * 64 + 1, 64)) AS digest
+FROM documents,
+  LATERAL unnest(generate_series(
+    0,
+    CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1,
+    4)) AS t(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # Remaining §2 families + join-type extensions
 # --------------------------------------------------------------------------
@@ -1500,6 +1522,9 @@ SUITE: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(q_sessionize, _ORACLE_SESSIONIZE, "window stateful-analog"),
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MM_META, "multimodal S-binary"),
     "multimodal_decode": QuerySpec(q_multimodal_decode, _ORACLE_MM_DECODE, "multimodal mapInPandas"),
+    "multimodal_frames": QuerySpec(
+        q_multimodal_frames, _ORACLE_MM_FRAMES, "multimodal frame-sample"
+    ),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
     "ivf_ann_topk": QuerySpec(q_ivf_ann_topk, None, "similarity-ivf"),

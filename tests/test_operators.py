@@ -123,6 +123,28 @@ def test_multimodal_fake_decode_and_stub(spark):
         MM.decode_features(media, fake=False).collect()
 
 
+def test_multimodal_frame_sample_and_resize(spark):
+    import hashlib
+
+    text = "x" * 150  # 3 frames of 64 bytes (last partial: 22)
+    df = spark.createDataFrame([(1, text, "s")], ["doc_id", "text", "source"])
+    media = MM.to_media_table(df, "doc_id", "text", "source")
+    frames = {
+        r["frame_idx"]: r for r in MM.frame_sample(media, 64, every=2, fake=True).collect()
+    }
+    assert sorted(frames) == [0, 2]  # every 2nd of frames 0,1,2
+    assert frames[0]["n_bytes"] == 64
+    assert frames[2]["n_bytes"] == 22
+    assert frames[0]["digest"] == hashlib.sha256(b"x" * 64).hexdigest()
+    resized = MM.resize_media(media, width=4, height=4, fake=True).collect()[0]
+    assert resized["meta"]["n_bytes"] == 16
+    assert len(bytes(resized["payload"])) == 16
+    assert resized["meta"]["mime"] == "image/raw;w=4;h=4"
+    assert resized["meta"]["source"] == "s"
+    with pytest.raises(Exception, match="NotImplementedError|frame extraction"):
+        MM.frame_sample(media, fake=False).collect()
+
+
 def test_document_profile_values(spark):
     df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
     r = TS.document_profile(df, "doc_id", "text").collect()[0]
