@@ -156,6 +156,99 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_banded_pairs(
+    sigs: DataFrame, band_size: int = 2, min_matching_bands: int = 1
+) -> DataFrame:
+    """Banded LSH over MinHash signature rows: the k seeds split into
+    k/band_size bands; a band's bucket key is the exact tuple of its
+    signatures, and documents pair when ≥ min_matching_bands buckets
+    collide.
+
+    This is the textbook S-curve knob the band-size-1 variant
+    (minhash_candidate_pairs) lacks: requiring r signatures to agree at
+    once drops the collision probability of a pair with Jaccard j from
+    ~j per seed to j^r per band, so low-similarity pairs stop reaching
+    the verify stage.  At 100 TB that's the difference between the
+    candidate join carrying O(pairs with j≥0.1) and O(pairs with
+    j≥0.6).  Shuffle key is (band, band-hash) — fixed width regardless
+    of document size.
+    """
+    k = len(MINHASH_SEEDS)
+    n_bands = k // band_size
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .filter(F.col("band") < n_bands)
+        .groupBy("id", "band")
+        # band bucket = the exact signature tuple, serialized in seed order
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "sig"))).alias("_tuple"))
+        .select(
+            "id",
+            "band",
+            F.array_join(
+                F.transform("_tuple", lambda e: e["sig"].cast("string")), ":"
+            ).alias("band_key"),
+        )
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_matching_bands)
+    )
+
+
+def simhash_near_pairs(
+    signed: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: the 32-bit signature splits into n_blocks
+    8-bit blocks; any pair within hamming d < n_blocks must agree
+    exactly on ≥1 block, so candidates come from n_blocks equijoins on
+    (block_idx, block_value) — never an all-pairs scan — and only
+    candidates pay the bit_count(xor) verify.  Input: (id, simhash)
+    from ``simhash32``.
+    """
+    bits_per = 32 // n_blocks
+    blocks = signed.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), i * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.block_idx"), F.col("b.block_val"))
+    a = blocks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block_idx", "block_val"
+    )
+    b = blocks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "block_idx", "block_val"
+    )
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

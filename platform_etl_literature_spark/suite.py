@@ -682,6 +682,73 @@ FROM c GROUP BY id
 """
 
 
+def q_minhash_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded MinHash-LSH candidates (4 bands × 2 rows): the S-curve
+    variant that suppresses low-Jaccard pairs before verification."""
+    sigs = D.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text", 2)
+    return D.minhash_banded_pairs(sigs, band_size=2, min_matching_bands=1)
+
+
+_ORACLE_MINHASH_BANDED = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(toks[i:i+1], ' ')))) AS s
+  FROM w WHERE len(toks) >= 2),
+h AS (SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+seeds(seed, a, b) AS (VALUES
+  (0, 824393, 93441), (1, 742049, 414977), (2, 566827, 264607),
+  (3, 910771, 122099), (4, 385811, 661637), (5, 218971, 831151),
+  (6, 678481, 518803), (7, 141793, 947501)),
+sigs AS (
+  SELECT id, seed, min((a * h + b) % 2147483647) AS sig
+  FROM h CROSS JOIN seeds GROUP BY id, seed),
+banded AS (
+  SELECT id, CAST(seed // 2 AS INTEGER) AS band,
+         string_agg(CAST(sig AS VARCHAR), ':' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY 1, 2)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= 1
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole blocking —
+    4 exact-block equijoins, bit_count(xor) verify on candidates only."""
+    signed = D.simhash32(_t(spark, sf, "documents"), "doc_id", "text")
+    return D.simhash_near_pairs(signed, max_hamming=3, n_blocks=4)
+
+
+_ORACLE_SIMHASH_PAIRS = """
+WITH tok AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM documents),
+h AS (SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT id, j, h FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)),
+c AS (
+  SELECT id, j,
+         sum(CASE WHEN (CAST(floor(h / power(2.0, j)) AS BIGINT) % 2) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY id, j),
+sigs AS (
+  SELECT id,
+    CAST(sum(CASE WHEN s > 0 THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM c GROUP BY id)
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search / embeddings
 # --------------------------------------------------------------------------
@@ -1508,6 +1575,12 @@ SUITE: dict[str, QuerySpec] = {
     "word_tf": QuerySpec(q_word_tf, _ORACLE_WORD_TF, "explode HOF"),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, _ORACLE_NGRAM_JACCARD, "dedup-ngram"),
     "minhash_pairs": QuerySpec(q_minhash_pairs, _ORACLE_MINHASH, "dedup-minhash"),
+    "minhash_banded": QuerySpec(
+        q_minhash_banded, _ORACLE_MINHASH_BANDED, "dedup-minhash-lsh-banded"
+    ),
+    "simhash_near_pairs": QuerySpec(
+        q_simhash_near_pairs, _ORACLE_SIMHASH_PAIRS, "dedup-simhash-hamming"
+    ),
     "simhash": QuerySpec(q_simhash, _ORACLE_SIMHASH, "dedup-simhash"),
     "dedup_embedding_cosine": QuerySpec(
         q_dedup_embedding_cosine, _ORACLE_DEDUP_EMB, "dedup-embedding"

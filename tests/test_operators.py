@@ -53,6 +53,29 @@ def test_minhash_identical_docs_agree_everywhere(spark):
     assert pairs[0]["est_jaccard"] == 1.0
 
 
+def test_minhash_banded_duplicates_collide_all_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w")],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(df, "doc_id", "text", 2)
+    pairs = D.minhash_banded_pairs(sigs, band_size=2).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert pairs[0]["n_bands"] == 4  # identical docs agree in every band
+
+
+def test_simhash_near_pairs_blocking_finds_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "p q r s t")],
+        ["doc_id", "text"],
+    )
+    signed = D.simhash32(df, "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_near_pairs(signed).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs: hamming 0
+    assert all(h <= 3 for h in pairs.values())
+
+
 def test_simhash_deterministic_and_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx qq")],
