@@ -1457,6 +1457,25 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+def q_user_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA of event values in (ts, event_id) order — the
+    grouped-map applyInPandas path for prefix-dependent recurrences
+    (operators.timeseries.user_value_ewma)."""
+    from platform_etl_literature_spark.operators.timeseries import user_value_ewma
+
+    return user_value_ewma(_t(spark, sf, "events"), alpha=0.2)
+
+
+_ORACLE_USER_EWMA = """
+SELECT user_id,
+  count(*) AS n_events,
+  round(list_reduce(list(value ORDER BY ts, event_id),
+                    (e, v) -> 0.2 * v + 0.8 * e), 6) AS ewma
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_lang_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID evaluation: confusion counts of predicted vs labeled
     language over the documents table (the lang column is ground truth)."""
@@ -1627,5 +1646,6 @@ SUITE: dict[str, QuerySpec] = {
         q_interval_join_views_clicks, _ORACLE_INTERVAL_JOIN, "stream-interval-join-ext"
     ),
     "lang_eval": QuerySpec(q_lang_eval, _ORACLE_LANG_EVAL, "textstats-langid-eval"),
+    "user_ewma": QuerySpec(q_user_ewma, _ORACLE_USER_EWMA, "applyInPandas-recurrence"),
     "knn_label_vote": QuerySpec(q_knn_label_vote, _ORACLE_KNN_VOTE, "similarity-knn-eval"),
 }
