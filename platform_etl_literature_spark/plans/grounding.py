@@ -208,14 +208,36 @@ def load_entity_lut(
     ds = transform_diseases(diseases).withColumn("type", F.lit("DS")).selectExpr(*cols)
     gp = transform_targets(targets).withColumn("type", F.lit("GP")).selectExpr(*cols)
     cd = transform_drugs(drugs).withColumn("type", F.lit("CD")).selectExpr(*cols)
-    w = Window.partitionBy("type", "labelN")
+    # One shuffle instead of two (the reference's distinct() + windowed
+    # approx_count_distinct, Grounding.scala:547-550, shuffles the full
+    # row once on all columns and again on (type, labelN)): collect the
+    # per-label entry set in a single (type, labelN) aggregation, derive
+    # the ambiguity count exactly (sorted sets keep it deterministic —
+    # and at rsd=0.01 the reference's HLL is exact at these per-label
+    # cardinalities anyway), and re-explode.  Per-label entry arrays are
+    # bounded by label ambiguity, not corpus size.
     return (
         ds.unionByName(gp)
         .unionByName(cd)
-        .distinct()
+        .groupBy("type", "labelN")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.collect_list(F.struct("keywordId", "factor")))
+            ).alias("_entries")
+        )
         .withColumn(
             "uniqueKeywordIdsPerLabelN",
-            F.approx_count_distinct("keywordId", 0.01).over(w),
+            F.size(
+                F.array_distinct(F.transform("_entries", lambda e: e["keywordId"]))
+            ).cast("long"),
+        )
+        .withColumn("_e", F.explode("_entries"))
+        .select(
+            "labelN",
+            "type",
+            F.col("_e.keywordId").alias("keywordId"),
+            F.col("_e.factor").alias("factor"),
+            "uniqueKeywordIdsPerLabelN",
         )
     )
 
