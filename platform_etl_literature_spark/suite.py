@@ -1381,6 +1381,44 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_evidence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The full 4-step chain — processing (grounding) → embedding
+    (Word2Vec, seeded) → evidence (cosine pairs + co-occurrence scores)
+    — over a deterministic slice of the derived literature corpus.
+    Word2Vec training is iterative ML (non-SQL), so rows-only; the
+    slice (doc_id < 1000) bounds the training job at check scale.
+    """
+    from platform_etl_literature_spark import benchdata as B
+    from platform_etl_literature_spark.plans import embedding as emb
+    from platform_etl_literature_spark.plans import evidence as ev
+    from platform_etl_literature_spark.plans import processing as proc
+
+    epmc = B.epmc_from(spark, sf).filter(F.col("pmid").cast("long") < 1000)
+    out = proc.run(
+        spark,
+        epmc,
+        B.epmcids_from(spark, sf),
+        B.targets_from(spark, sf),
+        B.diseases_from(spark, sf),
+        B.drugs_from(spark, sf),
+        trace_source=False,
+    )
+    from platform_etl_literature_spark.config import Word2VecConfig
+
+    # reduced W2V shape for the check-scale slice (full production
+    # params live in config.Word2VecConfig defaults / tests)
+    w2v = Word2VecConfig(num_partitions=4, max_iter=2, vector_size=32)
+    model, _training = emb.run(spark, out["matches"], conf=w2v)
+    evidence = ev.run(spark, model, out["matches"], out["cooccurrences"])
+    return evidence.select(
+        "targetFromSourceId",
+        "diseaseFromSourceMappedId",
+        "sharedPublicationCount",
+        "cooccurredPublicationCount",
+        F.round("resourceScore", 6).alias("resourceScore"),
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 characteristic terms per document by TF-IDF with an
     integer-exact ranking key (see operators.textstats.tfidf_top_terms)."""
@@ -1637,6 +1675,9 @@ SUITE: dict[str, QuerySpec] = {
     "word2vec_synonyms": QuerySpec(q_word2vec_synonyms, None, "M3 M4 S7"),
     "literature_pipeline": QuerySpec(
         q_literature_pipeline, None, "flagship grounding+processing e2e"
+    ),
+    "evidence_pipeline": QuerySpec(
+        q_evidence_pipeline, None, "4-step processing+embedding+evidence e2e"
     ),
     "tfidf_terms": QuerySpec(q_tfidf_terms, _ORACLE_TFIDF, "textstats-tfidf-ext"),
     "json_props_extract": QuerySpec(
