@@ -188,6 +188,8 @@ def minhash_banded_pairs(
                 F.transform("_tuple", lambda e: e["sig"].cast("string")), ":"
             ).alias("band_key"),
         )
+        # feeds both sides of the self-join — materialize once, not twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
@@ -229,7 +231,9 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "simhash", F.col("b.block_idx"), F.col("b.block_val"))
+    ).select("id", "simhash", F.col("b.block_idx"), F.col("b.block_val")).persist(
+        StorageLevel.MEMORY_AND_DISK  # both sides of the block equijoin
+    )
     a = blocks.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block_idx", "block_val"
     )
@@ -304,6 +308,33 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    bucket = int(md5(salt || id)[:8], 16) % 100 → split by cumulative
+    weight ranges.  Unlike ``randomSplit`` this is reproducible across
+    runs, engines, and repartitionings (no RNG, no row-order
+    dependence), and a document keeps its split when the corpus grows —
+    the property training-data curation actually needs.  Pure map-side;
+    zero shuffle.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100
+    bucket = token_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 100
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.withColumn("split", expr)
 
 
 def embedding_cosine_pairs(

@@ -993,6 +993,29 @@ FROM documents
 """
 
 
+def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content hash —
+    reproducible across engines and corpus growth (no RNG), checked as
+    per-(source, split) counts."""
+    split = D.hash_split(_t(spark, sf, "documents"), "doc_id")
+    return split.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+_ORACLE_HASH_SPLIT = """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents)
+SELECT source,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  count(*) AS n
+FROM b
+GROUP BY 1, 2
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling over binary media payloads (every 4th 64-byte
     frame, deterministic fake codec) — rows fan out inside one
@@ -1655,6 +1678,7 @@ SUITE: dict[str, QuerySpec] = {
     "multimodal_frames": QuerySpec(
         q_multimodal_frames, _ORACLE_MM_FRAMES, "multimodal frame-sample"
     ),
+    "hash_split": QuerySpec(q_hash_split, _ORACLE_HASH_SPLIT, "hash-split-ext"),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
     "ivf_ann_topk": QuerySpec(q_ivf_ann_topk, None, "similarity-ivf"),
