@@ -29,11 +29,19 @@ HEADLINE = [
     "word_tf",
     "ngram_jaccard",
     "minhash_pairs",
+    "minhash_banded",
     "simhash",
+    "simhash_near_pairs",
     "ann_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "knn_label_vote",
     "doc_profile",
     "tfidf_terms",
     "json_props_extract",
+    "hash_split",
+    "salted_agg",
+    "user_ewma",
     "events_hourly",
     "sessionize",
     "interval_join_views_clicks",

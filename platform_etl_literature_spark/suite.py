@@ -993,6 +993,38 @@ FROM documents
 """
 
 
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation over the (skew-prone) event-type
+    key — identical results to a plain groupBy for algebraic aggregates,
+    but the hot key fans across n_salts reducers in phase 1
+    (operators.skew.salted_agg)."""
+    from platform_etl_literature_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf, "events").withColumn("vc", _cents("value"))
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("event_id", "count"), "sum_vc": ("vc", "sum"), "max_vc": ("vc", "max")},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_vc") / 100.0, 2).alias("sum_value"),
+        F.round(F.col("max_vc") / 100.0, 2).alias("max_value"),
+    )
+
+
+_ORACLE_SALTED = """
+SELECT event_type,
+  count(*) AS n,
+  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value,
+  round(max(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by content hash —
     reproducible across engines and corpus growth (no RNG), checked as
@@ -1679,6 +1711,7 @@ SUITE: dict[str, QuerySpec] = {
         q_multimodal_frames, _ORACLE_MM_FRAMES, "multimodal frame-sample"
     ),
     "hash_split": QuerySpec(q_hash_split, _ORACLE_HASH_SPLIT, "hash-split-ext"),
+    "salted_agg": QuerySpec(q_salted_agg, _ORACLE_SALTED, "skew-salted-agg-ext"),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
     "ivf_ann_topk": QuerySpec(q_ivf_ann_topk, None, "similarity-ivf"),
