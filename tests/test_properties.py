@@ -19,6 +19,7 @@ from platform_etl_literature_spark.functions.harmonic import (
     harmonic_value,
 )
 from platform_etl_literature_spark.functions.porter import stem
+from platform_etl_literature_spark.operators import dedup as D
 
 
 def py_harmonic_sorted(vals: list[float]) -> float:
@@ -148,3 +149,64 @@ def test_salted_agg_equals_plain_groupby(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_banded_size1_equals_per_seed_candidates(spark):
+    """band_size=1 banded LSH must coincide exactly with the per-seed
+    bucket candidates (n_bands == n_matching seeds)."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 30)))) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    sigs = D.minhash_signatures(df, "doc_id", "text", 2)
+    banded = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in D.minhash_banded_pairs(sigs, band_size=1, min_matching_bands=2).collect()
+    }
+    per_seed = {
+        (r["id_a"], r["id_b"]): r["n_matching"]
+        for r in D.minhash_candidate_pairs(sigs, min_matching=2).collect()
+    }
+    assert banded == per_seed
+
+
+def test_simhash_blocking_is_lossless(spark):
+    """Pigeonhole blocking must find EVERY pair within the hamming bound
+    (d < n_blocks guarantees a shared exact block) — checked against a
+    brute-force all-pairs scan."""
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(4, 15)))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    signed = D.simhash32(df, "doc_id", "text")
+    sigs = {r["id"]: r["simhash"] for r in signed.collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(signed, max_hamming=3, n_blocks=4).collect()
+    }
+    assert blocked == brute
+
+
+def test_hash_split_stable_and_exhaustive(spark):
+    """Every row gets a split; assignment depends only on the id (same
+    id keeps its split when the corpus changes)."""
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(500)], "doc_id INT, t STRING")
+    full = {r["doc_id"]: r["split"] for r in D.hash_split(df, "doc_id").collect()}
+    assert set(full.values()) <= {"train", "val", "test"}
+    assert len(full) == 500
+    # split sizes within a loose tolerance of 80/10/10
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 320 <= n_train <= 470
+    # stability under subsetting: a smaller corpus assigns identically
+    sub = {r["doc_id"]: r["split"] for r in D.hash_split(df.limit(100), "doc_id").collect()}
+    assert all(full[k] == v for k, v in sub.items())
