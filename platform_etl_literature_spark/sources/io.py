@@ -27,13 +27,25 @@ from pyspark.sql.types import StructType
 
 @dataclass
 class IOResourceConfig:
-    """One named input/output (Helpers.scala:20-27 ``IOResourceConfig``)."""
+    """One named input/output (Helpers.scala:20-27 ``IOResourceConfig``).
+
+    ``bucket_by``/``n_buckets`` (+ optional ``sort_by``, ``table``)
+    write a bucketed, optionally sorted table — the layout that gives
+    exchange-free sort-merge joins on the bucket key for every
+    downstream stage (see tests/test_bucketing.py).  Bucketed writes go
+    through the catalog (``saveAsTable`` with an explicit ``path``), as
+    Spark requires.
+    """
 
     format: str
     path: str
     options: dict[str, str] = field(default_factory=dict)
     partition_by: list[str] = field(default_factory=list)
     schema: StructType | None = None
+    bucket_by: list[str] = field(default_factory=list)
+    n_buckets: int = 0
+    sort_by: list[str] = field(default_factory=list)
+    table: str | None = None
 
 
 @dataclass
@@ -60,10 +72,22 @@ def read_from(
 
 
 def write_to(resources: dict[str, IOResource]) -> dict[str, IOResource]:
-    """Port of ``Helpers.writeTo`` (spark/Helpers.scala:208-235)."""
-    for res in resources.values():
-        writer = res.data.write.format(res.config.format).options(**res.config.options)
-        if res.config.partition_by:
-            writer = writer.partitionBy(*res.config.partition_by)
-        writer.mode("overwrite").save(res.config.path)
+    """Port of ``Helpers.writeTo`` (spark/Helpers.scala:208-235), plus
+    bucketed-table writes for co-located joins."""
+    for name, res in resources.items():
+        cfg = res.config
+        writer = res.data.write.format(cfg.format).options(**cfg.options)
+        if cfg.partition_by:
+            writer = writer.partitionBy(*cfg.partition_by)
+        if cfg.bucket_by:
+            if cfg.n_buckets <= 0:
+                raise ValueError(f"{name}: bucket_by requires n_buckets > 0")
+            writer = writer.bucketBy(cfg.n_buckets, *cfg.bucket_by)
+            if cfg.sort_by:
+                writer = writer.sortBy(*cfg.sort_by)
+            writer.option("path", cfg.path).mode("overwrite").saveAsTable(
+                cfg.table or name
+            )
+        else:
+            writer.mode("overwrite").save(cfg.path)
     return resources

@@ -66,3 +66,38 @@ def test_explicit_schema_skips_inference(spark, tmp_path):
     out = read_from(spark, {"s": cfg})["s"].data
     assert out.schema == schema
     assert out.count() == 2
+
+
+def test_bucketed_write_through_io_layer(spark, tmp_path):
+    """Config-driven bucketed writes produce tables whose joins on the
+    bucket key need no Exchange (the co-located-join layout)."""
+    spark.sql("DROP TABLE IF EXISTS io_b1")
+    spark.sql("DROP TABLE IF EXISTS io_b2")
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("vb"))
+    write_to(
+        {
+            "io_b1": IOResource(
+                a,
+                IOResourceConfig(
+                    "parquet", str(tmp_path / "b1"), bucket_by=["k"], n_buckets=4, sort_by=["k"]
+                ),
+            ),
+            "io_b2": IOResource(
+                b,
+                IOResourceConfig(
+                    "parquet", str(tmp_path / "b2"), bucket_by=["k"], n_buckets=4, sort_by=["k"]
+                ),
+            ),
+        }
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("io_b1").join(spark.table("io_b2"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS io_b1")
+        spark.sql("DROP TABLE IF EXISTS io_b2")

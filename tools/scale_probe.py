@@ -1,0 +1,115 @@
+"""Scaling probe: run representative operators at 1x/4x/16x the sf0.1
+corpus and record wall time + throughput, regenerating SCALE.md.
+
+Scaled corpora are derived by unioning tag-prefixed copies of the sf0.1
+documents table (the prefix token keeps copies from being trivial
+near-duplicates of each other, so pair-generating operators see a
+realistically growing problem, not an exact-dup explosion).
+
+Usage: python tools/scale_probe.py [factors...]   (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import textstats as TS
+from platform_etl_literature_spark.session import build_session
+
+SF_DIR = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_probe"
+
+
+def scaled_docs(spark, factor: int) -> str:
+    path = f"{WORK}/docs_x{factor}.parquet"
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.count()
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            F.concat(F.lit(f"c{i} "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+OPS = {
+    "doc_profile": lambda df: TS.document_profile(df, "doc_id", "text"),
+    "tfidf_terms": lambda df: TS.tfidf_top_terms(df, "doc_id", "text", 3),
+    "exact_dedup": lambda df: D.exact_dedup(df, "text", "doc_id"),
+    "simhash": lambda df: D.simhash32(df, "doc_id", "text"),
+    "minhash_sigs": lambda df: D.minhash_signatures(df, "doc_id", "text", 2),
+    "minhash_banded": lambda df: D.minhash_banded_pairs(
+        D.minhash_signatures(df, "doc_id", "text", 2), band_size=2
+    ),
+    "hash_split": lambda df: D.hash_split(df, "doc_id"),
+}
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = build_session("scale-probe")
+    results: dict[str, dict[int, dict]] = {name: {} for name in OPS}
+    n_docs: dict[int, int] = {}
+    for factor in factors:
+        path = scaled_docs(spark, factor)
+        df = spark.read.parquet(path)
+        n_docs[factor] = df.count()
+        for name, fn in OPS.items():
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(df).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+            results[name][factor] = {
+                "sec": round(best, 2),
+                "docs_per_sec": int(n_docs[factor] / best),
+            }
+            print(json.dumps({"op": name, "x": factor, **results[name][factor]}))
+
+    lines = [
+        "# SCALE — measured scaling of the training-data operators",
+        "",
+        "Corpus: sf0.1 documents unioned with tag-prefixed copies "
+        f"({', '.join(f'{f}x = {n_docs[f]:,} docs' for f in factors)}), "
+        "local[32].  Per cell: steady-state seconds (min of 2) and "
+        "docs/sec.  Linear ops should hold docs/sec roughly constant as "
+        "the corpus grows; pair-generating ops grow with candidate "
+        "volume, which the banding keeps near-linear.",
+        "",
+        "Regenerate: `python tools/scale_probe.py`.",
+        "",
+        "| operator | " + " | ".join(f"{f}x" for f in factors) + " |",
+        "|---|" + "|".join(["---"] * len(factors)) + "|",
+    ]
+    for name in OPS:
+        cells = [
+            f"{results[name][f]['sec']}s · {results[name][f]['docs_per_sec']:,}/s"
+            for f in factors
+        ]
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    lines.append("")
+    with open("/root/repo/SCALE.md", "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote SCALE.md")
+
+
+if __name__ == "__main__":
+    main()
