@@ -162,6 +162,37 @@ def tfidf_top_terms(
     )
 
 
+def greedy_packs(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    shard_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Assign documents to fixed-capacity packs (training-shard /
+    sequence-packing assignment): within each shard, documents in
+    ``id_col`` order go to pack ⌊running_total_before / capacity⌋.
+
+    Deterministic (no RNG, stable order), one shuffle on the shard key,
+    one running-sum window per shard.  The shard key bounds the window's
+    sort — a single global pack sequence would serialize; shards are the
+    scale unit, exactly how training data is laid out anyway.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w)
+    return df.select(
+        id_col,
+        shard_col,
+        F.col(size_col).alias("size"),
+        cum.alias("cum_size"),
+        ((cum - F.col(size_col)) / capacity).cast("long").alias("pack_id"),
+    )
+
+
 def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Full per-document profile — the map-side text-analysis pass.
 

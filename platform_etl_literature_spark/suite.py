@@ -993,6 +993,25 @@ FROM documents
 """
 
 
+def q_token_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-shard packing: documents binned into
+    10k-char packs per source by running total
+    (operators.textstats.greedy_packs)."""
+    return TS.greedy_packs(
+        _t(spark, sf, "documents"), "doc_id", "n_chars", "source", capacity=10000
+    )
+
+
+_ORACLE_TOKEN_PACKING = """
+SELECT doc_id, source, n_chars AS size,
+  CAST(sum(n_chars) OVER w AS BIGINT) AS cum_size,
+  CAST(floor((sum(n_chars) OVER w - n_chars) / 10000.0) AS BIGINT) AS pack_id
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Two-phase salted aggregation over the (skew-prone) event-type
     key — identical results to a plain groupBy for algebraic aggregates,
@@ -1712,6 +1731,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "hash_split": QuerySpec(q_hash_split, _ORACLE_HASH_SPLIT, "hash-split-ext"),
     "salted_agg": QuerySpec(q_salted_agg, _ORACLE_SALTED, "skew-salted-agg-ext"),
+    "token_packing": QuerySpec(
+        q_token_packing, _ORACLE_TOKEN_PACKING, "shard-packing-ext"
+    ),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
     "ivf_ann_topk": QuerySpec(q_ivf_ann_topk, None, "similarity-ivf"),
