@@ -180,6 +180,105 @@ def ivf_cosine_topk(
     )
 
 
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: int | None = None,
+) -> None:
+    """Materialize the corpus side of the LSH index as a parquet table
+    partitioned by LSH table id — the at-scale pattern: the index is
+    built ONCE per corpus version and every query-time probe reads only
+    the partitions (tbl) and row groups (bucket min/max) it needs,
+    instead of re-hashing 100 TB per query batch.
+    """
+    rows = _bucket_rows(corpus, "neighbor_id", id_col, vec_col, n_tables, n_bits, dim)
+    rows.withColumnRenamed("_v_neighbor_id", "vec").write.mode("overwrite").partitionBy(
+        "tbl"
+    ).parquet(path)
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Probe a persisted LSH index: bucket the (small) query set, join
+    on (tbl, bucket) against the index table, exact-cosine the
+    candidates, per-query top-k.  Same result as ``lsh_cosine_topk``
+    with the same parameters."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    qb = _bucket_rows(queries, "query_id", id_col, vec_col, n_tables, n_bits, dim)
+    cb = spark.read.parquet(path).withColumnRenamed("vec", "_v_neighbor_id")
+    cands = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "sim_exact", array_cosine("_v_query_id", "_v_neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_exact", 6).alias("sim"))
+    )
+
+
+def _bucket_rows(
+    df: DataFrame,
+    idname: str,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_bits: int,
+    dim: int | None,
+) -> DataFrame:
+    """(id, vector, tbl, bucket) rows via the vectorized matmul UDF —
+    shared by the inline join and the persisted-index build/probe."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    import numpy as np
+
+    planes = np.array(
+        [_hyperplane(t, b, dim) for t in range(n_tables) for b in range(n_bits)]
+    )
+    bit_weights = (1 << np.arange(n_bits)).astype("int64")
+    n_t, n_b = n_tables, n_bits
+
+    def _bucket_batches(v):
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.asarray([_np.asarray(row, dtype=_np.float64) for row in v])
+        if len(X) == 0:
+            return _pd.Series([], dtype=object)
+        signs = (X @ planes.T) > 0
+        buckets = signs.reshape(len(X), n_t, n_b) @ bit_weights
+        return _pd.Series([row.tolist() for row in buckets])
+
+    _buckets_udf = F.pandas_udf(_bucket_batches, "array<long>")
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(idname),
+        v.alias(f"_v_{idname}"),
+        F.posexplode(_buckets_udf(v)).alias("tbl", "bucket"),
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -207,37 +306,8 @@ def lsh_cosine_topk(
     # literal-laden expression tree (T·B·dim literal doubles) whose
     # codegen+eval cost dwarfed the data at any scale; the matmul is the
     # vectorized scale path and keeps the same deterministic md5 planes.
-    import numpy as np
-
-    planes = np.array(
-        [_hyperplane(t, b, dim) for t in range(n_tables) for b in range(n_bits)]
-    )  # (T*B, dim)
-    bit_weights = (1 << np.arange(n_bits)).astype("int64")
-    n_t, n_b = n_tables, n_bits
-
-    def _bucket_batches(v):
-        import numpy as _np
-        import pandas as _pd
-
-        X = _np.asarray([_np.asarray(row, dtype=_np.float64) for row in v])
-        if len(X) == 0:
-            return _pd.Series([], dtype=object)
-        signs = (X @ planes.T) > 0  # (n, T*B)
-        buckets = signs.reshape(len(X), n_t, n_b) @ bit_weights  # (n, T)
-        return _pd.Series([row.tolist() for row in buckets])
-
-    _buckets_udf = F.pandas_udf(_bucket_batches, "array<long>")
-
-    def with_buckets(df: DataFrame, idname: str) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        return df.select(
-            F.col(id_col).alias(idname),
-            v.alias(f"_v_{idname}"),
-            F.posexplode(_buckets_udf(v)).alias("tbl", "bucket"),
-        )
-
-    qb = with_buckets(queries, "query_id")
-    cb = with_buckets(corpus, "neighbor_id")
+    qb = _bucket_rows(queries, "query_id", id_col, vec_col, n_tables, n_bits, dim)
+    cb = _bucket_rows(corpus, "neighbor_id", id_col, vec_col, n_tables, n_bits, dim)
     cands = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -50,3 +50,25 @@ def test_exact_topk_is_symmetric_sane(spark, sf_dir):
         sims = [s for _, s in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_persisted_lsh_index_matches_inline(spark, sf_dir, tmp_path):
+    """build_lsh_index + query_lsh_index must return exactly what the
+    inline lsh_cosine_topk returns for the same parameters."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "lsh_index")
+    SIM.build_lsh_index(emb, path, n_tables=8, n_bits=4)
+    via_index = sorted(
+        tuple(r)
+        for r in SIM.query_lsh_index(spark, path, q, k=5, n_tables=8, n_bits=4).collect()
+    )
+    inline = sorted(
+        tuple(r) for r in SIM.lsh_cosine_topk(emb, q, k=5, n_tables=8, n_bits=4).collect()
+    )
+    assert via_index == inline
+    assert len(via_index) > 0
+    # the index is partitioned by LSH table id for probe-side pruning
+    import os
+
+    assert any(d.startswith("tbl=") for d in os.listdir(path))
