@@ -74,17 +74,49 @@ def main() -> None:
         spark.catalog.clearCache()
     del t_all  # value = sum of per-query steady-state times, not rep wall
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # single-node comparison: run each headline query's DuckDB oracle on
+    # the same parquet (best of N, full materialization) — the
+    # "matches-or-beats single-node throughput" evidence.  Additive key;
+    # disable with SPARK_GRAFT_BENCH_DUCKDB=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        try:
+            duck = _duckdb_timings(sf_dir, reps)
+            payload["duckdb_queries"] = duck
+            payload["duckdb_total"] = round(sum(duck.values()), 3)
+        except Exception as e:  # pragma: no cover - comparison is best-effort
+            payload["duckdb_error"] = str(e)[:200]
+    print(json.dumps(payload))
+
+
+def _duckdb_timings(sf_dir: str, reps: int) -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        oracle = SUITE[name].oracle
+        if oracle is None:
+            continue
+        best = None
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            con.execute(oracle).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
 
 
 if __name__ == "__main__":

@@ -101,3 +101,37 @@ def test_bucketed_write_through_io_layer(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS io_b1")
         spark.sql("DROP TABLE IF EXISTS io_b2")
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """Malformed corpus lines must not kill the read: PERMISSIVE mode
+    (Spark default, what the reference's inferred-schema JSON read gets)
+    nulls the bad row; with an explicit schema the raw line is captured
+    in a _corrupt_record column for a failed-rows sink."""
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"pmid": "1", "text": "good row"}\n'
+        "{not valid json at all\n"
+        '{"pmid": "3", "text": "another good row"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("pmid", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    cfg = IOResourceConfig(
+        "json",
+        str(p),
+        options={"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        schema=schema,
+    )
+    df = read_from(spark, {"c": cfg})["c"].data.cache()
+    assert df.count() == 3
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not valid json" in bad.collect()[0]["_corrupt_record"]
+    df.unpersist()
