@@ -993,6 +993,36 @@ FROM documents
 """
 
 
+def q_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (corpus
+    length/quality distribution analysis).  Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition;
+    operands are identical doubles, so rounded results hash-match."""
+    ev = _t(spark, sf, "events")
+    pcts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("_p"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return pcts.select(
+        "event_type",
+        F.round(F.col("_p")[0], 6).alias("p50"),
+        F.round(F.col("_p")[1], 6).alias("p90"),
+        F.round(F.col("_p")[2], 6).alias("p99"),
+        "n",
+    )
+
+
+_ORACLE_QUANTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99,
+  count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_token_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic training-shard packing: documents binned into
     10k-char packs per source by running total
@@ -1733,6 +1763,9 @@ SUITE: dict[str, QuerySpec] = {
     "salted_agg": QuerySpec(q_salted_agg, _ORACLE_SALTED, "skew-salted-agg-ext"),
     "token_packing": QuerySpec(
         q_token_packing, _ORACLE_TOKEN_PACKING, "shard-packing-ext"
+    ),
+    "value_quantiles": QuerySpec(
+        q_value_quantiles, _ORACLE_QUANTILES, "exact-percentile-ext"
     ),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
