@@ -162,6 +162,44 @@ def tfidf_top_terms(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, flag_threshold: float = 0.3
+) -> DataFrame:
+    """Duplicate-n-gram repetition signals (the Gopher/C4-style quality
+    filter for generated/boilerplate text): for n in {2, 3}, the
+    fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the same document.  0 = no repetition; docs above
+    ``flag_threshold`` on the 3-gram ratio are flagged.
+
+    Pure per-row HOF expressions — map-side only, no shuffle.
+    """
+    from platform_etl_literature_spark.operators.dedup import shingles, tokens
+
+    w = tokens(F.col(text_col))
+
+    def dup_ratio(n: int) -> Column:
+        # shingles() distincts; rebuild the full multiset for the ratio
+        all_grams = F.when(
+            F.size(w) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        )
+        total = F.size(all_grams)
+        nd = F.size(F.array_distinct(all_grams))
+        return F.when(total > 0, F.round((total - nd) / total, 6)).otherwise(0.0)
+
+    r2, r3 = dup_ratio(2), dup_ratio(3)
+    return df.select(
+        F.col(id_col),
+        r2.alias("dup_2gram_ratio"),
+        r3.alias("dup_3gram_ratio"),
+        (r3 > flag_threshold).cast("int").alias("flagged"),
+    )
+
+
 def greedy_packs(
     df: DataFrame,
     id_col: str,

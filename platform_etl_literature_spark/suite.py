@@ -993,6 +993,40 @@ FROM documents
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-n-gram repetition ratios per document — the quality
+    filter that catches generated/boilerplate text
+    (operators.textstats.repetition_stats)."""
+    return TS.repetition_stats(_t(spark, sf, "documents"), "doc_id", "text", 0.3)
+
+
+_ORACLE_REPETITION = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 2 THEN [] ELSE
+      list_transform(generate_series(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+    CASE WHEN len(toks) < 3 THEN [] ELSE
+      list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' ')) END AS g3
+  FROM w)
+SELECT doc_id,
+  CASE WHEN len(g2) > 0
+       THEN round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_2gram_ratio,
+  CASE WHEN len(g3) > 0
+       THEN round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_3gram_ratio,
+  CAST(CASE WHEN len(g3) > 0
+            AND round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6) > 0.3
+       THEN 1 ELSE 0 END AS INTEGER) AS flagged
+FROM g
+"""
+
+
 def q_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type (corpus
     length/quality distribution analysis).  Spark ``percentile`` and
@@ -1766,6 +1800,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "value_quantiles": QuerySpec(
         q_value_quantiles, _ORACLE_QUANTILES, "exact-percentile-ext"
+    ),
+    "doc_repetition": QuerySpec(
+        q_doc_repetition, _ORACLE_REPETITION, "textstats-repetition-ext"
     ),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
