@@ -993,6 +993,88 @@ FROM documents
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed curation pass a training-data pipeline actually
+    runs: exact-dedup survivors ∩ quality ≥ 0.5 ∩ predicted English ∩
+    repetition below threshold, reported as kept/total + mean quality
+    per source.  Composes exact_dedup, quality_score, lang_id, and
+    repetition_stats in one plan (all map-side except the dedup groupBy
+    and the final rollup)."""
+    docs = _t(spark, sf, "documents")
+    keep = D.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    toks = TS.tokens(F.col("text"))
+    s = TS.doc_stats_from_tokens(toks)
+    scored = docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        TS.quality_from_stats(s).alias("quality"),
+        TS.lang_id_from_tokens(toks).alias("lang_pred"),
+    )
+    rep = TS.repetition_stats(docs, "doc_id", "text", 0.3).select(
+        "doc_id", "flagged"
+    )
+    kept = (
+        scored.join(rep, "doc_id")
+        .withColumn(
+            "kept",
+            (
+                (F.col("quality") >= 0.5)
+                & (F.col("lang_pred") == "en")
+                & (F.col("flagged") == 0)
+            ).cast("int"),
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("kept").alias("n_kept"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+_ORACLE_CURATION = """
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+w AS (
+  SELECT d.doc_id, d.source,
+         list_filter(string_split(d.text, ' '), x -> x != '') AS toks
+  FROM documents d JOIN keep USING (doc_id)),
+s AS (
+  SELECT doc_id, source, toks,
+    len(toks) AS n, len(list_distinct(toks)) AS nd,
+    len(list_filter(toks, t -> list_contains(
+      ['the','a','an','of','and','or','is','in','to'], t))) AS n_stop,
+    CAST(greatest(len(toks), 1) AS DOUBLE) AS nn,
+    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(['el','la','y','es','un'], t))) AS h_es,
+    len(list_filter(toks, t -> list_contains(['le','la','et','est','un'], t))) AS h_fr
+  FROM w),
+q AS (
+  SELECT doc_id, source,
+    round((least(n / 50.0, 1.0) + (nd / nn) + (n_stop / nn)) / 3.0, 6) AS quality,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred,
+    CASE WHEN len(toks) < 3 THEN 0.0 ELSE
+      round((len(toks) - 2 - len(list_distinct(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')))))
+        / CAST(len(toks) - 2 AS DOUBLE), 6) END AS dup3
+  FROM s)
+SELECT source,
+  count(*) AS n_unique,
+  CAST(sum(CASE WHEN quality >= 0.5 AND lang_pred = 'en' AND dup3 <= 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  round(avg(quality), 6) AS avg_quality
+FROM q
+GROUP BY source
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-n-gram repetition ratios per document — the quality
     filter that catches generated/boilerplate text
@@ -1803,6 +1885,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "doc_repetition": QuerySpec(
         q_doc_repetition, _ORACLE_REPETITION, "textstats-repetition-ext"
+    ),
+    "corpus_curation": QuerySpec(
+        q_corpus_curation, _ORACLE_CURATION, "composed-curation-ext"
     ),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
