@@ -635,10 +635,12 @@ FROM pairs WHERE n_matching >= 3
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.5) — the vector-space
-    member of the dedup family."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4) — the vector-space
+    member of the dedup family.  0.4 yields a non-trivial pair set on
+    the near-orthogonal synthetic embeddings at every test SF (0.5
+    matched on zero/one row — a vacuous check)."""
     return D.embedding_cosine_pairs(
-        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.5
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
 
 
@@ -655,7 +657,7 @@ WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.
            THEN 0.0
            ELSE list_dot_product(a.e, b.e) /
                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-      END >= 0.5
+      END >= 0.4
 """
 
 
