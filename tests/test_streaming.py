@@ -123,3 +123,60 @@ def test_session_window_agrees_with_batch_sessionizer(spark, batch_events):
     g = {r["user_id"]: r["n_sessions"] for r in sw.collect()}
     e = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
     assert g == e
+
+
+def test_watermark_late_data_semantics(spark, tmp_path):
+    """Append-mode watermark contract, end to end, on the semantics the
+    engine guarantees: a pane emitted once never re-emits (late rows for
+    it are dropped), a late row whose pane is still open merges into it,
+    and panes the watermark never passes are withheld.  Files delivered
+    in order as separate micro-batches (maxFilesPerTrigger=1)."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    base = "2024-01-01 {:02d}:{:02d}:00"
+
+    def write_file(name, times):
+        df = spark.createDataFrame(
+            [Row(ts=base.format(h, m), event_type="e", value=1.0) for h, m in times]
+        ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/in/{name}")
+        _time.sleep(1.1)  # distinct mod-times fix the source's file order
+
+    # batch 0 (watermark 1970): panes 10h:2, 13h:1 buffered
+    write_file("f1", [(10, 0), (10, 30), (13, 0)])
+    # batch 1 (watermark 12:00 from f1): pane 10h EMITS (n=2), state
+    # evicted; 14:30 buffers pane 14h; watermark advances to 13:30
+    write_file("f2", [(14, 30)])
+    # batch 2 (watermark 13:30): 10:45 targets the already-closed pane
+    # 10h -> dropped (no duplicate emission); 13:45's pane [13,14) ends
+    # at 14:00 > 13:30, still open -> merges (13h becomes 2); 16:00
+    # advances the watermark to 15:00, which closes 13h and 14h.
+    # Pane 16h is never finalized -> withheld from append output.
+    write_file("f3", [(10, 45), (13, 45), (16, 0)])
+
+    schema = spark.read.parquet(f"{tmp_path}/in/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/in/*")
+    )
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.hour("win.start").alias("h"), "n")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = sorted((r["h"], r["n"]) for r in spark.table("late_t").collect())
+    assert rows == [(10, 2), (13, 2), (14, 1)], rows
