@@ -41,6 +41,10 @@ HEADLINE = [
     "json_props_extract",
     "hash_split",
     "salted_agg",
+    "token_packing",
+    "value_quantiles",
+    "doc_repetition",
+    "corpus_curation",
     "user_ewma",
     "events_hourly",
     "sessionize",
