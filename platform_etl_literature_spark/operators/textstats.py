@@ -171,15 +171,19 @@ def repetition_stats(
     n-gram in the same document.  0 = no repetition; docs above
     ``flag_threshold`` on the 3-gram ratio are flagged.
 
-    Pure per-row HOF expressions — map-side only, no shuffle.
+    Pure per-row HOF expressions — map-side only, no shuffle.  The token
+    array and each n-gram multiset are staged through intermediate
+    projections (as in document_profile) so the text is split once per
+    row and each gram array is built once — an inline expression tree
+    would re-split the document inside every slice() lambda, turning the
+    pass O(tokens²) per document (measured 22 s → ~1 s on sf0.1).
     """
-    from platform_etl_literature_spark.operators.dedup import shingles, tokens
+    from platform_etl_literature_spark.operators.dedup import tokens
 
-    w = tokens(F.col(text_col))
-
-    def dup_ratio(n: int) -> Column:
-        # shingles() distincts; rebuild the full multiset for the ratio
-        all_grams = F.when(
+    def grams(n: int) -> Column:
+        # shingles() distincts; build the full multiset for the ratio
+        w = F.col("_toks")
+        return F.when(
             F.size(w) < n, F.array().cast("array<string>")
         ).otherwise(
             F.transform(
@@ -187,14 +191,20 @@ def repetition_stats(
                 lambda i: F.concat_ws(" ", F.slice(w, i, n)),
             )
         )
-        total = F.size(all_grams)
-        nd = F.size(F.array_distinct(all_grams))
+
+    def dup_ratio(gram_col: str) -> Column:
+        g = F.col(gram_col)
+        total = F.size(g)
+        nd = F.size(F.array_distinct(g))
         return F.when(total > 0, F.round((total - nd) / total, 6)).otherwise(0.0)
 
-    r2, r3 = dup_ratio(2), dup_ratio(3)
-    return df.select(
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), grams(2).alias("_g2"), grams(3).alias("_g3"))
+    r3 = dup_ratio("_g3")
+    return staged.select(
         F.col(id_col),
-        r2.alias("dup_2gram_ratio"),
+        dup_ratio("_g2").alias("dup_2gram_ratio"),
         r3.alias("dup_3gram_ratio"),
         (r3 > flag_threshold).cast("int").alias("flagged"),
     )
