@@ -43,6 +43,9 @@ HEADLINE = [
     "salted_agg",
     "token_packing",
     "value_quantiles",
+    "decontaminate",
+    "mixture_sample",
+    "vocab_coverage",
     "doc_repetition",
     "corpus_curation",
     "user_ewma",

@@ -395,3 +395,100 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         sig = term if sig is None else sig + term
     return bit_sums.select("id", sig.alias("simhash"))
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 / Pile training-data hygiene
+    pass): flag corpus documents that share at least one word ``n``-gram
+    with any benchmark document, so they can be dropped before training.
+
+    Returns every corpus row as (id, n_grams, shared_ngrams,
+    contaminated) where ``n_grams`` is the document's distinct-gram
+    count and ``shared_ngrams`` how many of those occur anywhere in the
+    benchmark set.
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB corpus
+    (eval suites are thousands of documents), so its distinct gram set
+    is broadcast — the corpus is scanned once, map-side, and the only
+    shuffle is the per-document count aggregation, which map-side
+    combines to one row per document.  Token and gram arrays are staged
+    through projections (see repetition_stats) to keep the gram build
+    linear per document.
+    """
+
+    def staged_grams(df: DataFrame) -> DataFrame:
+        w = F.col("_toks")
+        grams = F.when(
+            F.size(w) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        )
+        return df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).select(F.col(id_col), F.array_distinct(grams).alias("_grams"))
+
+    bench_grams = (
+        staged_grams(benchmark)
+        .select(F.explode("_grams").alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # Single pass over the corpus: explode_outer keeps zero-gram (short)
+    # documents, the broadcast left join marks benchmark grams, and one
+    # aggregation yields both the gram count and the hit count — the
+    # corpus text is tokenized exactly once.
+    shared = F.count("_hit")
+    return (
+        staged_grams(corpus)
+        .select(F.col(id_col), F.explode_outer("_grams").alias("_g"))
+        .join(F.broadcast(bench_grams), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_g").alias("n_grams"),
+            shared.alias("shared_ngrams"),
+            (shared > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates_bps: dict[str, int],
+    default_bps: int = 5000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source/language mixture resampling: keep each row
+    with a per-group probability given in basis points (``rates_bps``,
+    0..10000), decided by content hash — the way corpus mixing weights
+    are applied when composing a training set from heterogeneous
+    sources.
+
+    bucket = int(md5(salt || id)[:8], 16) % 10000; the row is kept iff
+    bucket < its group's rate.  Like hash_split this is reproducible
+    across engines and corpus growth (no RNG, no row-order dependence),
+    and map-side only: the rate table is a broadcast join, the filter
+    prunes before any downstream shuffle.
+    """
+    spark = df.sparkSession
+    rows = [(k, int(v)) for k, v in sorted(rates_bps.items())]
+    rate_table = F.broadcast(
+        spark.createDataFrame(rows, f"{group_col} string, _bps int")
+    )
+    bucket = token_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
+    return (
+        df.withColumn("bucket", bucket)
+        .join(rate_table, group_col, "left")
+        .filter(F.col("bucket") < F.coalesce(F.col("_bps"), F.lit(default_bps)))
+        .drop("_bps")
+    )

@@ -265,3 +265,48 @@ def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fingerprint_from_tokens(w).alias("fingerprint"),
         token_count_bpeish(F.col(text_col)).alias("n_bpe_tokens"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, coverage: float = 0.9
+) -> DataFrame:
+    """Zipf vocabulary construction: global token frequencies ranked
+    descending, with the cumulative corpus fraction each prefix of the
+    ranking covers.  ``in_vocab`` marks the smallest prefix reaching
+    ``coverage`` (the token that crosses the threshold is included) —
+    the frequency-cutoff step of building a tokenizer vocabulary.
+
+    Scale shape: the heavy part is the token-count aggregation, which
+    map-side combines to one row per distinct token; the ranking window
+    then runs over the *vocabulary*-sized table (millions of rows at
+    corpus scale, not trillions), so the single-reducer global sort is
+    bounded by vocabulary size.  The threshold test compares exact
+    integer counts ((cum - freq) < coverage * total) — no accumulated
+    float error.
+    """
+    from platform_etl_literature_spark.operators.dedup import tokens
+
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").alias("_total"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    cum = F.sum("freq").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tf.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("cum", cum)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "freq",
+            "rnk",
+            F.round(F.col("cum") / F.col("_total"), 6).alias("cum_frac"),
+            ((F.col("cum") - F.col("freq")) < coverage * F.col("_total"))
+            .cast("int")
+            .alias("in_vocab"),
+        )
+    )

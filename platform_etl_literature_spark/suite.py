@@ -1831,6 +1831,101 @@ FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: every training document (doc_id not in
+    the held-out benchmark slice, taken as doc_id % 17 == 0) with its
+    count of distinct 4-grams shared with ANY benchmark document
+    (operators.dedup.contamination — broadcast gram-set join)."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return D.contamination(train, bench, "doc_id", "text", n=4)
+
+
+_ORACLE_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 3, 0)),
+           i -> array_to_string(toks[i:i+3], ' ')))) AS s
+  FROM w WHERE len(toks) >= 4),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS shared
+  FROM g JOIN bg USING (s)
+  WHERE doc_id % 17 != 0
+  GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(sz.n_grams, 0) AS n_grams,
+  COALESCE(h.shared, 0) AS shared_ngrams,
+  CAST(COALESCE(h.shared, 0) > 0 AS INTEGER) AS contaminated
+FROM documents d
+LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 17 != 0
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic language-mixture resampling: downsample English to
+    20%, keep zh at 50%, upsample-nothing for es (80%) — content-hash
+    decided per row so the sample is reproducible across engines and
+    corpus growth (operators.dedup.mixture_sample, broadcast rate
+    table)."""
+    rates = {"en": 2000, "zh": 5000, "es": 8000}
+    return D.mixture_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang", "source"),
+        "doc_id",
+        "lang",
+        rates,
+        default_bps=5000,
+    ).select("doc_id", "lang", "source", "bucket")
+
+
+_ORACLE_MIXTURE = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, lang, source, bucket
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000
+                         WHEN 'es' THEN 8000 ELSE 5000 END
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf vocabulary construction: global token frequencies ranked
+    descending with cumulative corpus fraction; in_vocab marks the
+    smallest prefix covering 90% of token occurrences
+    (operators.textstats.vocab_coverage)."""
+    return TS.vocab_coverage(_t(spark, sf, "documents"), "text", coverage=0.9)
+
+
+_ORACLE_VOCAB = """
+WITH tf AS (
+  SELECT word AS term, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+    FROM documents)
+  GROUP BY 1),
+tot AS (SELECT sum(freq) AS total FROM tf),
+r AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk,
+         sum(freq) OVER (ORDER BY freq DESC, term ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tf)
+SELECT term, freq, rnk,
+  round(cum / CAST(total AS DOUBLE), 6) AS cum_frac,
+  CAST((cum - freq) < 0.9 * total AS INTEGER) AS in_vocab
+FROM r, tot
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -1925,4 +2020,9 @@ SUITE: dict[str, QuerySpec] = {
     "lang_eval": QuerySpec(q_lang_eval, _ORACLE_LANG_EVAL, "textstats-langid-eval"),
     "user_ewma": QuerySpec(q_user_ewma, _ORACLE_USER_EWMA, "applyInPandas-recurrence"),
     "knn_label_vote": QuerySpec(q_knn_label_vote, _ORACLE_KNN_VOTE, "similarity-knn-eval"),
+    "decontaminate": QuerySpec(
+        q_decontaminate, _ORACLE_DECONTAMINATE, "decontamination-ext"
+    ),
+    "mixture_sample": QuerySpec(q_mixture_sample, _ORACLE_MIXTURE, "mixture-sampling-ext"),
+    "vocab_coverage": QuerySpec(q_vocab_coverage, _ORACLE_VOCAB, "vocab-zipf-ext"),
 }

@@ -183,3 +183,64 @@ def test_lang_id_und_for_no_markers(spark):
     df = spark.createDataFrame([(1, "zz qq ww")], ["doc_id", "text"])
     r = TS.document_profile(df, "doc_id", "text").collect()[0]
     assert r["lang_pred"] == "und"
+
+
+def test_contamination_flags_and_counts(spark):
+    bench = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d x"),  # shares 4-gram "a b c d"
+            (2, "x y z w v"),  # clean
+            (3, "a b c"),  # too short for any 4-gram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in D.contamination(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    assert len(rows) == 3  # every corpus doc reported, clean ones included
+    assert (rows[1]["shared_ngrams"], rows[1]["contaminated"]) == (1, 1)
+    assert (rows[2]["shared_ngrams"], rows[2]["contaminated"]) == (0, 0)
+    assert (rows[3]["n_grams"], rows[3]["contaminated"]) == (0, 0)
+
+
+def test_contamination_counts_distinct_grams_once(spark):
+    # repeated shared gram in the corpus doc counts once (distinct grams)
+    bench = spark.createDataFrame([(9, "a b a b")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    row = D.contamination(corpus, bench, "doc_id", "text", n=2).collect()[0]
+    # corpus distinct 2-grams: {"a b", "b a"}; both appear in benchmark
+    assert (row["n_grams"], row["shared_ngrams"]) == (2, 2)
+
+
+def test_mixture_sample_deterministic_and_rate_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(400)], ["doc_id", "lang"]
+    )
+    out = D.mixture_sample(df, "doc_id", "lang", {"en": 0}, default_bps=10000)
+    rows = out.collect()
+    # rate 0 drops every en row; unlisted lang falls back to default 100%
+    assert all(r["lang"] == "xx" for r in rows)
+    assert len(rows) == 200
+    # deterministic: same rows on re-run
+    again = D.mixture_sample(df, "doc_id", "lang", {"en": 0}, default_bps=10000)
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_vocab_coverage_prefix_property(spark):
+    df = spark.createDataFrame(
+        [("a a a a a a b b c",)], ["text"]
+    )  # freqs: a=6 (2/3), b=2, c=1
+    rows = {r["term"]: r for r in TS.vocab_coverage(df, "text", 0.9).collect()}
+    assert rows["a"]["rnk"] == 1 and rows["a"]["in_vocab"] == 1
+    # a covers 6/9=0.667 < 0.9 so b is needed; a+b cover 8/9=0.889 < 0.9
+    # so c (the crossing token) is in too
+    assert rows["b"]["in_vocab"] == 1
+    assert rows["c"]["in_vocab"] == 1
+    assert rows["c"]["cum_frac"] == 1.0
+    # a 50%-coverage vocab keeps only the head token
+    half = {r["term"]: r["in_vocab"] for r in TS.vocab_coverage(df, "text", 0.5).collect()}
+    assert half == {"a": 1, "b": 0, "c": 0}
