@@ -280,9 +280,12 @@ def vocab_coverage(
     map-side combines to one row per distinct token; the ranking window
     then runs over the *vocabulary*-sized table (millions of rows at
     corpus scale, not trillions), so the single-reducer global sort is
-    bounded by vocabulary size.  The threshold test compares exact
-    integer counts ((cum - freq) < coverage * total) — no accumulated
-    float error.
+    bounded by vocabulary size.  The corpus total comes from a global
+    window over that same aggregated table — NOT a second aggregation
+    of the corpus, which would double the heavy scan (it shares the
+    ranking window's single-partition exchange).  The threshold test
+    compares exact integer counts ((cum - freq) < coverage * total) —
+    no accumulated float error.
     """
     from platform_etl_literature_spark.operators.dedup import tokens
 
@@ -291,15 +294,15 @@ def vocab_coverage(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    total = tf.agg(F.sum("freq").alias("_total"))
     w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
     cum = F.sum("freq").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    total = F.sum("freq").over(Window.partitionBy())
     return (
         tf.withColumn("rnk", F.row_number().over(w).cast("long"))
         .withColumn("cum", cum)
-        .crossJoin(F.broadcast(total))
+        .withColumn("_total", total)
         .select(
             "term",
             "freq",
