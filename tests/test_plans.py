@@ -85,3 +85,29 @@ def test_aggregations_are_partial_first(spark, sf_dir):
     df.collect()
     plan = _simple_plan(df)
     assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast (eval suites are tiny vs
+    the corpus) and the corpus side must tokenize exactly once — one
+    corpus-side scan feeding one explode, one map-side-combining agg."""
+    plan = _simple_plan(SUITE["decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert plan.count("FileScan") == 2  # corpus once + benchmark once
+    assert "partial_count" in plan, plan[:3000]
+
+
+def test_mixture_sample_is_map_side(spark, sf_dir):
+    """Mixture sampling must be shuffle-free on the corpus: a broadcast
+    rate-table join and a filter, no Exchange on the fact side."""
+    plan = _simple_plan(SUITE["mixture_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side, plan[:3000]
+
+
+def test_vocab_coverage_single_corpus_scan(spark, sf_dir):
+    """The global total must come from the vocabulary-sized aggregate,
+    not a second scan of the corpus."""
+    plan = _simple_plan(SUITE["vocab_coverage"].fn(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan[:3000]
