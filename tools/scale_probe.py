@@ -58,6 +58,17 @@ OPS = {
         D.minhash_signatures(df, "doc_id", "text", 2), band_size=2
     ),
     "hash_split": lambda df: D.hash_split(df, "doc_id"),
+    "repetition": lambda df: TS.repetition_stats(df, "doc_id", "text", 0.3),
+    "decontaminate": lambda df: D.contamination(
+        df.filter(F.col("doc_id") % 17 != 0),
+        df.filter(F.col("doc_id") % 17 == 0),
+        "doc_id",
+        "text",
+        n=4,
+    ),
+    "mixture_sample": lambda df: D.mixture_sample(
+        df, "doc_id", "lang", {"en": 2000, "zh": 5000, "es": 8000}
+    ),
 }
 
 
@@ -71,12 +82,16 @@ def main() -> None:
         df = spark.read.parquet(path)
         n_docs[factor] = df.count()
         for name, fn in OPS.items():
+            # run 0 is codegen/JIT warmup (a first execution of a large
+            # generated method can cost several seconds regardless of
+            # data size) and is discarded; the cell is min of 2 timed runs
             best = None
-            for _ in range(2):
+            for i in range(3):
                 t0 = time.time()
                 fn(df).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                if i > 0:
+                    best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
             results[name][factor] = {
                 "sec": round(best, 2),
