@@ -1580,14 +1580,71 @@ def q_approx_distinct_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-k (the ANN scale path) —
-    approximate by construction, so rows-only check."""
+    """Random-hyperplane LSH approximate top-k (the ANN scale path).
+    Approximate vs brute force, but fully deterministic: the hyperplanes
+    are md5-derived constants, so the oracle replays the identical
+    bucketing in SQL (generated with the planes inlined)."""
     emb = _t(spark, sf, "embeddings")
     # n_bits chosen so buckets hold ~2^-4 of the corpus (recall ~0.7-0.8
     # at 8 tables on this data; more bits → empty buckets → recall loss)
     return SIM.lsh_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_tables=8, n_bits=4
     )
+
+
+def _lsh_oracle(n_tables: int = 8, n_bits: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Generate the DuckDB oracle for q_lsh_ann_topk with the
+    deterministic md5-derived hyperplanes inlined as array literals —
+    the same constants the Spark side's vectorized matmul uses (repr()
+    round-trips doubles exactly)."""
+    from platform_etl_literature_spark.operators.similarity import _hyperplane
+
+    def bucket_expr(t: int, col: str) -> str:
+        terms = []
+        for b in range(n_bits):
+            arr = ", ".join(repr(x) for x in _hyperplane(t, b, dim))
+            terms.append(
+                f"CASE WHEN list_dot_product({col}, [{arr}]::DOUBLE[]) > 0"
+                f" THEN {1 << b} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    qb = "\n  UNION ALL ".join(
+        f"SELECT query_id, {t} AS tbl, {bucket_expr(t, 'qv')} AS bucket FROM q"
+        for t in range(n_tables)
+    )
+    cb = "\n  UNION ALL ".join(
+        f"SELECT neighbor_id, {t} AS tbl, {bucket_expr(t, 'cv')} AS bucket FROM c"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+qb AS ({qb}),
+cb AS ({cb}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb USING (tbl, bucket)
+  WHERE query_id != neighbor_id),
+s AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS sim_exact
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+r AS (
+  SELECT query_id, neighbor_id, sim_exact,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_exact DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim
+FROM r WHERE rank <= {k}
+"""
+
+
+_ORACLE_LSH_ANN = _lsh_oracle()
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1987,7 +2044,7 @@ SUITE: dict[str, QuerySpec] = {
         q_corpus_curation, _ORACLE_CURATION, "composed-curation-ext"
     ),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
-    "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, None, "similarity-approx"),
+    "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, _ORACLE_LSH_ANN, "similarity-approx"),
     "ivf_ann_topk": QuerySpec(q_ivf_ann_topk, None, "similarity-ivf"),
     "scan_provenance": QuerySpec(q_scan_provenance, _ORACLE_PROVENANCE, "S6"),
     "semi_join": QuerySpec(q_semi_join, _ORACLE_SEMI, "J-semi"),
