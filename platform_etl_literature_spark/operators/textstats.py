@@ -138,21 +138,23 @@ def tfidf_top_terms(
     last ulp of ln).  The reported tfidf rounds idf before the product
     so the value is engine-portable too.
 
-    Scale shape: two hash aggregations (term stream → (doc,term) tf →
-    term df) and a broadcast of the single-row corpus count; the top-k
-    window shuffles on doc_id only.
+    Scale shape: ONE pass over the corpus — the (doc,term) tf
+    aggregation, then the document frequency as a window count over
+    ``term`` on that (vocabulary × doc)-sized table (a self-join
+    against a re-aggregated corpus would scan and tokenize twice), a
+    broadcast of the single-row corpus count (metadata-only parquet
+    count), and the top-k window shuffling on doc_id only.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = df.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(dft, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(total))
         .withColumn("idf", F.round(F.log(F.col("n_docs") / F.col("df")), 6))
         .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))

@@ -111,3 +111,12 @@ def test_vocab_coverage_single_corpus_scan(spark, sf_dir):
     not a second scan of the corpus."""
     plan = _simple_plan(SUITE["vocab_coverage"].fn(spark, sf_dir))
     assert plan.count("FileScan") == 1, plan[:3000]
+
+
+def test_tfidf_single_tokenize_pass(spark, sf_dir):
+    """Document frequency must come from a window over the tf aggregate,
+    not a second tokenizing scan of the corpus: at most the text scan
+    plus the metadata-only count-star scan."""
+    plan = _simple_plan(SUITE["tfidf_terms"].fn(spark, sf_dir))
+    assert plan.count("FileScan") <= 2, plan[:3000]
+    assert plan.count("Generate explode") == 1, plan[:3000]
