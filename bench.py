@@ -33,6 +33,7 @@ HEADLINE = [
     "simhash",
     "simhash_near_pairs",
     "ann_cosine_topk",
+    "ann_topk_blocked",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "knn_label_vote",

@@ -325,3 +325,76 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim_exact", 6).alias("sim"))
     )
+
+
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors — the vectorized 100 TB path.
+
+    Same contract as ``cosine_topk`` (rank 1..k by sim desc,
+    neighbor_id asc; 0.0 on zero norms), different physical shape: the
+    query block is collected driver-side (query batches are small by
+    contract — this is the dense side of an ANN probe) and shipped in
+    the mapInPandas closure; every corpus partition computes one
+    (batch × Q) numpy matmul and PRE-REDUCES to its local top-k per
+    query under the exact global order (sim desc, id asc), so the
+    shuffle into the final ranking window carries partitions × Q × k
+    rows instead of N × Q.  Any global top-k row is in its partition's
+    top-k under the same total order, so the pre-reduction is lossless.
+
+    Float note: numpy accumulates dot products in a different order
+    than the sequential HOF fold, so sims can differ from
+    ``cosine_topk`` in the last ulp.
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(map(float, r[1])) for r in q_rows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def local_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xnorm = np.linalg.norm(X, axis=1)
+            denom = xnorm[:, None] * qnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, (X @ qmat.T) / denom, 0.0)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                cand_ids, cand_s = ids[mask], S[mask, j]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim_exact": out_s}
+            )
+
+    reduced = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim_exact double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim_exact", 6).alias("sim"),
+        )
+    )

@@ -762,6 +762,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_topk_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-5, vectorized 100 TB path: per-partition numpy-matmul
+    scoring pre-reduced to local top-k before the ranking shuffle
+    (operators.similarity.cosine_topk_blocked) — same oracle as the
+    brute-force HOF query, same results."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 _ORACLE_ANN = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -2017,6 +2026,9 @@ SUITE: dict[str, QuerySpec] = {
         q_dedup_embedding_cosine, _ORACLE_DEDUP_EMB, "dedup-embedding"
     ),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, _ORACLE_ANN, "similarity F1"),
+    "ann_topk_blocked": QuerySpec(
+        q_ann_topk_blocked, _ORACLE_ANN, "similarity-vectorized-scale-path"
+    ),
     "embedding_centroids": QuerySpec(q_embedding_centroids, _ORACLE_CENTROIDS, "explode agg"),
     "vectors_norm_category": QuerySpec(
         q_vectors_norm_category, _ORACLE_VECNORM, "F2 F3 P11 vectors-step"

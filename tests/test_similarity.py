@@ -72,3 +72,32 @@ def test_persisted_lsh_index_matches_inline(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("tbl=") for d in os.listdir(path))
+
+
+def test_blocked_topk_equals_hof_topk(spark, sf_dir):
+    """The vectorized pre-reducing path must return exactly the
+    brute-force result (same rank order, same rounded sims) — the
+    local top-k under the global total order is lossless."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, SIM.cosine_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, SIM.cosine_topk_blocked(emb, q, k=5).collect()))
+    assert a == b
+
+
+def test_blocked_topk_zero_norm_and_small_partition(spark):
+    """Zero-norm vectors score 0.0 (never NaN) and partitions smaller
+    than k emit what they have."""
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    rows.append((9, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(6)
+    out = SIM.cosine_topk_blocked(df, df, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 3 for v in by_q.values())
+    # the zero-norm row scores 0.0 against everything, and everything
+    # scores 0.0 against it
+    assert all(r["sim"] == 0.0 for r in by_q[9])
