@@ -1841,7 +1841,7 @@ def q_knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
     label predicted by majority vote of its 5 nearest neighbors (ties →
     smaller label), checked against the stored ground-truth label."""
     emb = _t(spark, sf, "embeddings")
-    knn = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    knn = SIM.cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 50), k=5)
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
