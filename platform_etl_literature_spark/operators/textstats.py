@@ -315,3 +315,58 @@ def vocab_coverage(
             .alias("in_vocab"),
         )
     )
+
+
+def curation_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry_cols: list[str] | None = None,
+    quality_min: float = 0.5,
+    want_lang: str = "en",
+    rep_threshold: float = 0.3,
+) -> DataFrame:
+    """Stateless per-document curation decision: quality score, language
+    ID, 3-gram repetition flag, and the combined ``kept`` verdict in ONE
+    projection pipeline — no joins, no aggregation, no state.
+
+    Statelessness is the point: the same plan runs on a batch DataFrame
+    and on a Structured Streaming ingest (append mode, no watermark
+    needed), so a curation policy is written once and applied both to
+    the historical corpus and to arriving data
+    (streaming/documents.py).  Token and gram arrays are staged through
+    projections per the repetition_stats pattern.
+    """
+    from platform_etl_literature_spark.operators.dedup import tokens
+
+    carry = list(carry_cols or [])
+    w = F.col("_toks")
+    g3 = F.when(F.size(w) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        )
+    )
+    staged = df.select(
+        F.col(id_col), *carry, tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), *carry, F.col("_toks"), g3.alias("_g3"))
+    s = doc_stats_from_tokens(w)
+    quality = quality_from_stats(s)
+    total, nd = F.size("_g3"), F.size(F.array_distinct("_g3"))
+    r3 = F.when(total > 0, F.round((total - nd) / total, 6)).otherwise(0.0)
+    flagged = (r3 > rep_threshold).cast("int")
+    lang_pred = lang_id_from_tokens(w)
+    return staged.select(
+        F.col(id_col),
+        *carry,
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+        flagged.alias("flagged"),
+        (
+            (quality >= quality_min)
+            & (lang_pred == want_lang)
+            & (flagged == 0)
+        )
+        .cast("int")
+        .alias("kept"),
+    )

@@ -6,9 +6,15 @@ from platform_etl_literature_spark.streaming.events import (
     session_windows,
     view_click_interval_join,
 )
+from platform_etl_literature_spark.streaming.documents import (
+    curated_documents,
+    read_documents_stream,
+)
 from platform_etl_literature_spark.streaming.stateful import running_user_totals
 
 __all__ = [
+    "read_documents_stream",
+    "curated_documents",
     "read_events_stream",
     "hourly_counts",
     "session_windows",

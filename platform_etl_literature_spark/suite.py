@@ -1008,34 +1008,19 @@ def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     """The composed curation pass a training-data pipeline actually
     runs: exact-dedup survivors ∩ quality ≥ 0.5 ∩ predicted English ∩
     repetition below threshold, reported as kept/total + mean quality
-    per source.  Composes exact_dedup, quality_score, lang_id, and
-    repetition_stats in one plan (all map-side except the dedup groupBy
-    and the final rollup)."""
+    per source.  The per-document verdict is the shared stateless
+    curation_flags pipeline (also the streaming ingest filter,
+    streaming/documents.py) — map-side except the dedup groupBy and
+    the final rollup."""
     docs = _t(spark, sf, "documents")
     keep = D.exact_dedup(docs, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
-    toks = TS.tokens(F.col("text"))
-    s = TS.doc_stats_from_tokens(toks)
-    scored = docs.join(keep, "doc_id", "left_semi").select(
+    kept = TS.curation_flags(
+        docs.join(keep, "doc_id", "left_semi"),
         "doc_id",
-        "source",
-        TS.quality_from_stats(s).alias("quality"),
-        TS.lang_id_from_tokens(toks).alias("lang_pred"),
-    )
-    rep = TS.repetition_stats(docs, "doc_id", "text", 0.3).select(
-        "doc_id", "flagged"
-    )
-    kept = (
-        scored.join(rep, "doc_id")
-        .withColumn(
-            "kept",
-            (
-                (F.col("quality") >= 0.5)
-                & (F.col("lang_pred") == "en")
-                & (F.col("flagged") == 0)
-            ).cast("int"),
-        )
+        "text",
+        carry_cols=["source"],
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_unique"),

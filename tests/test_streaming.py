@@ -180,3 +180,24 @@ def test_watermark_late_data_semantics(spark, tmp_path):
     q.stop()
     rows = sorted((r["h"], r["n"]) for r in spark.table("late_t").collect())
     assert rows == [(10, 2), (13, 2), (14, 1)], rows
+
+
+def test_document_curation_stream_equals_batch(spark):
+    """The stateless curation policy must produce identical verdicts on
+    the ingest stream (append mode, no watermark, no state) and on the
+    batch corpus — the written-once-applied-everywhere contract."""
+    from platform_etl_literature_spark.streaming.documents import (
+        curated_documents,
+        read_documents_stream,
+    )
+
+    stream = curated_documents(read_documents_stream(spark, SF_DIR))
+    q = run_to_memory(stream, "curated_t", output_mode="append")
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table("curated_t").collect())
+    batch = curated_documents(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    exp = sorted(tuple(r) for r in batch.collect())
+    assert got == exp
+    assert len(got) > 0
+    assert any(r[-1] == 1 for r in got) and any(r[-1] == 0 for r in got)
