@@ -47,6 +47,7 @@ HEADLINE = [
     "decontaminate",
     "mixture_sample",
     "vocab_coverage",
+    "pii_protect",
     "doc_repetition",
     "corpus_curation",
     "user_ewma",

@@ -1949,6 +1949,38 @@ WHERE bucket < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000
 """
 
 
+def q_pii_protect(spark: SparkSession, sf: str) -> DataFrame:
+    """PII protection pass over customer: digit redaction, salted
+    sha256 pseudonymization (join-preserving), account-balance
+    generalization to 1000-wide bands, and a k-anonymity audit of the
+    (nation, band) quasi-identifier (operators.privacy)."""
+    from platform_etl_literature_spark.operators import privacy as PV
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        PV.pseudonymize("c_name", "pepper").alias("name_pseudo"),
+        PV.redact_digits("c_name").alias("name_redacted"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        PV.generalize_band("c_acctbal", 1000).alias("bal_band"),
+    )
+    return PV.k_anonymity_audit(cust, ["nation", "bal_band"], k=5)
+
+
+_ORACLE_PII = """
+WITH g AS (
+  SELECT c_custkey,
+    sha256('pepper' || c_name) AS name_pseudo,
+    regexp_replace(c_name, '[0-9]', '*', 'g') AS name_redacted,
+    CAST(c_nationkey AS BIGINT) AS nation,
+    CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band
+  FROM customer)
+SELECT c_custkey, name_pseudo, name_redacted, nation, bal_band,
+  count(*) OVER (PARTITION BY nation, bal_band) AS n_in_class,
+  CAST(count(*) OVER (PARTITION BY nation, bal_band) >= 5 AS INTEGER) AS k_anon
+FROM g
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf vocabulary construction: global token frequencies ranked
     descending with cumulative corpus fraction; in_vocab marks the
@@ -2079,4 +2111,5 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "mixture_sample": QuerySpec(q_mixture_sample, _ORACLE_MIXTURE, "mixture-sampling-ext"),
     "vocab_coverage": QuerySpec(q_vocab_coverage, _ORACLE_VOCAB, "vocab-zipf-ext"),
+    "pii_protect": QuerySpec(q_pii_protect, _ORACLE_PII, "privacy-ext"),
 }

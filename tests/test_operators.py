@@ -244,3 +244,40 @@ def test_vocab_coverage_prefix_property(spark):
     # a 50%-coverage vocab keeps only the head token
     half = {r["term"]: r["in_vocab"] for r in TS.vocab_coverage(df, "text", 0.5).collect()}
     assert half == {"a": 1, "b": 0, "c": 0}
+
+
+def test_privacy_redact_pseudonymize_generalize(spark):
+    from platform_etl_literature_spark.operators import privacy as PV
+
+    df = spark.createDataFrame(
+        [(1, "User#004217", 1234.56), (2, "User#004218", -50.0)],
+        ["id", "name", "bal"],
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            PV.redact_digits("name").alias("red"),
+            PV.pseudonymize("name", "pep").alias("pseu"),
+            PV.generalize_band("bal", 1000).alias("band"),
+        ).collect()
+    }
+    assert out[1]["red"] == "User#******"
+    assert out[1]["band"] == 1000
+    assert out[2]["band"] == -1000  # floor, not truncation, below zero
+    import hashlib
+
+    assert out[1]["pseu"] == hashlib.sha256(b"pepUser#004217").hexdigest()
+    # same identity -> same pseudonym (join-preserving)
+    again = df.select(PV.pseudonymize("name", "pep").alias("p")).collect()
+    assert again[0]["p"] == out[1]["pseu"]
+
+
+def test_k_anonymity_audit_flags_small_classes(spark):
+    from platform_etl_literature_spark.operators import privacy as PV
+
+    rows = [(i, "a") for i in range(5)] + [(99, "b")]
+    df = spark.createDataFrame(rows, ["id", "quasi"])
+    out = {r["id"]: r for r in PV.k_anonymity_audit(df, ["quasi"], k=5).collect()}
+    assert out[0]["n_in_class"] == 5 and out[0]["k_anon"] == 1
+    assert out[99]["n_in_class"] == 1 and out[99]["k_anon"] == 0
