@@ -48,6 +48,7 @@ HEADLINE = [
     "mixture_sample",
     "vocab_coverage",
     "pii_protect",
+    "incremental_dedup",
     "doc_repetition",
     "corpus_curation",
     "user_ewma",

@@ -492,3 +492,38 @@ def mixture_sample(
         .filter(F.col("bucket") < F.coalesce(F.col("_bps"), F.lit(default_bps)))
         .drop("_bps")
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Incremental dedup of an arriving batch against the existing
+    corpus AND itself: keep a batch row iff its content key is unseen
+    in the corpus and it is the first (lowest id) holder of that key
+    within the batch.
+
+    The key is md5 of the full text, or of its first ``prefix_chars``
+    characters — the head-fingerprint variant that catches documents
+    differing only in a templated tail (boilerplate expansions, tracking
+    suffixes).
+
+    The anti-join runs hash-to-hash — at 100 TB the corpus side is a
+    maintained content-key index (one slim column, bucketable by
+    hash), not the corpus itself, so the probe shuffles only digests;
+    the within-batch winner is a min aggregation, not a window over
+    text rows.
+    """
+
+    def key(c: Column) -> Column:
+        t = F.substring(c, 1, prefix_chars) if prefix_chars else c
+        return F.md5(t)
+
+    bh = batch.select(F.col(id_col), key(F.col(text_col)).alias("_h"))
+    seen = corpus.select(key(F.col(text_col)).alias("_h")).distinct()
+    fresh = bh.join(seen, "_h", "left_anti")
+    winners = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return batch.join(winners.select(id_col), id_col, "left_semi")

@@ -1949,6 +1949,36 @@ WHERE bucket < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental head-fingerprint dedup: an arriving batch (doc_id %
+    5 == 0) is admitted only where its 60-char-prefix key is unseen in
+    the standing corpus and first within the batch
+    (operators.dedup.incremental_dedup)."""
+    docs = _t(spark, sf, "documents")
+    return D.incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        "text",
+        prefix_chars=60,
+    )
+
+
+_ORACLE_INCR_DEDUP = """
+WITH b AS (
+  SELECT doc_id, md5(substr(text, 1, 60)) AS h
+  FROM documents WHERE doc_id % 5 = 0),
+seen AS (
+  SELECT DISTINCT md5(substr(text, 1, 60)) AS h
+  FROM documents WHERE doc_id % 5 != 0),
+fresh AS (
+  SELECT b.doc_id, b.h FROM b ANTI JOIN seen USING (h)),
+winners AS (
+  SELECT min(doc_id) AS doc_id FROM fresh GROUP BY h)
+SELECT d.* FROM documents d SEMI JOIN winners USING (doc_id)
+"""
+
+
 def q_pii_protect(spark: SparkSession, sf: str) -> DataFrame:
     """PII protection pass over customer: digit redaction, salted
     sha256 pseudonymization (join-preserving), account-balance
@@ -2112,4 +2142,7 @@ SUITE: dict[str, QuerySpec] = {
     "mixture_sample": QuerySpec(q_mixture_sample, _ORACLE_MIXTURE, "mixture-sampling-ext"),
     "vocab_coverage": QuerySpec(q_vocab_coverage, _ORACLE_VOCAB, "vocab-zipf-ext"),
     "pii_protect": QuerySpec(q_pii_protect, _ORACLE_PII, "privacy-ext"),
+    "incremental_dedup": QuerySpec(
+        q_incremental_dedup, _ORACLE_INCR_DEDUP, "incremental-dedup-ext"
+    ),
 }

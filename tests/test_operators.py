@@ -281,3 +281,38 @@ def test_k_anonymity_audit_flags_small_classes(spark):
     out = {r["id"]: r for r in PV.k_anonymity_audit(df, ["quasi"], k=5).collect()}
     assert out[0]["n_in_class"] == 5 and out[0]["k_anon"] == 1
     assert out[99]["n_in_class"] == 1 and out[99]["k_anon"] == 0
+
+
+def test_incremental_dedup_corpus_and_batch_internal(spark):
+    corpus = spark.createDataFrame(
+        [(1, "already seen text")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already seen text"),  # dup of corpus -> dropped
+            (11, "fresh text"),  # first holder -> kept
+            (12, "fresh text"),  # batch-internal dup -> dropped
+            (13, "other fresh"),  # kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in D.incremental_dedup(batch, corpus, "doc_id", "text").collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_dedup_prefix_key(spark):
+    corpus = spark.createDataFrame([(1, "AAAA tail-one")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "AAAA tail-two"), (11, "BBBB tail-two")], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in D.incremental_dedup(
+            batch, corpus, "doc_id", "text", prefix_chars=4
+        ).collect()
+    )
+    # 10 collides with the corpus on the 4-char head despite a new tail
+    assert kept == [11]
