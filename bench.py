@@ -49,6 +49,8 @@ HEADLINE = [
     "vocab_coverage",
     "pii_protect",
     "incremental_dedup",
+    "doc_chunks",
+    "epoch_repeat",
     "doc_repetition",
     "corpus_curation",
     "user_ewma",

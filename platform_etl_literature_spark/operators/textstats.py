@@ -370,3 +370,81 @@ def curation_flags(
         .cast("int")
         .alias("kept"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-length sequence builder of a training pipeline.  Chunk i
+    covers tokens [1 + i·stride, …][:chunk_size] with
+    stride = chunk_size − overlap; the final partial chunk is kept
+    (training pads it).
+
+    Map-side only: stage the token array, posexplode the chunk starts,
+    slice per chunk — rows fan out by ~n_tokens/stride with no shuffle;
+    at 100 TB chunking composes with the scan and never materializes
+    the corpus twice.
+    """
+    from platform_etl_literature_spark.operators.dedup import tokens
+
+    stride = chunk_size - overlap
+    assert stride > 0
+    w = F.col("_toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(stride)
+    )
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), "_toks", F.posexplode(starts).alias("chunk_id", "_start"))
+    piece = F.slice(w, F.col("_start"), chunk_size)
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights_bps: dict[str, int],
+    default_bps: int = 10000,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional upsampling: repeat each row
+    ⌊w⌋ or ⌈w⌉ times so a group's expected multiplicity equals its
+    weight (in basis points; 25000 = 2.5 epochs).  The ⌈w⌉ decision is
+    by content hash — reproducible across engines, runs, and corpus
+    growth, like mixture_sample's downsampling (weights ≤ 1) which
+    this composes with for full mixture control.
+
+    Map-side: broadcast weight table, one explode by the per-row copy
+    count; emitted rows carry ``copy`` (0-based) so downstream shard
+    packing can interleave epochs.
+    """
+    from platform_etl_literature_spark.operators.dedup import token_hash
+
+    spark = df.sparkSession
+    rows = [(k, int(v)) for k, v in sorted(weights_bps.items())]
+    wt = F.broadcast(spark.createDataFrame(rows, f"{group_col} string, _bps int"))
+    bucket = token_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
+    bps = F.coalesce(F.col("_bps"), F.lit(default_bps))
+    n_copies = (bps / 10000).cast("long") + (
+        bucket < bps % 10000
+    ).cast("long")
+    return (
+        df.join(wt, group_col, "left")
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy")
+        )
+        .drop("_bps", "_n")
+    )

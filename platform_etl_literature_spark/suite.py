@@ -1979,6 +1979,56 @@ SELECT d.* FROM documents d SEMI JOIN winners USING (doc_id)
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length chunking: 32-token windows with 8-token overlap
+    per document (operators.textstats.chunk_tokens, map-side fan-out)."""
+    return TS.chunk_tokens(
+        _t(spark, sf, "documents"), "doc_id", "text", chunk_size=32, overlap=8
+    )
+
+
+_ORACLE_CHUNKS = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+st AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS i
+  FROM w)
+SELECT doc_id,
+  (i - 1) // 24 AS chunk_id,
+  array_to_string(toks[i:i+31], ' ') AS chunk_text,
+  CAST(len(toks[i:i+31]) AS BIGINT) AS n_tokens
+FROM st
+"""
+
+
+def q_epoch_repeat(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fractional upsampling: de ×2.5, fr ×1.25, en ×0.5
+    epochs by content hash (operators.textstats.epoch_repeat) — the
+    weights>1 half of mixture control."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return TS.epoch_repeat(
+        docs, "doc_id", "lang", {"en": 5000, "de": 25000, "fr": 12500}
+    )
+
+
+_ORACLE_EPOCH = """
+WITH w AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('epoch' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket,
+    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 25000
+              WHEN 'fr' THEN 12500 ELSE 10000 END AS bps
+  FROM documents),
+n AS (
+  SELECT doc_id, lang,
+         bps // 10000 + CASE WHEN bucket < bps % 10000 THEN 1 ELSE 0 END AS n_copies
+  FROM w)
+SELECT doc_id, lang, CAST(u.copy AS BIGINT) AS copy
+FROM n, LATERAL unnest(generate_series(0, CAST(n_copies AS INT) - 1)) AS u(copy)
+WHERE n_copies > 0
+"""
+
+
 def q_pii_protect(spark: SparkSession, sf: str) -> DataFrame:
     """PII protection pass over customer: digit redaction, salted
     sha256 pseudonymization (join-preserving), account-balance
@@ -2145,4 +2195,6 @@ SUITE: dict[str, QuerySpec] = {
     "incremental_dedup": QuerySpec(
         q_incremental_dedup, _ORACLE_INCR_DEDUP, "incremental-dedup-ext"
     ),
+    "doc_chunks": QuerySpec(q_doc_chunks, _ORACLE_CHUNKS, "chunking-ext"),
+    "epoch_repeat": QuerySpec(q_epoch_repeat, _ORACLE_EPOCH, "upsampling-ext"),
 }

@@ -316,3 +316,37 @@ def test_incremental_dedup_prefix_key(spark):
     )
     # 10 collides with the corpus on the 4-char head despite a new tail
     assert kept == [11]
+
+
+def test_chunk_tokens_overlap_and_partial_tail(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "")], ["doc_id", "text"])
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in TS.chunk_tokens(df, "doc_id", "text", chunk_size=6, overlap=2).collect()
+    )
+    # stride 4: starts 1, 5 (len-overlap = 8); chunks overlap by 2 tokens
+    assert rows[0] == (1, 0, "t0 t1 t2 t3 t4 t5", 6)
+    assert rows[1] == (1, 1, "t4 t5 t6 t7 t8 t9", 6)
+    # empty doc yields one empty chunk (training pads it away)
+    assert rows[2] == (2, 0, "", 0)
+
+
+def test_epoch_repeat_multiplicities(spark):
+    df = spark.createDataFrame(
+        [(i, "hi" if i % 2 == 0 else "lo") for i in range(500)], ["doc_id", "grp"]
+    )
+    out = TS.epoch_repeat(df, "doc_id", "grp", {"hi": 25000, "lo": 0})
+    rows = out.collect()
+    # lo weight 0 -> gone entirely
+    assert all(r["grp"] == "hi" for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), r["copy"] + 1)
+    # every hi doc gets 2 or 3 copies; expected multiplicity ~2.5
+    assert set(per_doc.values()) <= {2, 3}
+    mean = sum(per_doc.values()) / len(per_doc)
+    assert 2.2 < mean < 2.8
+    # deterministic across invocations
+    again = TS.epoch_repeat(df, "doc_id", "grp", {"hi": 25000, "lo": 0})
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
