@@ -100,6 +100,28 @@ def lsh_bucket(vec, table: int, n_bits: int, dim: int) -> "F.Column":
     return bucket
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer (k-means) and return its centroid
+    table as plain lists — the build-once artifact.  At 100 TB the
+    quantizer trains on a sample, the centroids are persisted alongside
+    the corpus version, and every probe batch reuses them; re-training
+    per query batch would re-scan the corpus with an iterative ML job
+    each time."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,6 +131,7 @@ def ivf_cosine_topk(
     n_lists: int = 8,
     n_probe: int = 3,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via an IVF (inverted-file) index:
     k-means coarse quantizer → corpus rows assigned to their nearest
@@ -119,18 +142,15 @@ def ivf_cosine_topk(
     the corpus assignment and the query probe are map-side expressions;
     the only shuffle is the equijoin on ``list_id`` (pruned to probed
     lists) plus the final per-query top-k window.  At 100 TB the corpus
-    assignment is computed once and persisted with the data.
+    assignment is computed once and persisted with the data; pass
+    ``centroids`` from ivf_train_centroids to reuse a trained
+    quantizer instead of re-fitting per probe batch.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     import numpy as np
 
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    centroids = np.array([list(map(float, c)) for c in model.clusterCenters()])
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, vec_col, n_lists, seed)
+    centroids = np.array(centroids)
 
     # Nearest-list ranking in ONE Arrow batch per partition: squared-L2
     # to every centroid via ‖x‖² − 2x·c + ‖c‖² as a numpy matmul.  (The

