@@ -210,3 +210,68 @@ def test_hash_split_stable_and_exhaustive(spark):
     # stability under subsetting: a smaller corpus assigns identically
     sub = {r["doc_id"]: r["split"] for r in D.hash_split(df.limit(100), "doc_id").collect()}
     assert all(full[k] == v for k, v in sub.items())
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=40
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=200)
+def test_chunking_covers_every_token_in_order(toks, chunk_size, overlap):
+    """Pure-Python model of chunk_tokens: concatenating each chunk's
+    non-overlapping head reconstructs the document exactly — chunking
+    loses nothing and keeps order."""
+    overlap = min(overlap, chunk_size - 1)
+    stride = chunk_size - overlap
+    starts = list(range(0, max(len(toks) - overlap, 1), stride))
+    chunks = [toks[s : s + chunk_size] for s in starts]
+    rebuilt = []
+    for i, c in enumerate(chunks):
+        rebuilt.extend(c if i == 0 else c[overlap:])
+    assert rebuilt == toks
+    # every chunk except possibly the last is full-size
+    assert all(len(c) == chunk_size for c in chunks[:-1])
+
+
+@given(
+    st.integers(min_value=0, max_value=40000),
+    st.lists(st.integers(min_value=0, max_value=2**31), min_size=1, max_size=50),
+)
+@settings(max_examples=200)
+def test_epoch_repeat_multiplicity_model(bps, buckets):
+    """floor(w) + (bucket < frac) gives multiplicity in {floor(w),
+    ceil(w)} with the exact fractional share of ceilings."""
+    n = [bps // 10000 + (1 if b % 10000 < bps % 10000 else 0) for b in buckets]
+    assert all(x in (bps // 10000, bps // 10000 + (1 if bps % 10000 else 0)) for x in n)
+    if bps % 10000 == 0:
+        assert all(x == bps // 10000 for x in n)
+
+
+def test_contamination_is_monotone_in_benchmark(spark):
+    """Growing the benchmark set can only increase each document's
+    shared-gram count (Spark equivalence on one batch)."""
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c d e") for i in range(20)], ["doc_id", "text"]
+    )
+    small = spark.createDataFrame([(100, "x y z a")], ["doc_id", "text"])
+    big = small.union(
+        spark.createDataFrame([(101, "a b c d")], ["doc_id", "text"])
+    )
+    s = {
+        r["doc_id"]: r["shared_ngrams"]
+        for r in D.contamination(corpus, small, "doc_id", "text", n=4).collect()
+    }
+    b = {
+        r["doc_id"]: r["shared_ngrams"]
+        for r in D.contamination(corpus, big, "doc_id", "text", n=4).collect()
+    }
+    assert set(s) == set(b)
+    assert all(b[k] >= s[k] for k in s)
+    assert any(b[k] > s[k] for k in s)  # the added benchmark doc bites
