@@ -29,6 +29,7 @@ import argparse
 import json
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from platform_etl_literature_spark.config import (
     EvidenceConfig,
@@ -131,21 +132,70 @@ def run_all(spark: SparkSession, cfg: dict, steps: list[str]) -> None:
         write_to(_out(cfg, "evidence", ev))
 
 
+def run_curate(spark: SparkSession, cfg: dict) -> None:
+    """Training-data curation over a ``documents`` input: per-document
+    verdicts (quality, language, repetition — the same stateless policy
+    the streaming ingest applies), exact-dedup winners, and two
+    outputs: ``curated`` (surviving rows, full schema) and
+    ``curation_report`` (one verdict row per input document)."""
+    from platform_etl_literature_spark.operators.dedup import exact_dedup
+    from platform_etl_literature_spark.operators.textstats import curation_flags
+
+    ccfg = cfg.get("curate", {})
+    id_col = ccfg.get("id_col", "doc_id")
+    text_col = ccfg.get("text_col", "text")
+    docs = read_from(spark, _io_configs(cfg["inputs"]))["documents"].data
+    flags = curation_flags(
+        docs,
+        id_col,
+        text_col,
+        quality_min=ccfg.get("quality_min", 0.5),
+        want_lang=ccfg.get("lang", "en"),
+        rep_threshold=ccfg.get("rep_threshold", 0.3),
+    )
+    winners = exact_dedup(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept_ids = (
+        flags.filter(F.col("kept") == 1)
+        .select(id_col)
+        .join(winners, id_col, "left_semi")
+    )
+    curated = docs.join(kept_ids, id_col, "left_semi")
+    out_fmt, out_dir = cfg["output"]["format"], cfg["output"]["dir"]
+    write_to(
+        {
+            "curated": IOResource(
+                curated, IOResourceConfig(out_fmt, f"{out_dir}/curated")
+            ),
+            "curation_report": IOResource(
+                flags, IOResourceConfig(out_fmt, f"{out_dir}/curation_report")
+            ),
+        }
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="platform-etl-literature-spark",
-        description="PySpark literature ETL: processing | embedding | vectors | evidence | all",
+        description=(
+            "PySpark literature ETL: processing | embedding | vectors | "
+            "evidence | all; plus the training-data step: curate"
+        ),
     )
-    p.add_argument("steps", nargs="+", choices=STEPS + ["all"])
+    p.add_argument("steps", nargs="+", choices=STEPS + ["all", "curate"])
     p.add_argument("--config", required=True, help="JSON config file")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    steps = STEPS if "all" in args.steps else [s for s in STEPS if s in args.steps]
     with open(args.config) as fh:
         cfg = json.load(fh)
     spark = build_session("platform-etl-literature-spark", master=args.master)
-    run_all(spark, cfg, steps)
+    if "curate" in args.steps:
+        run_curate(spark, cfg)
+    steps = STEPS if "all" in args.steps else [s for s in STEPS if s in args.steps]
+    if steps:
+        run_all(spark, cfg, steps)
 
 
 if __name__ == "__main__":

@@ -64,3 +64,39 @@ def test_cli_all_steps(spark, input_dir, tmp_path):
     # literature index + failed outputs also landed
     assert spark.read.parquet(str(out / "literatureIndex")).count() > 0
     assert spark.read.parquet(str(out / "failedMatches")).count() == 1
+
+
+def test_cli_curate_step(spark, tmp_path):
+    """The curate step writes surviving documents plus a verdict report;
+    survivors = kept-verdict ∩ exact-dedup winners."""
+    import json
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs of a it", "en"),
+            (2, "the quick brown fox jumps over the lazy dog and runs of a it", "en"),
+            (3, "der hund und die katze und der hund und die katze ist da", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    cfg = {
+        "inputs": {"documents": {"format": "parquet", "path": src}},
+        "output": {"format": "parquet", "dir": out},
+        "curate": {"quality_min": 0.1},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cli_main(["curate", "--config", str(cfg_path)])
+
+    report = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/curation_report").collect()}
+    curated = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/curated").collect())
+    assert set(report) == {1, 2, 3}
+    assert report[3]["lang_pred"] == "de" and report[3]["kept"] == 0
+    # doc 2 is an exact dup of doc 1: verdict kept, row suppressed
+    assert report[2]["kept"] == 1
+    assert curated == [1]
