@@ -42,6 +42,11 @@ def user_value_ewma(
             }
         )
 
-    return events.groupBy("user_id").applyInPandas(
+    # project to the fold's columns BEFORE the grouped map: every column
+    # of the grouped DataFrame crosses the Arrow boundary per row, so
+    # carrying payload columns (event props JSON…) through the shuffle
+    # and into Python pays for bytes the fold never reads
+    needed = events.select("user_id", "ts", "event_id", value_col)
+    return needed.groupBy("user_id").applyInPandas(
         fold, "user_id long, n_events long, ewma double"
     )

@@ -69,6 +69,10 @@ OPS = {
     "mixture_sample": lambda df: D.mixture_sample(
         df, "doc_id", "lang", {"en": 2000, "zh": 5000, "es": 8000}
     ),
+    "doc_chunks": lambda df: TS.chunk_tokens(df, "doc_id", "text", 32, 8),
+    "curation_flags": lambda df: TS.curation_flags(
+        df, "doc_id", "text", carry_cols=["source"]
+    ),
 }
 
 
