@@ -55,6 +55,7 @@ HEADLINE = [
     "corpus_curation",
     "user_ewma",
     "events_hourly",
+    "events_sliding",
     "sessionize",
     "interval_join_views_clicks",
     "literature_pipeline",

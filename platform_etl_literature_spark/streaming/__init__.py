@@ -4,6 +4,7 @@ from platform_etl_literature_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_windows,
+    sliding_counts,
     view_click_interval_join,
 )
 from platform_etl_literature_spark.streaming.documents import (
@@ -18,6 +19,7 @@ __all__ = [
     "read_events_stream",
     "hourly_counts",
     "session_windows",
+    "sliding_counts",
     "view_click_interval_join",
     "dedup_within_watermark",
     "running_user_totals",

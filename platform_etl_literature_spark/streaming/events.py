@@ -74,6 +74,38 @@ def hourly_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding event-time window counts with a watermark: each event
+    lands in window/slide overlapping panes (4 for 1h/15m).
+
+    Same batch/streaming contract as hourly_counts; state holds at most
+    (watermark + window)/slide panes per key.  The fan-out happens
+    inside the window operator (JVM), not as an explode — rows amplify
+    only in the aggregation's map side.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -919,6 +919,31 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window rollup (1 h window / 15 min slide) — the batch
+    twin of streaming.events.sliding_counts (same function, batch
+    input); each event lands in 4 overlapping panes."""
+    from platform_etl_literature_spark.streaming.events import sliding_counts
+
+    return sliding_counts(_t(spark, sf, "events"))
+
+
+_ORACLE_SLIDING = """
+WITH e AS (
+  SELECT epoch_us(ts) AS tu, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events),
+w AS (
+  SELECT k * 900 AS window_start, event_type, vc
+  FROM e, LATERAL unnest(generate_series(
+      (tu - 3600000000) // 900000000 + 1,
+      tu // 900000000)) AS t(k))
+SELECT window_start, event_type, count(*) AS n,
+       round(sum(vc) / 100.0, 2) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (lag → flag → running sum) + per-user
     rollup; the batch analog of stateful streaming sessions."""
@@ -2144,6 +2169,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "doc_profile": QuerySpec(q_doc_profile, _ORACLE_DOC_PROFILE, "textstats M1-analog"),
     "events_hourly": QuerySpec(q_events_hourly, _ORACLE_HOURLY, "dates agg"),
+    "events_sliding": QuerySpec(
+        q_events_sliding, _ORACLE_SLIDING, "sliding-window-ext"
+    ),
     "sessionize": QuerySpec(q_sessionize, _ORACLE_SESSIONIZE, "window stateful-analog"),
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MM_META, "multimodal S-binary"),
     "multimodal_decode": QuerySpec(q_multimodal_decode, _ORACLE_MM_DECODE, "multimodal mapInPandas"),

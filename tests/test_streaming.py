@@ -201,3 +201,17 @@ def test_document_curation_stream_equals_batch(spark):
     assert got == exp
     assert len(got) > 0
     assert any(r[-1] == 1 for r in got) and any(r[-1] == 0 for r in got)
+
+
+def test_streaming_sliding_counts_match_batch(spark, batch_events):
+    from platform_etl_literature_spark.streaming.events import sliding_counts
+
+    stream = read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
+    got = _drain(spark, sliding_counts(stream), "sliding_t")
+    expected = sliding_counts(batch_events)
+    g = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in expected.collect()}
+    assert g == e
+    assert len(g) > 0
+    # overlapping panes: every event lands in window/slide = 4 panes
+    assert sum(n for n, _ in g.values()) == batch_events.count() * 4
