@@ -51,6 +51,7 @@ HEADLINE = [
     "incremental_dedup",
     "doc_chunks",
     "epoch_repeat",
+    "eval_sample",
     "doc_repetition",
     "corpus_curation",
     "user_ewma",

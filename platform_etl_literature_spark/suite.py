@@ -2098,6 +2098,34 @@ FROM g
 """
 
 
+def q_eval_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample: the 20 documents per
+    language with the smallest content hash (eval-set construction —
+    exactly-N rows per group, reproducible across engines and corpus
+    growth for documents that stay in the corpus; contrast
+    mixture_sample's fixed-RATE sampling).  One window shuffle on the
+    group key."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    h = D.token_hash(F.concat(F.lit("eval"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= 20)
+    )
+
+
+_ORACLE_EVAL_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+    ('0x' || substr(md5('eval' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM documents)
+SELECT doc_id, lang, source,
+  CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS pick
+FROM h
+QUALIFY pick <= 20
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf vocabulary construction: global token frequencies ranked
     descending with cumulative corpus fraction; in_vocab marks the
@@ -2237,4 +2265,5 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "doc_chunks": QuerySpec(q_doc_chunks, _ORACLE_CHUNKS, "chunking-ext"),
     "epoch_repeat": QuerySpec(q_epoch_repeat, _ORACLE_EPOCH, "upsampling-ext"),
+    "eval_sample": QuerySpec(q_eval_sample, _ORACLE_EVAL_SAMPLE, "fixed-n-sampling-ext"),
 }
