@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from platform_etl_literature_spark.sources.events import (
+    normalize_events_ts,
+    read_events_raw,
+)
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
@@ -29,12 +34,12 @@ def read_events_stream(
     """File-source stream over the events parquet directory.
 
     Streaming readers need an explicit schema; it is taken from a
-    static read (driver-side metadata only).  The TIMESTAMP(NANOS)
-    column is read as long and converted with integer division —
-    identical to the batch loader.
+    static read (driver-side metadata only).  ``ts`` is normalized to
+    TIMESTAMP by the same schema-adaptive transform as the batch
+    loader (sources.events), so batch twins stay bit-identical
+    whatever physical encoding the writer chose.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = read_events_raw(spark, sf_dir).schema
     # the file source monitors directories; select just the events file
     # via a glob filter so the table dir can hold other tables too
     raw = (
@@ -43,7 +48,7 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def hourly_counts(

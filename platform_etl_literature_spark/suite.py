@@ -33,17 +33,15 @@ from platform_etl_literature_spark.operators import multimodal as MM
 from platform_etl_literature_spark.operators import sessionize as SS
 from platform_etl_literature_spark.operators import similarity as SIM
 from platform_etl_literature_spark.operators import textstats as TS
+from platform_etl_literature_spark.sources.events import read_events
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
-        # parquet reader rejects; read ns-as-long and convert with
-        # integer division (a double round-trip would lose precision at
-        # 1.7e18 ns).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # schema-adaptive: the harness has shipped ts as both
+        # TIMESTAMP(NANOS) and timestamp[us]; sources.events normalizes
+        # either to a session-tz TIMESTAMP.
+        return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1404,10 +1402,9 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     explosion.  Timestamps compare as exact microsecond integers so the
     oracle's ASOF semantics match bit-for-bit.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "tn", F.expr("ts div 1000")
-    )
+    # tn = exact epoch microseconds (integer), from the normalized
+    # TIMESTAMP — matches the oracle's epoch_us(ts) bit-for-bit.
+    ev = read_events(spark, sf).withColumn("tn", F.unix_micros(F.col("ts")))
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "tn")

@@ -12,20 +12,18 @@ from platform_etl_literature_spark.streaming import (
     run_to_memory,
     session_windows,
 )
+from platform_etl_literature_spark.sources.events import read_events
 from platform_etl_literature_spark.streaming.events import (
     dedup_within_watermark,
     view_click_interval_join,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
-EVENTS = f"{SF_DIR}/events.parquet"
 
 
 @pytest.fixture(scope="module")
 def batch_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(EVENTS)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events(spark, SF_DIR)
 
 
 def _drain(spark, stream, name):
@@ -86,15 +84,7 @@ def test_stream_stream_interval_join_matches_batch(spark, batch_events):
 def test_dedup_within_watermark_drops_replays(spark):
     """A stream replayed twice (two copies of the file) must come out
     with exactly one row per event_id."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(EVENTS).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_DIR)
-    )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
     replayed = stream.unionByName(stream)  # same file delivered twice
     q = run_to_memory(
         dedup_within_watermark(replayed), "dedup_t", output_mode="append"
@@ -102,7 +92,7 @@ def test_dedup_within_watermark_drops_replays(spark):
     q.awaitTermination(120)
     q.stop()
     got = spark.table("dedup_t")
-    n_batch = spark.read.parquet(EVENTS).count()
+    n_batch = read_events(spark, SF_DIR).count()
     assert got.count() == n_batch
     assert got.select("event_id").distinct().count() == n_batch
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from platform_etl_literature_spark.sources.events import read_events
 from platform_etl_literature_spark.streaming import read_events_stream
 from platform_etl_literature_spark.streaming.stateful import running_user_totals
 
@@ -30,9 +31,8 @@ def test_running_totals_converge_to_batch(spark):
         for r in got_df.collect()  # update mode: one row per user per batch; later overwrites earlier in dict order
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        read_events(spark, SF_DIR)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
