@@ -120,11 +120,16 @@ def main() -> None:
     # round-1 record failed to parse because the inline duckdb_queries
     # dict pushed the line past the capture buffer.
     detail.update(payload)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as fh:
-        json.dump(detail, fh, indent=1)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as e:  # best-effort side file: never lose the stdout record
+        payload["detail_write_error"] = str(e)[:120]
     sys.stdout.flush()
     print(json.dumps(payload, separators=(",", ":")))
     sys.stdout.flush()

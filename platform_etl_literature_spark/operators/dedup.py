@@ -6,16 +6,27 @@ Design notes (100 TB scale)
   text — grouping keys stay small, and the md5 can be computed in the
   scan stage (map-side) so the shuffle carries 16 bytes + id per row.
 * ``minhash``: signatures are computed per-document map-side (explode →
-  groupBy doc) and candidate generation joins on (band, band-hash), so
-  the pairwise comparison is restricted to LSH buckets — the only
-  all-pairs work is within buckets.  The token hash is an explicit
-  deterministic formula (first 8 md5 hex chars → int) rather than an
-  engine-private hash, so results are reproducible across engines and
-  SQL-checkable.
-* ``ngram_jaccard_pairs``: exact Jaccard via a shingle-equijoin
-  (doc × doc pairs only materialize when they share ≥1 shingle) — the
-  standard inverted-index trick; at scale, add a df-frequency cap to
-  drop stop-shingles before the join (``max_shingle_df``).
+  groupBy doc) and candidate generation groups rows into LSH buckets,
+  so the only all-pairs work is within buckets.  The token hash is an
+  explicit deterministic formula (first 8 md5 hex chars → int) rather
+  than an engine-private hash, so results are reproducible across
+  engines and SQL-checkable.
+* Candidate-pair generation (minhash / banded LSH / simhash blocks /
+  shingle inverted index) equijoins bucket keys, with the compact
+  per-document intermediate (signatures / band keys / gram arrays)
+  materialized ONCE via ``localCheckpoint(eager=True)`` so the
+  expensive upstream (tokenize/hash/aggregate) never runs twice.
+  Checkpoint blocks are executor-local and freed by the
+  ContextCleaner when the DataFrame is garbage-collected — unlike
+  ``persist``, nothing lingers in the session cache registry (round 2
+  flagged the never-unpersisted caches).  The collect-members-and-
+  explode-pairs alternative was measured slower here: hot buckets
+  materialize O(m²) pair arrays in single rows.
+* Pathological buckets (stop-shingles, constant bands) are the skew
+  hazard: a bucket of m members emits m(m−1)/2 pairs.  Every
+  generator takes ``max_bucket_size`` to drop them explicitly
+  (broadcast anti-join on the hot keys) instead of OOMing; the
+  default (None) is exact.
 * ``simhash``: 32-bit signature from per-token hashes; hamming-distance
   candidates via bit_count(xor) on an integer column.
 
@@ -29,7 +40,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 # Large prime < 2^31 — universal-hash modulus. a*h+b stays < 2^52
 # (a < 2^20, h < 2^32), far from int64 overflow.
@@ -88,6 +98,63 @@ def shingles(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def staged_gram_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool
+) -> DataFrame:
+    """(id, _grams) — distinct word n-gram shingles per document, with
+    the token array STAGED through an intermediate projection.
+
+    Staging is the load-bearing part: Catalyst does not CSE a
+    lambda-bearing expression, so referencing the split result inside
+    the per-gram slice() lambda re-splits the text once per gram —
+    O(tokens²) per document (the inline form measured 4.6× slower on
+    the sf0.1 gram explode).  The projection alias survives
+    CollapseProject because the split is non-cheap and multiply
+    referenced.
+
+    ``hashed=True`` emits xxhash64 longs (for operators that only
+    count/compare shingles — Jaccard, decontamination: 8-byte keys, no
+    gram-string allocation).  ``hashed=False`` emits the space-joined
+    strings for md5-based hashing where cross-engine reproducibility
+    of the hash value matters (MinHash signatures; collisions aside,
+    xxhash64 values could not be replayed by the SQL oracle).
+    """
+    w = F.col("_toks")
+    if hashed:
+        gram = lambda i: F.xxhash64(F.slice(w, i, n))  # noqa: E731
+        empty = "array<bigint>"
+    else:
+        gram = lambda i: F.concat_ws(" ", F.slice(w, i, n))  # noqa: E731
+        empty = "array<string>"
+    grams = F.when(F.size(w) < n, F.array().cast(empty)).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram)
+    )
+    return df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    ).select("id", F.array_distinct(grams).alias("_grams"))
+
+
+def _drop_hot_buckets(
+    df: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Optionally drop pathological (stop-gram) buckets before pair
+    generation: a bucket of m members emits m(m−1)/2 pairs, so one
+    viral bucket dominates the whole job.  The hot-key set is tiny by
+    construction (keys with > cap members), so it broadcasts.  None =
+    exact (no cap)."""
+    if max_bucket_size is None:
+        return df
+    if max_bucket_size < 2:
+        raise ValueError(f"max_bucket_size must be ≥ 2, got {max_bucket_size}")
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup by content digest: one row per distinct text.
 
@@ -115,9 +182,11 @@ def minhash_signatures(
     doc.  At 100 TB this is the difference between shuffling the token
     stream ×k and shuffling one signature row per document.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
-    ).withColumn("h", token_hash(F.col("s")))
+    sh = (
+        staged_gram_arrays(df, id_col, text_col, shingle_n, hashed=False)
+        .select("id", F.explode("_grams").alias("s"))
+        .withColumn("h", token_hash(F.col("s")))
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"sig{i}")
         for i, a, b in MINHASH_SEEDS
@@ -129,21 +198,25 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sigs: DataFrame, min_matching: int = 4
+    sigs: DataFrame, min_matching: int = 4, max_bucket_size: int | None = None
 ) -> DataFrame:
     """Near-dup candidate pairs from signature agreement.
 
-    Joins signature rows on (seed, sig) — i.e. each (seed, value) acts
-    as an LSH bucket of band size 1 — then keeps pairs agreeing on
-    ≥ min_matching of the k seeds.  Estimated Jaccard = m/k.
+    Each (seed, value) acts as an LSH bucket of band size 1; pairs keep
+    when they agree on ≥ min_matching of the k seeds.  Estimated
+    Jaccard = m/k.
 
-    The signature DataFrame feeds both sides of the self-join; without a
-    persist the whole shingle→hash→min aggregation runs twice, so it is
-    cached here (MEMORY_AND_DISK — signatures are k longs per doc, tiny
-    relative to the corpus even at 100 TB).
+    The signature table (k longs per doc — tiny relative to the corpus
+    even at 100 TB) feeds both sides of the bucket equijoin; it is
+    materialized ONCE with an eager localCheckpoint so the
+    shingle→hash→min pipeline never runs twice, and the blocks free
+    themselves when the plan is garbage-collected (no session cache
+    entry to leak — see module docstring).
     """
     k = len(MINHASH_SEEDS)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _drop_hot_buckets(
+        sigs.localCheckpoint(eager=True), ["seed", "sig"], max_bucket_size
+    )
     a = sigs.select(F.col("id").alias("id_a"), "seed", "sig")
     b = sigs.select(F.col("id").alias("id_b"), "seed", "sig")
     return (
@@ -157,7 +230,10 @@ def minhash_candidate_pairs(
 
 
 def minhash_banded_pairs(
-    sigs: DataFrame, band_size: int = 2, min_matching_bands: int = 1
+    sigs: DataFrame,
+    band_size: int = 2,
+    min_matching_bands: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH over MinHash signature rows: the k seeds split into
     k/band_size bands; a band's bucket key is the exact tuple of its
@@ -169,9 +245,10 @@ def minhash_banded_pairs(
     once drops the collision probability of a pair with Jaccard j from
     ~j per seed to j^r per band, so low-similarity pairs stop reaching
     the verify stage.  At 100 TB that's the difference between the
-    candidate join carrying O(pairs with j≥0.1) and O(pairs with
-    j≥0.6).  Shuffle key is (band, band-hash) — fixed width regardless
-    of document size.
+    candidate stage carrying O(pairs with j≥0.1) and O(pairs with
+    j≥0.6).  Shuffle keys are fixed width regardless of document size;
+    the banded table (one short row per doc × band) is materialized
+    once via eager localCheckpoint for the two-sided bucket join.
     """
     k = len(MINHASH_SEEDS)
     n_bands = k // band_size
@@ -188,9 +265,9 @@ def minhash_banded_pairs(
                 F.transform("_tuple", lambda e: e["sig"].cast("string")), ":"
             ).alias("band_key"),
         )
-        # feeds both sides of the self-join — materialize once, not twice
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
+    banded = _drop_hot_buckets(banded, ["band", "band_key"], max_bucket_size)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
@@ -203,18 +280,36 @@ def minhash_banded_pairs(
 
 
 def simhash_near_pairs(
-    signed: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+    signed: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
     Pigeonhole blocking: the 32-bit signature splits into n_blocks
-    8-bit blocks; any pair within hamming d < n_blocks must agree
-    exactly on ≥1 block, so candidates come from n_blocks equijoins on
-    (block_idx, block_value) — never an all-pairs scan — and only
-    candidates pay the bit_count(xor) verify.  Input: (id, simhash)
-    from ``simhash32``.
+    blocks; any pair within hamming d < n_blocks must agree exactly on
+    ≥1 block, so candidates come from grouping on (block_idx,
+    block_value) — never an all-pairs scan — and only candidates pay
+    the bit_count(xor) verify.  Input: (id, simhash) from ``simhash32``.
+
+    The pigeonhole guarantee REQUIRES max_hamming < n_blocks (d ≥
+    n_blocks can disturb every block); violating it would silently
+    return incomplete pairs, so it raises.
     """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming ({max_hamming}) < "
+            f"n_blocks ({n_blocks}); pairs at distance ≥ n_blocks can "
+            "disagree on every block and would be silently missed"
+        )
+    if 32 % n_blocks != 0:
+        raise ValueError(f"n_blocks ({n_blocks}) must divide 32")
     bits_per = 32 // n_blocks
+    # the (id, simhash) table is 2 longs per doc: checkpoint it once so
+    # the upstream signature aggregation never re-runs for the two join
+    # sides; the block explode below is a cheap projection on top
+    signed = signed.select("id", "simhash").localCheckpoint(eager=True)
     blocks = signed.select(
         "id",
         "simhash",
@@ -231,9 +326,8 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "simhash", F.col("b.block_idx"), F.col("b.block_val")).persist(
-        StorageLevel.MEMORY_AND_DISK  # both sides of the block equijoin
-    )
+    ).select("id", "simhash", F.col("b.block_idx"), F.col("b.block_val"))
+    blocks = _drop_hot_buckets(blocks, ["block_idx", "block_val"], max_bucket_size)
     a = blocks.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block_idx", "block_val"
     )
@@ -259,44 +353,38 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 2,
     threshold: float = 0.2,
-    broadcast_index: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
-    Inverted-index join: |A ∩ B| from the shingle equijoin,
-    |A ∪ B| = |A| + |B| − |A ∩ B|.  Returns (id_a, id_b, jaccard)
-    with id_a < id_b and jaccard ≥ threshold.
+    Inverted-index join on xxhash64 shingle longs (no gram-string
+    allocation, 8-byte join keys): |A ∩ B| from the shingle equijoin
+    with the per-doc shingle count carried on both sides, |A ∪ B| =
+    n_a + n_b − |A ∩ B|.  The compact per-document gram table
+    (id, n_sh, _grams) is materialized once via eager localCheckpoint —
+    the corpus is tokenized exactly once and both join sides re-explode
+    from the materialized arrays.  Returns (id_a, id_b, n_inter,
+    jaccard) with id_a < id_b and jaccard ≥ threshold.
 
-    ``broadcast_index=True`` broadcasts one side of the shingle
-    self-join — ~35% faster when the exploded index fits in memory
-    (small corpora / sampled audits); leave False at corpus scale.
-
-    The exploded shingle index feeds three consumers (both join sides
-    and the per-doc sizes), so it is persisted: tokenize+shingle+explode
-    is the expensive part and must run once, not three times.  At corpus
-    scale the index spills to disk (MEMORY_AND_DISK), which is still far
-    cheaper than recomputation.
+    At corpus scale set ``max_bucket_size`` to drop stop-shingle
+    buckets (each bucket of m docs emits m(m−1)/2 pairs); dropped
+    shingles slightly undercount n_inter for the pairs they touched —
+    the standard recall/cost dial.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "s")
-    b = sh.select(F.col("id").alias("id_b"), "s")
-    if broadcast_index:
-        b = F.broadcast(b)
-    inter = (
+    compact = (
+        staged_gram_arrays(df, id_col, text_col, shingle_n, hashed=True)
+        .select("id", F.size("_grams").alias("n_sh"), "_grams")
+        .localCheckpoint(eager=True)
+    )
+    sh = compact.select("id", "n_sh", F.explode("_grams").alias("s"))
+    sh = _drop_hot_buckets(sh, ["s"], max_bucket_size)
+    a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
+    return (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -326,7 +414,11 @@ def hash_split(
     zero shuffle.
     """
     weights = weights or {"train": 80, "val": 10, "test": 10}
-    assert sum(weights.values()) == 100
+    if sum(weights.values()) != 100:
+        raise ValueError(
+            f"split weights must sum to 100, got {dict(weights)} "
+            f"(sum {sum(weights.values())})"
+        )
     bucket = token_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 100
     expr = None
     lo = 0
@@ -417,24 +509,16 @@ def contamination(
     (eval suites are thousands of documents), so its distinct gram set
     is broadcast — the corpus is scanned once, map-side, and the only
     shuffle is the per-document count aggregation, which map-side
-    combines to one row per document.  Token and gram arrays are staged
-    through projections (see repetition_stats) to keep the gram build
-    linear per document.
+    combines to one row per document.  Grams are xxhash64 longs
+    (``staged_gram_arrays``): the broadcast set and the join keys are
+    8 bytes instead of n-word strings, and the corpus side never
+    allocates gram strings at all.
     """
 
     def staged_grams(df: DataFrame) -> DataFrame:
-        w = F.col("_toks")
-        grams = F.when(
-            F.size(w) < n, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-            )
+        return staged_gram_arrays(df, id_col, text_col, n, hashed=True).select(
+            F.col("id").alias(id_col), "_grams"
         )
-        return df.select(
-            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-        ).select(F.col(id_col), F.array_distinct(grams).alias("_grams"))
 
     bench_grams = (
         staged_grams(benchmark)

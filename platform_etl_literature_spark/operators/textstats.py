@@ -179,6 +179,14 @@ def repetition_stats(
     row and each gram array is built once — an inline expression tree
     would re-split the document inside every slice() lambda, turning the
     pass O(tokens²) per document (measured 22 s → ~1 s on sf0.1).
+
+    Grams are represented as xxhash64 of the token slice, not a
+    concat_ws string: the ratios only count gram occurrences, so an
+    8-byte long is as good as the string and the distinct pass compares
+    longs instead of allocating + comparing strings (round 2 measured
+    the string variant at 8.9× the single-node oracle; hashing removes
+    most of the constant factor).  A 64-bit collision within one
+    document is vanishingly unlikely (~n²/2⁶⁵).
     """
     from platform_etl_literature_spark.operators.dedup import tokens
 
@@ -186,11 +194,11 @@ def repetition_stats(
         # shingles() distincts; build the full multiset for the ratio
         w = F.col("_toks")
         return F.when(
-            F.size(w) < n, F.array().cast("array<string>")
+            F.size(w) < n, F.array().cast("array<bigint>")
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                lambda i: F.xxhash64(F.slice(w, i, n)),
             )
         )
 
@@ -341,10 +349,12 @@ def curation_flags(
 
     carry = list(carry_cols or [])
     w = F.col("_toks")
-    g3 = F.when(F.size(w) < 3, F.array().cast("array<string>")).otherwise(
+    # hashed-gram representation, as in repetition_stats: the flag only
+    # counts gram occurrences, so longs beat string allocation
+    g3 = F.when(F.size(w) < 3, F.array().cast("array<bigint>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            lambda i: F.xxhash64(F.slice(w, i, 3)),
         )
     )
     staged = df.select(
@@ -393,7 +403,10 @@ def chunk_tokens(
     from platform_etl_literature_spark.operators.dedup import tokens
 
     stride = chunk_size - overlap
-    assert stride > 0
+    if stride <= 0:
+        raise ValueError(
+            f"chunk_size ({chunk_size}) must exceed overlap ({overlap})"
+        )
     w = F.col("_toks")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(stride)

@@ -1,24 +1,25 @@
-"""Schema-adaptive reader for the ``events`` table.
+"""Schema-adaptive table readers (time-column normalization).
 
-The test-harness parquet has already shipped the ``ts`` column under two
-different physical encodings (TIMESTAMP(NANOS) in round 1,
+The test-harness parquet has already shipped the events ``ts`` column
+under two different physical encodings (TIMESTAMP(NANOS) in round 1,
 ``timestamp[us]`` / isAdjustedToUTC=false in round 2+).  An engine that
 hard-codes one of them breaks the moment the writer changes — exactly
 the failure round 2 recorded.  This module is the single place that
-binds the events schema; every batch query, streaming source and test
-goes through it.
+binds harness tables with timestamp columns (events.ts,
+lineitem.l_shipdate, orders.o_orderdate); every batch query, streaming
+source and test goes through it.
 
-Normalization contract: the returned DataFrame's ``ts`` is always a
+Normalization contract: a normalized time column is always a
 session-tz TIMESTAMP, whatever the file stored:
 
 * ``LongType`` (nanos-as-long, or a raw int64 epoch-ns column) →
-  ``timestamp_micros(ts div 1000)``.  Integer division — a double
+  ``timestamp_micros(col div 1000)``.  Integer division — a double
   round-trip loses precision at ~1.7e18 ns.
 * ``TimestampNTZType`` (``timestamp[us]``/``[ms]`` without a zone) →
   ``cast("timestamp")``.  Under a UTC session — the only timezone the
   paired DuckDB oracles are defined for, since DuckDB's naive-timestamp
   functions are wall-clock — this is an exact wall=instant identity.
-* ``TimestampType`` → pass through.
+* ``TimestampType`` / ``DateType`` → pass through.
 
 TIMESTAMP(NANOS) parquet cannot be bound by Spark's reader at all
 without ``spark.sql.legacy.parquet.nanosAsLong=true``.  That conf is
@@ -31,29 +32,45 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+# time columns per harness table that queries treat as TIMESTAMP
+TS_COLS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize one time column to a session-tz TIMESTAMP from any of
+    the physical encodings (see module docstring).  Works on batch and
+    streaming DataFrames alike — it is a pure plan transform."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(dtype, (TimestampType, DateType)):
+        return df
+    raise TypeError(f"{col} has unsupported time type {dtype.simpleString()}")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """Normalize ``ts`` to a session-tz TIMESTAMP from any of the three
-    physical encodings (see module docstring).  Works on batch and
-    streaming DataFrames alike — it is a pure plan transform."""
-    dtype = df.schema["ts"].dataType
-    if isinstance(dtype, LongType):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if isinstance(dtype, TimestampNTZType):
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if isinstance(dtype, TimestampType):
-        return df
-    raise TypeError(f"events.ts has unsupported type {dtype.simpleString()}")
+    """Events-table normalization (streaming sources reuse this on the
+    readStream DataFrame)."""
+    return normalize_ts(df, "ts")
 
 
-def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bind the events parquet without normalizing ``ts`` (streaming
-    sources need the raw schema).  Falls back to the legacy
-    nanos-as-long conf only if the footer actually stores
+def bind_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Bind a harness parquet without normalizing.  Falls back to the
+    legacy nanos-as-long conf only if the footer actually stores
     TIMESTAMP(NANOS), which Spark cannot bind otherwise."""
-    path = f"{sf_dir}/events.parquet"
     try:
         return spark.read.parquet(path)
     except Exception as exc:  # AnalysisException: Illegal Parquet type NANOS
@@ -66,7 +83,22 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(path)
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The one harness-table loader: schema-adaptive bind + every known
+    time column normalized to TIMESTAMP."""
+    df = bind_parquet(spark, f"{sf_dir}/{name}.parquet")
+    for col in TS_COLS.get(name, []):
+        if col in df.columns:
+            df = normalize_ts(df, col)
+    return df
+
+
+def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bind the events parquet without normalizing ``ts`` (streaming
+    sources need the raw schema)."""
+    return bind_parquet(spark, f"{sf_dir}/events.parquet")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The one events loader: schema-adaptive bind + ``ts`` normalized
-    to TIMESTAMP."""
-    return normalize_events_ts(read_events_raw(spark, sf_dir))
+    """Events loader: schema-adaptive bind + ``ts`` normalized."""
+    return read_table(spark, sf_dir, "events")

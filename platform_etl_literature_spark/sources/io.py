@@ -82,12 +82,19 @@ def write_to(resources: dict[str, IOResource]) -> dict[str, IOResource]:
         if cfg.bucket_by:
             if cfg.n_buckets <= 0:
                 raise ValueError(f"{name}: bucket_by requires n_buckets > 0")
+            if not cfg.table:
+                # bucketed writes go through the catalog; defaulting the
+                # table name to the resource name silently overwrites an
+                # unrelated table when two configs share a name
+                raise ValueError(
+                    f"{name}: bucketed writes require an explicit "
+                    "cfg.table (catalog table names are global; an "
+                    "implicit default can collide across resources)"
+                )
             writer = writer.bucketBy(cfg.n_buckets, *cfg.bucket_by)
             if cfg.sort_by:
                 writer = writer.sortBy(*cfg.sort_by)
-            writer.option("path", cfg.path).mode("overwrite").saveAsTable(
-                cfg.table or name
-            )
+            writer.option("path", cfg.path).mode("overwrite").saveAsTable(cfg.table)
         else:
             writer.mode("overwrite").save(cfg.path)
     return resources

@@ -33,16 +33,16 @@ from platform_etl_literature_spark.operators import multimodal as MM
 from platform_etl_literature_spark.operators import sessionize as SS
 from platform_etl_literature_spark.operators import similarity as SIM
 from platform_etl_literature_spark.operators import textstats as TS
-from platform_etl_literature_spark.sources.events import read_events
+from platform_etl_literature_spark.sources.events import read_events, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # schema-adaptive: the harness has shipped ts as both
-        # TIMESTAMP(NANOS) and timestamp[us]; sources.events normalizes
-        # either to a session-tz TIMESTAMP.
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # schema-adaptive: the harness has shipped time columns under
+    # different physical encodings across rounds (TIMESTAMP(NANOS),
+    # timestamp[us]/NTZ); sources.events.read_table normalizes every
+    # known time column to a session-tz TIMESTAMP so a future drift
+    # degrades to a cast, not an AnalysisException.
+    return read_table(spark, sf_dir, name)
 
 
 def _cents(col: str | F.Column, scale: int = 100) -> F.Column:
@@ -567,10 +567,6 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         "text",
         shingle_n=3,
         threshold=0.08,
-        # shuffle join: measured at parity with broadcast even at test
-        # scale (the persisted index makes both sides cheap) and it is
-        # the only shape that survives corpus scale
-        broadcast_index=False,
     )
 
 
@@ -1803,8 +1799,8 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 
 
 def q_user_ewma(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-user EWMA of event values in (ts, event_id) order — the
-    grouped-map applyInPandas path for prefix-dependent recurrences
+    """Per-user EWMA of event values in (ts, event_id) order — a
+    prefix-dependent recurrence folded JVM-side with the aggregate HOF
     (operators.timeseries.user_value_ewma)."""
     from platform_etl_literature_spark.operators.timeseries import user_value_ewma
 
@@ -2249,7 +2245,7 @@ SUITE: dict[str, QuerySpec] = {
         q_interval_join_views_clicks, _ORACLE_INTERVAL_JOIN, "stream-interval-join-ext"
     ),
     "lang_eval": QuerySpec(q_lang_eval, _ORACLE_LANG_EVAL, "textstats-langid-eval"),
-    "user_ewma": QuerySpec(q_user_ewma, _ORACLE_USER_EWMA, "applyInPandas-recurrence"),
+    "user_ewma": QuerySpec(q_user_ewma, _ORACLE_USER_EWMA, "hof-fold-recurrence"),
     "knn_label_vote": QuerySpec(q_knn_label_vote, _ORACLE_KNN_VOTE, "similarity-knn-eval"),
     "decontaminate": QuerySpec(
         q_decontaminate, _ORACLE_DECONTAMINATE, "decontamination-ext"

@@ -80,13 +80,15 @@ def test_bucketed_write_through_io_layer(spark, tmp_path):
             "io_b1": IOResource(
                 a,
                 IOResourceConfig(
-                    "parquet", str(tmp_path / "b1"), bucket_by=["k"], n_buckets=4, sort_by=["k"]
+                    "parquet", str(tmp_path / "b1"), bucket_by=["k"],
+                    n_buckets=4, sort_by=["k"], table="io_b1",
                 ),
             ),
             "io_b2": IOResource(
                 b,
                 IOResourceConfig(
-                    "parquet", str(tmp_path / "b2"), bucket_by=["k"], n_buckets=4, sort_by=["k"]
+                    "parquet", str(tmp_path / "b2"), bucket_by=["k"],
+                    n_buckets=4, sort_by=["k"], table="io_b2",
                 ),
             ),
         }
@@ -101,6 +103,19 @@ def test_bucketed_write_through_io_layer(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS io_b1")
         spark.sql("DROP TABLE IF EXISTS io_b2")
+
+
+def test_bucketed_write_requires_explicit_table(spark, tmp_path):
+    """Bucketed writes must name their catalog table explicitly — an
+    implicit resource-name default silently overwrites across configs."""
+    import pytest
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    cfg = IOResourceConfig(
+        "parquet", str(tmp_path / "bx"), bucket_by=["k"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match="explicit"):
+        write_to({"bx": IOResource(df, cfg)})
 
 
 def test_json_corrupt_record_capture(spark, tmp_path):

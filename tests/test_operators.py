@@ -350,3 +350,44 @@ def test_epoch_repeat_multiplicities(spark):
     # deterministic across invocations
     again = TS.epoch_repeat(df, "doc_id", "grp", {"hi": 25000, "lo": 0})
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_simhash_blocking_invariant_enforced(spark):
+    """Pigeonhole completeness requires max_hamming < n_blocks; the
+    operator must refuse argument combinations that would silently
+    drop pairs."""
+    df = spark.createDataFrame([(1, 3), (2, 0)], ["id", "simhash"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_pairs(df, max_hamming=4, n_blocks=4)
+    with pytest.raises(ValueError, match="divide 32"):
+        D.simhash_near_pairs(df, max_hamming=2, n_blocks=5)
+
+
+def test_hash_split_weight_validation(spark):
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError, match="sum to 100"):
+        D.hash_split(df, "doc_id", weights={"train": 90, "val": 5})
+
+
+def test_chunk_tokens_stride_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="exceed overlap"):
+        TS.chunk_tokens(df, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_pair_generators_leave_no_cached_state(spark):
+    """Round-2 advice item: candidate generation must not leak persisted
+    DataFrames into the session (the old self-join formulation cached
+    both sides and never unpersisted)."""
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text body shared tail") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(docs, "doc_id", "text", 2)
+    D.minhash_candidate_pairs(sigs, min_matching=1).count()
+    D.minhash_banded_pairs(D.minhash_signatures(docs, "doc_id", "text", 2)).count()
+    D.simhash_near_pairs(D.simhash32(docs, "doc_id", "text")).count()
+    D.ngram_jaccard_pairs(docs, "doc_id", "text", 2, 0.1).count()
+    jvm_cache = spark._jsparkSession.sharedState().cacheManager()
+    assert jvm_cache.isEmpty(), "pair generators left persisted plans behind"
