@@ -14,14 +14,20 @@ Design notes (100 TB scale)
 * Candidate-pair generation (minhash / banded LSH / simhash blocks /
   shingle inverted index) equijoins bucket keys, with the compact
   per-document intermediate (signatures / band keys / gram arrays)
-  materialized ONCE via ``localCheckpoint(eager=True)`` so the
-  expensive upstream (tokenize/hash/aggregate) never runs twice.
-  Checkpoint blocks are executor-local and freed by the
-  ContextCleaner when the DataFrame is garbage-collected — unlike
-  ``persist``, nothing lingers in the session cache registry (round 2
-  flagged the never-unpersisted caches).  The collect-members-and-
-  explode-pairs alternative was measured slower here: hot buckets
-  materialize O(m²) pair arrays in single rows.
+  materialized ONCE via ``persist(MEMORY_AND_DISK)`` so the expensive
+  upstream (tokenize/hash/aggregate) never runs twice.  Persist (not
+  ``localCheckpoint``) on measurement AND cluster semantics: the A/B
+  at sf0.1 (tools/ab_dedup*.py, round 4) has persist beating the
+  round-3 eager checkpoint 2-4× on every path (checkpoint pays an
+  extra serialize-all job up front, and its blocks survive
+  ``spark.catalog.clearCache()``, degrading every later query in the
+  session), and persist keeps lineage so an executor loss recomputes
+  instead of failing the job.  Each persisted intermediate is tracked
+  in a module registry — call :func:`release_cached` (or
+  ``spark.catalog.clearCache()``) to drop them in long-lived
+  sessions.  The collect-members-and-explode-pairs alternative was
+  measured slower here: hot buckets materialize O(m²) pair arrays in
+  single rows.
 * Pathological buckets (stop-shingles, constant bands) are the skew
   hazard: a bucket of m members emits m(m−1)/2 pairs.  Every
   generator takes ``max_bucket_size`` to drop them explicitly
@@ -40,6 +46,37 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Persisted candidate-pair intermediates (signature / band / gram
+# tables), so long-lived sessions can free them explicitly — bench and
+# tests call release_cached() / clearCache between queries.
+_CACHED: list[DataFrame] = []
+
+
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Persist a small per-document intermediate that feeds both sides
+    of a self-join (MEMORY_AND_DISK; lineage kept, see module
+    docstring) and track it for :func:`release_cached`."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate this module has cached; returns the
+    count released.  Safe to call at any time — consumers that have not
+    yet materialized simply recompute."""
+    n = 0
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 # Large prime < 2^31 — universal-hash modulus. a*h+b stays < 2^52
 # (a < 2^20, h < 2^32), far from int64 overflow.
@@ -104,13 +141,13 @@ def staged_gram_arrays(
     """(id, _grams) — distinct word n-gram shingles per document, with
     the token array STAGED through an intermediate projection.
 
-    Staging is the load-bearing part: Catalyst does not CSE a
-    lambda-bearing expression, so referencing the split result inside
-    the per-gram slice() lambda re-splits the text once per gram —
-    O(tokens²) per document (the inline form measured 4.6× slower on
-    the sf0.1 gram explode).  The projection alias survives
-    CollapseProject because the split is non-cheap and multiply
-    referenced.
+    Staging matters where the gram ARRAY itself is consumed
+    downstream (repetition_stats: the inline form measured 4.6× slower
+    at sf0.1 because Catalyst does not CSE a lambda-bearing
+    expression, so each array reference re-splits the text).  Where
+    the grams are exploded immediately (MinHash signatures), the
+    round-4 A/B measured the opposite — inline ~2× faster — so
+    explode-next paths use inline :func:`shingles` instead.
 
     ``hashed=True`` emits xxhash64 longs (for operators that only
     count/compare shingles — Jaccard, decontamination: 8-byte keys, no
@@ -182,11 +219,16 @@ def minhash_signatures(
     doc.  At 100 TB this is the difference between shuffling the token
     stream ×k and shuffling one signature row per document.
     """
-    sh = (
-        staged_gram_arrays(df, id_col, text_col, shingle_n, hashed=False)
-        .select("id", F.explode("_grams").alias("s"))
-        .withColumn("h", token_hash(F.col("s")))
-    )
+    # Inline shingles (not staged_gram_arrays): this path explodes the
+    # grams immediately, and the round-4 A/B (tools/ab_dedup.py) has
+    # the inline form ~2× faster at sf0.1 — the staged projection
+    # boundary costs more than the repeated split it avoids on
+    # explode-next pipelines.  Staging stays load-bearing only where
+    # the gram ARRAY itself is consumed (textstats.repetition_stats).
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).withColumn("h", token_hash(F.col("s")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"sig{i}")
         for i, a, b in MINHASH_SEEDS
@@ -208,15 +250,12 @@ def minhash_candidate_pairs(
 
     The signature table (k longs per doc — tiny relative to the corpus
     even at 100 TB) feeds both sides of the bucket equijoin; it is
-    materialized ONCE with an eager localCheckpoint so the
-    shingle→hash→min pipeline never runs twice, and the blocks free
-    themselves when the plan is garbage-collected (no session cache
-    entry to leak — see module docstring).
+    persisted ONCE so the shingle→hash→min pipeline never runs twice
+    (persist vs checkpoint rationale: module docstring; release via
+    :func:`release_cached`).
     """
     k = len(MINHASH_SEEDS)
-    sigs = _drop_hot_buckets(
-        sigs.localCheckpoint(eager=True), ["seed", "sig"], max_bucket_size
-    )
+    sigs = _drop_hot_buckets(_materialize_once(sigs), ["seed", "sig"], max_bucket_size)
     a = sigs.select(F.col("id").alias("id_a"), "seed", "sig")
     b = sigs.select(F.col("id").alias("id_b"), "seed", "sig")
     return (
@@ -247,8 +286,8 @@ def minhash_banded_pairs(
     the verify stage.  At 100 TB that's the difference between the
     candidate stage carrying O(pairs with j≥0.1) and O(pairs with
     j≥0.6).  Shuffle keys are fixed width regardless of document size;
-    the banded table (one short row per doc × band) is materialized
-    once via eager localCheckpoint for the two-sided bucket join.
+    the banded table (one short row per doc × band) is persisted once
+    for the two-sided bucket join (see module docstring).
     """
     k = len(MINHASH_SEEDS)
     n_bands = k // band_size
@@ -265,9 +304,8 @@ def minhash_banded_pairs(
                 F.transform("_tuple", lambda e: e["sig"].cast("string")), ":"
             ).alias("band_key"),
         )
-        .localCheckpoint(eager=True)
     )
-    banded = _drop_hot_buckets(banded, ["band", "band_key"], max_bucket_size)
+    banded = _drop_hot_buckets(_materialize_once(banded), ["band", "band_key"], max_bucket_size)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
@@ -306,10 +344,10 @@ def simhash_near_pairs(
     if 32 % n_blocks != 0:
         raise ValueError(f"n_blocks ({n_blocks}) must divide 32")
     bits_per = 32 // n_blocks
-    # the (id, simhash) table is 2 longs per doc: checkpoint it once so
+    # the (id, simhash) table is 2 longs per doc: persist it once so
     # the upstream signature aggregation never re-runs for the two join
     # sides; the block explode below is a cheap projection on top
-    signed = signed.select("id", "simhash").localCheckpoint(eager=True)
+    signed = _materialize_once(signed.select("id", "simhash"))
     blocks = signed.select(
         "id",
         "simhash",
@@ -361,23 +399,31 @@ def ngram_jaccard_pairs(
     allocation, 8-byte join keys): |A ∩ B| from the shingle equijoin
     with the per-doc shingle count carried on both sides, |A ∪ B| =
     n_a + n_b − |A ∩ B|.  The compact per-document gram table
-    (id, n_sh, _grams) is materialized once via eager localCheckpoint —
-    the corpus is tokenized exactly once and both join sides re-explode
-    from the materialized arrays.  Returns (id_a, id_b, n_inter,
-    jaccard) with id_a < id_b and jaccard ≥ threshold.
+    (id, n_sh, _grams) is persisted once — the corpus is tokenized
+    exactly once and both join sides re-explode from the materialized
+    arrays.  Returns (id_a, id_b, n_inter, jaccard) with id_a < id_b
+    and jaccard ≥ threshold.
 
     At corpus scale set ``max_bucket_size`` to drop stop-shingle
-    buckets (each bucket of m docs emits m(m−1)/2 pairs); dropped
-    shingles slightly undercount n_inter for the pairs they touched —
-    the standard recall/cost dial.
+    buckets (each bucket of m docs emits m(m−1)/2 pairs).  In that
+    capped mode the per-document sizes are RECOMPUTED over the
+    surviving shingles, so the reported jaccard is exact over the
+    retained shingle universe — not a biased-down ratio of surviving
+    intersections to pre-drop sizes (pairs whose only shared shingles
+    were hot still vanish; that is the recall dial, but the scores of
+    the pairs that remain are internally consistent and thresholds
+    keep their meaning).
     """
-    compact = (
-        staged_gram_arrays(df, id_col, text_col, shingle_n, hashed=True)
-        .select("id", F.size("_grams").alias("n_sh"), "_grams")
-        .localCheckpoint(eager=True)
+    compact = _materialize_once(
+        staged_gram_arrays(df, id_col, text_col, shingle_n, hashed=True).select(
+            "id", F.size("_grams").alias("n_sh"), "_grams"
+        )
     )
     sh = compact.select("id", "n_sh", F.explode("_grams").alias("s"))
-    sh = _drop_hot_buckets(sh, ["s"], max_bucket_size)
+    if max_bucket_size is not None:
+        sh = _drop_hot_buckets(sh.drop("n_sh"), ["s"], max_bucket_size)
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sh = sh.join(sizes, "id")
     a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
     return (
