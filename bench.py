@@ -92,9 +92,10 @@ def main() -> None:
         "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
         "sf": sf,
     }
+    detail: dict = {"queries": timings}
     # single-node comparison: run each headline query's DuckDB oracle on
     # the same parquet (best of N, full materialization) — the
     # "matches-or-beats single-node throughput" evidence.  Additive keys;
@@ -102,7 +103,6 @@ def main() -> None:
     # both sides are summed over the intersection of queries that have an
     # oracle (ivf_ann_topk / literature_pipeline etc. have no DuckDB
     # counterpart and are excluded from BOTH subtotals).
-    detail: dict = {}
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         try:
             duck = _duckdb_timings(sf_dir, reps)
@@ -114,12 +114,13 @@ def main() -> None:
             detail["duckdb_queries"] = duck
         except Exception as e:  # pragma: no cover - comparison is best-effort
             payload["duckdb_error"] = str(e)[:200]
-    # per-query DuckDB timings and anything bulky go to a side file — the
-    # stdout record must stay ONE short line: the driver captures a
-    # bounded tail of stdout and parses the last line as JSON, and the
-    # round-1 record failed to parse because the inline duckdb_queries
-    # dict pushed the line past the capture buffer.
+    # ALL per-query timings (Spark and DuckDB) go to the side file — the
+    # stdout record must stay ONE short line (< ~300 bytes): the driver
+    # captures a bounded tail of stdout and parses the last line as
+    # JSON, and the round-1 record failed to parse because the inline
+    # per-query dict pushed the line past the capture buffer.
     detail.update(payload)
+    payload["detail"] = "BENCH_DETAIL.json"
     try:
         with open(
             os.path.join(

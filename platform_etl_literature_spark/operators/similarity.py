@@ -19,6 +19,8 @@ no Python in the scoring path (SURVEY.md §2.9 note).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -235,9 +237,8 @@ def query_lsh_index(
     """Probe a persisted LSH index: bucket the (small) query set, join
     on (tbl, bucket) against the index table, exact-cosine the
     candidates, per-query top-k.  Same result as ``lsh_cosine_topk``
-    with the same parameters."""
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+    with the same parameters.  ``dim`` is optional — when None the
+    hyperplanes are derived executor-side (see ``_bucket_rows``)."""
     qb = _bucket_rows(queries, "query_id", id_col, vec_col, n_tables, n_bits, dim)
     cb = spark.read.parquet(path).withColumnRenamed("vec", "_v_neighbor_id")
     cands = (
@@ -258,6 +259,20 @@ def query_lsh_index(
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _plane_matrix(n_tables: int, n_bits: int, dim: int):
+    """(n_tables·n_bits × dim) hyperplane matrix — pure function of its
+    arguments (md5-derived), so it can be built on the driver OR inside
+    an executor UDF from the observed vector width with identical
+    results.  Cached per process (treat as read-only) so the per-batch
+    path derives the md5 components once per executor, not per batch."""
+    import numpy as np
+
+    return np.array(
+        [_hyperplane(t, b, dim) for t in range(n_tables) for b in range(n_bits)]
+    )
+
+
 def _bucket_rows(
     df: DataFrame,
     idname: str,
@@ -268,14 +283,16 @@ def _bucket_rows(
     dim: int | None,
 ) -> DataFrame:
     """(id, vector, tbl, bucket) rows via the vectorized matmul UDF —
-    shared by the inline join and the persisted-index build/probe."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    shared by the inline join and the persisted-index build/probe.
+
+    ``dim`` is optional: when None the hyperplane matrix is derived
+    executor-side from each Arrow batch's own vector width (the planes
+    are a pure function of (table, bit, dim)), so no driver-side
+    ``first()`` round-trip ever runs — on a cold 100 TB cluster that
+    lookup would stall the probe behind a full scan-stage launch."""
     import numpy as np
 
-    planes = np.array(
-        [_hyperplane(t, b, dim) for t in range(n_tables) for b in range(n_bits)]
-    )
+    planes = None if dim is None else _plane_matrix(n_tables, n_bits, dim)
     bit_weights = (1 << np.arange(n_bits)).astype("int64")
     n_t, n_b = n_tables, n_bits
 
@@ -286,7 +303,8 @@ def _bucket_rows(
         X = _np.asarray([_np.asarray(row, dtype=_np.float64) for row in v])
         if len(X) == 0:
             return _pd.Series([], dtype=object)
-        signs = (X @ planes.T) > 0
+        P = planes if planes is not None else _plane_matrix(n_t, n_b, X.shape[1])
+        signs = (X @ P.T) > 0
         buckets = signs.reshape(len(X), n_t, n_b) @ bit_weights
         return _pd.Series([row.tolist() for row in buckets])
 
@@ -314,12 +332,10 @@ def lsh_cosine_topk(
     Candidates = pairs sharing a bucket in ≥1 of n_tables; exact cosine
     is computed only for candidates.  Returns the same shape as
     ``cosine_topk`` (queries with <k candidates return fewer rows).
-    ``dim`` is the embedding dimensionality (inferred from the first
-    corpus row when omitted).
+    ``dim`` is the embedding dimensionality; when omitted the
+    hyperplanes are derived executor-side from the observed vector
+    width (no driver round-trip — see ``_bucket_rows``).
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-
     # All n_tables × n_bits hyperplane projections in ONE Arrow batch per
     # partition: a numpy (batch × dim) @ (dim × T·B) matmul replaces
     # T·B zip_with/aggregate folds per row.  The HOF formulation built a

@@ -1659,25 +1659,80 @@ FROM r WHERE rank <= {k}
 _ORACLE_LSH_ANN = _lsh_oracle()
 
 
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
-
-
 def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF (k-means inverted-file) approximate top-k — the second ANN
-    scale path; approximate by construction, rows-only check.  The
-    coarse quantizer is trained once per corpus and reused across probe
-    batches (the build-once pattern; seeded k-means, deterministic)."""
+    """IVF (inverted-file) approximate top-k — the second ANN scale
+    path.  The coarse quantizer is the FROZEN seeded-k-means artifact
+    (operators/ivf_quantizer.py, the build-once pattern): with literal
+    centroids the assignment + probe + top-k chain is fully
+    deterministic and SQL-expressible, so this gets a value-level
+    oracle, not a rows-only check.  Training itself stays covered by
+    the pytest recall gate (k-means is the one non-SQL stage)."""
+    from platform_etl_literature_spark.operators.ivf_quantizer import (
+        IVF_CENTROIDS_8x64,
+    )
+
     emb = _t(spark, sf, "embeddings")
-    if sf not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf] = SIM.ivf_train_centroids(emb, n_lists=8)
     return SIM.ivf_cosine_topk(
         emb,
         emb.filter(F.col("vec_id") < 10),
         k=5,
         n_lists=8,
         n_probe=3,
-        centroids=_IVF_CENTROIDS[sf],
+        centroids=IVF_CENTROIDS_8x64,
     )
+
+
+def _ivf_oracle(n_probe: int = 3, k: int = 5) -> str:
+    """DuckDB oracle for q_ivf_ann_topk with the frozen centroids
+    inlined.  Mirrors ivf_cosine_topk exactly: squared-L2 to each
+    centroid expanded as v·v − 2·v·c + c·c (the same arithmetic the
+    numpy kernel uses, with c·c precomputed per centroid), lists ranked
+    (d2 ASC, list ASC) to match the stable argsort, nearest list
+    assigns the corpus row, first n_probe lists probe the query, exact
+    cosine within probed lists, per-query top-k."""
+    from platform_etl_literature_spark.operators.ivf_quantizer import (
+        IVF_CENTROIDS_8x64,
+    )
+
+    branches = []
+    for l, cent in enumerate(IVF_CENTROIDS_8x64):
+        arr = ", ".join(repr(x) for x in cent)
+        csq = repr(sum(x * x for x in cent))
+        branches.append(
+            f"SELECT vec_id, v, {l} AS l, list_dot_product(v, v)"
+            f" - 2.0 * list_dot_product(v, [{arr}]::DOUBLE[]) + {csq} AS d2 FROM c"
+        )
+    d = "\n  UNION ALL ".join(branches)
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS ({d}),
+rl AS (
+  SELECT vec_id, v, l,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, l ASC) AS r
+  FROM d),
+assigned AS (SELECT vec_id AS neighbor_id, v AS cv, l AS list_id FROM rl WHERE r = 1),
+probed AS (SELECT vec_id AS query_id, v AS qv, l AS list_id
+           FROM rl WHERE r <= {n_probe} AND vec_id < 10),
+s AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS sim_exact
+  FROM probed JOIN assigned USING (list_id)
+  WHERE query_id != neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim_exact,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_exact DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim
+FROM r WHERE rank <= {k}
+"""
+
+
+_ORACLE_IVF_ANN = _ivf_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -2215,7 +2270,7 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "approx_distinct_window": QuerySpec(q_approx_distinct_window, None, "A12 W6"),
     "lsh_ann_topk": QuerySpec(q_lsh_ann_topk, _ORACLE_LSH_ANN, "similarity-approx"),
-    "ivf_ann_topk": QuerySpec(q_ivf_ann_topk, None, "similarity-ivf"),
+    "ivf_ann_topk": QuerySpec(q_ivf_ann_topk, _ORACLE_IVF_ANN, "similarity-ivf"),
     "scan_provenance": QuerySpec(q_scan_provenance, _ORACLE_PROVENANCE, "S6"),
     "semi_join": QuerySpec(q_semi_join, _ORACLE_SEMI, "J-semi"),
     "agg_first_deterministic": QuerySpec(
