@@ -34,6 +34,14 @@ def user_value_ewma(
     with list_reduce over the identically-ordered list; note
     1.0 − 0.2 == 0.8 exactly in binary64, so the literal weights
     agree bit-for-bit too).
+
+    The accumulator is a (n, e) struct, not a bare double with NULL as
+    the "not started" sentinel: with the bare-double form a NULL value
+    mid-stream nulls the accumulator and then silently RESTARTS the
+    fold at the next non-null value, where list_reduce (seeded by the
+    first element) propagates the NULL to the end.  The struct keeps
+    the step count, so a NULL value poisons ``e`` permanently — the
+    same contagion semantics as the oracle.
     """
     ordered = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", F.col(value_col).alias("v")))
@@ -41,10 +49,16 @@ def user_value_ewma(
     vals = F.transform(ordered, lambda s: s["v"])
     fold = F.aggregate(
         vals,
-        F.lit(None).cast("double"),
-        lambda e, v: F.when(e.isNull(), v).otherwise(
-            F.lit(alpha) * v + F.lit(1.0 - alpha) * e
+        F.struct(
+            F.lit(0).alias("n"), F.lit(None).cast("double").alias("e")
         ),
+        lambda acc, v: F.struct(
+            (acc["n"] + 1).alias("n"),
+            F.when(acc["n"] == 0, v)
+            .otherwise(F.lit(alpha) * v + F.lit(1.0 - alpha) * acc["e"])
+            .alias("e"),
+        ),
+        lambda acc: acc["e"],
     )
     return (
         events.select("user_id", "ts", "event_id", value_col)

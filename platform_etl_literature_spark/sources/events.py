@@ -67,20 +67,48 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return normalize_ts(df, "ts")
 
 
-def bind_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Bind a harness parquet without normalizing.  Falls back to the
-    legacy nanos-as-long conf only if the footer actually stores
-    TIMESTAMP(NANOS), which Spark cannot bind otherwise."""
+def _footer_has_nanos(path: str) -> bool | None:
+    """Read the parquet footer directly (pyarrow) and report whether any
+    top-level column is a nanosecond timestamp.  Detecting the encoding
+    from the footer — not from substring-matching Spark's exception
+    text, which is not a stable API — is the authoritative check.
+    Returns None when the footer cannot be inspected (let the caller
+    fall back to bind-and-see)."""
+    import os
+
     try:
-        return spark.read.parquet(path)
-    except Exception as exc:  # AnalysisException: Illegal Parquet type NANOS
-        if "NANOS" not in str(exc).upper():
-            raise
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            if not parts:
+                return None
+            p = parts[0]
+        schema = pq.read_schema(p)
+        return any(
+            pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
+        )
+    except Exception:
+        return None
+
+
+def bind_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Bind a harness parquet without normalizing.  Sets the legacy
+    nanos-as-long conf only when the footer actually stores
+    TIMESTAMP(NANOS), which Spark cannot bind otherwise."""
+    if _footer_has_nanos(path):
         # The conf must stay set for the scan to execute; it only
         # changes how nanos columns bind, so it is inert for the
         # micros/NTZ data every other read in the session sees.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+    return spark.read.parquet(path)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -51,3 +51,43 @@ def test_every_encoding_normalizes_to_identical_timestamps(
         r["us"] for r in df.select(F.unix_micros("ts").alias("us")).collect()
     )
     assert got == US
+
+
+def test_nanos_encoding_detected_from_footer(spark, tmp_path):
+    """TIMESTAMP(NANOS) parquet: the footer — not exception-text
+    matching — must trigger the nanos-as-long conf, and the values
+    must normalize to the same instants as every other encoding."""
+    from platform_etl_literature_spark.sources.events import _footer_has_nanos
+
+    d = tmp_path / "ns_ts"
+    d.mkdir()
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([u * 1000 for u in US], pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], pa.int64()),
+        }
+    )
+    # parquet 2.6 logical types keep NANOS (1.0/2.4 coerce to micros)
+    pq.write_table(t, str(d / "events.parquet"), version="2.6")
+    assert _footer_has_nanos(str(d / "events.parquet")) is True
+    assert _footer_has_nanos(str(d)) is True  # directory walk
+
+    df = read_events(spark, str(d))
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    import pyspark.sql.functions as F
+
+    got = sorted(
+        r["us"] for r in df.select(F.unix_micros("ts").alias("us")).collect()
+    )
+    assert got == US
+
+
+def test_micros_encoding_reports_no_nanos(tmp_path):
+    from platform_etl_literature_spark.sources.events import _footer_has_nanos
+
+    d = tmp_path / "us_plain"
+    d.mkdir()
+    t = pa.table({"ts": pa.array(US, pa.timestamp("us"))})
+    pq.write_table(t, str(d / "events.parquet"))
+    assert _footer_has_nanos(str(d)) is False

@@ -396,3 +396,21 @@ def test_pair_generators_release_cached_state(spark):
     assert released == 4, f"expected 4 tracked intermediates, got {released}"
     jvm_cache = spark._jsparkSession.sharedState().cacheManager()
     assert jvm_cache.isEmpty(), "release_cached left persisted plans behind"
+
+
+def test_ewma_null_value_poisons_not_resets(spark):
+    """ADVICE round 3: a NULL value mid-stream must propagate to the
+    final EWMA (list_reduce contagion semantics), not silently reset
+    the fold at the next non-null value."""
+    from platform_etl_literature_spark.operators.timeseries import user_value_ewma
+
+    rows = [
+        (1, 1, 10.0), (1, 2, None), (1, 3, 99.0),   # null mid-stream
+        (2, 1, 4.0), (2, 2, 8.0),                   # clean
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000))
+    out = {r["user_id"]: r["ewma"] for r in user_value_ewma(ev).collect()}
+    assert out[1] is None, "null value must poison the fold to the end"
+    assert out[2] == round(0.2 * 8.0 + 0.8 * 4.0, 6)
