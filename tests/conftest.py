@@ -20,3 +20,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast materialization check of queries outside the driver's "
+        "fixed correctness set (see tests/test_smoke.py)",
+    )

@@ -1,0 +1,23 @@
+"""Fast schema-drift smoke for the queries OUTSIDE the driver's fixed
+50-entry correctness check (VERDICT r03 item 7): they are value-gated
+by tests/test_suite_parity.py, but that runs the whole suite — this
+marker materializes just the non-driver queries at sf0.001 so a
+harness schema change (e.g. the events.ts encoding drifts again)
+fails in seconds:
+
+    python -m pytest -m smoke -q     # < 60 s
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from platform_etl_literature_spark.suite import DRIVER_CHECKED, SUITE
+
+NON_DRIVER = sorted(set(SUITE) - DRIVER_CHECKED)
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("name", NON_DRIVER)
+def test_non_driver_query_materializes(spark, sf_dir, name):
+    SUITE[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
