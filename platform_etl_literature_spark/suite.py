@@ -685,8 +685,9 @@ def q_minhash_banded(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_banded_pairs(sigs, band_size=2, min_matching_bands=1)
 
 
-_ORACLE_MINHASH_BANDED = """
-WITH w AS (
+# CTE chain shared by the banded-pairs oracle and the two
+# clustering oracles built on top of it (components / survivors).
+_BANDED_PAIRS_CTES = """w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
   FROM documents),
 sh AS (
@@ -706,12 +707,17 @@ sigs AS (
 banded AS (
   SELECT id, CAST(seed // 2 AS INTEGER) AS band,
          string_agg(CAST(sig AS VARCHAR), ':' ORDER BY seed) AS band_key
-  FROM sigs GROUP BY 1, 2)
-SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
-GROUP BY 1, 2
-HAVING count(*) >= 1
+  FROM sigs GROUP BY 1, 2),
+bpairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+  GROUP BY 1, 2
+  HAVING count(*) >= 1)"""
+
+_ORACLE_MINHASH_BANDED = f"""
+WITH {_BANDED_PAIRS_CTES}
+SELECT id_a, id_b, n_bands FROM bpairs
 """
 
 
@@ -742,6 +748,66 @@ SELECT a.id AS id_a, b.id AS id_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sigs a JOIN sigs b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the banded-LSH candidate pairs —
+    near-dup PAIRS resolved into duplicate CLUSTERS via alternating
+    large-star/small-star (operators/components.py).  Labels are the
+    component-minimum doc id, which is exactly what the recursive
+    transitive-closure oracle computes."""
+    from platform_etl_literature_spark.operators import components as CC
+
+    sigs = D.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text", 2)
+    pairs = D.minhash_banded_pairs(sigs, band_size=2, min_matching_bands=1)
+    return CC.connected_components(pairs)
+
+
+# min-reachable-id labeling via transitive closure: sum of squared
+# component sizes is tiny at check scale (hundreds of pairs), and the
+# min-label result is engine-independent.
+_CC_CTES = """edges AS (
+  SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v FROM bpairs
+  WHERE id_a != id_b),
+bidir AS (SELECT u AS x, v AS y FROM edges UNION ALL SELECT v AS x, u AS y FROM edges),
+cnodes AS (SELECT DISTINCT x AS id FROM bidir),
+reach(id, r) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT b.y, reach.r FROM bidir b JOIN reach ON reach.id = b.x),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+_ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_BANDED_PAIRS_CTES},
+{_CC_CTES}
+SELECT id, component FROM comp
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor resolution: one kept document per duplicate cluster
+    (the component-minimum id) plus every singleton — the curated
+    corpus a dedup pass actually ships."""
+    from platform_etl_literature_spark.operators import components as CC
+
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", 2)
+    pairs = D.minhash_banded_pairs(sigs, band_size=2, min_matching_bands=1)
+    return CC.dedup_survivors(docs, pairs, "doc_id").select(
+        "doc_id",
+        "component",
+        F.col("is_survivor").cast("int").alias("is_survivor"),
+    )
+
+
+_ORACLE_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_BANDED_PAIRS_CTES},
+{_CC_CTES}
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CAST(d.doc_id = coalesce(c.component, d.doc_id) AS INTEGER) AS is_survivor
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
@@ -2227,6 +2293,12 @@ SUITE: dict[str, QuerySpec] = {
     "minhash_pairs": QuerySpec(q_minhash_pairs, _ORACLE_MINHASH, "dedup-minhash"),
     "minhash_banded": QuerySpec(
         q_minhash_banded, _ORACLE_MINHASH_BANDED, "dedup-minhash-lsh-banded"
+    ),
+    "dedup_components": QuerySpec(
+        q_dedup_components, _ORACLE_DEDUP_COMPONENTS, "dedup-connected-components"
+    ),
+    "dedup_survivors": QuerySpec(
+        q_dedup_survivors, _ORACLE_DEDUP_SURVIVORS, "dedup-survivor-resolution"
     ),
     "simhash_near_pairs": QuerySpec(
         q_simhash_near_pairs, _ORACLE_SIMHASH_PAIRS, "dedup-simhash-hamming"

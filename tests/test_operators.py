@@ -414,3 +414,48 @@ def test_ewma_null_value_poisons_not_resets(spark):
     out = {r["user_id"]: r["ewma"] for r in user_value_ewma(ev).collect()}
     assert out[1] is None, "null value must poison the fold to the end"
     assert out[2] == round(0.2 * 8.0 + 0.8 * 4.0, 6)
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    from platform_etl_literature_spark.operators import components as CC
+
+    # chain 1-2-3-4, triangle 10-11-12 (with redundant edge), pair 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["component"] for r in CC.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    D.release_cached()
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path is the worst case for naive propagation (needs
+    O(n) rounds); star contraction must still converge quickly."""
+    from platform_etl_literature_spark.operators import components as CC
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    comp = CC.connected_components(edges).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 65
+    D.release_cached()
+
+
+def test_dedup_survivors_keeps_min_per_cluster_and_singletons(spark):
+    from platform_etl_literature_spark.operators import components as CC
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in CC.dedup_survivors(docs, pairs, "doc_id").collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        7: (7, True), 9: (9, True),
+    }
+    D.release_cached()
