@@ -657,3 +657,57 @@ def incremental_dedup(
     fresh = bh.join(seen, "_h", "left_anti")
     winners = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return batch.join(winners.select(id_col), id_col, "left_semi")
+
+
+def window_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-window statistics — the exact-substring
+    dedup signal (the Lee et al. "Deduplicating Training Data" /
+    RefinedWeb curation pass works on shared long substrings, not
+    whole-document similarity): for each document, how many of its
+    distinct ``window``-token windows occur in at least one OTHER
+    document, and the fraction they represent.
+
+    Returns every input row as (id, n_windows, n_dup_windows,
+    dup_fraction); filter on dup_fraction to drop boilerplate-heavy
+    documents.  Short documents (< window tokens) report 0 / 0 / 0.0.
+
+    Scale shape: unlike the pair generators there is NO self-join —
+    window hashes (xxhash64 longs via ``staged_gram_arrays``) explode
+    to one slim (id, hash) stream, the document frequency per hash is
+    one map-side-combining aggregation, and the per-document rollup a
+    second; shuffle volume is the distinct-window stream, 8 bytes +
+    id per row, linear in corpus size.  ``max_bucket_size`` drops
+    ubiquitous boilerplate windows (df > cap) before the rollup: they
+    are dup-by-definition, so at corpus scale the cap only stops a
+    viral window from funneling its whole bucket through one reducer —
+    dropped windows are excluded from BOTH numerator and denominator
+    (the fraction stays internally consistent, same policy as
+    ngram_jaccard_pairs).
+    """
+    grams = staged_gram_arrays(df, id_col, text_col, window, hashed=True)
+    wh = grams.select("id", F.explode_outer("_grams").alias("s"))
+    wh = _drop_hot_buckets(wh, ["s"], max_bucket_size) if max_bucket_size else wh
+    dfreq = wh.filter(F.col("s").isNotNull()).groupBy("s").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    # (id, s) rows are distinct per document (array_distinct upstream),
+    # so count(*) per hash IS the document frequency
+    n_dup = F.count(F.when(F.col("_df") > 1, F.lit(1)))
+    n_win = F.count("s")
+    return (
+        wh.join(dfreq, "s", "left")
+        .groupBy("id")
+        .agg(
+            n_win.alias("n_windows"),
+            n_dup.alias("n_dup_windows"),
+            F.when(n_win == 0, F.lit(0.0))
+            .otherwise(F.round(n_dup / n_win.cast("double"), 6))
+            .alias("dup_fraction"),
+        )
+    )

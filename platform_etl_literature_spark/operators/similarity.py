@@ -289,7 +289,12 @@ def _bucket_rows(
     executor-side from each Arrow batch's own vector width (the planes
     are a pure function of (table, bit, dim)), so no driver-side
     ``first()`` round-trip ever runs — on a cold 100 TB cluster that
-    lookup would stall the probe behind a full scan-stage launch."""
+    lookup would stall the probe behind a full scan-stage launch.
+    Prefer passing ``dim`` when the caller knows it: the matrix then
+    ships in the closure, built once; the fallback's lru_cache only
+    helps when the package is importable on the workers — a
+    by-value-pickled closure rebuilds the 2k-md5 matrix per task
+    (~20 ms each, measured ~30% on the sf0.1 probe)."""
     import numpy as np
 
     planes = None if dim is None else _plane_matrix(n_tables, n_bits, dim)

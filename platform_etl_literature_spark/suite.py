@@ -751,6 +751,41 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_window_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup signal: per document, the fraction of its
+    distinct 8-token windows that occur in at least one other document
+    (operators/dedup.window_dup_stats — no pair join, two linear
+    aggregations)."""
+    return D.window_dup_stats(_t(spark, sf, "documents"), "doc_id", "text", window=8)
+
+
+_ORACLE_WINDOW_DUP = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(
+           generate_series(1, len(toks) - 7),
+           i -> array_to_string(toks[i:i+7], ' ')))
+         ELSE [] END AS grams
+  FROM w),
+e AS (SELECT id, unnest(grams) AS s FROM g),
+dfq AS (SELECT s, count(*) AS dfc FROM e GROUP BY s),
+per AS (
+  SELECT e.id, count(*) AS n_windows,
+         count(CASE WHEN dfc > 1 THEN 1 END) AS n_dup_windows
+  FROM e JOIN dfq USING (s) GROUP BY e.id)
+SELECT d.doc_id AS id,
+       coalesce(per.n_windows, 0) AS n_windows,
+       coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN coalesce(per.n_windows, 0) = 0 THEN 0.0
+            ELSE round(per.n_dup_windows / CAST(per.n_windows AS DOUBLE), 6)
+       END AS dup_fraction
+FROM documents d LEFT JOIN per ON per.id = d.doc_id
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the banded-LSH candidate pairs —
     near-dup PAIRS resolved into duplicate CLUSTERS via alternating
@@ -1665,8 +1700,13 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     # n_bits chosen so buckets hold ~2^-4 of the corpus (recall ~0.7-0.8
     # at 8 tables on this data; more bits → empty buckets → recall loss)
+    # dim passed explicitly: the planes then ship in the UDF closure
+    # (built once, driver-side).  The dim=None fallback derives them
+    # executor-side, which costs a per-task rebuild when the repo
+    # package is not importable on the workers (closure pickled by
+    # value) — measured ~1.3s vs ~1.0s here.
     return SIM.lsh_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_tables=8, n_bits=4
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_tables=8, n_bits=4, dim=64
     )
 
 
@@ -2296,6 +2336,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, _ORACLE_DEDUP_COMPONENTS, "dedup-connected-components"
+    ),
+    "window_dup_stats": QuerySpec(
+        q_window_dup_stats, _ORACLE_WINDOW_DUP, "dedup-substring-windows"
     ),
     "dedup_survivors": QuerySpec(
         q_dedup_survivors, _ORACLE_DEDUP_SURVIVORS, "dedup-survivor-resolution"

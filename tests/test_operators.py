@@ -459,3 +459,23 @@ def test_dedup_survivors_keeps_min_per_cluster_and_singletons(spark):
         7: (7, True), 9: (9, True),
     }
     D.release_cached()
+
+
+def test_window_dup_stats_fraction_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # windows(3): abc bcd cde def
+            (2, "a b c d x y"),      # shares abc, bcd with doc 1
+            (3, "p q r s"),          # unique windows
+            (4, "t u"),              # too short: 0 windows
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in D.window_dup_stats(docs, "doc_id", "text", window=3).collect()
+    }
+    assert out[1] == (4, 2, 0.5)
+    assert out[2] == (4, 2, 0.5)
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)

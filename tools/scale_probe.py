@@ -19,6 +19,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
+from platform_etl_literature_spark.operators import components as CC
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import textstats as TS
 from platform_etl_literature_spark.session import build_session
@@ -56,6 +57,11 @@ OPS = {
     "minhash_sigs": lambda df: D.minhash_signatures(df, "doc_id", "text", 2),
     "minhash_banded": lambda df: D.minhash_banded_pairs(
         D.minhash_signatures(df, "doc_id", "text", 2), band_size=2
+    ),
+    "dedup_components": lambda df: CC.connected_components(
+        D.minhash_banded_pairs(
+            D.minhash_signatures(df, "doc_id", "text", 2), band_size=2
+        )
     ),
     "hash_split": lambda df: D.hash_split(df, "doc_id"),
     "repetition": lambda df: TS.repetition_stats(df, "doc_id", "text", 0.3),
