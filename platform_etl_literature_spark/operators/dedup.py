@@ -679,35 +679,34 @@ def window_dup_stats(
 
     Scale shape: unlike the pair generators there is NO self-join —
     window hashes (xxhash64 longs via ``staged_gram_arrays``) explode
-    to one slim (id, hash) stream, the document frequency per hash is
-    one map-side-combining aggregation, and the per-document rollup a
-    second; shuffle volume is the distinct-window stream, 8 bytes +
-    id per row, linear in corpus size.  ``max_bucket_size`` drops
-    ubiquitous boilerplate windows (df > cap) before the rollup: they
-    are dup-by-definition, so at corpus scale the cap only stops a
-    viral window from funneling its whole bucket through one reducer —
-    dropped windows are excluded from BOTH numerator and denominator
-    (the fraction stays internally consistent, same policy as
-    ngram_jaccard_pairs).
+    to one slim (id, hash) stream, and the per-hash document frequency
+    is a COUNT OVER (PARTITION BY hash) window, not a groupBy+join
+    back: the corpus is scanned and tokenized exactly ONCE (the join
+    formulation re-derives the exploded stream for the probe side),
+    with the same two shuffles (by hash, then by doc).  Because the
+    per-document windows are distinct (``array_distinct`` upstream),
+    the partition count IS the document frequency.  ``max_bucket_size``
+    drops ubiquitous boilerplate windows (df > cap) before the rollup:
+    they are dup-by-definition, so at corpus scale the cap only stops
+    a viral window from funneling its whole partition through one
+    task — dropped windows are excluded from BOTH numerator and
+    denominator (the fraction stays internally consistent, same
+    policy as ngram_jaccard_pairs).
     """
+    from pyspark.sql.window import Window as W
+
     grams = staged_gram_arrays(df, id_col, text_col, window, hashed=True)
     wh = grams.select("id", F.explode_outer("_grams").alias("s"))
     wh = _drop_hot_buckets(wh, ["s"], max_bucket_size) if max_bucket_size else wh
-    dfreq = wh.filter(F.col("s").isNotNull()).groupBy("s").agg(
-        F.count(F.lit(1)).alias("_df")
-    )
-    # (id, s) rows are distinct per document (array_distinct upstream),
-    # so count(*) per hash IS the document frequency
+    # short docs land in the all-null partition; count("s") ignores
+    # nulls there, so their _df is 0 and they never count as dup
+    wh = wh.withColumn("_df", F.count("s").over(W.partitionBy("s")))
     n_dup = F.count(F.when(F.col("_df") > 1, F.lit(1)))
     n_win = F.count("s")
-    return (
-        wh.join(dfreq, "s", "left")
-        .groupBy("id")
-        .agg(
-            n_win.alias("n_windows"),
-            n_dup.alias("n_dup_windows"),
-            F.when(n_win == 0, F.lit(0.0))
-            .otherwise(F.round(n_dup / n_win.cast("double"), 6))
-            .alias("dup_fraction"),
-        )
+    return wh.groupBy("id").agg(
+        n_win.alias("n_windows"),
+        n_dup.alias("n_dup_windows"),
+        F.when(n_win == 0, F.lit(0.0))
+        .otherwise(F.round(n_dup / n_win.cast("double"), 6))
+        .alias("dup_fraction"),
     )

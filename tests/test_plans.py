@@ -120,3 +120,15 @@ def test_tfidf_single_tokenize_pass(spark, sf_dir):
     plan = _simple_plan(SUITE["tfidf_terms"].fn(spark, sf_dir))
     assert plan.count("FileScan") <= 2, plan[:3000]
     assert plan.count("Generate explode") == 1, plan[:3000]
+
+
+def test_window_dup_stats_single_scan_no_join(spark, sf_dir):
+    """The substring-dup signal must stay a single corpus scan with no
+    self-join: document frequency comes from a Window over the hash,
+    so a refactor back to groupBy+join (which re-derives the exploded
+    stream and scans the corpus twice) fails here."""
+    plan = _simple_plan(SUITE["window_dup_stats"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, plan[:3000]
+    assert "Window" in plan, plan[:3000]

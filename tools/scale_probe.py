@@ -1,10 +1,13 @@
 """Scaling probe: run representative operators at 1x/4x/16x the sf0.1
 corpus and record wall time + throughput, regenerating SCALE.md.
 
-Scaled corpora are derived by unioning tag-prefixed copies of the sf0.1
-documents table (the prefix token keeps copies from being trivial
-near-duplicates of each other, so pair-generating operators see a
-realistically growing problem, not an exact-dup explosion).
+Scaled corpora are derived by unioning tag-INTERLEAVED copies of the
+sf0.1 documents table: the copy tag is inserted between every pair of
+tokens, so no bigram+ shingle survives across copies and pair-generating
+operators see a realistically growing problem.  (A prefix-only tag left
+the copies near-identical — every copy pair collided in every MinHash
+band, so the 16x cell measured a quadratic-in-copies pair explosion
+manufactured by the corpus derivation, not operator scaling.)
 
 Usage: python tools/scale_probe.py [factors...]   (default: 1 4 16)
 """
@@ -35,7 +38,10 @@ def scaled_docs(spark, factor: int) -> str:
     copies = [
         base.select(
             (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
-            F.concat(F.lit(f"c{i} "), F.col("text")).alias("text"),
+            F.concat(
+                F.lit(f"c{i} "),
+                F.regexp_replace(F.col("text"), " ", f" c{i} "),
+            ).alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -112,8 +118,11 @@ def main() -> None:
     lines = [
         "# SCALE — measured scaling of the training-data operators",
         "",
-        "Corpus: sf0.1 documents unioned with tag-prefixed copies "
-        f"({', '.join(f'{f}x = {n_docs[f]:,} docs' for f in factors)}), "
+        "Corpus: sf0.1 documents unioned with tag-interleaved copies "
+        "(the copy tag sits between every pair of tokens, so shingles "
+        "never collide across copies and pair volume tracks real "
+        "near-dup structure, not the corpus derivation) — "
+        f"{', '.join(f'{f}x = {n_docs[f]:,} docs' for f in factors)}, "
         "local[32].  Per cell: steady-state seconds (min of 2) and "
         "docs/sec.  Linear ops should hold docs/sec roughly constant as "
         "the corpus grows; pair-generating ops grow with candidate "
