@@ -1,0 +1,68 @@
+"""Dedup-at-ingest: exact dedup of an arriving document stream against
+everything already accepted, via ``foreachBatch`` + a persistent digest
+index.
+
+Watermark-bounded stream dedup (``events.dedup_within_watermark``)
+forgets keys once the watermark passes; corpus dedup must remember
+FOREVER.  The Spark-idiomatic bridge is ``foreachBatch``: each
+micro-batch runs the same digest anti-join as the batch operator
+(``operators.dedup.incremental_dedup`` semantics — first-id-wins
+within the batch, drop anything whose digest is already indexed), then
+appends the survivors to the corpus sink and their digests to the
+index.  The index is digests only (16 bytes + id per accepted doc), so
+the per-batch probe scans an index that is orders of magnitude smaller
+than the corpus; at 100 TB the index lives as a bucketed table on the
+digest so the anti-join is exchange-free on the probe side.
+
+Delivery note: foreachBatch is at-least-once on sink writes — a batch
+replayed after a failure can re-append survivors.  Re-appended digests
+are harmless (the index is a set); for the corpus sink use a
+transactional/idempotent sink keyed by (batch_id) in production.  The
+dedup decision itself is replay-stable: a replayed batch sees at worst
+MORE indexed digests, never fewer, so it can only drop extra
+duplicates, never re-admit one.
+
+Capability extension (SURVEY.md §7.6): the reference has no streaming
+surface at all; this pairs its Processing dedup semantics
+(Processing.scala:117-122 dropDuplicates) with Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def ingest_dedup_writer(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int | None = None,
+) -> DataStreamWriter:
+    """Build the foreachBatch writer (caller adds checkpoint/trigger and
+    calls ``.start()``).  ``prefix_chars`` selects the head-fingerprint
+    variant (see ``incremental_dedup``)."""
+
+    def key(c):
+        t = F.substring(c, 1, prefix_chars) if prefix_chars else c
+        return F.md5(t)
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keyed = batch.withColumn("_h", key(F.col(text_col)))
+        try:
+            seen = spark.read.parquet(index_path).select("_h")
+            fresh = keyed.join(seen, "_h", "left_anti")
+        except Exception:  # first batch: index does not exist yet
+            fresh = keyed
+        # first-id-wins within the batch (same winner rule as
+        # incremental_dedup / exact_dedup)
+        winners = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col))
+        kept = fresh.join(winners, ["_h", id_col], "left_semi")
+        kept.drop("_h").write.mode("append").parquet(out_path)
+        kept.select("_h").write.mode("append").parquet(index_path)
+
+    return docs_stream.writeStream.foreachBatch(_step).outputMode("update")

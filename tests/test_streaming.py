@@ -205,3 +205,58 @@ def test_streaming_sliding_counts_match_batch(spark, batch_events):
     assert len(g) > 0
     # overlapping panes: every event lands in window/slide = 4 panes
     assert sum(n for n, _ in g.values()) == batch_events.count() * 4
+
+
+def test_ingest_dedup_across_and_within_batches(spark, tmp_path):
+    """foreachBatch dedup-at-ingest: a doc duplicated WITHIN a batch
+    keeps its min-id row; a doc re-arriving in a LATER batch is dropped
+    via the persistent digest index."""
+    from platform_etl_literature_spark.streaming.ingest_dedup import (
+        ingest_dedup_writer,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def arrive(name, rows):
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(land / name),
+        )
+
+    arrive("f1.parquet", [(1, "alpha"), (2, "alpha"), (3, "beta")])
+    arrive("f2.parquet", [(4, "beta"), (5, "gamma"), (6, "gamma")])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = (
+        ingest_dedup_writer(
+            stream, str(tmp_path / "index"), str(tmp_path / "corpus")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    # alpha: min-id 1 within batch 1; beta: 3 from batch 1, 4 dropped by
+    # the index; gamma: min-id 5 within batch 2
+    assert kept == {1: "alpha", 3: "beta", 5: "gamma"}
+    idx = spark.read.parquet(str(tmp_path / "index")).distinct().count()
+    assert idx == 3
