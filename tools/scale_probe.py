@@ -1,13 +1,16 @@
 """Scaling probe: run representative operators at 1x/4x/16x the sf0.1
 corpus and record wall time + throughput, regenerating SCALE.md.
 
-Scaled corpora are derived by unioning tag-INTERLEAVED copies of the
-sf0.1 documents table: the copy tag is inserted between every pair of
-tokens, so no bigram+ shingle survives across copies and pair-generating
-operators see a realistically growing problem.  (A prefix-only tag left
-the copies near-identical — every copy pair collided in every MinHash
-band, so the 16x cell measured a quadratic-in-copies pair explosion
-manufactured by the corpus derivation, not operator scaling.)
+Scaled corpora are derived by unioning PER-TOKEN-TAGGED copies of the
+sf0.1 documents table: every token of copy i gets an ``xi`` suffix, so
+the original shingle structure (and so the real within-copy near-dup
+rate) is preserved exactly while no shingle survives across copies.
+(A prefix-only tag left the copies near-identical — every copy pair
+collided in every MinHash band, so the 16x cell measured a
+quadratic-in-copies pair explosion manufactured by the corpus
+derivation; interleaving the tag BETWEEN tokens was degenerate the
+other way — every bigram then contained the tag token, collapsing the
+shingle space so every same-copy document looked like a near-dup.)
 
 Usage: python tools/scale_probe.py [factors...]   (default: 1 4 16)
 """
@@ -38,10 +41,7 @@ def scaled_docs(spark, factor: int) -> str:
     copies = [
         base.select(
             (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
-            F.concat(
-                F.lit(f"c{i} "),
-                F.regexp_replace(F.col("text"), " ", f" c{i} "),
-            ).alias("text"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{i}").alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -118,10 +118,10 @@ def main() -> None:
     lines = [
         "# SCALE — measured scaling of the training-data operators",
         "",
-        "Corpus: sf0.1 documents unioned with tag-interleaved copies "
-        "(the copy tag sits between every pair of tokens, so shingles "
-        "never collide across copies and pair volume tracks real "
-        "near-dup structure, not the corpus derivation) — "
+        "Corpus: sf0.1 documents unioned with per-token-tagged copies "
+        "(every token of copy i carries an `xi` suffix, so the original "
+        "shingle structure — and the real near-dup rate — is preserved "
+        "within a copy while no shingle collides across copies) — "
         f"{', '.join(f'{f}x = {n_docs[f]:,} docs' for f in factors)}, "
         "local[32].  Per cell: steady-state seconds (min of 2) and "
         "docs/sec.  Linear ops should hold docs/sec roughly constant as "
