@@ -28,6 +28,7 @@ HEADLINE = [
     "evidence_cooc_analog",
     "word_tf",
     "ngram_jaccard",
+    "window_dup_stats",
     "minhash_pairs",
     "minhash_banded",
     "simhash",
