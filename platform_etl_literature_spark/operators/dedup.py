@@ -710,3 +710,47 @@ def window_dup_stats(
         .otherwise(F.round(n_dup / n_win.cast("double"), 6))
         .alias("dup_fraction"),
     )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs at scale: random-hyperplane
+    LSH buckets the corpus ONCE (persisted, both join sides derive from
+    it by rename), candidates are pairs sharing a (table, bucket), and
+    only candidates pay the exact-cosine verify — the scale path that
+    ``embedding_cosine_pairs`` (brute force, O(n²)) documents.
+
+    Approximate but fully deterministic: the md5-derived hyperplanes
+    are fixed constants, so the SQL oracle replays identical buckets
+    and the result is reproducible across engines and runs.  Recall at
+    cosine c is 1-(1-((1-acos(c)/π)^n_bits))^n_tables — tune upward
+    with more tables, tighter buckets with more bits.  Returns
+    (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
+    """
+    from platform_etl_literature_spark.functions.vectors import array_cosine
+    from platform_etl_literature_spark.operators.similarity import _bucket_rows
+
+    bucketed = _materialize_once(
+        _bucket_rows(df, "id", id_col, vec_col, n_tables, n_bits, dim)
+    )
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("_v_id").alias("_va"), "tbl", "bucket"
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("_v_id").alias("_vb"), "tbl", "bucket"
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", array_cosine("_va", "_vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -655,6 +655,65 @@ WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.
 """
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale path of embedding near-dup: LSH-bucketed candidate
+    pairs (corpus bucketed once, persisted) + exact-cosine verify —
+    same threshold as the brute-force twin, so the two results differ
+    only by LSH recall.  Deterministic md5 hyperplanes → full SQL
+    oracle."""
+    return D.embedding_cosine_pairs_lsh(
+        _t(spark, sf, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        n_tables=8,
+        n_bits=4,
+        dim=64,
+    )
+
+
+def _emb_lsh_oracle(n_tables: int = 8, n_bits: int = 4, dim: int = 64) -> str:
+    """DuckDB oracle for q_dedup_embedding_lsh: identical bucket
+    replay (inlined planes) over BOTH sides of the self-join, distinct
+    candidate pairs, exact-cosine filter at the same threshold."""
+    from platform_etl_literature_spark.operators.similarity import _hyperplane
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for b in range(n_bits):
+            arr = ", ".join(repr(x) for x in _hyperplane(t, b, dim))
+            terms.append(
+                f"CASE WHEN list_dot_product(e, [{arr}]::DOUBLE[]) > 0"
+                f" THEN {1 << b} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    vb = "\n  UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {bucket_expr(t)} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vb AS ({vb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vb a JOIN vb b USING (tbl, bucket)
+  WHERE a.vec_id < b.vec_id),
+s AS (
+  SELECT id_a, id_b,
+         CASE WHEN sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vp.e, vp.e)) = 0
+              THEN 0.0
+              ELSE list_dot_product(va.e, vp.e) /
+                   (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vp.e, vp.e)))
+         END AS cos
+  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vp ON vp.vec_id = id_b)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.4
+"""
+
+
+_ORACLE_DEDUP_EMB_LSH = _emb_lsh_oracle()
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash per document (token multiplicity respected)."""
     return D.simhash32(_t(spark, sf, "documents"), "doc_id", "text")
@@ -2349,6 +2408,9 @@ SUITE: dict[str, QuerySpec] = {
     "simhash": QuerySpec(q_simhash, _ORACLE_SIMHASH, "dedup-simhash"),
     "dedup_embedding_cosine": QuerySpec(
         q_dedup_embedding_cosine, _ORACLE_DEDUP_EMB, "dedup-embedding"
+    ),
+    "dedup_embedding_lsh": QuerySpec(
+        q_dedup_embedding_lsh, _ORACLE_DEDUP_EMB_LSH, "dedup-embedding-lsh"
     ),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, _ORACLE_ANN, "similarity F1"),
     "ann_topk_blocked": QuerySpec(

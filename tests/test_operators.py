@@ -479,3 +479,25 @@ def test_window_dup_stats_fraction_and_short_docs(spark):
     assert out[2] == (4, 2, 0.5)
     assert out[3] == (2, 0, 0.0)
     assert out[4] == (0, 0, 0.0)
+
+
+def test_embedding_lsh_pairs_subset_of_bruteforce_with_full_recall_on_dups(spark):
+    """LSH pairs must be a subset of the brute-force pairs at the same
+    threshold, and identical vectors (which share every bucket) must
+    always be found."""
+    rows = [(i, [float(i % 4 == j) for j in range(4)]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_cosine_pairs(df, "vec_id", "embedding", 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_cosine_pairs_lsh(
+            df, "vec_id", "embedding", 0.9, n_tables=4, n_bits=2
+        ).collect()
+    }
+    assert lsh <= brute
+    # i and i+4 are identical unit vectors -> cosine 1, same buckets
+    assert {(0, 4), (1, 5), (2, 6), (3, 7)} <= lsh
+    D.release_cached()

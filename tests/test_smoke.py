@@ -14,7 +14,12 @@ import pytest
 
 from platform_etl_literature_spark.suite import DRIVER_CHECKED, SUITE
 
-NON_DRIVER = sorted(set(SUITE) - DRIVER_CHECKED)
+# dedup_survivors runs the identical minhash->CC chain as
+# dedup_components plus one broadcast join — smoke-testing both costs
+# ~8s of pure repetition; the parity suite still value-checks it.
+_REDUNDANT_IN_SMOKE = {"dedup_survivors"}
+
+NON_DRIVER = sorted(set(SUITE) - DRIVER_CHECKED - _REDUNDANT_IN_SMOKE)
 
 
 @pytest.mark.smoke
