@@ -501,3 +501,16 @@ def test_embedding_lsh_pairs_subset_of_bruteforce_with_full_recall_on_dups(spark
     # i and i+4 are identical unit vectors -> cosine 1, same buckets
     assert {(0, 4), (1, 5), (2, 6), (3, 7)} <= lsh
     D.release_cached()
+
+
+def test_dedup_clusters_membership_view(spark):
+    from platform_etl_literature_spark.operators import components as CC
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 8)], ["id_a", "id_b"]
+    )
+    out = {
+        r["component"]: (r["cluster_size"], r["member_ids"])
+        for r in CC.dedup_clusters(pairs).collect()
+    }
+    assert out == {1: (3, [1, 2, 3]), 8: (2, [8, 9])}
