@@ -150,3 +150,24 @@ def test_json_corrupt_record_capture(spark, tmp_path):
     assert bad.count() == 1
     assert "not valid json" in bad.collect()[0]["_corrupt_record"]
     df.unpersist()
+
+
+def test_orc_and_text_round_trip_through_io_layer(spark, tmp_path):
+    """The reader/writer is format-generic (spark.read/write.format(cfg)):
+    ORC and line-text — formats the reference never shipped but Spark
+    supports natively — must round-trip through the same config
+    surface with zero special-casing."""
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    orc_cfg = IOResourceConfig("orc", str(tmp_path / "orc_out"))
+    write_to({"d": IOResource(df, orc_cfg)})
+    back = read_from(spark, {"d": orc_cfg})["d"].data
+    assert {(r["doc_id"], r["text"]) for r in back.collect()} == {
+        (1, "alpha"), (2, "beta")
+    }
+
+    txt_cfg = IOResourceConfig("text", str(tmp_path / "txt_out"))
+    write_to({"t": IOResource(df.select(F.col("text").alias("value")), txt_cfg)})
+    lines = read_from(spark, {"t": txt_cfg})["t"].data
+    assert {r["value"] for r in lines.collect()} == {"alpha", "beta"}
