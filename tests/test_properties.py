@@ -275,3 +275,49 @@ def test_contamination_is_monotone_in_benchmark(spark):
     assert set(s) == set(b)
     assert all(b[k] >= s[k] for k in s)
     assert any(b[k] > s[k] for k in s)  # the added benchmark doc bites
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Large-star/small-star must agree with a reference union-find on
+    randomized graphs (one batched Spark run over the union of graphs,
+    disjoint id ranges per graph — a job per hypothesis example would
+    be prohibitively slow)."""
+    from platform_etl_literature_spark.operators import components as CC
+
+    rng = random.Random(20260814)
+    edges: list[tuple[int, int]] = []
+    expected: dict[int, int] = {}
+    base = 0
+    for _ in range(12):
+        n = rng.randint(2, 30)
+        m = rng.randint(1, 45)
+        g = [
+            (base + rng.randrange(n), base + rng.randrange(n))
+            for _ in range(m)
+        ]
+        g = [(u, v) for u, v in g if u != v]
+        if not g:
+            g = [(base, base + 1)]
+        edges.extend(g)
+
+        # reference union-find over THIS graph's nodes
+        parent = {x: x for e in g for x in e}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in g:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        for x in parent:
+            expected[x] = find(x)
+        base += 1000
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in CC.connected_components(df).collect()}
+    # same partition into components AND the same min-id labels
+    assert got == expected
