@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from platform_etl_literature_spark.operators import components as CC
 from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import similarity as SIM
 from platform_etl_literature_spark.operators import textstats as TS
 from platform_etl_literature_spark.session import build_session
 
@@ -88,32 +89,100 @@ OPS = {
 }
 
 
+def scaled_embeddings(spark, factor: int) -> str:
+    """Scaled embeddings: copy i rolls each vector left by i components
+    — norms (and so similarity statistics within a copy) are preserved,
+    while rolled copies point in unrelated directions, so no artificial
+    cross-copy near-dups."""
+    path = f"{WORK}/emb_x{factor}.parquet"
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = base.count()
+    dim = 64
+    copies = []
+    for i in range(factor):
+        v = F.col("embedding")
+        rolled = (
+            F.concat(F.slice(v, i % dim + 1, dim - (i % dim)), F.slice(v, 1, i % dim))
+            if i % dim
+            else v
+        )
+        copies.append(
+            base.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                rolled.alias("embedding"),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+# n_bits grows with log(corpus) so expected bucket size stays ~constant
+# (~25 vectors: 2^bits ≈ n/25) — THE point of the LSH scale path: hold
+# per-bucket pair work fixed and let bucket COUNT absorb growth.  A
+# fixed bit width would let bucket size grow linearly and pair volume
+# quadratically (measured: 4 bits at 16x ≈ 6.4k/bucket ≈ billions of
+# candidate pairs — indistinguishable from brute force).
+def _bits_for(n_rows: int) -> int:
+    import math
+
+    return max(4, int(math.ceil(math.log2(max(n_rows, 1) / 25))))
+
+
+EMB_OPS = {
+    "emb_lsh_near_pairs": lambda df, bits: D.embedding_cosine_pairs_lsh(
+        df, "vec_id", "embedding", threshold=0.4, n_tables=8, n_bits=bits, dim=64
+    ),
+    "lsh_ann_topk": lambda df, bits: SIM.lsh_cosine_topk(
+        df, df.filter(F.col("vec_id") < 10), k=5, n_tables=8, n_bits=bits, dim=64
+    ),
+    "ann_topk_blocked": lambda df, bits: SIM.cosine_topk_blocked(
+        df, df.filter(F.col("vec_id") < 10), k=5
+    ),
+}
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     spark = build_session("scale-probe")
-    results: dict[str, dict[int, dict]] = {name: {} for name in OPS}
+    results: dict[str, dict[int, dict]] = {
+        name: {} for name in list(OPS) + list(EMB_OPS)
+    }
     n_docs: dict[int, int] = {}
+
+    def probe(name, fn, df, factor, n_rows):
+        # run 0 is codegen/JIT warmup (a first execution of a large
+        # generated method can cost several seconds regardless of
+        # data size) and is discarded; the cell is min of 2 timed runs
+        best = None
+        for i in range(3):
+            t0 = time.time()
+            fn(df).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            if i > 0:
+                best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()
+        results[name][factor] = {
+            "sec": round(best, 2),
+            "docs_per_sec": int(n_rows / best),
+        }
+        print(json.dumps({"op": name, "x": factor, **results[name][factor]}))
+
     for factor in factors:
         path = scaled_docs(spark, factor)
         df = spark.read.parquet(path)
         n_docs[factor] = df.count()
         for name, fn in OPS.items():
-            # run 0 is codegen/JIT warmup (a first execution of a large
-            # generated method can cost several seconds regardless of
-            # data size) and is discarded; the cell is min of 2 timed runs
-            best = None
-            for i in range(3):
-                t0 = time.time()
-                fn(df).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                if i > 0:
-                    best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
-            results[name][factor] = {
-                "sec": round(best, 2),
-                "docs_per_sec": int(n_docs[factor] / best),
-            }
-            print(json.dumps({"op": name, "x": factor, **results[name][factor]}))
+            probe(name, fn, df, factor, n_docs[factor])
+        epath = scaled_embeddings(spark, factor)
+        emb = spark.read.parquet(epath)
+        n_emb = emb.count()
+        bits = _bits_for(n_emb)
+        for name, fn in EMB_OPS.items():
+            probe(name, lambda d, f=fn: f(d, bits), emb, factor, n_emb)
 
     lines = [
         "# SCALE — measured scaling of the training-data operators",
@@ -123,8 +192,14 @@ def main() -> None:
         "shingle structure — and the real near-dup rate — is preserved "
         "within a copy while no shingle collides across copies) — "
         f"{', '.join(f'{f}x = {n_docs[f]:,} docs' for f in factors)}, "
-        "local[32].  Per cell: steady-state seconds (min of 2) and "
-        "docs/sec.  Linear ops should hold docs/sec roughly constant as "
+        "local[32].  Embedding rows (emb_/..._topk) scale the "
+        "embeddings table the same way (copy i rolls each vector by i "
+        "components: norms preserved, no cross-copy near-dups), with "
+        "LSH bits growing as log2(n/25) so expected bucket size stays "
+        "constant — the knob that makes bucketed candidate generation "
+        "scale.  Per "
+        "cell: steady-state seconds (min of 2) and "
+        "rows/sec.  Linear ops should hold rows/sec roughly constant as "
         "the corpus grows; pair-generating ops grow with candidate "
         "volume, which the banding keeps near-linear.",
         "",
@@ -133,7 +208,7 @@ def main() -> None:
         "| operator | " + " | ".join(f"{f}x" for f in factors) + " |",
         "|---|" + "|".join(["---"] * len(factors)) + "|",
     ]
-    for name in OPS:
+    for name in list(OPS) + list(EMB_OPS):
         cells = [
             f"{results[name][f]['sec']}s · {results[name][f]['docs_per_sec']:,}/s"
             for f in factors
