@@ -167,3 +167,37 @@ def dedup_survivors(
         .withColumn("component", F.coalesce(F.col("component"), idc))
         .withColumn("is_survivor", (idc == F.col("component")).cast("boolean"))
     )
+
+
+def dedup_survivors_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware survivor resolution: like :func:`dedup_survivors`,
+    but each cluster keeps its BEST document — highest ``score_col``,
+    ties broken by lowest id — instead of blindly keeping the minimum
+    id.  This is the policy real curation uses (drop the truncated or
+    boilerplate-padded copy, keep the clean one).
+
+    The ranking window partitions by component; cluster sizes are
+    near-dup group sizes (small by construction — a corpus where one
+    component is half the data is an input problem, not a plan
+    problem), so the window shuffle is keyed as finely as the data
+    allows.
+    """
+    from pyspark.sql.window import Window as W
+
+    comp = connected_components(pairs, a, b)
+    idc = F.col(id_col)
+    labeled = (
+        df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), idc))
+    )
+    rank = F.row_number().over(
+        W.partitionBy("component").orderBy(F.col(score_col).desc(), idc.asc())
+    )
+    return labeled.withColumn("is_survivor", (rank == 1).cast("boolean"))

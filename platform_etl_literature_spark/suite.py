@@ -905,6 +905,35 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def q_dedup_survivors_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware survivor resolution: each near-dup cluster keeps
+    its LONGEST document (n_chars, ties → lowest id) — the policy real
+    curation uses (drop the truncated copy, keep the full one)."""
+    from platform_etl_literature_spark.operators import components as CC
+
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", 2)
+    pairs = D.minhash_banded_pairs(sigs, band_size=2, min_matching_bands=1)
+    return CC.dedup_survivors_by(docs, pairs, "doc_id", "n_chars").select(
+        "doc_id",
+        "component",
+        F.col("is_survivor").cast("int").alias("is_survivor"),
+    )
+
+
+_ORACLE_DEDUP_SURVIVORS_BEST = f"""
+WITH RECURSIVE {_BANDED_PAIRS_CTES},
+{_CC_CTES}
+SELECT doc_id, component,
+       CAST(row_number() OVER (
+         PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) = 1
+       AS INTEGER) AS is_survivor
+FROM (
+  SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search / embeddings
 # --------------------------------------------------------------------------
@@ -2401,6 +2430,11 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "dedup_survivors": QuerySpec(
         q_dedup_survivors, _ORACLE_DEDUP_SURVIVORS, "dedup-survivor-resolution"
+    ),
+    "dedup_survivors_best": QuerySpec(
+        q_dedup_survivors_best,
+        _ORACLE_DEDUP_SURVIVORS_BEST,
+        "dedup-survivor-quality",
     ),
     "simhash_near_pairs": QuerySpec(
         q_simhash_near_pairs, _ORACLE_SIMHASH_PAIRS, "dedup-simhash-hamming"

@@ -514,3 +514,18 @@ def test_dedup_clusters_membership_view(spark):
         for r in CC.dedup_clusters(pairs).collect()
     }
     assert out == {1: (3, [1, 2, 3]), 8: (2, [8, 9])}
+
+
+def test_dedup_survivors_by_keeps_best_scored(spark):
+    from platform_etl_literature_spark.operators import components as CC
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (7, 1.0)], ["doc_id", "quality"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in CC.dedup_survivors_by(docs, pairs, "doc_id", "quality").collect()
+    }
+    # cluster {1,2,3}: doc 2 has the best quality; singleton 7 survives
+    assert out == {1: (1, False), 2: (1, True), 3: (1, False), 7: (7, True)}

@@ -14,10 +14,10 @@ import pytest
 
 from platform_etl_literature_spark.suite import DRIVER_CHECKED, SUITE
 
-# dedup_survivors runs the identical minhash->CC chain as
-# dedup_components plus one broadcast join — smoke-testing both costs
-# ~8s of pure repetition; the parity suite still value-checks it.
-_REDUNDANT_IN_SMOKE = {"dedup_survivors"}
+# the survivor queries run the identical minhash->CC chain as
+# dedup_components plus one join/window — smoke-testing each costs ~8s
+# of pure repetition; the parity suite still value-checks them.
+_REDUNDANT_IN_SMOKE = {"dedup_survivors", "dedup_survivors_best"}
 
 NON_DRIVER = sorted(set(SUITE) - DRIVER_CHECKED - _REDUNDANT_IN_SMOKE)
 
