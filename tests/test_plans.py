@@ -132,3 +132,14 @@ def test_window_dup_stats_single_scan_no_join(spark, sf_dir):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan, plan[:3000]
     assert "Window" in plan, plan[:3000]
+
+
+def test_embedding_lsh_bucket_table_reused_not_recomputed(spark, sf_dir):
+    """Both sides of the LSH self-join must read the persisted bucket
+    table (InMemoryTableScan), not re-run the Arrow bucketing UDF
+    twice — at 100 TB recomputation doubles the dominant stage."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(SUITE["dedup_embedding_lsh"].fn(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+    D.release_cached()
