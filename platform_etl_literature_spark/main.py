@@ -175,15 +175,58 @@ def run_curate(spark: SparkSession, cfg: dict) -> None:
     )
 
 
+def run_cluster(spark: SparkSession, cfg: dict) -> None:
+    """Near-dup clustering over a ``documents`` input: banded-MinHash
+    candidate pairs → connected components → survivor resolution.
+    Writes ``clusters`` (component, cluster_size, member_ids) and
+    ``survivors`` (every input row + component + is_survivor).  With
+    ``score_col`` set, each cluster keeps its best-scored document
+    (quality-aware policy); otherwise the minimum id survives."""
+    from platform_etl_literature_spark.operators import components as CC
+    from platform_etl_literature_spark.operators import dedup as D
+
+    ccfg = cfg.get("cluster", {})
+    id_col = ccfg.get("id_col", "doc_id")
+    text_col = ccfg.get("text_col", "text")
+    docs = read_from(spark, _io_configs(cfg["inputs"]))["documents"].data
+    sigs = D.minhash_signatures(
+        docs, id_col, text_col, shingle_n=ccfg.get("shingle_n", 2)
+    )
+    pairs = D.minhash_banded_pairs(
+        sigs,
+        band_size=ccfg.get("band_size", 2),
+        min_matching_bands=ccfg.get("min_matching_bands", 1),
+        max_bucket_size=ccfg.get("max_bucket_size"),
+    )
+    clusters = CC.dedup_clusters(pairs)
+    score_col = ccfg.get("score_col")
+    if score_col:
+        survivors = CC.dedup_survivors_by(docs, pairs, id_col, score_col)
+    else:
+        survivors = CC.dedup_survivors(docs, pairs, id_col)
+    out_fmt, out_dir = cfg["output"]["format"], cfg["output"]["dir"]
+    write_to(
+        {
+            "clusters": IOResource(
+                clusters, IOResourceConfig(out_fmt, f"{out_dir}/clusters")
+            ),
+            "survivors": IOResource(
+                survivors, IOResourceConfig(out_fmt, f"{out_dir}/survivors")
+            ),
+        }
+    )
+    D.release_cached()
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="platform-etl-literature-spark",
         description=(
             "PySpark literature ETL: processing | embedding | vectors | "
-            "evidence | all; plus the training-data step: curate"
+            "evidence | all; plus the training-data steps: curate, cluster"
         ),
     )
-    p.add_argument("steps", nargs="+", choices=STEPS + ["all", "curate"])
+    p.add_argument("steps", nargs="+", choices=STEPS + ["all", "curate", "cluster"])
     p.add_argument("--config", required=True, help="JSON config file")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -193,6 +236,8 @@ def main(argv: list[str] | None = None) -> None:
     spark = build_session("platform-etl-literature-spark", master=args.master)
     if "curate" in args.steps:
         run_curate(spark, cfg)
+    if "cluster" in args.steps:
+        run_cluster(spark, cfg)
     steps = STEPS if "all" in args.steps else [s for s in STEPS if s in args.steps]
     if steps:
         run_all(spark, cfg, steps)

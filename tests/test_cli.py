@@ -100,3 +100,43 @@ def test_cli_curate_step(spark, tmp_path):
     # doc 2 is an exact dup of doc 1: verdict kept, row suppressed
     assert report[2]["kept"] == 1
     assert curated == [1]
+
+
+def test_cli_cluster_step(spark, tmp_path):
+    """The cluster step writes near-dup clusters and survivor rows;
+    with score_col, each cluster keeps its best-scored document."""
+    import json
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", 10),
+            (2, "alpha beta gamma delta epsilon", 99),  # near-dup of 1, better score
+            (3, "one two three four five six", 5),
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    cfg = {
+        "inputs": {"documents": {"format": "parquet", "path": src}},
+        "output": {"format": "parquet", "dir": out},
+        "cluster": {"score_col": "quality"},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cli_main(["cluster", "--config", str(cfg_path)])
+
+    clusters = {
+        r["component"]: r["member_ids"]
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert clusters == {1: [1, 2]}
+    surv = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in spark.read.parquet(f"{out}/survivors").collect()
+    }
+    # quality-aware: doc 2 (score 99) survives its cluster, not min-id 1
+    assert surv == {1: (1, False), 2: (1, True), 3: (3, True)}
