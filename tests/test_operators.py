@@ -529,3 +529,77 @@ def test_dedup_survivors_by_keeps_best_scored(spark):
     }
     # cluster {1,2,3}: doc 2 has the best quality; singleton 7 survives
     assert out == {1: (1, False), 2: (1, True), 3: (1, False), 7: (7, True)}
+
+
+def test_hot_bucket_cap_drops_viral_minhash_bucket(spark):
+    """max_bucket_size must drop only the viral bucket's pairs; pairs
+    from sane buckets survive."""
+    rows = [(i, 0, 100) for i in range(1, 6)]   # viral: 5 members
+    rows += [(1, 1, 200), (2, 1, 200)]          # sane: 2 members
+    sigs = spark.createDataFrame(rows, ["id", "seed", "sig"])
+    capped = {
+        (r["id_a"], r["id_b"]): r["n_matching"]
+        for r in D.minhash_candidate_pairs(
+            sigs, min_matching=1, max_bucket_size=4
+        ).collect()
+    }
+    assert capped == {(1, 2): 1}
+    uncapped = D.minhash_candidate_pairs(sigs, min_matching=1).count()
+    assert uncapped == 10  # C(5,2) from the viral bucket; (1,2) merges
+    D.release_cached()
+
+
+def test_capped_jaccard_is_exact_over_retained_shingles(spark):
+    """Round-4 ADVICE fix: with max_bucket_size, per-doc sizes are
+    recomputed over surviving shingles, so surviving pairs score their
+    exact jaccard in the retained universe (1.0 for identical docs),
+    not a biased-down ratio against pre-drop sizes."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x y a b"), (2, "x y a b"),      # identical
+            (3, "x y q r"), (4, "x y s t"), (5, "x y u v"),
+        ],
+        ["doc_id", "text"],
+    )
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 2, 0.1, max_bucket_size=4
+        ).collect()
+    }
+    # 'x y' (df=5) dropped; only the identical pair shares retained
+    # grams, and its jaccard stays exactly 1.0 (2 shared / 2+2-2)
+    assert capped == {(1, 2): 1.0}
+    uncapped = D.ngram_jaccard_pairs(docs, "doc_id", "text", 2, 0.1).count()
+    assert uncapped == 10  # every pair shares at least 'x y'
+    D.release_cached()
+
+
+def test_hot_bucket_cap_validates(spark):
+    sigs = spark.createDataFrame([(1, 0, 1)], ["id", "seed", "sig"])
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        D.minhash_candidate_pairs(sigs, max_bucket_size=1)
+
+
+def test_window_dup_stats_cap_consistent_fraction(spark):
+    """A capped-out hot window disappears from numerator AND
+    denominator — fractions stay internally consistent."""
+    hot = "h1 h2 h3"  # one shared 3-window across all docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hot} a b c"), (2, f"{hot} a b c"),
+            (3, f"{hot} p q r"), (4, f"{hot} s t u"), (5, f"{hot} v w x"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in D.window_dup_stats(
+            docs, "doc_id", "text", window=3, max_bucket_size=4
+        ).collect()
+    }
+    # doc 1 windows: [h1h2h3, h2h3a, h3ab, abc] -> hot dropped -> 3
+    # retained; docs 1&2 share all 3 retained windows
+    assert out[1] == (3, 3)
+    assert out[2] == (3, 3)
+    assert out[3] == (3, 0)
