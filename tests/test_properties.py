@@ -321,3 +321,42 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
     got = {r["id"]: r["component"] for r in CC.connected_components(df).collect()}
     # same partition into components AND the same min-id labels
     assert got == expected
+
+
+def test_window_dup_stats_matches_python_reference(spark):
+    """Randomized docs vs a pure-Python recomputation of the
+    shared-window fractions (one batched Spark run)."""
+    from collections import Counter
+
+    from platform_etl_literature_spark.operators import dedup as D2
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    W = 3
+
+    def windows(text):
+        toks = [t for t in text.split(" ") if t]
+        return set(
+            " ".join(toks[i : i + W]) for i in range(len(toks) - W + 1)
+        )
+
+    per_doc = {i: windows(t) for i, t in docs}
+    df_counts = Counter(w for ws in per_doc.values() for w in ws)
+    expected = {
+        i: (
+            len(ws),
+            sum(1 for w in ws if df_counts[w] > 1),
+        )
+        for i, ws in per_doc.items()
+    }
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in D2.window_dup_stats(sdf, "doc_id", "text", window=W).collect()
+    }
+    assert got == expected
