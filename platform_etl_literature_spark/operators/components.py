@@ -107,14 +107,21 @@ def connected_components(
     any corpus that fits on hardware).
     """
     e = _canon_edges(edges, a, b).localCheckpoint(eager=True)
+    n = e.count()
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # fixpoint when the round was a no-op (both sides are already
-        # materialized checkpoints, so the comparison is one slim scan)
+        # exact fixpoint = set equality: no NEW edges (exceptAll empty)
+        # AND no edges LOST (equal counts) — a round can strictly
+        # shrink the set (e.g. a triangle loses its redundant edge),
+        # and subset-only detection would declare a premature fixpoint
+        # on a state that may not be a star forest yet.  Both frames
+        # are materialized checkpoints, so each check is one slim scan.
+        n2 = e2.count()
         changed = e2.exceptAll(e).limit(1).count()
         e = e2
-        if changed == 0:
+        if changed == 0 and n2 == n:
             break
+        n = n2
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     # star forest: every edge now points (component-min, member)

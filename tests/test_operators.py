@@ -603,3 +603,17 @@ def test_window_dup_stats_cap_consistent_fraction(spark):
     assert out[1] == (3, 3)
     assert out[2] == (3, 3)
     assert out[3] == (3, 0)
+
+
+def test_connected_components_triangle_shrink_not_premature_fixpoint(spark):
+    """A triangle's first round strictly SHRINKS the edge set (drops
+    the redundant edge) without adding any: subset-only fixpoint
+    detection would stop there; the exact check (no new edges AND no
+    lost edges) must run one more round and still label correctly."""
+    from platform_etl_literature_spark.operators import components as CC
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (5, 6), (6, 7), (5, 7)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in CC.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5}
