@@ -51,12 +51,21 @@ def ingest_dedup_writer(
         return F.md5(t)
 
     def _step(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         keyed = batch.withColumn("_h", key(F.col(text_col)))
         try:
             seen = spark.read.parquet(index_path).select("_h")
             fresh = keyed.join(seen, "_h", "left_anti")
-        except Exception:  # first batch: index does not exist yet
+        except AnalysisException as exc:
+            # ONLY the first-batch missing-index case may fall through
+            # to "everything is fresh" — any other read failure (a
+            # corrupt index, permissions) must fail the batch, or
+            # indexed duplicates would silently re-admit.
+            cond = getattr(exc, "getCondition", exc.getErrorClass)() or ""
+            if "PATH_NOT_FOUND" not in cond and "does not exist" not in str(exc):
+                raise
             fresh = keyed
         # first-id-wins within the batch (same winner rule as
         # incremental_dedup / exact_dedup)
