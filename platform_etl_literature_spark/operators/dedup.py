@@ -101,6 +101,14 @@ MINHASH_SEEDS: list[tuple[int, int, int]] = [
 ]
 
 
+# SQL fragments for the generated-width builders below (kept in ONE
+# place so the Column-DSL helpers and the SQL-string paths can't
+# drift): non-empty whitespace tokens, and the deterministic md5-based
+# token hash.
+_TOKENS_SQL = "filter(split({text}, ' '), t -> t != '') AS w"
+_TOKEN_HASH_SQL = "CAST(conv(substr(md5({tok}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def token_hash(token: Column) -> Column:
     """Deterministic 32-bit-range token hash: int(md5(token)[:8], 16).
 
@@ -156,19 +164,18 @@ def staged_gram_arrays(
     of the hash value matters (MinHash signatures; collisions aside,
     xxhash64 values could not be replayed by the SQL oracle).
     """
-    w = F.col("_toks")
     if hashed:
-        gram = lambda i: F.xxhash64(F.slice(w, i, n))  # noqa: E731
-        empty = "array<bigint>"
+        gram, empty = "xxhash64(slice(w, i, {n}))", "ARRAY<BIGINT>"
     else:
-        gram = lambda i: F.concat_ws(" ", F.slice(w, i, n))  # noqa: E731
-        empty = "array<string>"
-    grams = F.when(F.size(w) < n, F.array().cast(empty)).otherwise(
-        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram)
+        gram, empty = "concat_ws(' ', slice(w, i, {n}))", "ARRAY<STRING>"
+    gram = gram.format(n=n)
+    return df.selectExpr(
+        f"`{id_col}` AS id", _TOKENS_SQL.format(text=f"`{text_col}`")
+    ).selectExpr(
+        "id",
+        f"array_distinct(IF(size(w) < {n}, CAST(array() AS {empty}), "
+        f"transform(sequence(1, size(w) - {n - 1}), i -> {gram}))) AS _grams",
     )
-    return df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
-    ).select("id", F.array_distinct(grams).alias("_grams"))
 
 
 def _drop_hot_buckets(
@@ -225,12 +232,22 @@ def minhash_signatures(
     # boundary costs more than the repeated split it avoids on
     # explode-next pipelines.  Staging stays load-bearing only where
     # the gram ARRAY itself is consumed (textstats.repetition_stats).
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).withColumn("h", token_hash(F.col("s")))
+    #
+    # Generated-width expressions (shingle transform, k seed mins) are
+    # built as SQL strings parsed JVM-side: O(1) py4j round-trips
+    # instead of O(k·width) Column-op calls, which measurably dominated
+    # the per-query latency of this family (driver-side build was ~1 s
+    # of the benched time; at scale it is interactive-latency, not
+    # throughput).  Semantics are unchanged — the parsed plan is
+    # identical to the Column-DSL form.
+    n = shingle_n
+    sh = df.selectExpr(f"`{id_col}` AS id", _TOKENS_SQL.format(text=f"`{text_col}`")).selectExpr(
+        "id",
+        f"explode(array_distinct(IF(size(w) < {n}, CAST(array() AS ARRAY<STRING>), "
+        f"transform(sequence(1, size(w) - {n - 1}), i -> concat_ws(' ', slice(w, i, {n})))))) AS s",
+    ).selectExpr("id", _TOKEN_HASH_SQL.format(tok="s") + " AS h")
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"sig{i}")
+        F.expr(f"min(({a}L * h + {b}L) % {_MH_PRIME}L) AS sig{i}")
         for i, a, b in MINHASH_SEEDS
     ]
     wide = sh.groupBy("id").agg(*aggs)
@@ -292,17 +309,15 @@ def minhash_banded_pairs(
     k = len(MINHASH_SEEDS)
     n_bands = k // band_size
     banded = (
-        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        sigs.selectExpr("id", "seed", "sig", f"CAST(seed / {band_size} AS INT) AS band")
         .filter(F.col("band") < n_bands)
         .groupBy("id", "band")
         # band bucket = the exact signature tuple, serialized in seed order
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "sig"))).alias("_tuple"))
-        .select(
+        .agg(F.expr("sort_array(collect_list(struct(seed, sig))) AS _tuple"))
+        .selectExpr(
             "id",
             "band",
-            F.array_join(
-                F.transform("_tuple", lambda e: e["sig"].cast("string")), ":"
-            ).alias("band_key"),
+            "array_join(transform(_tuple, e -> CAST(e.sig AS STRING)), ':') AS band_key",
         )
     )
     banded = _drop_hot_buckets(_materialize_once(banded), ["band", "band_key"], max_bucket_size)
@@ -348,23 +363,12 @@ def simhash_near_pairs(
     # the upstream signature aggregation never re-runs for the two join
     # sides; the block explode below is a cheap projection on top
     signed = _materialize_once(signed.select("id", "simhash"))
-    blocks = signed.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_idx"),
-                        F.shiftright(F.col("simhash"), i * bits_per)
-                        .bitwiseAND(F.lit((1 << bits_per) - 1))
-                        .alias("block_val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "simhash", F.col("b.block_idx"), F.col("b.block_val"))
+    mask = (1 << bits_per) - 1
+    structs = ", ".join(
+        f"struct({i} AS block_idx, shiftright(simhash, {i * bits_per}) & {mask}L AS block_val)"
+        for i in range(n_blocks)
+    )
+    blocks = signed.selectExpr("id", "simhash", f"inline(array({structs}))")
     blocks = _drop_hot_buckets(blocks, ["block_idx", "block_val"], max_bucket_size)
     a = blocks.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block_idx", "block_val"
@@ -511,28 +515,41 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Computed by exploding (token, bit) and summing JVM-side; the shuffle
     carries (id, bit, partial-sum).  Returns (id, simhash).
     """
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
-    ).withColumn("h", token_hash(F.col("t")))
-    # One wide aggregation: 32 per-bit ±1 sums per document (literal
-    # shift amounts keep shiftright usable), then the signature is a
-    # single arithmetic combine — no 32× bit explode, one shuffle of
-    # 32 ints per doc.
-    bit_sums = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(32)
-        ]
-    )
-    sig = None
-    for j in range(32):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    tok = df.selectExpr(
+        f"`{id_col}` AS id",
+        f"explode(filter(split(`{text_col}`, ' '), t -> t != '')) AS t",
+    ).selectExpr("id", _TOKEN_HASH_SQL.format(tok="t") + " AS h")
+    # One wide aggregation with PACKED bit counters: ones_j (count of
+    # tokens with bit j set) accumulates 4 counters per 64-bit long in
+    # 16-bit fields, so the aggregate is 8 long sums + a count instead
+    # of 32 conditional ±1 sums — 4× smaller partial-agg rows on the
+    # shuffle and a 4× narrower codegen'd aggregate (A/B at sf0.1:
+    # 0.53s vs 0.75s cold, tools/ab_simhash.py).  Field sums cannot
+    # carry across boundaries while n_tokens < 2^16; longer documents
+    # get a NULL signature (loud, not silently wrong) — chunk them
+    # first (textstats.chunk_tokens) if they matter.
+    # bit_j(sig) = (2*ones_j > n), identical to the ±1-sum formulation.
+    # All generated-width expressions are single SQL strings (see
+    # minhash_signatures for the py4j rationale).
+    per_long, width = 4, 16
+    n_longs = 32 // per_long
+    packed_sums = []
+    for g in range(n_longs):
+        terms = " + ".join(
+            f"(shiftright(h, {g * per_long + i}) & 1L) * {1 << (width * i)}L"
+            for i in range(per_long)
         )
-        sig = term if sig is None else sig + term
-    return bit_sums.select("id", sig.alias("simhash"))
+        packed_sums.append(F.expr(f"sum({terms}) AS p{g}"))
+    wide = tok.groupBy("id").agg(*packed_sums, F.expr("count(*) AS n"))
+    mask = (1 << width) - 1
+    sig_terms = " + ".join(
+        f"IF((shiftright(p{j // per_long}, {width * (j % per_long)}) & {mask}L) * 2 > n,"
+        f" {1 << j}L, 0L)"
+        for j in range(32)
+    )
+    return wide.selectExpr(
+        "id", f"IF(n < {1 << width}, {sig_terms}, CAST(NULL AS BIGINT)) AS simhash"
+    )
 
 
 def contamination(
@@ -709,6 +726,58 @@ def window_dup_stats(
         F.when(n_win == 0, F.lit(0.0))
         .otherwise(F.round(n_dup / n_win.cast("double"), 6))
         .alias("dup_fraction"),
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): bucket the embedding space with a FROZEN k-means
+    coarse quantizer, then exact-cosine only WITHIN clusters — pairs
+    whose members land in different clusters are never scored.
+
+    This is the third member of the embedding near-dup family:
+    brute-force (``embedding_cosine_pairs``, exact, O(n²)), LSH-bucketed
+    (``embedding_cosine_pairs_lsh``, random hyperplanes), and this one,
+    where the buckets are LEARNED — near-dups concentrate in the same
+    cluster far more reliably than in a random-hyperplane bucket, so
+    recall per candidate is higher at the same candidate volume.
+
+    Scale shape: assignment is one Arrow-batched numpy matmul per
+    partition (map-side, the shared ``nearest_lists_udf`` quantizer),
+    the assigned table (id, cluster, vec) is persisted once and
+    equijoined to itself on ``cluster``, and only within-cluster
+    candidates pay the exact cosine.  With L clusters the candidate
+    volume drops from n²/2 to Σ|cluster|²/2 ≈ n²/(2L); at 100 TB L
+    scales with the corpus (SemDeDup used 50k clusters) so cluster
+    width — and the join's per-key fan-out — stays bounded.  The frozen
+    centroids make the whole chain deterministic and SQL-expressible
+    (same artifact contract as the IVF probe: versioned constants, not
+    a per-run fit).  Returns (id_a, id_b, cos) with id_a < id_b, both
+    in the same cluster, cos ≥ threshold.
+    """
+    from platform_etl_literature_spark.functions.vectors import array_cosine
+    from platform_etl_literature_spark.operators.similarity import nearest_lists_udf
+
+    lists = nearest_lists_udf(centroids)
+    cv = F.col(vec_col).cast("array<double>")
+    assigned = _materialize_once(
+        df.select(F.col(id_col).alias("id"), cv.alias("v"), lists(cv)[0].alias("cluster"))
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("_va"), "cluster")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"), "cluster")
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", array_cosine("_va", "_vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 
 

@@ -102,6 +102,36 @@ def lsh_bucket(vec, table: int, n_bits: int, dim: int) -> "F.Column":
     return bucket
 
 
+def nearest_lists_udf(centroids: list[list[float]]):
+    """Pandas UDF: array<int> of centroid indices ordered
+    nearest-to-farthest for each vector — the shared coarse-quantizer
+    assignment used by the IVF probe and cluster-bucketed semantic
+    dedup.
+
+    Ranks in ONE Arrow batch per partition: squared-L2 to every
+    centroid via ‖x‖² − 2x·c + ‖c‖² as a numpy matmul.  (The HOF
+    formulation shipped n_lists × dim literal doubles into the
+    expression tree — codegen cost scaled with the quantizer, not the
+    data.)  Ties broken by list index (argsort is stable)."""
+    import numpy as np
+
+    cent = np.array(centroids, dtype=np.float64)
+    cent_sq = (cent * cent).sum(axis=1)  # (L,)
+
+    def _nearest_lists(v):
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.asarray([_np.asarray(row, dtype=_np.float64) for row in v])
+        if len(X) == 0:
+            return _pd.Series([], dtype=object)
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ cent.T) + cent_sq[None, :]
+        order = _np.argsort(d2, axis=1, kind="stable")  # (n, L)
+        return _pd.Series([row.tolist() for row in order])
+
+    return F.pandas_udf(_nearest_lists, "array<int>")
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -148,32 +178,10 @@ def ivf_cosine_topk(
     ``centroids`` from ivf_train_centroids to reuse a trained
     quantizer instead of re-fitting per probe batch.
     """
-    import numpy as np
-
     if centroids is None:
         centroids = ivf_train_centroids(corpus, vec_col, n_lists, seed)
-    centroids = np.array(centroids)
-
-    # Nearest-list ranking in ONE Arrow batch per partition: squared-L2
-    # to every centroid via ‖x‖² − 2x·c + ‖c‖² as a numpy matmul.  (The
-    # HOF formulation shipped n_lists × dim literal doubles into the
-    # expression tree — codegen cost scaled with the quantizer, not the
-    # data.)  Ties broken by list index (argsort is stable).
-    cent_sq = (centroids * centroids).sum(axis=1)  # (L,)
+    _lists_udf = nearest_lists_udf(centroids)
     probe_n = n_probe
-
-    def _nearest_lists(v):
-        import numpy as _np
-        import pandas as _pd
-
-        X = _np.asarray([_np.asarray(row, dtype=_np.float64) for row in v])
-        if len(X) == 0:
-            return _pd.Series([], dtype=object)
-        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ centroids.T) + cent_sq[None, :]
-        order = _np.argsort(d2, axis=1, kind="stable")  # (n, L)
-        return _pd.Series([row.tolist() for row in order])
-
-    _lists_udf = F.pandas_udf(_nearest_lists, "array<int>")
 
     cv = F.col(vec_col).cast("array<double>")
     assigned = corpus.select(

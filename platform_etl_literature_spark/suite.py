@@ -298,14 +298,19 @@ def q_two_level_window_min(spark: SparkSession, sf: str) -> DataFrame:
     """Two-level windowed-min disambiguation: keep keys whose local min
     equals the global min. Covers W1 (Grounding.scala:111-142)."""
     li = _t(spark, sf, "lineitem")
-    w1 = Window.partitionBy("l_orderkey", "l_partkey")
+    # Level 1 as groupBy, not a window: the final projection only keeps
+    # one row per (orderkey, partkey), so a window over raw lineitem
+    # would sort-shuffle the full table to attach m1 to every row and
+    # then collapse with distinct.  groupBy map-side-combines each scan
+    # partition down to one row per key BEFORE the shuffle (and
+    # subsumes the distinct).  Level 2 stays a windowed min — it runs
+    # over the already-reduced table, ~1 row per key.
+    g = li.groupBy("l_orderkey", "l_partkey").agg(F.min("l_quantity").alias("m1"))
     w2 = Window.partitionBy("l_partkey")
     return (
-        li.withColumn("m1", F.min("l_quantity").over(w1))
-        .withColumn("m2", F.min("m1").over(w2))
+        g.withColumn("m2", F.min("m1").over(w2))
         .filter(F.col("m1") == F.col("m2"))
         .select("l_orderkey", "l_partkey", F.col("m1").alias("min_qty"))
-        .distinct()
     )
 
 
@@ -712,6 +717,66 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.4
 
 
 _ORACLE_DEDUP_EMB_LSH = _emb_lsh_oracle()
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: frozen-k-means cluster
+    buckets + within-cluster exact cosine.  Same threshold as the
+    brute-force and LSH twins, so the three results differ only by
+    candidate coverage (brute = all pairs, LSH = hyperplane-bucketed,
+    this = learned-cluster-bucketed)."""
+    from platform_etl_literature_spark.operators.ivf_quantizer import (
+        IVF_CENTROIDS_8x64,
+    )
+
+    return D.semantic_dedup_pairs(
+        _t(spark, sf, "embeddings"),
+        "vec_id",
+        "embedding",
+        centroids=IVF_CENTROIDS_8x64,
+        threshold=0.4,
+    )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
+    """DuckDB oracle for q_semantic_dedup: replays the frozen-centroid
+    assignment exactly (the _ivf_oracle d2 expansion, rank-1 = nearest
+    list) and the within-cluster cosine filter."""
+    from platform_etl_literature_spark.operators.ivf_quantizer import (
+        IVF_CENTROIDS_8x64,
+    )
+
+    branches = []
+    for l, cent in enumerate(IVF_CENTROIDS_8x64):
+        arr = ", ".join(repr(x) for x in cent)
+        csq = repr(sum(x * x for x in cent))
+        branches.append(
+            f"SELECT vec_id, v, {l} AS l, list_dot_product(v, v)"
+            f" - 2.0 * list_dot_product(v, [{arr}]::DOUBLE[]) + {csq} AS d2 FROM c"
+        )
+    d = "\n  UNION ALL ".join(branches)
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS ({d}),
+rl AS (
+  SELECT vec_id, v, l,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, l ASC) AS r
+  FROM d),
+assigned AS (SELECT vec_id, v, l AS cluster FROM rl WHERE r = 1),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+              THEN 0.0
+              ELSE list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         END AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= {threshold}
+"""
+
+
+_ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle()
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -2445,6 +2510,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "dedup_embedding_lsh": QuerySpec(
         q_dedup_embedding_lsh, _ORACLE_DEDUP_EMB_LSH, "dedup-embedding-lsh"
+    ),
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup, _ORACLE_SEMANTIC_DEDUP, "dedup-semantic-clusters"
     ),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, _ORACLE_ANN, "similarity F1"),
     "ann_topk_blocked": QuerySpec(

@@ -503,6 +503,50 @@ def test_embedding_lsh_pairs_subset_of_bruteforce_with_full_recall_on_dups(spark
     D.release_cached()
 
 
+def test_semantic_dedup_pairs_exactly_bruteforce_within_clusters(spark):
+    """Cluster-bucketed semantic dedup must return EXACTLY the
+    brute-force pairs whose two members are assigned to the same
+    (nearest) frozen centroid — no extra pairs, none lost, and
+    identical duplicates (same vector -> same cluster) always found."""
+    import numpy as np
+
+    # two well-separated 4-d centroids; vectors hug one or the other
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    rows = [
+        (0, [1.0, 0.05, 0.0, 0.0]),
+        (1, [1.0, 0.05, 0.0, 0.0]),   # dup of 0, cluster 0
+        (2, [0.9, -0.1, 0.0, 0.0]),   # near 0/1, cluster 0
+        (3, [0.0, 0.05, 0.0, 1.0]),
+        (4, [0.0, 0.05, 0.0, 1.0]),   # dup of 3, cluster 1
+        (5, [0.7, 0.0, 0.0, 0.72]),   # borderline — nearest cluster 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.semantic_dedup_pairs(
+            df, "vec_id", "embedding", centroids, threshold=0.9
+        ).collect()
+    }
+    # reference: numpy assignment + brute-force cosine within clusters
+    C = np.array(centroids)
+    assign = {
+        i: int(np.argmin(((np.array(v) - C) ** 2).sum(axis=1)))
+        for i, v in rows
+    }
+    want = set()
+    for i, vi in rows:
+        for j, vj in rows:
+            if i < j and assign[i] == assign[j]:
+                cos = float(
+                    np.dot(vi, vj) / (np.linalg.norm(vi) * np.linalg.norm(vj))
+                )
+                if cos >= 0.9:
+                    want.add((i, j))
+    assert got == want
+    assert {(0, 1), (3, 4)} <= got  # exact dups always recovered
+    D.release_cached()
+
+
 def test_dedup_clusters_membership_view(spark):
     from platform_etl_literature_spark.operators import components as CC
 
