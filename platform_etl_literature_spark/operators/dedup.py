@@ -524,10 +524,13 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # 16-bit fields, so the aggregate is 8 long sums + a count instead
     # of 32 conditional ±1 sums — 4× smaller partial-agg rows on the
     # shuffle and a 4× narrower codegen'd aggregate (A/B at sf0.1:
-    # 0.53s vs 0.75s cold, tools/ab_simhash.py).  Field sums cannot
-    # carry across boundaries while n_tokens < 2^16; longer documents
-    # get a NULL signature (loud, not silently wrong) — chunk them
-    # first (textstats.chunk_tokens) if they matter.
+    # 0.53s vs 0.75s cold, tools/ab_simhash.py).
+    # Validity bound: n_tokens < 2^15.  Below it no field can carry
+    # into its neighbor (needs 2^16) and the top field × 2^48 cannot
+    # overflow the long (needs 2^15).  At/over it the signature is a
+    # loud NULL — try_sum absorbs the ANSI overflow of the top field
+    # and the n-guard nulls the carry range — never silently wrong;
+    # chunk huge docs first (textstats.chunk_tokens) if they matter.
     # bit_j(sig) = (2*ones_j > n), identical to the ±1-sum formulation.
     # All generated-width expressions are single SQL strings (see
     # minhash_signatures for the py4j rationale).
@@ -539,7 +542,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             f"(shiftright(h, {g * per_long + i}) & 1L) * {1 << (width * i)}L"
             for i in range(per_long)
         )
-        packed_sums.append(F.expr(f"sum({terms}) AS p{g}"))
+        packed_sums.append(F.expr(f"try_sum({terms}) AS p{g}"))
     wide = tok.groupBy("id").agg(*packed_sums, F.expr("count(*) AS n"))
     mask = (1 << width) - 1
     sig_terms = " + ".join(
@@ -548,7 +551,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for j in range(32)
     )
     return wide.selectExpr(
-        "id", f"IF(n < {1 << width}, {sig_terms}, CAST(NULL AS BIGINT)) AS simhash"
+        "id", f"IF(n < {1 << (width - 1)}, {sig_terms}, CAST(NULL AS BIGINT)) AS simhash"
     )
 
 

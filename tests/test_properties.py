@@ -197,6 +197,51 @@ def test_simhash_blocking_is_lossless(spark):
     assert blocked == brute
 
 
+def test_simhash_packed_counters_match_python_reference(spark):
+    """The packed-bit-counter aggregation must reproduce the textbook
+    per-bit ±1-sum SimHash exactly on random docs (multiplicity
+    respected), and documents at/over the 2^15-token counter bound must
+    yield a NULL signature (loud overflow guard, not silent wraparound
+    and no ANSI overflow error)."""
+    import hashlib
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(9)]  # small vocab -> repeated tokens
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 30)))) for i in range(60)
+    ]
+
+    def ref_simhash(text: str) -> int:
+        sums = [0] * 32
+        for t in text.split(" "):
+            if t == "":
+                continue
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(32) if sums[j] > 0)
+
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["id"]: r["simhash"] for r in D.simhash32(df, "doc_id", "text").collect()}
+    assert got == {i: ref_simhash(t) for i, t in rows}
+
+    # 2^15 tokens: over the validity bound (top packed field would
+    # overflow the long at agg time — try_sum absorbs it) -> NULL;
+    # 2^15 - 1 tokens: largest exact case; small docs stay exact.
+    big = spark.createDataFrame(
+        [
+            (0, " ".join(["x"] * 32768)),
+            (1, " ".join(["x"] * 32767)),
+            (2, "x y z"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r["id"]: r["simhash"] for r in D.simhash32(big, "doc_id", "text").collect()}
+    assert out[0] is None  # counter bound reached -> loud NULL
+    assert out[1] == ref_simhash("x")  # all-same-token doc: sign of each bit
+    assert out[2] == ref_simhash("x y z")
+
+
 def test_hash_split_stable_and_exhaustive(spark):
     """Every row gets a split; assignment depends only on the id (same
     id keeps its split when the corpus changes)."""
