@@ -784,6 +784,65 @@ def semantic_dedup_pairs(
     )
 
 
+def scrub_dup_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Exact-substring dedup as an ACTION (the C4 / Lee et al. policy
+    that `window_dup_stats` only measures): split every document into
+    non-overlapping ``window``-token passages, keep exactly the FIRST
+    corpus-wide occurrence of each distinct passage (ordered by doc id,
+    then position), drop every later occurrence — including repeats
+    within one document — and reassemble the surviving text in order.
+
+    Returns every input row as (id, text_scrubbed, n_passages,
+    n_kept) — a fully-duplicated document survives with an empty
+    string, never disappears.  The trailing partial passage (< window
+    tokens) is treated like any other passage.
+
+    Scale shape: NO self-join — passages explode to one slim
+    (id, pos, digest, passage) stream, the first-occurrence winner is a
+    row_number window PARTITIONED BY the 16-byte md5 digest (fixed-
+    width shuffle key; the digest stands in for passage equality, the
+    standard corpus-dedup trade — a 128-bit collision is ~n²/2^129),
+    and reassembly is one groupBy on the doc id.  Two linear shuffles
+    total, same as window_dup_stats.  Deterministic and fully
+    SQL-expressible (md5 + stable ordering), so it takes a value-level
+    oracle.
+    """
+    w = window
+    passages = df.selectExpr(
+        f"`{id_col}` AS id", _TOKENS_SQL.format(text=f"`{text_col}`")
+    ).selectExpr(
+        "id",
+        f"posexplode_outer(IF(size(w) = 0, CAST(array() AS ARRAY<STRING>), "
+        f"transform(sequence(0, CAST(ceil(size(w) / {w}.0) AS INT) - 1), "
+        f"k -> concat_ws(' ', slice(w, k * {w} + 1, {w}))))) AS (pos, passage)",
+    )
+    from pyspark.sql.window import Window as W
+
+    first = W.partitionBy(F.md5("passage")).orderBy("id", "pos")
+    # zero-token docs ride through posexplode_outer as a NULL-passage
+    # row — never kept, but they hold the doc's place in the groupBy
+    kept = (
+        passages.withColumn("_rn", F.row_number().over(first))
+        .withColumn("_keep", (F.col("_rn") == 1) & F.col("passage").isNotNull())
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(IF(_keep, "
+                "struct(pos, passage), NULL))), e -> e.passage), ' ') AS text_scrubbed"
+            ),
+            F.expr("count(passage) AS n_passages"),
+            F.expr("count(IF(_keep, 1, NULL)) AS n_kept"),
+        )
+    )
+
+
 def embedding_cosine_pairs_lsh(
     df: DataFrame,
     id_col: str,

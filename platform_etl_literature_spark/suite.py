@@ -779,6 +779,41 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= {threshold}
 _ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle()
 
 
+def q_scrub_dup_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup as an action (C4 / Lee et al.): keep only
+    the first corpus-wide occurrence of each 8-token passage and
+    rebuild the documents."""
+    return D.scrub_dup_passages(_t(spark, sf, "documents"), "doc_id", "text", window=8)
+
+
+_ORACLE_SCRUB_PASSAGES = """
+WITH w AS (
+  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+p AS (
+  SELECT id, k AS pos, array_to_string(toks[k*8+1 : k*8+8], ' ') AS passage
+  FROM w, LATERAL unnest(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT) - 1)) AS t(k)
+  WHERE len(toks) > 0),
+r AS (
+  SELECT id, pos, passage,
+         row_number() OVER (PARTITION BY md5(passage) ORDER BY id, pos) AS rn
+  FROM p),
+keep AS (SELECT id, pos, passage FROM r WHERE rn = 1),
+agg AS (
+  SELECT id, string_agg(passage, ' ' ORDER BY pos) AS text_scrubbed,
+         count(*) AS n_kept
+  FROM keep GROUP BY id),
+counts AS (SELECT id, count(*) AS n_passages FROM p GROUP BY id)
+SELECT w.id,
+       coalesce(agg.text_scrubbed, '') AS text_scrubbed,
+       coalesce(counts.n_passages, 0) AS n_passages,
+       coalesce(agg.n_kept, 0) AS n_kept
+FROM w
+LEFT JOIN counts ON w.id = counts.id
+LEFT JOIN agg ON w.id = agg.id
+"""
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash per document (token multiplicity respected)."""
     return D.simhash32(_t(spark, sf, "documents"), "doc_id", "text")
@@ -2513,6 +2548,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup, _ORACLE_SEMANTIC_DEDUP, "dedup-semantic-clusters"
+    ),
+    "scrub_dup_passages": QuerySpec(
+        q_scrub_dup_passages, _ORACLE_SCRUB_PASSAGES, "dedup-substring-action"
     ),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, _ORACLE_ANN, "similarity F1"),
     "ann_topk_blocked": QuerySpec(

@@ -503,6 +503,28 @@ def test_embedding_lsh_pairs_subset_of_bruteforce_with_full_recall_on_dups(spark
     D.release_cached()
 
 
+def test_scrub_dup_passages_keeps_first_occurrence_only(spark):
+    """C4-style passage scrub: first corpus-wide occurrence (by id, pos)
+    of each passage survives, later ones — across docs AND within one
+    doc — are removed; fully-duplicated docs survive as empty strings;
+    zero-token docs ride through."""
+    rows = [
+        (1, "a b c d"),          # passages (w=2): "a b", "c d"
+        (2, "c d a b x"),        # all dup except trailing "x"
+        (3, "a b a b"),          # within-doc repeat: second "a b" dropped
+        (4, ""),                 # zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r["id"]: (r["text_scrubbed"], r["n_passages"], r["n_kept"])
+        for r in D.scrub_dup_passages(df, "doc_id", "text", window=2).collect()
+    }
+    assert out[1] == ("a b c d", 2, 2)
+    assert out[2] == ("x", 3, 1)
+    assert out[3] == ("", 2, 0)
+    assert out[4] == ("", 0, 0)
+
+
 def test_semantic_dedup_pairs_exactly_bruteforce_within_clusters(spark):
     """Cluster-bucketed semantic dedup must return EXACTLY the
     brute-force pairs whose two members are assigned to the same
