@@ -33,6 +33,8 @@ HEADLINE = [
     "minhash_banded",
     "simhash",
     "simhash_near_pairs",
+    "semantic_dedup",
+    "scrub_dup_passages",
     "ann_cosine_topk",
     "ann_topk_blocked",
     "lsh_ann_topk",

@@ -35,6 +35,22 @@ def array_norm(a: Column | str) -> Column:
     return F.sqrt(sq)
 
 
+def array_unit(a: Column | str) -> Column:
+    """a / ||a||, with the zero vector mapping to all-zeros (so a
+    downstream dot product yields similarity 0 — the same guard
+    ``array_cosine`` applies).
+
+    Normalizing ONCE per row turns a pairwise cosine into a single dot
+    product: a candidate-pair verify over P pairs does P folds instead
+    of 3P (dot + both norms) — the norms move to the O(n) row side.
+    """
+    a = _c(a)
+    n = array_norm(a)
+    return F.when(n == 0.0, F.transform(a, lambda x: x * 0.0)).otherwise(
+        F.transform(a, lambda x: x / n)
+    )
+
+
 def array_cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; 0.0 when either norm is 0.
 

@@ -741,7 +741,10 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
     """DuckDB oracle for q_semantic_dedup: replays the frozen-centroid
     assignment exactly (the _ivf_oracle d2 expansion, rank-1 = nearest
-    list) and the within-cluster cosine filter."""
+    list), then the SAME normalize-once / dot-per-pair arithmetic as
+    the Spark operator (unit vectors on the row side, zero vector →
+    all-zeros; per-pair similarity is one dot product), so values are
+    bit-comparable."""
     from platform_etl_literature_spark.operators.ivf_quantizer import (
         IVF_CENTROIDS_8x64,
     )
@@ -762,14 +765,17 @@ rl AS (
   SELECT vec_id, v, l,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, l ASC) AS r
   FROM d),
-assigned AS (SELECT vec_id, v, l AS cluster FROM rl WHERE r = 1),
+assigned AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(v, v)) = 0
+              THEN list_transform(v, x -> x * 0.0)
+              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         END AS nv,
+         l AS cluster
+  FROM rl WHERE r = 1),
 s AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
-              THEN 0.0
-              ELSE list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-         END AS cos
+         list_dot_product(a.nv, b.nv) AS cos
   FROM assigned a JOIN assigned b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= {threshold}
