@@ -175,6 +175,31 @@ def run_curate(spark: SparkSession, cfg: dict) -> None:
     )
 
 
+def run_scrub(spark: SparkSession, cfg: dict) -> None:
+    """Exact-substring dedup ACTION over a ``documents`` input: C4-style
+    first-occurrence passage scrub (``dedup.scrub_dup_passages``).
+    Writes ``scrubbed`` — every input row with its text rebuilt from the
+    surviving passages plus (n_passages, n_kept) — ready to feed the
+    curate/cluster steps downstream."""
+    from platform_etl_literature_spark.operators.dedup import scrub_dup_passages
+
+    scfg = cfg.get("scrub", {})
+    id_col = scfg.get("id_col", "doc_id")
+    text_col = scfg.get("text_col", "text")
+    docs = read_from(spark, _io_configs(cfg["inputs"]))["documents"].data
+    scrubbed = scrub_dup_passages(
+        docs, id_col, text_col, window=scfg.get("window", 16)
+    ).withColumnRenamed("id", id_col)
+    out_fmt, out_dir = cfg["output"]["format"], cfg["output"]["dir"]
+    write_to(
+        {
+            "scrubbed": IOResource(
+                scrubbed, IOResourceConfig(out_fmt, f"{out_dir}/scrubbed")
+            ),
+        }
+    )
+
+
 def run_cluster(spark: SparkSession, cfg: dict) -> None:
     """Near-dup clustering over a ``documents`` input: banded-MinHash
     candidate pairs → connected components → survivor resolution.
@@ -223,10 +248,13 @@ def main(argv: list[str] | None = None) -> None:
         prog="platform-etl-literature-spark",
         description=(
             "PySpark literature ETL: processing | embedding | vectors | "
-            "evidence | all; plus the training-data steps: curate, cluster"
+            "evidence | all; plus the training-data steps: curate, cluster, "
+            "scrub"
         ),
     )
-    p.add_argument("steps", nargs="+", choices=STEPS + ["all", "curate", "cluster"])
+    p.add_argument(
+        "steps", nargs="+", choices=STEPS + ["all", "curate", "cluster", "scrub"]
+    )
     p.add_argument("--config", required=True, help="JSON config file")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -234,6 +262,8 @@ def main(argv: list[str] | None = None) -> None:
     with open(args.config) as fh:
         cfg = json.load(fh)
     spark = build_session("platform-etl-literature-spark", master=args.master)
+    if "scrub" in args.steps:
+        run_scrub(spark, cfg)
     if "curate" in args.steps:
         run_curate(spark, cfg)
     if "cluster" in args.steps:

@@ -140,3 +140,32 @@ def test_cli_cluster_step(spark, tmp_path):
     }
     # quality-aware: doc 2 (score 99) survives its cluster, not min-id 1
     assert surv == {1: (1, False), 2: (1, True), 3: (3, True)}
+
+
+def test_cli_scrub_step(spark, tmp_path):
+    """The scrub step rewrites each document keeping only first
+    corpus-wide occurrences of its passages."""
+    import json
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d a b x")], ["doc_id", "text"]
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    cfg = {
+        "inputs": {"documents": {"format": "parquet", "path": src}},
+        "output": {"format": "parquet", "dir": out},
+        "scrub": {"window": 2},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cli_main(["scrub", "--config", str(cfg_path)])
+
+    got = {
+        r["doc_id"]: (r["text_scrubbed"], r["n_passages"], r["n_kept"])
+        for r in spark.read.parquet(f"{out}/scrubbed").collect()
+    }
+    assert got == {1: ("a b c d", 2, 2), 2: ("x", 3, 1)}
