@@ -134,6 +134,29 @@ def test_window_dup_stats_single_scan_no_join(spark, sf_dir):
     assert "Window" in plan, plan[:3000]
 
 
+def test_semantic_dedup_groups_once_no_join(spark, sf_dir):
+    """The SemDeDup kernel must be ONE exchange on the cluster key into
+    the grouped-map matmul — no pair join, no second corpus scan: a
+    refactor back to the cluster self-join (which shuffles the corpus
+    twice and scores pairs row-at-a-time) fails here."""
+    plan = _simple_plan(SUITE["semantic_dedup"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:3000]
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, plan[:3000]
+
+
+def test_scrub_dup_passages_two_linear_shuffles_no_join(spark, sf_dir):
+    """The passage scrub must stay join-free: one scan, a Window over
+    the passage digest, a groupBy rebuild — exactly two Exchanges."""
+    plan = _simple_plan(SUITE["scrub_dup_passages"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, plan[:3000]
+    assert "Window" in plan, plan[:3000]
+    assert plan.count("Exchange") <= 2, plan[:3000]
+
+
 def test_embedding_lsh_bucket_table_reused_not_recomputed(spark, sf_dir):
     """Both sides of the LSH self-join must read the persisted bucket
     table (InMemoryTableScan), not re-run the Arrow bucketing UDF
