@@ -55,6 +55,7 @@ HEADLINE = [
     "doc_chunks",
     "epoch_repeat",
     "eval_sample",
+    "bm25_topk",
     "doc_repetition",
     "corpus_curation",
     "user_ewma",

@@ -30,6 +30,7 @@ from platform_etl_literature_spark.functions.harmonic import (
 from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import multimodal as MM
+from platform_etl_literature_spark.operators import retrieval as RET
 from platform_etl_literature_spark.operators import sessionize as SS
 from platform_etl_literature_spark.operators import similarity as SIM
 from platform_etl_literature_spark.operators import textstats as TS
@@ -2098,6 +2099,66 @@ QUALIFY row_number() OVER (
 """
 
 
+# The three BM25 demo query terms: common enough in the synthetic corpus
+# to produce a meaningful ranking, with distinct document frequencies.
+_BM25_TERMS = ["spark", "vector", "merge"]
+
+
+def q_bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 relevance of every matching document for a 3-term query —
+    one map-side corpus pass + a single-row stats broadcast
+    (operators.retrieval.bm25_scores)."""
+    return RET.bm25_scores(
+        _t(spark, sf, "documents"), "doc_id", "text", _BM25_TERMS
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-15 BM25 search over the corpus; TakeOrderedAndProject, never
+    a global sort (operators.retrieval.bm25_topk)."""
+    return RET.bm25_topk(
+        _t(spark, sf, "documents"), "doc_id", "text", _BM25_TERMS, k=15
+    )
+
+
+# Mirrors bm25_scores arithmetic op-for-op (see the float-parity policy
+# in the module docstring): avgdl as exact-sum/count, idf rounded to 6
+# before the product, fixed left-to-right term sum, final round to 6.
+_ORACLE_BM25_SCORES = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents),
+base AS (
+  SELECT doc_id, len(w) AS dl,
+    len(list_filter(w, x -> x = 'spark'))  AS tf0,
+    len(list_filter(w, x -> x = 'vector')) AS tf1,
+    len(list_filter(w, x -> x = 'merge'))  AS tf2
+  FROM toks),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base)
+SELECT doc_id,
+  (tf0 + tf1 + tf2) AS n_hits,
+  round(
+      round(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
+        * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+    + round(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+        * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+    + round(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+        * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+  , 6) AS score
+FROM base CROSS JOIN stats
+WHERE (tf0 + tf1 + tf2) > 0
+"""
+
+_ORACLE_BM25_TOPK = (
+    _ORACLE_BM25_SCORES + "\nORDER BY score DESC, doc_id ASC\nLIMIT 15\n"
+)
+
+
 def q_json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON field extraction from the events props column (the from_json
     direction the reference never needed — it only writes with to_json,
@@ -2637,6 +2698,8 @@ SUITE: dict[str, QuerySpec] = {
     "doc_chunks": QuerySpec(q_doc_chunks, _ORACLE_CHUNKS, "chunking-ext"),
     "epoch_repeat": QuerySpec(q_epoch_repeat, _ORACLE_EPOCH, "upsampling-ext"),
     "eval_sample": QuerySpec(q_eval_sample, _ORACLE_EVAL_SAMPLE, "fixed-n-sampling-ext"),
+    "bm25_scores": QuerySpec(q_bm25_scores, _ORACLE_BM25_SCORES, "retrieval-bm25-ext"),
+    "bm25_topk": QuerySpec(q_bm25_topk, _ORACLE_BM25_TOPK, "retrieval-bm25-topk-ext"),
 }
 
 

@@ -683,3 +683,41 @@ def test_connected_components_triangle_shrink_not_premature_fixpoint(spark):
     )
     comp = {r["id"]: r["component"] for r in CC.connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_bm25_scoring_ranks_and_filters(spark):
+    """tf monotonicity, non-match exclusion, and the dl normalization:
+    with one query term, a doc repeating it twice in the same length
+    outranks a single mention; longer docs are penalized."""
+    from platform_etl_literature_spark.operators import retrieval as RET
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),
+            (2, "cat dog bird"),
+            (3, "cat dog bird fish mouse lion bear wolf"),
+            (4, "dog bird fish"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["score"])
+        for r in RET.bm25_scores(docs, "doc_id", "text", ["cat"]).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4 has no hit
+    assert out[1][0] == 2 and out[2][0] == 1
+    assert out[1][1] > out[2][1]  # higher tf wins at equal dl
+    assert out[2][1] > out[3][1]  # same tf, longer doc penalized
+
+    top = RET.bm25_topk(docs, "doc_id", "text", ["cat"], k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]
+
+
+def test_bm25_validates_terms(spark):
+    from platform_etl_literature_spark.operators import retrieval as RET
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        RET.bm25_scores(docs, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        RET.bm25_scores(docs, "doc_id", "text", ["a", "a"])

@@ -166,3 +166,14 @@ def test_embedding_lsh_bucket_table_reused_not_recomputed(spark, sf_dir):
     plan = _simple_plan(SUITE["dedup_embedding_lsh"].fn(spark, sf_dir))
     assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
     D.release_cached()
+
+
+def test_bm25_topk_is_take_ordered_single_stats_exchange(spark, sf_dir):
+    """BM25 search must be one map-side corpus pass: the only exchanges
+    are the single-row stats rollup (+ its broadcast back); top-k is
+    TakeOrderedAndProject, never a global Sort, and nothing joins by
+    shuffle."""
+    plan = _simple_plan(SUITE["bm25_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
