@@ -61,6 +61,7 @@ HEADLINE = [
     "user_ewma",
     "events_hourly",
     "events_sliding",
+    "events_segment_hourly",
     "sessionize",
     "interval_join_views_clicks",
     "literature_pipeline",

@@ -111,6 +111,50 @@ def sliding_counts(
     )
 
 
+def segment_hourly_counts(
+    events: DataFrame,
+    customers: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment: events joined to the static customer
+    dimension (user_id -> market segment), then tumbling-window counts
+    per segment.  Unmatched users fall into the 'UNKNOWN' segment
+    rather than dropping rows, so rollups stay complete.
+
+    Scale shape: the static side is a dimension table, explicitly
+    broadcast — under a stream this re-plans per micro-batch as a
+    broadcast hash join (the stream side never shuffles for the join);
+    the only stateful operator is the windowed aggregate, bounded by
+    watermark x segment cardinality.  Identical code path on batch and
+    streaming inputs (the tests pin stream == batch).
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id", "left")
+        .withColumn("segment", F.coalesce(F.col("segment"), F.lit("UNKNOWN")))
+    )
+    return (
+        joined.groupBy(F.window("ts", window).alias("win"), F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1234,6 +1234,27 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_events_segment_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment rollup — the batch twin of
+    streaming.events.segment_hourly_counts (broadcast customer
+    dimension join -> tumbling-hour counts per market segment)."""
+    from platform_etl_literature_spark.streaming.events import segment_hourly_counts
+
+    return segment_hourly_counts(
+        _t(spark, sf, "events"), _t(spark, sf, "customer")
+    )
+
+
+_ORACLE_SEGMENT_HOURLY = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n,
+       round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (lag → flag → running sum) + per-user
     rollup; the batch analog of stateful streaming sessions."""
@@ -2700,6 +2721,9 @@ SUITE: dict[str, QuerySpec] = {
     "eval_sample": QuerySpec(q_eval_sample, _ORACLE_EVAL_SAMPLE, "fixed-n-sampling-ext"),
     "bm25_scores": QuerySpec(q_bm25_scores, _ORACLE_BM25_SCORES, "retrieval-bm25-ext"),
     "bm25_topk": QuerySpec(q_bm25_topk, _ORACLE_BM25_TOPK, "retrieval-bm25-topk-ext"),
+    "events_segment_hourly": QuerySpec(
+        q_events_segment_hourly, _ORACLE_SEGMENT_HOURLY, "stream-static-join-ext"
+    ),
 }
 
 

@@ -260,3 +260,27 @@ def test_ingest_dedup_across_and_within_batches(spark, tmp_path):
     assert kept == {1: "alpha", 3: "beta", 5: "gamma"}
     idx = spark.read.parquet(str(tmp_path / "index")).distinct().count()
     assert idx == 3
+
+
+def test_stream_static_segment_enrichment_matches_batch(spark, batch_events):
+    """Stream-static broadcast join (events stream x customer dim) +
+    windowed agg must equal the same pipeline on batch input, and the
+    unmatched-user path must land in UNKNOWN, not drop rows."""
+    from platform_etl_literature_spark.sources.events import read_table
+    from platform_etl_literature_spark.streaming.events import segment_hourly_counts
+
+    customers = read_table(spark, SF_DIR, "customer")
+    stream = read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
+    got = _drain(spark, segment_hourly_counts(stream, customers), "seg_hourly_t")
+    expected = segment_hourly_counts(batch_events, customers)
+    g = {(r["window_start"], r["segment"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    e = {(r["window_start"], r["segment"]): (r["n"], r["sum_value"]) for r in expected.collect()}
+    assert g == e
+    assert len(g) > 0
+    # unmatched users must surface as UNKNOWN, never silently drop
+    orphan = segment_hourly_counts(
+        batch_events, customers.where(F.col("c_custkey") < 0)
+    )
+    rows = orphan.select("segment").distinct().collect()
+    assert {r["segment"] for r in rows} == {"UNKNOWN"}
+    assert orphan.agg(F.sum("n")).first()[0] == batch_events.count()
