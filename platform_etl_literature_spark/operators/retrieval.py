@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from platform_etl_literature_spark.operators.dedup import tokens
+from platform_etl_literature_spark.operators.dedup import _materialize_once, tokens
 
 
 def bm25_scores(
@@ -65,7 +65,12 @@ def bm25_scores(
     if len(set(terms)) != len(terms):
         raise ValueError("query terms must be distinct")
 
-    w = tokens(F.col(text_col))
+    # Stage the token array in its own projection: CollapseProject will
+    # not inline a non-cheap split() referenced by every counter, so the
+    # text tokenizes ONCE per row instead of once per term (Catalyst
+    # does not CSE lambda-bearing expressions across projection items).
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
 
     # NB: a `lambda t, term=term:` default-arg capture would change the
     # lambda's arity and flip F.filter into its (element, index) form —
@@ -77,7 +82,13 @@ def bm25_scores(
         F.size(F.filter(w, eq(term))).alias(f"_tf{i}")
         for i, term in enumerate(terms)
     ]
-    base = docs.select(F.col(id_col), F.size(w).alias("_dl"), *tf_cols)
+    # The slim (id, dl, tf...) table feeds BOTH the corpus-stats rollup
+    # and the scoring pass; persist it so the text is scanned and
+    # tokenized exactly once (a handful of longs per document — at
+    # 100 TB this is the difference between one and two corpus reads).
+    base = _materialize_once(
+        toks.select(F.col(id_col), F.size(w).alias("_dl"), *tf_cols)
+    )
 
     stats = base.agg(
         F.count(F.lit(1)).alias("_n_docs"),

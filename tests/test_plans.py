@@ -177,3 +177,6 @@ def test_bm25_topk_is_take_ordered_single_stats_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
+    # stats rollup and scoring both read the persisted slim base — the
+    # corpus text is scanned and tokenized exactly once
+    assert "InMemoryTableScan" in plan, plan[:3000]

@@ -88,6 +88,22 @@ SHOWCASE: dict[str, str] = {
         "per-document rollup — two shuffles, both linear in the window "
         "stream."
     ),
+    "bm25_topk": (
+        "BM25 search: ONE parquet scan — the staged token array "
+        "(`Project` over `Project`, split() evaluated once per row, not "
+        "once per term) feeds a persisted slim (id, dl, tf...) table "
+        "(`InMemoryRelation`) read by BOTH the corpus-stats rollup and "
+        "the scoring side; the single-row stats aggregate broadcasts "
+        "back (`BroadcastNestedLoopJoin` over one row); "
+        "`TakeOrderedAndProject` caps every partition at k rows — no "
+        "global Sort, no SortMergeJoin anywhere."
+    ),
+    "events_segment_hourly": (
+        "Stream-static enrichment (batch twin): the customer dimension "
+        "broadcasts (`BroadcastHashJoin LeftOuter`) so the events side "
+        "never shuffles for the join; the only Exchange is the windowed "
+        "rollup's, with partial aggregation before it."
+    ),
     "dedup_components": (
         "Each large-star/small-star round is group-bys/joins over a "
         "2-long edge table; the displayed plan is the FINAL labeling "

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from platform_etl_literature_spark.operators import components as CC
 from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import retrieval as RET
 from platform_etl_literature_spark.operators import similarity as SIM
 from platform_etl_literature_spark.operators import textstats as TS
 from platform_etl_literature_spark.session import build_session
@@ -85,6 +86,13 @@ OPS = {
     "doc_chunks": lambda df: TS.chunk_tokens(df, "doc_id", "text", 32, 8),
     "curation_flags": lambda df: TS.curation_flags(
         df, "doc_id", "text", carry_cols=["source"]
+    ),
+    "window_dup_stats": lambda df: D.window_dup_stats(df, "doc_id", "text", window=8),
+    "scrub_passages": lambda df: D.scrub_dup_passages(df, "doc_id", "text", window=8),
+    # query terms carry copy-0's token tag (the probe corpus suffixes
+    # every token); stats/ranking still span the whole corpus
+    "bm25_topk": lambda df: RET.bm25_topk(
+        df, "doc_id", "text", ["sparkx0", "vectorx0", "mergex0"], k=15
     ),
 }
 
