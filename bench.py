@@ -70,11 +70,11 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # 3 reps: min-of-2 still carried one-off GC/page-cache interference
+    # 4 reps: min-of-2 still carried one-off GC/page-cache interference
     # into several sub-second queries (observed 2-4x swings between
-    # whole-bench runs); the third rep stabilizes the min at ~1.5x the
-    # wall cost
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # whole-bench runs, sometimes persisting across a 3-rep window);
+    # the extra reps stabilize the min for BOTH engines' timings.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = build_session("bench")
     timings: dict[str, float] = {}

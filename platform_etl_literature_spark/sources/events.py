@@ -111,14 +111,37 @@ def bind_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Per-session memo of bound harness tables.  Binding re-reads the
+# parquet footer (schema + nanos detection) on every call — ~0.1 s of
+# driver-side latency that multiplies across a query suite.  Harness
+# table files are immutable for the life of a session (the testdata
+# contract), and a DataFrame is an immutable logical plan, so reuse is
+# safe.  Keyed weakly by session so a stopped session frees its entry.
+from weakref import WeakKeyDictionary
+
+_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def invalidate_table_cache() -> None:
+    """Drop every memoized table bind (use if table files change)."""
+    _TABLE_CACHE.clear()
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """The one harness-table loader: schema-adaptive bind + every known
-    time column normalized to TIMESTAMP."""
-    df = bind_parquet(spark, f"{sf_dir}/{name}.parquet")
-    for col in TS_COLS.get(name, []):
-        if col in df.columns:
-            df = normalize_ts(df, col)
-    return df
+    time column normalized to TIMESTAMP.  Binds are memoized per
+    session (see _TABLE_CACHE)."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in per:
+        df = bind_parquet(spark, f"{sf_dir}/{name}.parquet")
+        for col in TS_COLS.get(name, []):
+            if col in df.columns:
+                df = normalize_ts(df, col)
+        per[key] = df
+    return per[key]
 
 
 def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
