@@ -1567,6 +1567,34 @@ FROM documents,
 """
 
 
+def q_multimodal_wav_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode: synthesize a deterministic PCM16 WAV per
+    document (stdlib `wave` writer), then parse header + frames back and
+    emit per-clip stats.  The waveform is an integer LCG, so the oracle
+    regenerates identical samples and checks the full encode->decode
+    round trip value-for-value (operators.multimodal.decode_wav_stats)."""
+    media = MM.synth_wav_media(_t(spark, sf, "documents"), "doc_id")
+    return MM.decode_wav_stats(media)
+
+
+_ORACLE_MM_WAV = """
+WITH s AS (
+  SELECT doc_id, ((doc_id * 7919 + k * 104729) % 65536) - 32768 AS v
+  FROM documents, LATERAL unnest(generate_series(0, 255)) AS t(k)),
+a AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CAST(v AS BIGINT) * v) AS ss,
+         max(abs(v)) AS pk
+  FROM s GROUP BY 1)
+SELECT doc_id AS media_id,
+  8000 AS sample_rate, 1 AS n_channels, n AS n_frames,
+  round(n / 8000, 6) AS duration_s,
+  round(sqrt(ss / CAST(n AS DOUBLE)), 6) AS rms,
+  pk AS peak
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 # Remaining §2 families + join-type extensions
 # --------------------------------------------------------------------------
@@ -2723,6 +2751,9 @@ SUITE: dict[str, QuerySpec] = {
     "bm25_topk": QuerySpec(q_bm25_topk, _ORACLE_BM25_TOPK, "retrieval-bm25-topk-ext"),
     "events_segment_hourly": QuerySpec(
         q_events_segment_hourly, _ORACLE_SEGMENT_HOURLY, "stream-static-join-ext"
+    ),
+    "multimodal_wav_stats": QuerySpec(
+        q_multimodal_wav_stats, _ORACLE_MM_WAV, "multimodal-real-audio-decode"
     ),
 }
 
