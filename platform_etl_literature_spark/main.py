@@ -243,17 +243,47 @@ def run_cluster(spark: SparkSession, cfg: dict) -> None:
     D.release_cached()
 
 
+def run_search(spark: SparkSession, cfg: dict) -> None:
+    """BM25 keyword search over a ``documents`` input.  Config::
+
+        "search": {"terms": ["spark", "vector"], "k": 20,
+                   "id_col": "doc_id", "text_col": "text"}
+
+    Writes ``search`` — the top-k (id, n_hits, score) hits."""
+    from platform_etl_literature_spark.operators import dedup as D
+    from platform_etl_literature_spark.operators.retrieval import bm25_topk
+
+    scfg = cfg.get("search", {})
+    docs = read_from(spark, _io_configs(cfg["inputs"]))["documents"].data
+    hits = bm25_topk(
+        docs,
+        scfg.get("id_col", "doc_id"),
+        scfg.get("text_col", "text"),
+        scfg["terms"],
+        k=scfg.get("k", 10),
+        k1=scfg.get("k1", 1.2),
+        b=scfg.get("b", 0.75),
+    )
+    out_fmt, out_dir = cfg["output"]["format"], cfg["output"]["dir"]
+    write_to(
+        {"search": IOResource(hits, IOResourceConfig(out_fmt, f"{out_dir}/search"))}
+    )
+    D.release_cached()
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="platform-etl-literature-spark",
         description=(
             "PySpark literature ETL: processing | embedding | vectors | "
             "evidence | all; plus the training-data steps: curate, cluster, "
-            "scrub"
+            "scrub, search"
         ),
     )
     p.add_argument(
-        "steps", nargs="+", choices=STEPS + ["all", "curate", "cluster", "scrub"]
+        "steps",
+        nargs="+",
+        choices=STEPS + ["all", "curate", "cluster", "scrub", "search"],
     )
     p.add_argument("--config", required=True, help="JSON config file")
     p.add_argument("--master", default=None)
@@ -268,6 +298,8 @@ def main(argv: list[str] | None = None) -> None:
         run_curate(spark, cfg)
     if "cluster" in args.steps:
         run_cluster(spark, cfg)
+    if "search" in args.steps:
+        run_search(spark, cfg)
     steps = STEPS if "all" in args.steps else [s for s in STEPS if s in args.steps]
     if steps:
         run_all(spark, cfg, steps)

@@ -169,3 +169,38 @@ def test_cli_scrub_step(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/scrubbed").collect()
     }
     assert got == {1: ("a b c d", 2, 2), 2: ("x", 3, 1)}
+
+
+def test_cli_search_step(spark, tmp_path):
+    """The search step writes the top-k BM25 hits for the configured
+    terms, best score first."""
+    import json
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),
+            (2, "cat dog bird"),
+            (3, "dog bird fish"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    cfg = {
+        "inputs": {"documents": {"format": "parquet", "path": src}},
+        "output": {"format": "parquet", "dir": out},
+        "search": {"terms": ["cat"], "k": 2},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cli_main(["search", "--config", str(cfg_path)])
+
+    hits = sorted(
+        spark.read.parquet(f"{out}/search").collect(),
+        key=lambda r: -r["score"],
+    )
+    assert [r["doc_id"] for r in hits] == [1, 2]
+    assert hits[0]["score"] > hits[1]["score"]
