@@ -1,0 +1,94 @@
+"""Data-layout optimization: Z-order clustering for min/max file skipping.
+
+At 100 TB the cheapest scan is the one never issued: columnar readers
+prune files (and row groups) whose footer min/max excludes the filter
+range, but single-column sort only tightens ONE column's ranges.
+Interleaving the bits of several columns' range-bins (a Z-order /
+Morton curve — the technique behind Delta Lake's OPTIMIZE ZORDER BY)
+makes every indexed column's per-file range narrow at once, so
+predicates on ANY of them skip most files.
+
+Everything here is integer-exact and engine-portable:
+
+* range bins: ``(col - min) * 2^bits  div  (max - min + 1)`` — integer
+  arithmetic end to end, so a SQL oracle reproduces the exact z-values;
+* column mins/maxs come from ONE single-row aggregate broadcast back
+  (the same in-plan single-row-stats shape as retrieval.bm25_scores) —
+  no driver round trip;
+* the bit interleave is a GENERATED expression, so it is assembled as
+  one SQL string and parsed JVM-side (the expression-staging policy,
+  DESIGN.md) — O(1) py4j round-trips at any bit width.
+
+``optimize_layout`` is the write-side action: range-repartition by
+z-value + sort within partitions, so each output file covers one tight
+z-range — the locality the file-stats test measures directly from the
+written parquet footers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave_sql(bin_names: list[str], bits: int) -> str:
+    """One SQL expression interleaving the bits of the given bin
+    columns, highest-priority column in the highest bit of each group."""
+    n = len(bin_names)
+    terms = []
+    for b in range(bits - 1, -1, -1):
+        for i, name in enumerate(bin_names):
+            shift = b * n + (n - 1 - i)
+            terms.append(f"shiftleft((shiftright({name}, {b}) & 1), {shift})")
+    return " + ".join(terms)
+
+
+def zorder_bins(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> DataFrame:
+    """Add ``_bin_<col>`` range-bin columns (integer, [0, 2^bits)) and
+    the interleaved ``_z`` Morton value.
+
+    Column ranges are taken from the data via a single-row min/max
+    aggregate broadcast back — fully in-plan.  Input columns must be
+    integral (the bins are exact integer arithmetic; floats would make
+    the z-value engine-dependent).
+    """
+    if not cols:
+        raise ValueError("zorder_bins needs at least one column")
+    stats = df.agg(
+        *[F.min(c).cast("long").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"_mx_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    width = 1 << bits
+    bin_names = []
+    for c in cols:
+        bname = f"_bin_{c}"
+        bin_names.append(bname)
+        out = out.withColumn(
+            bname,
+            F.expr(
+                f"(CAST({c} AS BIGINT) - _mn_{c}) * {width} "
+                f"div (_mx_{c} - _mn_{c} + 1)"
+            ),
+        )
+    out = out.withColumn("_z", F.expr(_interleave_sql(bin_names, bits)))
+    return out.drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+
+
+def optimize_layout(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = 8
+) -> DataFrame:
+    """Cluster rows for multi-column file skipping: z-bin the given
+    columns, range-repartition on the z-value into ``n_files``
+    partitions and sort within each — every output file then covers one
+    tight z-range, i.e. a small hyper-rectangle of ALL indexed columns.
+    Write the result with any sink; the parquet footers carry the
+    narrowed min/max stats that make readers skip."""
+    z = zorder_bins(df, cols, bits=bits)
+    return (
+        z.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_bin_{c}" for c in cols])
+    )

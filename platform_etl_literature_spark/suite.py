@@ -1595,6 +1595,56 @@ FROM a
 """
 
 
+def q_zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering stats: bin (l_partkey, l_suppkey)
+    into 6-bit ranges, interleave to a z-value, and report each coarse
+    z-bucket's row count and per-column min/max — the narrow
+    hyper-rectangles that make min/max file skipping work on BOTH
+    columns after optimize_layout (operators.layout)."""
+    from platform_etl_literature_spark.operators.layout import zorder_bins
+
+    z = zorder_bins(_t(spark, sf, "lineitem"), ["l_partkey", "l_suppkey"], bits=6)
+    return (
+        z.select((F.expr("_z div 256")).alias("z_bucket"), "l_partkey", "l_suppkey")
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+
+
+# Mirrors zorder_bins arithmetic: integer range bins, bit interleave
+# with l_partkey in the higher bit of each pair, 6 bits per column.
+_ORACLE_ZORDER = """
+WITH stats AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS mn_p, CAST(max(l_partkey) AS BIGINT) AS mx_p,
+         CAST(min(l_suppkey) AS BIGINT) AS mn_s, CAST(max(l_suppkey) AS BIGINT) AS mx_s
+  FROM lineitem),
+b AS (
+  SELECT l_partkey, l_suppkey,
+    (CAST(l_partkey AS BIGINT) - mn_p) * 64 // (mx_p - mn_p + 1) AS bp,
+    (CAST(l_suppkey AS BIGINT) - mn_s) * 64 // (mx_s - mn_s + 1) AS bs
+  FROM lineitem CROSS JOIN stats),
+z AS (
+  SELECT l_partkey, l_suppkey,
+    ( ((bp >> 5) & 1) << 11 ) + ( ((bs >> 5) & 1) << 10 )
+  + ( ((bp >> 4) & 1) << 9 )  + ( ((bs >> 4) & 1) << 8 )
+  + ( ((bp >> 3) & 1) << 7 )  + ( ((bs >> 3) & 1) << 6 )
+  + ( ((bp >> 2) & 1) << 5 )  + ( ((bs >> 2) & 1) << 4 )
+  + ( ((bp >> 1) & 1) << 3 )  + ( ((bs >> 1) & 1) << 2 )
+  + ( ((bp >> 0) & 1) << 1 )  + ( ((bs >> 0) & 1) << 0 ) AS zv
+  FROM b)
+SELECT zv // 256 AS z_bucket, count(*) AS n,
+  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+FROM z GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Remaining §2 families + join-type extensions
 # --------------------------------------------------------------------------
@@ -2754,6 +2804,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "multimodal_wav_stats": QuerySpec(
         q_multimodal_wav_stats, _ORACLE_MM_WAV, "multimodal-real-audio-decode"
+    ),
+    "zorder_locality": QuerySpec(
+        q_zorder_locality, _ORACLE_ZORDER, "layout-zorder-ext"
     ),
 }
 

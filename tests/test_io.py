@@ -171,3 +171,44 @@ def test_orc_and_text_round_trip_through_io_layer(spark, tmp_path):
     write_to({"t": IOResource(df.select(F.col("text").alias("value")), txt_cfg)})
     lines = read_from(spark, {"t": txt_cfg})["t"].data
     assert {r["value"] for r in lines.collect()} == {"alpha", "beta"}
+
+
+def test_optimize_layout_tightens_file_stats(spark, sf_dir, tmp_path):
+    """Z-order layout must physically narrow parquet footer min/max on
+    BOTH clustered columns: the summed per-file (partkey-range x
+    suppkey-range) area — what min/max skipping prunes against — drops
+    several-fold vs a hash-shuffled layout of the same data."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.layout import optimize_layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    base, opt = str(tmp_path / "base"), str(tmp_path / "opt")
+    li.repartition(8).write.parquet(base)
+    optimize_layout(li, ["l_partkey", "l_suppkey"], n_files=8).write.parquet(opt)
+
+    def summed_area(path: str) -> int:
+        total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins: dict[str, int] = {}
+            maxs: dict[str, int] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            if mins:
+                total += (maxs["l_partkey"] - mins["l_partkey"] + 1) * (
+                    maxs["l_suppkey"] - mins["l_suppkey"] + 1
+                )
+        return total
+
+    a_base, a_opt = summed_area(base), summed_area(opt)
+    assert a_opt * 3 < a_base, (a_base, a_opt)

@@ -747,3 +747,31 @@ def test_wav_decode_is_real(spark):
     bad = media.select("media_id", F.lit(b"not a wav").alias("payload"))
     with pytest.raises(Exception):
         MM.decode_wav_stats(bad).collect()
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """z-values must equal a pure-Python Morton interleave of the same
+    integer bins (4-bit, 2 columns)."""
+    from platform_etl_literature_spark.operators.layout import zorder_bins
+
+    rows = [(i, (i * 7) % 13, (i * 11) % 17) for i in range(40)]
+    df = spark.createDataFrame(rows, ["rid", "a", "b"])
+    got = {
+        r["rid"]: (r["_bin_a"], r["_bin_b"], r["_z"])
+        for r in zorder_bins(df, ["a", "b"], bits=4).collect()
+    }
+
+    amin, amax = min(r[1] for r in rows), max(r[1] for r in rows)
+    bmin, bmax = min(r[2] for r in rows), max(r[2] for r in rows)
+
+    def interleave(bp, bs):
+        z = 0
+        for bit in range(4):
+            z |= ((bp >> bit) & 1) << (2 * bit + 1)
+            z |= ((bs >> bit) & 1) << (2 * bit)
+        return z
+
+    for rid, a, b in rows:
+        bp = (a - amin) * 16 // (amax - amin + 1)
+        bs = (b - bmin) * 16 // (bmax - bmin + 1)
+        assert got[rid] == (bp, bs, interleave(bp, bs)), rid
