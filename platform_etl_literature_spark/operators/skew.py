@@ -46,3 +46,34 @@ def salted_agg(
         merge = "sum" if fn in ("count", "sum") else fn
         phase2_aggs.append(getattr(F, merge)(f"_p_{out}").alias(out))
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def key_skew_stats(df: DataFrame, keys: list[str], n_salts_target: int = 16) -> DataFrame:
+    """Skew diagnostics for a prospective groupBy/join key: one row of
+    corpus-level distribution stats — key count, total rows, the hot
+    key's share, mean rows/key, the max/mean ratio, and the salt factor
+    that would level the hot key to ~mean (capped at
+    ``n_salts_target``).
+
+    Use it to DECIDE between a plain groupBy, :func:`salted_agg`, or a
+    broadcast: hot_share near 1/partitions means one straggler task.
+
+    Scale shape: one exact per-key count (map-side partial combine) and
+    a single-row rollup over the key table — no row-level shuffle
+    beyond the count itself.
+    """
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_n").alias("n_rows"),
+        F.max("_n").alias("max_key_rows"),
+        F.round(F.max("_n") / F.sum("_n"), 6).alias("hot_share"),
+        F.round(F.sum("_n") / F.count(F.lit(1)), 6).alias("mean_key_rows"),
+        F.round(F.max("_n") / (F.sum("_n") / F.count(F.lit(1))), 6).alias(
+            "max_mean_ratio"
+        ),
+        F.least(
+            F.lit(n_salts_target),
+            F.ceil(F.max("_n") / (F.sum("_n") / F.count(F.lit(1)))).cast("int"),
+        ).alias("suggested_salts"),
+    )

@@ -1595,6 +1595,27 @@ FROM a
 """
 
 
+def q_key_skew_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew diagnostics on the events user key — the decision input for
+    plain groupBy vs salted_agg vs broadcast (operators.skew)."""
+    from platform_etl_literature_spark.operators.skew import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf, "events"), ["user_id"])
+
+
+_ORACLE_KEY_SKEW = """
+WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+SELECT count(*) AS n_keys,
+  CAST(sum(n) AS BIGINT) AS n_rows,
+  CAST(max(n) AS BIGINT) AS max_key_rows,
+  round(max(n) / CAST(sum(n) AS BIGINT), 6) AS hot_share,
+  round(CAST(sum(n) AS BIGINT) / count(*), 6) AS mean_key_rows,
+  round(max(n) / (CAST(sum(n) AS BIGINT) / count(*)), 6) AS max_mean_ratio,
+  CAST(least(16, CAST(ceil(max(n) / (CAST(sum(n) AS BIGINT) / count(*))) AS INTEGER)) AS INTEGER) AS suggested_salts
+FROM k
+"""
+
+
 def q_zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering stats: bin (l_partkey, l_suppkey)
     into 6-bit ranges, interleave to a z-value, and report each coarse
@@ -2807,6 +2828,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "zorder_locality": QuerySpec(
         q_zorder_locality, _ORACLE_ZORDER, "layout-zorder-ext"
+    ),
+    "key_skew_stats": QuerySpec(
+        q_key_skew_stats, _ORACLE_KEY_SKEW, "skew-diagnostics-ext"
     ),
 }
 

@@ -775,3 +775,14 @@ def test_zorder_interleave_matches_python_reference(spark):
         bp = (a - amin) * 16 // (amax - amin + 1)
         bs = (b - bmin) * 16 // (bmax - bmin + 1)
         assert got[rid] == (bp, bs, interleave(bp, bs)), rid
+
+
+def test_key_skew_stats_flags_hot_key(spark):
+    from platform_etl_literature_spark.operators.skew import key_skew_stats
+
+    rows = [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = key_skew_stats(df, ["k"], n_salts_target=8).collect()[0]
+    assert r["n_keys"] == 11 and r["n_rows"] == 100
+    assert r["max_key_rows"] == 90 and r["hot_share"] == 0.9
+    assert r["suggested_salts"] == 8  # capped (true ratio ~9.9)
