@@ -1595,6 +1595,45 @@ FROM a
 """
 
 
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style per-column screening profile of the orders table —
+    nulls, exact distincts, min/max (operators.profile.table_profile)."""
+    from platform_etl_literature_spark.operators.profile import table_profile
+
+    return table_profile(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+_ORACLE_TABLE_PROFILE = """
+SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  count(DISTINCT o_orderkey) AS n_distinct,
+  CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+  CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT o_custkey),
+  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT o_orderstatus),
+  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT o_orderpriority),
+  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+
 def q_key_skew_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Skew diagnostics on the events user key — the decision input for
     plain groupBy vs salted_agg vs broadcast (operators.skew)."""
@@ -2831,6 +2870,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "key_skew_stats": QuerySpec(
         q_key_skew_stats, _ORACLE_KEY_SKEW, "skew-diagnostics-ext"
+    ),
+    "table_profile": QuerySpec(
+        q_table_profile, _ORACLE_TABLE_PROFILE, "data-quality-profile-ext"
     ),
 }
 

@@ -786,3 +786,19 @@ def test_key_skew_stats_flags_hot_key(spark):
     assert r["n_keys"] == 11 and r["n_rows"] == 100
     assert r["max_key_rows"] == 90 and r["hot_share"] == 0.9
     assert r["suggested_salts"] == 8  # capped (true ratio ~9.9)
+
+
+def test_table_profile_nulls_and_distincts(spark):
+    from platform_etl_literature_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (3, "b")], ["k", "s"]
+    )
+    got = {r["col_name"]: r for r in table_profile(df, ["k", "s"]).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 0
+    assert got["k"]["n_distinct"] == 3
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "3")
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "b")
+    with pytest.raises(ValueError):
+        table_profile(df, [])
