@@ -104,6 +104,20 @@ SHOWCASE: dict[str, str] = {
         "never shuffles for the join; the only Exchange is the windowed "
         "rollup's, with partial aggregation before it."
     ),
+    "zorder_locality": (
+        "Z-order binning: the per-column min/max single-row aggregate "
+        "broadcasts back (`BroadcastNestedLoopJoin` over one row) and "
+        "the Morton interleave is pure integer projection — the only "
+        "data-row Exchange is the final bucket rollup's, with partial "
+        "aggregation before it."
+    ),
+    "table_profile": (
+        "Profiling: typed null/min/max stats are ONE single-row "
+        "HashAggregate over one scan; the exact distincts come from the "
+        "melted (col_name, value) explode whose partial-distinct "
+        "aggregate keys the shuffle by column AND value — no "
+        "count-distinct branch funnels through a single reducer."
+    ),
     "dedup_components": (
         "Each large-star/small-star round is group-bys/joins over a "
         "2-long edge table; the displayed plan is the FINAL labeling "
