@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 
 from platform_etl_literature_spark.operators import components as CC
 from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import layout as LAY
+from platform_etl_literature_spark.operators import profile as PRO
 from platform_etl_literature_spark.operators import retrieval as RET
 from platform_etl_literature_spark.operators import similarity as SIM
 from platform_etl_literature_spark.operators import textstats as TS
@@ -93,6 +95,10 @@ OPS = {
     # every token); stats/ranking still span the whole corpus
     "bm25_topk": lambda df: RET.bm25_topk(
         df, "doc_id", "text", ["sparkx0", "vectorx0", "mergex0"], k=15
+    ),
+    "zorder_bins": lambda df: LAY.zorder_bins(df, ["doc_id", "n_chars"], bits=8),
+    "table_profile": lambda df: PRO.table_profile(
+        df, ["doc_id", "lang", "source", "n_chars"]
     ),
 }
 
