@@ -1595,6 +1595,91 @@ FROM a
 """
 
 
+def _synthetic_corpus_update(docs: DataFrame) -> DataFrame:
+    """Deterministic update batch for the versioning queries: every 7th
+    document re-drops with uppercased text; every 97th also arrives as
+    a brand-new id (+1,000,000)."""
+    upd = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.upper(F.col("text"))
+    )
+    ins = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return upd.unionByName(ins)
+
+
+def q_corpus_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE an update batch over the standing corpus: same-key rows
+    replace, new keys insert, the rest pass through
+    (operators.merge.upsert — anti-join + union, never a row-wise
+    full-row comparison)."""
+    from platform_etl_literature_spark.operators.merge import upsert
+
+    docs = _t(spark, sf, "documents")
+    merged = upsert(docs, _synthetic_corpus_update(docs), ["doc_id"])
+    return merged.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5"), "source"
+    )
+
+
+_ORACLE_CORPUS_UPSERT = """
+WITH upd AS (
+  SELECT doc_id, upper(text) AS text, source FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 97 = 0)
+SELECT doc_id, md5(text) AS text_md5, source
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+UNION ALL
+SELECT doc_id, md5(text) AS text_md5, source FROM upd
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — inserted / deleted /
+    changed / unchanged per key; each side reduces to (key, digest)
+    map-side before one full-outer join
+    (operators.merge.snapshot_diff)."""
+    from platform_etl_literature_spark.operators.merge import snapshot_diff
+
+    docs = _t(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    ins = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new = new.unionByName(ins)
+    return snapshot_diff(docs, new, ["doc_id"], ["text", "source"])
+
+
+_ORACLE_CORPUS_DIFF = """
+WITH newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 97 = 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'inserted'
+       WHEN n.doc_id IS NULL THEN 'deleted'
+       WHEN o.text != n.text OR o.source != n.source THEN 'changed'
+       ELSE 'unchanged' END AS change_type
+FROM documents o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+"""
+
+
 def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Deequ-style per-column screening profile of the orders table —
     nulls, exact distincts, min/max (operators.profile.table_profile)."""
@@ -2873,6 +2958,12 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "table_profile": QuerySpec(
         q_table_profile, _ORACLE_TABLE_PROFILE, "data-quality-profile-ext"
+    ),
+    "corpus_upsert": QuerySpec(
+        q_corpus_upsert, _ORACLE_CORPUS_UPSERT, "merge-upsert-ext"
+    ),
+    "corpus_diff": QuerySpec(
+        q_corpus_diff, _ORACLE_CORPUS_DIFF, "snapshot-diff-ext"
     ),
 }
 

@@ -802,3 +802,36 @@ def test_table_profile_nulls_and_distincts(spark):
     assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "b")
     with pytest.raises(ValueError):
         table_profile(df, [])
+
+
+def test_upsert_and_snapshot_diff(spark):
+    from platform_etl_literature_spark.operators.merge import snapshot_diff, upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s"), (3, "c", "s")], ["k", "v", "src"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", "s"), (4, "d", "s")], ["k", "v", "src"]
+    )
+    merged = {r["k"]: r["v"] for r in upsert(base, updates, ["k"]).collect()}
+    assert merged == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    new = spark.createDataFrame(
+        [(1, "a", "s"), (2, "B", "s"), (4, "d", "s")], ["k", "v", "src"]
+    )
+    diff = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(base, new, ["k"], ["v", "src"]).collect()
+    }
+    assert diff == {1: "unchanged", 2: "changed", 3: "deleted", 4: "inserted"}
+
+
+def test_snapshot_diff_null_encoding_not_aliased(spark):
+    """(NULL, 'x') and ('x', NULL) must NOT collide in the row digest
+    (concat_ws silently drops nulls; the encoding guards it)."""
+    from platform_etl_literature_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None, "x")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, "x", None)], "k long, a string, b string")
+    diff = snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    assert diff[0]["change_type"] == "changed"
