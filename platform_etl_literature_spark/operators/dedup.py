@@ -644,6 +644,36 @@ def mixture_sample(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    scale_bps: int = 10000,
+) -> DataFrame:
+    """Temperature-based mixture rates — the companion that COMPUTES the
+    ``rates_bps`` dict :func:`mixture_sample` consumes.  The post-mix
+    group distribution is flattened to ``n^alpha`` (alpha=1 keeps the
+    natural mix, alpha=0 uniform): per-group keep rate
+    ``(n_g / n_min)^(alpha-1)`` — the smallest group keeps everything,
+    larger groups downsample, never a rate above 1.
+
+    Returns (group, n, weight_bps).  One exact per-group count
+    (map-side combine) + a single-row min broadcast — no second corpus
+    scan.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("_n_min"))
+    return counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        "n",
+        F.floor(
+            F.lit(scale_bps) * F.pow(F.col("n") / F.col("_n_min"), F.lit(alpha - 1.0))
+        )
+        .cast("int")
+        .alias("weight_bps"),
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,

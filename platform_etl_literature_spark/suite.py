@@ -1612,6 +1612,21 @@ def _synthetic_corpus_update(docs: DataFrame) -> DataFrame:
     return upd.unionByName(ins)
 
 
+def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture rates per document source — the
+    rates feeding mixture_sample (operators.dedup.mixture_weights)."""
+    return D.mixture_weights(_t(spark, sf, "documents"), "source", alpha=0.5)
+
+
+_ORACLE_MIXTURE_WEIGHTS = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS n_min FROM c)
+SELECT source, n,
+  CAST(floor(10000 * pow(n / n_min, -0.5)) AS INTEGER) AS weight_bps
+FROM c CROSS JOIN m
+"""
+
+
 def q_corpus_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE an update batch over the standing corpus: same-key rows
     replace, new keys insert, the rest pass through
@@ -2964,6 +2979,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "corpus_diff": QuerySpec(
         q_corpus_diff, _ORACLE_CORPUS_DIFF, "snapshot-diff-ext"
+    ),
+    "mixture_weights": QuerySpec(
+        q_mixture_weights, _ORACLE_MIXTURE_WEIGHTS, "temperature-mixing-ext"
     ),
 }
 

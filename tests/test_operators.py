@@ -835,3 +835,16 @@ def test_snapshot_diff_null_encoding_not_aliased(spark):
     new = spark.createDataFrame([(1, "x", None)], "k long, a string, b string")
     diff = snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
     assert diff[0]["change_type"] == "changed"
+
+
+def test_mixture_weights_temperature_flattening(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else ("mid" if i < 99 else "small")) for i in range(100)],
+        ["id", "src"],
+    )
+    w = {r["src"]: (r["n"], r["weight_bps"]) for r in
+         D.mixture_weights(df, "src", alpha=0.5).collect()}
+    assert w["small"] == (1, 10000)          # smallest group keeps all
+    assert w["mid"][1] == int(10000 * (9 ** -0.5))
+    assert w["big"][1] == int(10000 * (90 ** -0.5))
+    assert w["big"][1] < w["mid"][1] < 10000  # monotone downsampling
