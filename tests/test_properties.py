@@ -405,3 +405,46 @@ def test_window_dup_stats_matches_python_reference(spark):
         for r in D2.window_dup_stats(sdf, "doc_id", "text", window=W).collect()
     }
     assert got == expected
+
+
+def test_bm25_matches_python_reference(spark):
+    """Randomized corpus vs a pure-Python BM25 (same rounding contract:
+    idf rounded to 6 before the product, final score rounded to 6)."""
+    import math
+
+    from platform_etl_literature_spark.operators import retrieval as RET
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(60)
+    ]
+    terms = ["w0", "w3", "w7"]
+    k1, b = 1.2, 0.75
+
+    toks = {i: [t for t in text.split(" ") if t] for i, text in docs}
+    n_docs = len(docs)
+    sum_dl = sum(len(w) for w in toks.values())
+    avgdl = sum_dl / n_docs
+    dfs = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    expected = {}
+    for i, w in toks.items():
+        tfs = {t: w.count(t) for t in terms}
+        if sum(tfs.values()) == 0:
+            continue
+        score = 0.0
+        for t in terms:
+            idf = round(math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0), 6)
+            score += idf * (
+                (tfs[t] * (k1 + 1.0))
+                / (tfs[t] + k1 * ((1.0 - b) + b * (len(w) / avgdl)))
+            )
+        expected[i] = (sum(tfs.values()), round(score, 6))
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_hits"], r["score"])
+        for r in RET.bm25_scores(sdf, "doc_id", "text", terms).collect()
+    }
+    assert got == expected
