@@ -30,6 +30,7 @@ HEADLINE = [
     "ngram_jaccard",
     "window_dup_stats",
     "minhash_pairs",
+    "winnow_pairs",
     "minhash_banded",
     "simhash",
     "simhash_near_pairs",

@@ -939,3 +939,93 @@ def embedding_cosine_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS scheme): hash every positional token ``k``-gram, slide a
+    ``window`` over the hash sequence, and keep the minimum of each
+    window.  The distinct selected minima are the document fingerprint.
+
+    Guarantees (from the paper): any shared substring of at least
+    ``window + k - 1`` tokens contributes at least one common
+    fingerprint, while only ~2/(window+1) of all gram hashes are kept —
+    a sublinear sketch with a matching-detection floor, unlike bare
+    MinHash (no locality guarantee) or full n-gram sets (linear size).
+
+    Scale design (100 TB): one corpus scan; tokens and gram hashes are
+    staged through their own projections so the text splits ONCE and
+    the hash array materializes ONCE per row (Catalyst does not CSE
+    lambda-bearing expressions — the staged_gram_arrays lesson); the
+    fingerprint selection is pure per-row array math inside codegen.
+    Output is the exploded (id, fp) set — ~2·n_tokens/(window+1) longs
+    per document, the only thing that ever shuffles downstream.
+
+    Degenerate documents: fewer than ``k`` tokens → no grams → no
+    fingerprints (row absent); fewer than ``window`` grams → one
+    fingerprint (the global minimum), per the paper's "at least one
+    fingerprint per document that has any gram" convention.
+
+    The gram hash is the engine-portable :func:`token_hash` (md5-based)
+    so the SQL oracle replays identical fingerprints.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    w = tokens(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("id"), w.alias("w"))
+    grams = F.when(
+        F.size("w") < k, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (k - 1)),
+            lambda i: token_hash(F.concat_ws(" ", F.slice("w", i, k))),
+        )
+    )
+    staged = toks.select("id", grams.alias("g"))
+    fps = (
+        F.when(F.size("g") == 0, F.array().cast("array<bigint>"))
+        .when(F.size("g") < window, F.array(F.array_min("g")))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("g") - (window - 1)),
+                    lambda j: F.array_min(F.slice("g", j, window)),
+                )
+            )
+        )
+    )
+    return (
+        staged.select("id", F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_candidate_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints:
+    documents sharing >= ``min_shared`` fingerprints, with the shared
+    count as the match strength.  Same fixed-width bucket-equijoin
+    shape as :func:`minhash_candidate_pairs` — the join key is one
+    8-byte fingerprint, pairs are generated only within fingerprint
+    buckets (never all-pairs), and ``max_bucket_size`` drops viral
+    stop-fingerprint buckets before the quadratic blowup.
+    """
+    fps = _drop_hot_buckets(_materialize_once(fps), ["fp"], max_bucket_size)
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,100 @@
+"""Count-based n-gram language-model scoring — the CCNet-style corpus
+quality filter (Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data", LREC 2020): score every
+document by its average bigram log-probability under a model trained on
+the corpus itself, so boilerplate/gibberish (improbable token
+transitions) ranks low and fluent text ranks high.  The literature
+reference has no LM scoring (its quality signal is the harmonic
+section-rank sum, Evidence.scala:113-142); a training-data pipeline
+filters on one.
+
+Scale design (100 TB):
+
+- Training IS the scoring scan: the positional bigram instance table is
+  built once from a single corpus pass (one explode of the staged token
+  array), and both count tables reduce from it with map-side partial
+  aggregation — gram counts shuffle as (8-byte-hashable string, long)
+  pairs, never document-shaped rows.
+- The model is NOT broadcast: at corpus scale the bigram vocabulary is
+  itself corpus-sized, so instances join counts with shuffle joins
+  co-partitioned on the gram key (Catalyst/AQE picks broadcast anyway
+  when a count table is small — the local-test case — without the plan
+  hard-coding it).
+- The vocabulary size V (the add-k smoothing denominator) is the only
+  scalar: a single-row aggregate attached via broadcast nested-loop
+  join, the same single-row-broadcast shape as textstats.vocab_coverage.
+
+Float parity (suite module docstring policy): each instance's log-prob
+is rounded to integer micro-nats (bigint), so the per-document reduction
+is an exact integer sum — order-independent across engines; the final
+average divides the exact sum once, mirrored op-for-op by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from platform_etl_literature_spark.operators.dedup import _materialize_once, tokens
+
+
+def bigram_instances(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pre, big): one row per positional token bigram.  ``pre`` is
+    the conditioning prefix token (the bigram's first token — tokens are
+    whitespace-split, so ``substring_index(big, ' ', 1)`` is exact).
+    Documents with fewer than 2 tokens contribute no rows."""
+    w = tokens(F.col(text_col))
+    toks = docs.select(F.col(id_col).alias("id"), w.alias("w"))
+    bigs = F.when(
+        F.size("w") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 2)),
+        )
+    )
+    return toks.select("id", F.explode(bigs).alias("big")).select(
+        "id", F.substring_index("big", " ", 1).alias("pre"), "big"
+    )
+
+
+def lm_doc_logprob(
+    docs: DataFrame, id_col: str, text_col: str, add_k: float = 0.1
+) -> DataFrame:
+    """Average bigram log-probability (and perplexity) per document
+    under an add-k-smoothed bigram LM trained on the same corpus:
+
+        logP(w_i | w_{i-1}) = ln((c2(w_{i-1} w_i) + k) / (c1(w_{i-1}) + k·V))
+
+    where c2/c1 are corpus bigram/unigram counts and V the distinct
+    unigram vocabulary size.  Returns (id, n_bigrams, avg_logp, ppl)
+    for every document with at least one bigram; ``ppl`` is
+    exp(-avg_logp), the standard per-token perplexity filter metric.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    inst = _materialize_once(bigram_instances(docs, id_col, text_col))
+
+    uni = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    c1 = uni.groupBy("t").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = uni.agg(F.count_distinct("t").alias("v"))
+    c2 = inst.groupBy("big").agg(F.count(F.lit(1)).alias("n2"))
+
+    logp = F.log(
+        (F.col("n2") + add_k) / (F.col("n1") + add_k * F.col("v"))
+    )
+    scored = (
+        inst.join(c2, "big")
+        .join(c1, F.col("pre") == F.col("t"))
+        .crossJoin(F.broadcast(vocab))
+        .select("id", F.round(logp * 1000000.0, 0).cast("long").alias("lp_micro"))
+    )
+    n = F.count(F.lit(1))
+    avg_raw = F.sum("lp_micro") / 1000000.0 / n
+    return scored.groupBy("id").agg(
+        n.alias("n_bigrams"),
+        F.round(avg_raw, 6).alias("avg_logp"),
+        F.round(F.exp(-avg_raw), 4).alias("ppl"),
+    )

@@ -145,3 +145,69 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ranked_topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Attach a 1-based ``rank`` to the top-``k`` rows under ``order``.
+
+    Scale shape: the global sort never happens — ``orderBy(...).limit(k)``
+    compiles to TakeOrderedAndProject (each partition keeps its local k,
+    the driver merges k·partitions rows), and only the k surviving rows
+    pay the single-partition row_number window.  ``order`` must be a
+    total order (include a unique tiebreak column) or ranks are
+    nondeterministic.
+    """
+    from pyspark.sql.window import Window
+
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+    combine ranked lists from heterogeneous scorers without score
+    calibration — each list contributes 1/(k + rank) per document:
+
+        rrf(d) = sum_lists 1 / (k + rank_list(d))
+
+    The standard hybrid-retrieval combiner (lexical BM25 + dense ANN +
+    priors); k=60 is the paper's constant.  Documents absent from a
+    list simply contribute nothing (no outer-join NULL handling needed:
+    the union-then-aggregate shape encodes "missing = 0").
+
+    Returns (id, n_lists, rrf_score).  Float parity: each contribution
+    is rounded to integer nano-units so the cross-list reduction is an
+    exact integer sum (order-independent across engines); the score
+    divides the exact sum once at output.
+
+    Scale shape: a unionByName of slim (id, contribution) pairs and ONE
+    hash aggregation on id — fused lists are usually top-k (tiny), but
+    the same plan holds for full-corpus rankings (shuffle keyed on id,
+    map-side partial sums).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.round(1000000000.0 / (k + F.col(rank_col)), 0)
+            .cast("long")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.round(F.sum("_c") / 1000000000.0, 9).alias("rrf_score"),
+    )

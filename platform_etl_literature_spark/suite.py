@@ -634,6 +634,93 @@ FROM pairs WHERE n_matching >= 3
 """
 
 
+def q_winnow_fps(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint sets (MOSS scheme) — hash-parity of the
+    sketch primitive itself (every selected minimum, per document)."""
+    return D.winnow_fingerprints(
+        _t(spark, sf, "documents"), "doc_id", "text", k=3, window=4
+    )
+
+
+_ORACLE_WINNOW_FPS = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id AS id,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT
+         ) AS gr
+  FROM w WHERE len(toks) >= 3),
+fp AS (
+  SELECT id,
+         unnest(CASE
+           WHEN len(gr) < 4 THEN [list_min(gr)]
+           ELSE list_distinct(list_transform(
+                  generate_series(1, len(gr) - 3),
+                  j -> list_min(gr[j:j+3])))
+         END) AS fp
+  FROM g WHERE len(gr) > 0)
+SELECT DISTINCT id, fp FROM fp
+"""
+
+
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup candidates from shared winnowing fingerprints — the
+    sublinear-sketch member of the candidate-pair family (guaranteed
+    to catch any shared run of >= window+k-1 tokens)."""
+    fps = D.winnow_fingerprints(
+        _t(spark, sf, "documents"), "doc_id", "text", k=3, window=4
+    )
+    return D.winnow_candidate_pairs(fps, min_shared=2)
+
+
+_ORACLE_WINNOW_PAIRS = (
+    _ORACLE_WINNOW_FPS.rstrip().replace(
+        "SELECT DISTINCT id, fp FROM fp",
+        """, fpd AS (SELECT DISTINCT id, fp FROM fp)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+    )
+)
+
+
+def q_lm_doc_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring: average bigram log-prob (and
+    perplexity) per document under an add-0.1-smoothed bigram model
+    trained on the corpus itself."""
+    from platform_etl_literature_spark.operators import lm as LM
+
+    return LM.lm_doc_logprob(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_ORACLE_LM_LOGPROB = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+inst AS (
+  SELECT doc_id AS id,
+         unnest(toks[1:len(toks)-1]) AS pre,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS big
+  FROM w WHERE len(toks) >= 2),
+uni AS (SELECT unnest(toks) AS t FROM w),
+c1 AS (SELECT t, count(*) AS n1 FROM uni GROUP BY t),
+vocab AS (SELECT count(DISTINCT t) AS v FROM uni),
+c2 AS (SELECT big, count(*) AS n2 FROM inst GROUP BY big),
+sc AS (
+  SELECT id,
+         CAST(round(ln((n2 + 0.1) / (n1 + 0.1 * v)) * 1000000.0, 0) AS BIGINT) AS lp
+  FROM inst JOIN c2 USING (big) JOIN c1 ON c1.t = inst.pre CROSS JOIN vocab)
+SELECT id, count(*) AS n_bigrams,
+       round(sum(lp) / 1000000.0 / count(*), 6) AS avg_logp,
+       round(exp(-(sum(lp) / 1000000.0 / count(*))), 4) AS ppl
+FROM sc GROUP BY id
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4) — the vector-space
     member of the dedup family.  0.4 yields a non-trivial pair set on
@@ -2418,6 +2505,75 @@ _ORACLE_BM25_TOPK = (
 )
 
 
+def q_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (SIGIR'09): the BM25
+    lexical top-50 fused with a quality-prior top-50 — rank-based
+    combination of incomparable scorers, the standard hybrid-search
+    shape (lexical + dense + priors).  Both lists come from
+    TakeOrderedAndProject top-ks; only the <=100 surviving rows pay the
+    rank windows and the fusion aggregate."""
+    docs = _t(spark, sf, "documents")
+    bm = RET.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    bmr = RET.ranked_topk(bm, [F.desc("score"), F.asc("doc_id")], 50)
+    q = docs.select("doc_id", TS.quality_score(F.col("text")).alias("qs"))
+    qr = RET.ranked_topk(q, [F.desc("qs"), F.asc("doc_id")], 50)
+    return RET.rrf_fuse([bmr, qr], "doc_id")
+
+
+_ORACLE_RRF_HYBRID = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents),
+base AS (
+  SELECT doc_id, len(w) AS dl,
+    len(list_filter(w, x -> x = 'spark'))  AS tf0,
+    len(list_filter(w, x -> x = 'vector')) AS tf1,
+    len(list_filter(w, x -> x = 'merge'))  AS tf2
+  FROM toks),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base),
+bm AS (
+  SELECT doc_id,
+    round(
+        round(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
+          * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+      + round(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+          * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+      + round(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+          * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+    , 6) AS score
+  FROM base CROSS JOIN stats
+  WHERE (tf0 + tf1 + tf2) > 0),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM bm),
+q AS (
+  SELECT doc_id,
+    round((least(len(w) / 50.0, 1.0)
+           + (len(list_distinct(w)) / CAST(greatest(len(w), 1) AS DOUBLE))
+           + (len(list_filter(w, t -> list_contains(
+                ['the','a','an','of','and','or','is','in','to'], t)))
+              / CAST(greatest(len(w), 1) AS DOUBLE))) / 3.0, 6) AS qs
+  FROM toks),
+qr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY qs DESC, doc_id ASC) AS rnk
+  FROM q),
+u AS (
+  SELECT doc_id, CAST(round(1000000000.0 / (60 + rnk), 0) AS BIGINT) AS c
+  FROM bmr WHERE rnk <= 50
+  UNION ALL
+  SELECT doc_id, CAST(round(1000000000.0 / (60 + rnk), 0) AS BIGINT) AS c
+  FROM qr WHERE rnk <= 50)
+SELECT doc_id, count(*) AS n_lists,
+       round(sum(c) / 1000000000.0, 9) AS rrf_score
+FROM u GROUP BY doc_id
+"""
+
+
 def q_json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON field extraction from the events props column (the from_json
     direction the reference never needed — it only writes with to_json,
@@ -2845,6 +3001,18 @@ SUITE: dict[str, QuerySpec] = {
     "word_tf": QuerySpec(q_word_tf, _ORACLE_WORD_TF, "explode HOF"),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, _ORACLE_NGRAM_JACCARD, "dedup-ngram"),
     "minhash_pairs": QuerySpec(q_minhash_pairs, _ORACLE_MINHASH, "dedup-minhash"),
+    "winnow_fps": QuerySpec(
+        q_winnow_fps, _ORACLE_WINNOW_FPS, "dedup-winnowing-fingerprints"
+    ),
+    "winnow_pairs": QuerySpec(
+        q_winnow_pairs, _ORACLE_WINNOW_PAIRS, "dedup-winnowing-pairs"
+    ),
+    "lm_doc_logprob": QuerySpec(
+        q_lm_doc_logprob, _ORACLE_LM_LOGPROB, "quality-ngram-lm"
+    ),
+    "rrf_hybrid": QuerySpec(
+        q_rrf_hybrid, _ORACLE_RRF_HYBRID, "retrieval-rrf-fusion"
+    ),
     "minhash_banded": QuerySpec(
         q_minhash_banded, _ORACLE_MINHASH_BANDED, "dedup-minhash-lsh-banded"
     ),

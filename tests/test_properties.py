@@ -448,3 +448,45 @@ def test_bm25_matches_python_reference(spark):
         for r in RET.bm25_scores(sdf, "doc_id", "text", terms).collect()
     }
     assert got == expected
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Randomized corpus vs a literal transcription of the SIGMOD'03
+    winnowing definition (k-gram md5 hashes, min per sliding window),
+    including the short-document conventions (< k tokens -> no
+    fingerprints; < window grams -> the single global minimum)."""
+    import hashlib
+
+    from platform_etl_literature_spark.operators import dedup as D2
+
+    K, W = 3, 4
+    rng = random.Random(20260815)
+    vocab = [f"t{i}" for i in range(7)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(80)
+    ]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    expected = set()
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        grams = [
+            h(" ".join(toks[j : j + K])) for j in range(len(toks) - K + 1)
+        ]
+        if not grams:
+            continue
+        if len(grams) < W:
+            fps = {min(grams)}
+        else:
+            fps = {min(grams[j : j + W]) for j in range(len(grams) - W + 1)}
+        expected |= {(i, fp) for fp in fps}
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id"], r["fp"])
+        for r in D2.winnow_fingerprints(sdf, "doc_id", "text", k=K, window=W).collect()
+    }
+    assert got == expected
