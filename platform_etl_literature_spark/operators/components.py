@@ -208,3 +208,33 @@ def dedup_survivors_by(
         W.partitionBy("component").orderBy(F.col(score_col).desc(), idc.asc())
     )
     return labeled.withColumn("is_survivor", (rank == 1).cast("boolean"))
+
+
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document in a
+    near-duplicate cluster inherits the split of its CLUSTER (hashed on
+    the component id), so two near-copies can never straddle the
+    train/eval boundary — the contamination mode a row-wise
+    ``hash_split`` cannot prevent.  Singletons hash on their own id
+    (their component), so the assignment stays stable as the corpus
+    grows and is reproducible across engines (md5 bucket, no RNG).
+
+    Composition: near-dup pairs → :func:`connected_components` →
+    broadcast-join the tiny component table back to the corpus →
+    map-side :func:`~platform_etl_literature_spark.operators.dedup.hash_split`
+    on the component key.  Returns (id_col, component, split).
+    """
+    from platform_etl_literature_spark.operators.dedup import hash_split
+
+    labeled = dedup_survivors(df, pairs, id_col, a, b)
+    return hash_split(labeled, "component", weights, salt).select(
+        id_col, "component", "split"
+    )

@@ -1073,6 +1073,37 @@ SELECT id, component FROM comp
 """
 
 
+def q_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe split: near-dup clusters (banded MinHash →
+    connected components) assigned to train/val/test as units, so no
+    near-duplicate pair straddles the train/eval boundary."""
+    from platform_etl_literature_spark.operators import components as CC
+
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", 2)
+    pairs = D.minhash_banded_pairs(sigs, band_size=2, min_matching_bands=1)
+    return CC.cluster_split(docs.select("doc_id"), pairs, "doc_id")
+
+
+_ORACLE_CLUSTER_SPLIT = f"""
+WITH RECURSIVE {_BANDED_PAIRS_CTES},
+{_CC_CTES},
+assigned AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+bucketed AS (
+  SELECT doc_id, component,
+         ('0x' || substr(md5('split' || CAST(component AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM assigned)
+SELECT doc_id, component,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
 def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     """Survivor resolution: one kept document per duplicate cluster
     (the component-minimum id) plus every singleton — the curated
@@ -3024,6 +3055,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "dedup_survivors": QuerySpec(
         q_dedup_survivors, _ORACLE_DEDUP_SURVIVORS, "dedup-survivor-resolution"
+    ),
+    "cluster_split": QuerySpec(
+        q_cluster_split, _ORACLE_CLUSTER_SPLIT, "split-leakage-safe-clusters"
     ),
     "dedup_survivors_best": QuerySpec(
         q_dedup_survivors_best,

@@ -848,3 +848,36 @@ def test_mixture_weights_temperature_flattening(spark):
     assert w["mid"][1] == int(10000 * (9 ** -0.5))
     assert w["big"][1] == int(10000 * (90 ** -0.5))
     assert w["big"][1] < w["mid"][1] < 10000  # monotone downsampling
+
+
+def test_cluster_split_no_pair_straddles_and_covers_all(spark):
+    """The leakage invariant: every near-dup pair lands in ONE split;
+    singletons keep the row-hash assignment they'd get from hash_split
+    on their own id (stability under corpus growth)."""
+    from platform_etl_literature_spark.operators import components as CC
+    from platform_etl_literature_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 17)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in CC.cluster_split(docs, pairs, "doc_id").collect()
+    }
+    assert set(out) == set(range(20))
+    for u, v in [(1, 2), (2, 3), (1, 3), (5, 6), (10, 17)]:
+        assert out[u][1] == out[v][1], (u, v)
+    # singleton parity with plain hash_split on the id
+    singles = spark.createDataFrame(
+        [(i,) for i in (0, 4, 7, 19)], ["component"]
+    )
+    expected = {
+        r["component"]: r["split"]
+        for r in D.hash_split(singles, "component").collect()
+    }
+    for i in (0, 4, 7, 19):
+        assert out[i] == (i, expected[i])
+    D.release_cached()
