@@ -2207,6 +2207,17 @@ def q_text_normalize_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich ACL'16) on the corpus: the
+    first 8 learned merges.  Iterative fit (driver argmax barrier per
+    round, like W2V) — rows-only check; exact-algorithm parity is
+    pinned against a pure-Python reference in
+    tests/test_properties.py::test_bpe_matches_python_reference."""
+    from platform_etl_literature_spark.operators import bpe as B
+
+    return B.bpe_merges_df(_t(spark, sf, "documents"), "text", n_merges=8)
+
+
 def q_word2vec_synonyms(spark: SparkSession, sf: str) -> DataFrame:
     """Word2Vec train + getVectors (M3/M4) on per-document token sets;
     returns the vector-table shape of the `vectors` step.  Iterative ML
@@ -3130,6 +3141,7 @@ SUITE: dict[str, QuerySpec] = {
         q_window_range_frame, _ORACLE_RANGE_FRAME, "range-frame-ext"
     ),
     "text_normalize_keys": QuerySpec(q_text_normalize_keys, None, "M1 M2"),
+    "bpe_merges": QuerySpec(q_bpe_merges, None, "tokenizer-bpe-train"),
     "word2vec_synonyms": QuerySpec(q_word2vec_synonyms, None, "M3 M4 S7"),
     "literature_pipeline": QuerySpec(
         q_literature_pipeline, None, "flagship grounding+processing e2e"
@@ -3198,6 +3210,15 @@ SUITE: dict[str, QuerySpec] = {
 # prefix is gated by the local pytest parity suite — tests/test_smoke.py
 # keeps those loud with a fast `-m smoke` run so a harness schema drift
 # fails in seconds, not at driver time.
+#
+# Round-4 rotation: four near-redundant rows swapped for the round's
+# flagship extensions so the independent driver hashes them too —
+# minhash_banded→winnow_pairs, ann_cosine_topk→rrf_hybrid,
+# hash_split→cluster_split, multimodal_meta→lm_doc_logprob.  Every
+# displaced family keeps at least one driver row (minhash_pairs;
+# ann_topk_blocked/lsh/ivf; cluster_split embeds hash_split's bucket
+# map; multimodal_decode/frames), and the displaced queries remain
+# value-gated in the parity suite.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -3205,11 +3226,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "two_level_window_min", "union_by_name", "string_funcs",
     "date_parts", "case_when_buckets", "grouped_json",
     "evidence_cooc_analog", "dedup_exact", "word_tf", "ngram_jaccard",
-    "minhash_pairs", "minhash_banded", "simhash_near_pairs", "simhash",
-    "dedup_embedding_cosine", "ann_cosine_topk", "ann_topk_blocked",
+    "minhash_pairs", "winnow_pairs", "simhash_near_pairs", "simhash",
+    "dedup_embedding_cosine", "rrf_hybrid", "ann_topk_blocked",
     "embedding_centroids", "vectors_norm_category", "doc_profile",
-    "events_hourly", "events_sliding", "sessionize", "multimodal_meta",
-    "multimodal_decode", "multimodal_frames", "hash_split",
+    "events_hourly", "events_sliding", "sessionize", "lm_doc_logprob",
+    "multimodal_decode", "multimodal_frames", "cluster_split",
     "salted_agg", "token_packing", "value_quantiles", "doc_repetition",
     "corpus_curation", "dedup_components", "lsh_ann_topk",
     "ivf_ann_topk", "scan_provenance", "semi_join",

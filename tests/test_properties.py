@@ -490,3 +490,79 @@ def test_winnowing_matches_python_reference(spark):
         for r in D2.winnow_fingerprints(sdf, "doc_id", "text", k=K, window=W).collect()
     }
     assert got == expected
+
+
+def test_bpe_matches_python_reference(spark):
+    """Randomized corpus vs a literal transcription of Sennrich ACL'16
+    BPE with the same tie-breaks (count DESC, left ASC, right ASC) and
+    the same greedy left-to-right merge rule."""
+    from platform_etl_literature_spark.operators import bpe as B
+
+    rng = random.Random(20260816)
+    alphabet = "abcdef"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))))
+        for i in range(30)
+    ]
+
+    freqs: dict[str, int] = {}
+    for _, text in docs:
+        for w in text.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    vocab = {tuple(w): n for w, n in freqs.items()}
+    expected = []
+    for rank in range(6):
+        counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        expected.append((rank, l, r, c))
+        nxt: dict = {}
+        for syms, n in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        vocab = nxt
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = B.bpe_train(sdf, "text", n_merges=6)
+    assert got == expected
+
+    # encode parity on the same corpus: applying the learned merges
+    # yields exactly the per-word symbol counts of the python fold
+    def py_encode(word):
+        out = list(word)
+        for _, l, r, _ in expected:
+            merged = []
+            for s in out:
+                if merged and merged[-1] == l and s == r:
+                    merged[-1] = l + r
+                else:
+                    merged.append(s)
+            out = merged
+        return len(out)
+
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in B.bpe_encode(
+            sdf, "doc_id", "text", [(l, r) for _, l, r, _ in expected]
+        ).collect()
+    }
+    for i, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        assert enc[i] == (len(ws), sum(py_encode(w) for w in ws)), i
