@@ -180,3 +180,43 @@ def test_bm25_topk_is_take_ordered_single_stats_exchange(spark, sf_dir):
     # stats rollup and scoring both read the persisted slim base — the
     # corpus text is scanned and tokenized exactly once
     assert "InMemoryTableScan" in plan, plan[:3000]
+
+
+def test_winnow_pairs_reuses_persisted_fingerprints_no_nlj(spark, sf_dir):
+    """Both self-join sides must read the persisted fingerprint table
+    (one corpus scan + one fingerprint materialization), and the pair
+    generation must be a hash equijoin on the fingerprint key — never a
+    nested-loop/cartesian all-pairs plan."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(SUITE["winnow_pairs"].fn(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    D.release_cached()
+
+
+def test_lm_logprob_instance_table_reused_no_python(spark, sf_dir):
+    """The bigram instance table must be materialized once and read by
+    both the count rollup and the scoring join (not re-exploded from
+    text), the vocabulary scalar must attach by broadcast, and the
+    whole model must stay JVM-side (no Python eval node)."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(SUITE["lm_doc_logprob"].fn(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan, plan[:3000]
+    D.release_cached()
+
+
+def test_rrf_hybrid_topk_is_take_ordered(spark, sf_dir):
+    """Both fused rankings must reach their top-50 via
+    TakeOrderedAndProject (local k per partition, no global sort of
+    the corpus) before the tiny rank windows and the fusion agg."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(SUITE["rrf_hybrid"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    D.release_cached()

@@ -126,6 +126,30 @@ SHOWCASE: dict[str, str] = {
         "lineage never re-executes.  Checkpoint-per-round is what keeps "
         "Catalyst analysis O(1) per round instead of O(2^rounds)."
     ),
+    "winnow_pairs": (
+        "Winnowing sketch: one corpus scan builds the per-row gram-hash "
+        "array and the window-min fingerprint selection entirely inside "
+        "codegen (no explode until the final (id, fp) emit); both "
+        "self-join sides read the persisted fingerprint table "
+        "(`InMemoryTableScan` ×2) and pairs come from a hash equijoin on "
+        "the 8-byte fingerprint — never all-pairs."
+    ),
+    "lm_doc_logprob": (
+        "Bigram-LM scoring: the instance table materializes once and "
+        "feeds BOTH the count rollup and the scoring join "
+        "(`InMemoryTableScan` ×2); gram counts reduce with map-side "
+        "partial_sum before their exchanges; the vocabulary scalar "
+        "attaches via a single-row broadcast.  No hard-coded broadcast "
+        "on the count tables — at 100 TB they are vocabulary-sized and "
+        "AQE picks shuffle-hash joins co-partitioned on the gram key."
+    ),
+    "rrf_hybrid": (
+        "Reciprocal-rank fusion: each ranking reaches its top-50 via "
+        "`TakeOrderedAndProject` (per-partition local k, no global "
+        "sort); only the <=100 surviving rows pay the rank windows and "
+        "the fusion is one hash aggregate over exact integer nano-unit "
+        "contributions."
+    ),
 }
 
 

@@ -25,8 +25,10 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
+from platform_etl_literature_spark.operators import bpe as B
 from platform_etl_literature_spark.operators import components as CC
 from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import lm as LM
 from platform_etl_literature_spark.operators import layout as LAY
 from platform_etl_literature_spark.operators import profile as PRO
 from platform_etl_literature_spark.operators import retrieval as RET
@@ -96,6 +98,13 @@ OPS = {
     "bm25_topk": lambda df: RET.bm25_topk(
         df, "doc_id", "text", ["sparkx0", "vectorx0", "mergex0"], k=15
     ),
+    "winnow_pairs": lambda df: D.winnow_candidate_pairs(
+        D.winnow_fingerprints(df, "doc_id", "text", k=3, window=4), min_shared=2
+    ),
+    "lm_logprob": lambda df: LM.lm_doc_logprob(df, "doc_id", "text"),
+    # 4 merges (not the suite's 8): the probe measures how the per-round
+    # distributed aggregates scale with corpus size, not round count
+    "bpe_merges": lambda df: B.bpe_merges_df(df, "text", n_merges=4),
     "zorder_bins": lambda df: LAY.zorder_bins(df, ["doc_id", "n_chars"], bits=8),
     "table_profile": lambda df: PRO.table_profile(
         df, ["doc_id", "lang", "source", "n_chars"]
