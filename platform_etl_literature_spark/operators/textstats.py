@@ -461,3 +461,64 @@ def epoch_repeat(
         )
         .drop("_bps", "_n")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_width: int = 32,
+    batch_size: int = 16,
+    n_shards: int = 4,
+    salt: str = "batch",
+) -> DataFrame:
+    """Length-bucketed batch assignment: group documents of similar
+    token length into fixed-count batches so per-batch padding (to the
+    batch max) is minimized — the batching strategy dynamic-padding
+    training loaders use, precomputed corpus-side.
+
+    Returns per-BATCH stats: (shard, bucket, batch_idx, n_docs,
+    batch_tokens, padded_tokens, waste_frac) where padded_tokens =
+    batch_max × n_docs (what the accelerator actually processes) and
+    waste_frac the padding overhead.
+
+    Deterministic and scale-safe: documents are first sharded by
+    content hash (the :func:`~platform_etl_literature_spark.operators.dedup.hash_split`
+    md5 bucket trick), THEN length-bucketed, so each
+    (shard, bucket) window partition holds ~1/(shards·buckets) of the
+    corpus — at 100 TB ``n_shards`` grows with the cluster and no
+    window partition serializes; within a partition assignment is
+    row_number order on (n_tokens, id), reproducible across engines
+    and repartitionings.
+    """
+    from platform_etl_literature_spark.operators.dedup import token_hash, tokens
+
+    if bucket_width < 1 or batch_size < 1 or n_shards < 1:
+        raise ValueError("bucket_width, batch_size, n_shards must be >= 1")
+    idc = F.col(id_col)
+    base = df.select(
+        idc,
+        (token_hash(F.concat(F.lit(salt), idc.cast("string"))) % n_shards).alias(
+            "shard"
+        ),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    ).withColumn("bucket", F.floor(F.col("n_tokens") / bucket_width).cast("long"))
+    w = Window.partitionBy("shard", "bucket").orderBy("n_tokens", id_col)
+    assigned = base.withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / batch_size).cast("long")
+    )
+    return assigned.groupBy("shard", "bucket", "batch_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("batch_tokens"),
+        (F.max("n_tokens") * F.count(F.lit(1))).alias("padded_tokens"),
+        F.round(
+            F.when(
+                F.max("n_tokens") == 0, F.lit(0.0)
+            ).otherwise(
+                1.0
+                - F.sum("n_tokens")
+                / (F.max("n_tokens") * F.count(F.lit(1))).cast("double")
+            ),
+            6,
+        ).alias("waste_frac"),
+    )

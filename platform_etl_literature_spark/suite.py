@@ -2547,6 +2547,42 @@ _ORACLE_BM25_TOPK = (
 )
 
 
+def q_length_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch assignment with per-batch padding-waste
+    stats — the dynamic-padding loader strategy precomputed corpus-side
+    (sharded so no window partition serializes at scale)."""
+    return TS.length_bucketed_batches(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        bucket_width=32, batch_size=16, n_shards=4,
+    )
+
+
+_ORACLE_LENGTH_BATCHES = """
+WITH w AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+  FROM documents),
+base AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5('batch' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard,
+         CAST(floor(n_tokens / 32.0) AS BIGINT) AS bucket
+  FROM w),
+assigned AS (
+  SELECT shard, bucket, n_tokens,
+         CAST(floor((row_number() OVER (PARTITION BY shard, bucket
+                                        ORDER BY n_tokens, doc_id) - 1) / 16.0)
+              AS BIGINT) AS batch_idx
+  FROM base)
+SELECT shard, bucket, batch_idx,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+       max(n_tokens) * count(*) AS padded_tokens,
+       round(CASE WHEN max(n_tokens) = 0 THEN 0.0
+                  ELSE 1.0 - sum(n_tokens) / CAST(max(n_tokens) * count(*) AS DOUBLE)
+             END, 6) AS waste_frac
+FROM assigned GROUP BY shard, bucket, batch_idx
+"""
+
+
 def q_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion (SIGIR'09): the BM25
     lexical top-50 fused with a quality-prior top-50 — rank-based
@@ -3054,6 +3090,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "rrf_hybrid": QuerySpec(
         q_rrf_hybrid, _ORACLE_RRF_HYBRID, "retrieval-rrf-fusion"
+    ),
+    "length_batches": QuerySpec(
+        q_length_batches, _ORACLE_LENGTH_BATCHES, "batching-length-buckets"
     ),
     "minhash_banded": QuerySpec(
         q_minhash_banded, _ORACLE_MINHASH_BANDED, "dedup-minhash-lsh-banded"
