@@ -881,3 +881,58 @@ def test_cluster_split_no_pair_straddles_and_covers_all(spark):
     for i in (0, 4, 7, 19):
         assert out[i] == (i, expected[i])
     D.release_cached()
+
+
+def test_winnow_and_lm_degenerate_documents(spark):
+    """Short-document conventions: < k tokens -> no fingerprints /
+    no bigrams (row absent); < window grams -> exactly one fingerprint;
+    empty text contributes nothing anywhere."""
+    from platform_etl_literature_spark.operators import dedup as D
+    from platform_etl_literature_spark.operators import lm as LM
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                 # no tokens
+            (2, "a"),                # 1 token: no 3-gram, no bigram
+            (3, "a b c"),            # 1 gram -> 1 fingerprint; 2 bigrams
+            (4, "a b c d e"),        # 3 grams < window=4 -> 1 fingerprint
+            (5, "a b c d e f g h"),  # 6 grams -> sliding windows
+        ],
+        ["doc_id", "text"],
+    )
+    fps = (
+        D.winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+        .groupBy("id")
+        .count()
+        .collect()
+    )
+    by_id = {r["id"]: r["count"] for r in fps}
+    assert 1 not in by_id and 2 not in by_id
+    assert by_id[3] == 1 and by_id[4] == 1 and by_id[5] >= 1
+
+    lm = {
+        r["id"]: r["n_bigrams"]
+        for r in LM.lm_doc_logprob(docs, "doc_id", "text").collect()
+    }
+    assert 1 not in lm and 2 not in lm
+    assert lm[3] == 2 and lm[4] == 4 and lm[5] == 7
+    D.release_cached()
+
+
+def test_length_bucketed_batches_counts_and_waste(spark):
+    """Every document lands in exactly one batch; no batch exceeds
+    batch_size; uniform-length batches have zero padding waste."""
+    from platform_etl_literature_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 if i < 40 else 70))) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    out = TS.length_bucketed_batches(
+        docs, "doc_id", "text", bucket_width=32, batch_size=8, n_shards=2
+    ).collect()
+    assert sum(r["n_docs"] for r in out) == 60
+    assert all(r["n_docs"] <= 8 for r in out)
+    # all docs in a bucket share one length here -> padding-free
+    assert all(r["waste_frac"] == 0.0 for r in out)
+    assert {r["bucket"] for r in out} == {0, 2}
