@@ -42,11 +42,13 @@ HEADLINE = [
     "ivf_ann_topk",
     "knn_label_vote",
     "doc_profile",
+    "lm_doc_logprob",
     "tfidf_terms",
     "json_props_extract",
     "hash_split",
     "salted_agg",
     "token_packing",
+    "length_batches",
     "value_quantiles",
     "decontaminate",
     "mixture_sample",
@@ -57,6 +59,7 @@ HEADLINE = [
     "epoch_repeat",
     "eval_sample",
     "bm25_topk",
+    "rrf_hybrid",
     "doc_repetition",
     "corpus_curation",
     "user_ewma",

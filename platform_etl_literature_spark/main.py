@@ -243,6 +243,43 @@ def run_cluster(spark: SparkSession, cfg: dict) -> None:
     D.release_cached()
 
 
+def run_split(spark: SparkSession, cfg: dict) -> None:
+    """Leakage-safe train/val/test split over a ``documents`` input:
+    banded-MinHash candidate pairs → connected components → whole
+    clusters assigned to a split by component hash (near-duplicates
+    can never straddle the train/eval boundary).  Config::
+
+        "split": {"weights": {"train": 80, "val": 10, "test": 10},
+                  "shingle_n": 2, "id_col": "doc_id", "text_col": "text"}
+
+    Writes ``split`` — every input row + component + split label."""
+    from platform_etl_literature_spark.operators import components as CC
+    from platform_etl_literature_spark.operators import dedup as D
+
+    scfg = cfg.get("split", {})
+    id_col = scfg.get("id_col", "doc_id")
+    docs = read_from(spark, _io_configs(cfg["inputs"]))["documents"].data
+    sigs = D.minhash_signatures(
+        docs, id_col, scfg.get("text_col", "text"),
+        shingle_n=scfg.get("shingle_n", 2),
+    )
+    pairs = D.minhash_banded_pairs(
+        sigs,
+        band_size=scfg.get("band_size", 2),
+        min_matching_bands=scfg.get("min_matching_bands", 1),
+        max_bucket_size=scfg.get("max_bucket_size"),
+    )
+    weights = scfg.get("weights")
+    if weights is not None:
+        weights = {k: int(v) for k, v in weights.items()}
+    assigned = CC.cluster_split(docs, pairs, id_col, weights=weights)
+    out_fmt, out_dir = cfg["output"]["format"], cfg["output"]["dir"]
+    write_to(
+        {"split": IOResource(assigned, IOResourceConfig(out_fmt, f"{out_dir}/split"))}
+    )
+    D.release_cached()
+
+
 def run_search(spark: SparkSession, cfg: dict) -> None:
     """BM25 keyword search over a ``documents`` input.  Config::
 
@@ -277,13 +314,13 @@ def main(argv: list[str] | None = None) -> None:
         description=(
             "PySpark literature ETL: processing | embedding | vectors | "
             "evidence | all; plus the training-data steps: curate, cluster, "
-            "scrub, search"
+            "scrub, search, split"
         ),
     )
     p.add_argument(
         "steps",
         nargs="+",
-        choices=STEPS + ["all", "curate", "cluster", "scrub", "search"],
+        choices=STEPS + ["all", "curate", "cluster", "scrub", "search", "split"],
     )
     p.add_argument("--config", required=True, help="JSON config file")
     p.add_argument("--master", default=None)
@@ -300,6 +337,8 @@ def main(argv: list[str] | None = None) -> None:
         run_cluster(spark, cfg)
     if "search" in args.steps:
         run_search(spark, cfg)
+    if "split" in args.steps:
+        run_split(spark, cfg)
     steps = STEPS if "all" in args.steps else [s for s in STEPS if s in args.steps]
     if steps:
         run_all(spark, cfg, steps)

@@ -1000,10 +1000,12 @@ def winnow_fingerprints(
             )
         )
     )
-    return (
-        staged.select("id", F.explode(fps).alias("fp"))
-        .distinct()
-    )
+    # no row-level distinct: array_distinct already dedups the
+    # fingerprint set WITHIN each document (the only duplication the
+    # window minima can produce), so the exploded (id, fp) rows are
+    # unique by construction — a distinct() here would be a pure-waste
+    # full shuffle of the sketch.
+    return staged.select("id", F.explode(fps).alias("fp"))
 
 
 def winnow_candidate_pairs(

@@ -10,11 +10,11 @@ filters on one.
 
 Scale design (100 TB):
 
-- Training IS the scoring scan: the positional bigram instance table is
-  built once from a single corpus pass (one explode of the staged token
-  array), and both count tables reduce from it with map-side partial
-  aggregation — gram counts shuffle as (8-byte-hashable string, long)
-  pairs, never document-shaped rows.
+- Two corpus passes total: one builds the PERSISTED bigram instance
+  table (which then feeds both the bigram counts and the scoring join
+  without re-reading text), one the unigram counts.  All count tables
+  reduce with map-side partial aggregation — gram counts shuffle as
+  (8-byte-hashable string, long) pairs, never document-shaped rows.
 - The model is NOT broadcast: at corpus scale the bigram vocabulary is
   itself corpus-sized, so instances join counts with shuffle joins
   co-partitioned on the gram key (Catalyst/AQE picks broadcast anyway

@@ -204,3 +204,39 @@ def test_cli_search_step(spark, tmp_path):
     )
     assert [r["doc_id"] for r in hits] == [1, 2]
     assert hits[0]["score"] > hits[1]["score"]
+
+
+def test_cli_split_step(spark, tmp_path):
+    """The split step assigns every document to a split, keeps
+    near-dup clusters together, and honors custom weights."""
+    import json
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    # docs 1/2 are near-identical -> same MinHash cluster -> same split
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+            (4, "seven eight nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    cfg = {
+        "inputs": {"documents": {"format": "parquet", "path": src}},
+        "output": {"format": "parquet", "dir": out},
+        "split": {"weights": {"train": 90, "test": 10}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cli_main(["split", "--config", str(cfg_path)])
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/split").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["component"] == rows[2]["component"]
+    assert rows[1]["split"] == rows[2]["split"]
+    assert {r["split"] for r in rows.values()} <= {"train", "test"}
