@@ -2207,6 +2207,21 @@ def q_text_normalize_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(event_type, day) HLL sketches of
+    distinct users, re-aggregated per event_type by sketch UNION (the
+    compute-once/merge-many distinct-count pattern — raw data is never
+    re-scanned for a coarser grain).  Rows-only like its windowed HLL
+    sibling (estimates are engine-specific); the lossless-merge
+    invariant union(fine sketches) == direct coarse sketch is pinned in
+    tests/test_operators.py."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    ev = read_events(spark, sf).withColumn("day", F.to_date("ts"))
+    fine = SK.distinct_sketches(ev, ["event_type", "day"], "user_id")
+    return SK.rollup_sketches(fine, ["event_type"])
+
+
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer training (Sennrich ACL'16) on the corpus: the
     first 8 learned merges.  Iterative fit (driver argmax barrier per
@@ -3181,6 +3196,7 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "text_normalize_keys": QuerySpec(q_text_normalize_keys, None, "M1 M2"),
     "bpe_merges": QuerySpec(q_bpe_merges, None, "tokenizer-bpe-train"),
+    "hll_rollup": QuerySpec(q_hll_rollup, None, "sketch-mergeable-hll"),
     "word2vec_synonyms": QuerySpec(q_word2vec_synonyms, None, "M3 M4 S7"),
     "literature_pipeline": QuerySpec(
         q_literature_pipeline, None, "flagship grounding+processing e2e"

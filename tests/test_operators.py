@@ -936,3 +936,39 @@ def test_length_bucketed_batches_counts_and_waste(spark):
     # all docs in a bucket share one length here -> padding-free
     assert all(r["waste_frac"] == 0.0 for r in out)
     assert {r["bucket"] for r in out} == {0, 2}
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """The mergeable-sketch contract: unioning per-fine-key sketches
+    gives the SAME estimate as sketching the coarse grain directly
+    (lossless re-aggregation, fixed lgK), and estimates match exact
+    counts in the sketch's exact (sparse) regime."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    rows = [
+        (f"u{i % 97}", f"s{i % 3}", f"d{i % 5}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["user", "source", "day"])
+    fine = SK.distinct_sketches(df, ["source", "day"], "user")
+    merged = {
+        r["source"]: (r["n_rows"], r["n_distinct_est"])
+        for r in SK.rollup_sketches(fine, ["source"]).collect()
+    }
+    direct = {
+        r["source"]: (r["n_rows"], r["n_distinct_est"])
+        for r in SK.rollup_sketches(
+            SK.distinct_sketches(df, ["source"], "user"), ["source"]
+        ).collect()
+    }
+    assert merged == direct
+    exact = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source")
+        .agg(F.countDistinct("user").alias("n"))
+        .collect()
+    }
+    for s, (n_rows, est) in merged.items():
+        assert est == exact[s], (s, est, exact[s])
+    assert sum(n for n, _ in merged.values()) == 2000
