@@ -9,15 +9,18 @@ source, per day, global, ad-hoc unions) by MERGING sketches — no
 re-scan of the raw data, ever.  Exact `count_distinct` cannot do this:
 its partial state is the value set itself, so every new rollup grain
 is a full shuffle of the corpus keys.  HLL union is associative and
-deterministic for a fixed lgK, so merged estimates are REPRODUCIBLE
-and re-aggregation is lossless: union(sketch per fine key) ==
-sketch(all rows) bit-for-bit — pinned in
-tests/test_operators.py::test_hll_rollup_merge_equals_direct.
+deterministic for a fixed lgK, so merged ESTIMATES are reproducible
+and re-aggregation loses nothing: estimate(union(sketch per fine
+key)) == estimate(sketch(all rows)) — pinned in
+tests/test_operators.py::test_hll_rollup_merge_equals_direct.  (The
+serialized sketch BINARIES are not bitwise identical across the two
+routes — compact encodings differ by build path — so persisted
+sketches must be compared by estimate, never by checksum.)
 
-The estimate is approximate (~1.6%/sqrt(2^lgK) relative error), so the
-suite query is rows-only (the same inherent-engine-specificity as
-`approx_distinct_window`, its windowed HLL sibling); the exact analogs
-stay value-checked elsewhere.
+The estimate is approximate (~1.04/sqrt(2^lgK) relative standard
+error — ~1.6% at the default lgK=12), so the suite query is rows-only
+(the same inherent-engine-specificity as `approx_distinct_window`, its
+windowed HLL sibling); the exact analogs stay value-checked elsewhere.
 """
 
 from __future__ import annotations
