@@ -273,10 +273,7 @@ def run_split(spark: SparkSession, cfg: dict) -> None:
     if weights is not None:
         weights = {k: int(v) for k, v in weights.items()}
     assigned = CC.cluster_split(docs, pairs, id_col, weights=weights)
-    out_fmt, out_dir = cfg["output"]["format"], cfg["output"]["dir"]
-    write_to(
-        {"split": IOResource(assigned, IOResourceConfig(out_fmt, f"{out_dir}/split"))}
-    )
+    write_to(_out(cfg, "split", assigned))
     D.release_cached()
 
 

@@ -78,8 +78,11 @@ def lm_doc_logprob(
     uni = docs.select(
         F.explode(tokens(F.col(text_col))).alias("t")
     )
-    c1 = uni.groupBy("t").agg(F.count(F.lit(1)).alias("n1"))
-    vocab = uni.agg(F.count_distinct("t").alias("v"))
+    # c1 is read twice (the vocabulary scalar below and the scoring
+    # join), so materialize it — V is then c1's own row count (one row
+    # per distinct token), not a third tokenizing pass over the corpus.
+    c1 = _materialize_once(uni.groupBy("t").agg(F.count(F.lit(1)).alias("n1")))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     c2 = inst.groupBy("big").agg(F.count(F.lit(1)).alias("n2"))
 
     logp = F.log(
