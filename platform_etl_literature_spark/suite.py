@@ -687,6 +687,35 @@ GROUP BY 1, 2 HAVING count(*) >= 2""",
 )
 
 
+def q_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join: exact
+    token-set Jaccard >= 0.85 pairs, candidates only from rare-token
+    prefixes.  The oracle is the BRUTE-FORCE all-pairs join — hash
+    equality proves the prefix filter is lossless, not just fast."""
+    return D.prefix_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.85
+    )
+
+
+_ORACLE_PREFIX_JACCARD = """
+WITH w AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS toks
+  FROM documents),
+sh AS (SELECT doc_id AS id, unnest(toks) AS s FROM w),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+  round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.85
+"""
+
+
 def q_lm_doc_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality scoring: average bigram log-prob (and
     perplexity) per document under an add-0.1-smoothed bigram model
@@ -3102,6 +3131,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "lm_doc_logprob": QuerySpec(
         q_lm_doc_logprob, _ORACLE_LM_LOGPROB, "quality-ngram-lm"
+    ),
+    "prefix_jaccard": QuerySpec(
+        q_prefix_jaccard, _ORACLE_PREFIX_JACCARD, "dedup-prefix-filter-join"
     ),
     "rrf_hybrid": QuerySpec(
         q_rrf_hybrid, _ORACLE_RRF_HYBRID, "retrieval-rrf-fusion"

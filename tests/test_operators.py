@@ -972,3 +972,45 @@ def test_hll_rollup_merge_equals_direct(spark):
     for s, (n_rows, est) in merged.items():
         assert est == exact[s], (s, est, exact[s])
     assert sum(n for n, _ in merged.values()) == 2000
+
+
+def test_prefix_jaccard_edges_and_brute_force_equality(spark):
+    """Prefix-filter completeness on a handcrafted corpus: identical
+    sets (j=1.0), subset overlap, disjoint sets, single-token docs —
+    the output equals the brute-force all-pairs result, including at
+    threshold=1.0 where the prefix shrinks to a single token."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "d c b a"),       # same set as 1, different order
+            (3, "a b c x"),       # 3/5 with 1
+            (4, "p q r s"),       # disjoint
+            (5, "a"),             # single token
+            (6, "a"),             # identical single token
+        ],
+        ["doc_id", "text"],
+    )
+
+    def brute(th):
+        sets = {1: set("abcd"), 2: set("abcd"), 3: set("abcx"),
+                4: set("pqrs"), 5: {"a"}, 6: {"a"}}
+        out = set()
+        for x in sets:
+            for y in sets:
+                if x < y:
+                    j = len(sets[x] & sets[y]) / len(sets[x] | sets[y])
+                    if round(j, 6) >= th:
+                        out.add((x, y, round(j, 6)))
+        return out
+
+    for th in (1.0, 0.6, 0.2):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.prefix_jaccard_pairs(
+                docs, "doc_id", "text", threshold=th
+            ).collect()
+        }
+        assert got == brute(th), th
+        D.release_cached()
