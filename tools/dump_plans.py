@@ -143,6 +143,14 @@ SHOWCASE: dict[str, str] = {
         "on the count tables — at 100 TB they are vocabulary-sized and "
         "AQE picks shuffle-hash joins co-partitioned on the gram key."
     ),
+    "prefix_jaccard": (
+        "PPJoin prefix filter: candidates come from a self-equijoin on "
+        "the EXPLODED RARE-TOKEN PREFIX only (slice of the persisted "
+        "rank-array table — `InMemoryTableScan` on both candidate sides "
+        "AND both verify sides); the df-rank table is built by one "
+        "(token, long) aggregation; the exact-Jaccard verify is per-pair "
+        "array_intersect, no re-tokenization anywhere."
+    ),
     "rrf_hybrid": (
         "Reciprocal-rank fusion: each ranking reaches its top-50 via "
         "`TakeOrderedAndProject` (per-partition local k, no global "
