@@ -98,6 +98,9 @@ OPS = {
     "bm25_topk": lambda df: RET.bm25_topk(
         df, "doc_id", "text", ["sparkx0", "vectorx0", "mergex0"], k=15
     ),
+    "prefix_jaccard": lambda df: D.prefix_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.85
+    ),
     "winnow_pairs": lambda df: D.winnow_candidate_pairs(
         D.winnow_fingerprints(df, "doc_id", "text", k=3, window=4), min_shared=2
     ),
