@@ -75,7 +75,9 @@ def release_cached() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
-    return n
+    from platform_etl_literature_spark.operators import ranking
+
+    return n + ranking.release_cached()
 
 
 # Large prime < 2^31 — universal-hash modulus. a*h+b stays < 2^52
@@ -856,44 +858,67 @@ def scrub_dup_passages(
     string, never disappears.  The trailing partial passage (< window
     tokens) is treated like any other passage.
 
-    Scale shape: NO self-join — passages explode to one slim
-    (id, pos, digest, passage) stream, the first-occurrence winner is a
-    row_number window PARTITIONED BY the 16-byte md5 digest (fixed-
-    width shuffle key; the digest stands in for passage equality, the
-    standard corpus-dedup trade — a 128-bit collision is ~n²/2^129),
-    and reassembly is one groupBy on the doc id.  Two linear shuffles
-    total, same as window_dup_stats.  Deterministic and fully
-    SQL-expressible (md5 + stable ordering), so it takes a value-level
-    oracle.
+    Scale shape: NO self-join over text, and — unlike the round-4
+    row_number-window shape — NO sort shuffle that carries the corpus
+    text or funnels a viral passage into one task.  The
+    first-occurrence winner per distinct passage is
+    ``min(struct(id, pos, passage))`` grouped by the 16-byte md5 digest
+    (the digest stands in for passage equality, the standard
+    corpus-dedup trade — a 128-bit collision is ~n²/2^129): a hash
+    aggregate with MAP-SIDE partial combine, so a passage duplicated a
+    million times collapses to one candidate per map partition BEFORE
+    the exchange — the skew profile is flat by construction (this was
+    the round-4 16x scaling cliff: the window sorted every copy of
+    every hot passage in a single reducer task, SCALE.md 44k→15.7k
+    rows/s).  Only WINNING passages (≤ one per distinct digest) are
+    then regrouped by doc id for reassembly; the per-doc passage count
+    comes map-side from the doc itself (ceil(|tokens|/window)), and a
+    slim (id, n_passages) spine left-joins the kept aggregates so
+    fully-duplicated docs still survive.  Exchanges: digest agg →
+    winner-by-doc agg → spine join; the full corpus text crosses the
+    wire only as map-side-combined digest-agg input, never sorted.
+    Deterministic and fully SQL-expressible (md5 + stable ordering), so
+    it takes a value-level oracle.
     """
     w = window
-    passages = df.selectExpr(
+    toks = df.selectExpr(
         f"`{id_col}` AS id", _TOKENS_SQL.format(text=f"`{text_col}`")
-    ).selectExpr(
+    )
+    passages = toks.filter(F.size("w") > 0).selectExpr(
         "id",
-        f"posexplode_outer(IF(size(w) = 0, CAST(array() AS ARRAY<STRING>), "
-        f"transform(sequence(0, CAST(ceil(size(w) / {w}.0) AS INT) - 1), "
-        f"k -> concat_ws(' ', slice(w, k * {w} + 1, {w}))))) AS (pos, passage)",
+        f"posexplode(transform(sequence(0, CAST(ceil(size(w) / {w}.0) AS INT) - 1), "
+        f"k -> concat_ws(' ', slice(w, k * {w} + 1, {w})))) AS (pos, passage)",
     )
-    from pyspark.sql.window import Window as W
-
-    first = W.partitionBy(F.md5("passage")).orderBy("id", "pos")
-    # zero-token docs ride through posexplode_outer as a NULL-passage
-    # row — never kept, but they hold the doc's place in the groupBy
-    kept = (
-        passages.withColumn("_rn", F.row_number().over(first))
-        .withColumn("_keep", (F.col("_rn") == 1) & F.col("passage").isNotNull())
+    # first corpus-wide occurrence of each distinct passage, ordered by
+    # (id, pos): min(struct) under the same lexicographic order the old
+    # window used — partial-aggregated map-side, skew-proof
+    winners = (
+        passages.groupBy(F.md5("passage").alias("_d"))
+        .agg(F.min(F.struct("id", "pos", "passage")).alias("f"))
+        .select("f.id", "f.pos", "f.passage")
     )
-    return (
-        kept.groupBy("id")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(IF(_keep, "
-                "struct(pos, passage), NULL))), e -> e.passage), ' ') AS text_scrubbed"
-            ),
-            F.expr("count(passage) AS n_passages"),
-            F.expr("count(IF(_keep, 1, NULL)) AS n_kept"),
+    kept = winners.groupBy("id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, passage))), "
+            "e -> e.passage), ' ') AS text_scrubbed"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # slim per-doc spine: every input row survives (a fully-duplicated
+    # doc keeps an empty string); n_passages computed map-side
+    spine = toks.select(
+        "id",
+        F.when(
+            F.col("w").isNull() | (F.size("w") == 0), F.lit(0).cast("long")
         )
+        .otherwise(F.ceil(F.size("w") / F.lit(float(w))).cast("long"))
+        .alias("n_passages"),
+    )
+    return spine.join(kept, "id", "left").select(
+        "id",
+        F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),
+        "n_passages",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )
 
 
@@ -1070,7 +1095,9 @@ def prefix_jaccard_pairs(
     tests/test_properties.py.  Returns (id_a, id_b, n_a, n_b, n_inter,
     jaccard) with id_a < id_b.
     """
-    from pyspark.sql.window import Window
+    from platform_etl_literature_spark.operators.ranking import (
+        ordered_global_index,
+    )
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1080,18 +1107,16 @@ def prefix_jaccard_pairs(
     ).filter(F.size("w") > 0)
     # global rare-first token order: rank 1 = rarest.  (df ASC, token
     # ASC) is a deterministic total order, so both engines and every
-    # rerun produce identical prefixes.
+    # rerun produce identical prefixes.  Ranked with the
+    # range-partitioned zipWithIndex (operators.ranking) — the
+    # vocabulary table is 10⁸–10⁹ rows at web scale, far too large for
+    # a single-reducer row_number window.
     flat = toks.select("id", F.explode("w").alias("t"))
-    ranks = (
-        flat.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .select(
-            "t",
-            F.row_number()
-            .over(Window.orderBy(F.asc("_df"), F.asc("t")))
-            .alias("r"),
-        )
-    )
+    ranks = ordered_global_index(
+        flat.groupBy("t").agg(F.count(F.lit(1)).alias("_df")),
+        [F.asc("_df"), F.asc("t")],
+        rank_col="_r",
+    ).select("t", F.col("_r").cast("int").alias("r"))
     compact = _materialize_once(
         flat.join(ranks, "t")
         .groupBy("id")

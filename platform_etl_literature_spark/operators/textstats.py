@@ -287,41 +287,44 @@ def vocab_coverage(
     the frequency-cutoff step of building a tokenizer vocabulary.
 
     Scale shape: the heavy part is the token-count aggregation, which
-    map-side combines to one row per distinct token; the ranking window
-    then runs over the *vocabulary*-sized table (millions of rows at
-    corpus scale, not trillions), so the single-reducer global sort is
-    bounded by vocabulary size.  The corpus total comes from a global
-    window over that same aggregated table — NOT a second aggregation
-    of the corpus, which would double the heavy scan (it shares the
-    ranking window's single-partition exchange).  The threshold test
-    compares exact integer counts ((cum - freq) < coverage * total) —
-    no accumulated float error.
+    map-side combines to one row per distinct token; the ranking runs
+    over that *vocabulary*-sized table via the range-partitioned
+    zipWithIndex of :mod:`operators.ranking` — rank, running sum, and
+    the grand total all come from ONE range exchange plus a
+    #partitions-row broadcast offset lookup, with no single-reducer
+    window anywhere in the plan (a web-scale vocabulary is 10⁸–10⁹
+    rows; the old ``row_number() OVER (ORDER BY ...)`` shape sorted it
+    all in one task).  The total is NOT a second aggregation of the
+    corpus — it falls out of the same per-partition stats.  The
+    threshold test compares exact integer counts
+    ((cum - freq) < coverage * total) — no accumulated float error.
     """
     from platform_etl_literature_spark.operators.dedup import tokens
+    from platform_etl_literature_spark.operators.ranking import (
+        ordered_global_index,
+    )
 
     tf = (
         df.select(F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    cum = F.sum("freq").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = ordered_global_index(
+        tf,
+        [F.col("freq").desc(), F.col("term").asc()],
+        rank_col="rnk",
+        running_sum_col="freq",
+        running_sum_out="cum",
+        total_out="_total",
     )
-    total = F.sum("freq").over(Window.partitionBy())
-    return (
-        tf.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .withColumn("cum", cum)
-        .withColumn("_total", total)
-        .select(
-            "term",
-            "freq",
-            "rnk",
-            F.round(F.col("cum") / F.col("_total"), 6).alias("cum_frac"),
-            ((F.col("cum") - F.col("freq")) < coverage * F.col("_total"))
-            .cast("int")
-            .alias("in_vocab"),
-        )
+    return ranked.select(
+        "term",
+        "freq",
+        "rnk",
+        F.round(F.col("cum") / F.col("_total"), 6).alias("cum_frac"),
+        ((F.col("cum") - F.col("freq")) < coverage * F.col("_total"))
+        .cast("int")
+        .alias("in_vocab"),
     )
 
 

@@ -108,9 +108,23 @@ def test_mixture_sample_is_map_side(spark, sf_dir):
 
 def test_vocab_coverage_single_corpus_scan(spark, sf_dir):
     """The global total must come from the vocabulary-sized aggregate,
-    not a second scan of the corpus."""
+    not a second scan of the corpus.  The cached range-partitioned
+    rank table embeds an AQE '== Initial Plan ==' echo of its own scan
+    in the plan text — count scans in the executed section only."""
     plan = _simple_plan(SUITE["vocab_coverage"].fn(spark, sf_dir))
-    assert plan.count("FileScan") == 1, plan[:3000]
+    assert plan.split("== Initial Plan ==")[0].count("FileScan") == 1, plan[:3000]
+
+
+def test_no_single_reducer_rank_window(spark, sf_dir):
+    """Global token ranks (the PPJoin rare-first prefix order, the Zipf
+    vocabulary rank + running coverage) must come from the
+    range-partitioned zipWithIndex (operators.ranking) — never an
+    unpartitioned row_number/sum window, which is a single-reducer sort
+    of the whole vocabulary.  No Exchange SinglePartition anywhere in
+    either plan."""
+    for name in ("prefix_jaccard", "vocab_coverage"):
+        plan = _simple_plan(SUITE[name].fn(spark, sf_dir))
+        assert "SinglePartition" not in plan, (name, plan[:3000])
 
 
 def test_tfidf_single_tokenize_pass(spark, sf_dir):
@@ -146,15 +160,19 @@ def test_semantic_dedup_groups_once_no_join(spark, sf_dir):
         assert node not in plan, plan[:3000]
 
 
-def test_scrub_dup_passages_two_linear_shuffles_no_join(spark, sf_dir):
-    """The passage scrub must stay join-free: one scan, a Window over
-    the passage digest, a groupBy rebuild — exactly two Exchanges."""
+def test_scrub_dup_passages_partial_agg_no_sort_window(spark, sf_dir):
+    """The passage scrub's first-occurrence winner must be a map-side-
+    combined min(struct) hash aggregate on the digest — NEVER the
+    round-4 row_number window, which sorted every copy of every hot
+    passage through one reducer (the 16x scaling cliff).  Shape: zero
+    Windows, a partial_min, at most two corpus scans (passage stream +
+    slim spine) and three exchanges; no cartesian."""
     plan = _simple_plan(SUITE["scrub_dup_passages"].fn(spark, sf_dir))
-    assert plan.count("Scan parquet") == 1, plan[:3000]
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
-        assert node not in plan, plan[:3000]
-    assert "Window" in plan, plan[:3000]
-    assert plan.count("Exchange") <= 2, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_min" in plan, plan[:3000]
+    assert plan.count("Scan parquet") <= 2, plan[:3000]
+    assert plan.count("Exchange") <= 3, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
 
 
 def test_embedding_lsh_bucket_table_reused_not_recomputed(spark, sf_dir):
