@@ -13,12 +13,42 @@ Algorithm (classic word-internal BPE):
    not trillions), so every later round touches words, never documents.
 2. Each round: explode adjacent symbol pairs weighted by word
    frequency, aggregate pair counts (map-side partial sums; the only
-   shuffle is (pair, long) rows), and take the argmax pair —
-   deterministic tie-break on (count DESC, left ASC, right ASC).
-3. Collect THAT ONE ROW to the driver (the O(1)-per-round barrier every
-   BPE implementation has — the argmax is inherently sequential), then
-   rewrite the symbol arrays with a pure-Catalyst left-to-right greedy
-   merge fold and start the next round.
+   shuffle is (pair, long) rows), and fetch the TOP of the ranking —
+   deterministic tie-break on (count DESC, left ASC, right ASC) — as a
+   TakeOrderedAndProject (a few hundred rows to the driver, never the
+   table).
+3. Learn a BATCH of merges from that one ranking (the standard
+   distributed-BPE amortization — a production vocabulary is 32k+
+   merges, and one Spark job per merge would be 32k jobs).  The batch
+   is chosen so it is PROVABLY the exact prefix sequential BPE would
+   have produced:
+
+   * walk the ranking top-down, stopping at the FIRST pair that shares
+     a symbol with an already-batched pair — including the batched
+     pairs' concatenations, since merging (a,b) mints new "ab" symbols
+     that can change the counts of any pair mentioning "ab".  The
+     batch is therefore a strict PREFIX of the ranking (no
+     skip-and-continue), pairwise symbol-disjoint;
+   * trim the batch to counts STRICTLY ABOVE the stopping row's count
+     c*.  Disjoint pairs' counts are invariant under each other's
+     merges (replacing "l r" elsewhere in a word cannot create or
+     destroy an adjacency of two symbols outside {l, r}), and every
+     pair a merge CAN affect — (x,l), (r,y), and the newly minted
+     (x,lr), (lr,y), whose count is bounded by the old (x,l)/(r,y) —
+     shares a symbol with the batch, so it sits at or below the
+     stopping row: its count never exceeds c*.  Every batched pair
+     outranks c* strictly, so at each sequential step the next batch
+     member is still the unique global argmax — same merges, same
+     order, same counts, no tie-break ambiguity (pinned against the
+     literal python reference in tests/test_properties.py);
+   * a batch that trims to nothing falls back to the single top pair
+     (the true argmax — always exact).
+
+   All batch merges are applied in ONE pure-Catalyst pass (a chain of
+   greedy left-to-right merge folds — order is immaterial for disjoint
+   pairs, and the chain replays sequential order anyway), so a round
+   costs two jobs (ranking + materialize) for up to ``batch_cap``
+   merges.
 
 The symbol table is cached per round and replaced (persist/unpersist
 hand-over-hand), so round k+1 reads round k's materialized state, not
@@ -65,23 +95,70 @@ def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+#: rounds (Spark ranking jobs) taken by the most recent bpe_train call
+#: — the batching's amortization claim is tested against this.
+last_train_rounds: int = 0
+
+
+def _exact_batch(
+    ranked: list, remaining: int, min_pair_count: int, truncated: bool
+) -> list[tuple[str, str, int]]:
+    """Select the provably-sequential-exact merge batch from a ranked
+    (count DESC, l ASC, r ASC) pair list — see the module docstring for
+    the prefix/disjoint/strict-count argument.  ``truncated`` means the
+    ranking was cut at the fetch limit, so unseen pairs may have counts
+    equal to the last fetched row's."""
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    c_star = None
+    for row in ranked:
+        left, right, cnt = row["p"]["l"], row["p"]["r"], int(row["cnt"])
+        if (
+            len(batch) >= remaining
+            or left in used
+            or right in used
+        ):
+            c_star = cnt
+            break
+        batch.append((left, right, cnt))
+        used.update((left, right, left + right))
+    else:
+        # consumed every fetched row: if the fetch was truncated, an
+        # unseen pair may tie the last count — be conservative
+        c_star = ranked[-1]["cnt"] if truncated else None
+    if c_star is not None:
+        batch = [m for m in batch if m[2] > c_star]
+    return [m for m in batch if m[2] >= min_pair_count]
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
     n_merges: int = 8,
     min_pair_count: int = 2,
+    batch_cap: int = 24,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns the
     ordered merge table [(rank, left, right, pair_count)]; stops early
     when the best remaining pair occurs fewer than ``min_pair_count``
-    times.  Deterministic: ties break on (count DESC, left, right)."""
+    times.  Deterministic: ties break on (count DESC, left, right).
+
+    Learns up to ``batch_cap`` merges per Spark round (module
+    docstring: the batch is bitwise-identical to what the one-merge-
+    per-job loop produces); ``batch_cap`` also bounds the depth of the
+    chained merge-fold expression a single rewrite pass compiles to.
+    Sets :data:`last_train_rounds`.
+    """
+    global last_train_rounds
     words = word_freq_table(docs, text_col).select(
         F.split(F.col("word"), "").alias("syms"), "n"
     )
     state = words.persist()
     merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
     try:
-        for rank in range(n_merges):
+        while len(merges) < n_merges:
+            rounds += 1
             pairs = state.select(
                 F.explode(
                     F.when(
@@ -98,25 +175,45 @@ def bpe_train(
                 ).alias("p"),
                 "n",
             )
-            best = (
+            fetch = 4 * batch_cap
+            ranked = (
                 pairs.groupBy("p")
                 .agg(F.sum("n").alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
-                .limit(1)
+                .limit(fetch)
                 .collect()
             )
-            if not best or best[0]["cnt"] < min_pair_count:
+            if not ranked or ranked[0]["cnt"] < min_pair_count:
                 break
-            left, right, cnt = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["cnt"]
-            merges.append((rank, left, right, int(cnt)))
-            nxt = state.select(
-                _merge_fold(F.col("syms"), left, right).alias("syms"), "n"
-            ).persist()
-            nxt.count()  # materialize before dropping the old state
+            batch = _exact_batch(
+                ranked,
+                remaining=min(batch_cap, n_merges - len(merges)),
+                min_pair_count=min_pair_count,
+                truncated=len(ranked) == fetch,
+            )
+            if not batch:  # conflict right at the top — single exact step
+                top = ranked[0]
+                batch = [(top["p"]["l"], top["p"]["r"], int(top["cnt"]))]
+            for left, right, cnt in batch:
+                merges.append((len(merges), left, right, cnt))
+            folded = F.col("syms")
+            for left, right, _ in batch:
+                folded = _merge_fold(folded, left, right)
+            # localCheckpoint, not persist: the loop feeds its output
+            # back in, and persist keeps the whole k-round lineage —
+            # analysis time then grows geometrically with rounds (the
+            # components.py module docstring's rule: persist for DAG
+            # reuse, CHECKPOINT for iteration; measured here too —
+            # per-round apply went 0.2s → 1.6s by round 12 on a
+            # 31-word vocab with persist, flat with checkpoint).
+            nxt = state.select(folded.alias("syms"), "n").localCheckpoint(
+                eager=True
+            )
             state.unpersist()
             state = nxt
     finally:
         state.unpersist()
+        last_train_rounds = rounds
     return merges
 
 

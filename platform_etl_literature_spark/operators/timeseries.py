@@ -10,10 +10,15 @@ key, O(group) memory for the ordered array, zero Python/Arrow boundary.
 fold at 60× the single-node oracle; the Arrow transfer plus a per-group
 Python loop was the entire gap.)
 
-Skewed keys (one user = half the events) remain the hazard — the
-per-key array lives in one task either way; mitigate upstream with AQE
-skew handling or a two-level pre-aggregation when the recurrence allows
-it.
+Skewed keys (one user = half the events) remain the hazard for the
+single-level fold — the per-key array lives in one task.  The EWMA
+recurrence COMPOSES, though: a segment of the history folds to a
+linear map e ↦ A·e + B (A = ∏(1−α) over the segment, B = the fold
+seeded from 0), and maps chain as (A₂A₁, A₂B₁+B₂) — so
+:func:`user_value_ewma_segmented` pre-aggregates bounded time
+segments first and folds only the per-segment summaries per user,
+capping task memory at the largest SEGMENT instead of the largest
+USER.
 """
 
 from __future__ import annotations
@@ -67,4 +72,118 @@ def user_value_ewma(
             F.count(F.lit(1)).alias("n_events"),
             F.round(fold, 6).alias("ewma"),
         )
+    )
+
+
+def user_value_ewma_segmented(
+    events: DataFrame,
+    alpha: float = 0.2,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user EWMA via two-level segment composition — the whale-safe
+    shape of :func:`user_value_ewma`.
+
+    Level 1 groups (user, day) and folds each day's ordered values to a
+    summary struct (m, A, B, es): m items, the linear-map coefficients
+    A = ∏(1−α) and B = fold of α·v + (1−α)·b from b=0, and es = the
+    seeded fold (first value seeds, the flat operator's semantics) in
+    case this is the user's first nonempty segment.  Level 2 groups by
+    user, sorts the (day-keyed) summaries, and chains them:
+    e ← es for the first segment, e ← A·e + B after.  A user with 10⁶
+    events across 1000 days now costs 1000 summaries in the final
+    task, not a 10⁶-element array — task memory is bounded by the
+    largest single DAY.
+
+    Same recurrence as the flat fold, re-associated: results agree up
+    to IEEE-754 re-association error (≪1e-9 for |v| ~ 1e3; both are
+    rounded to 6 dp) and agree EXACTLY with this function's own DuckDB
+    oracle, which replays the identical two-level operation order.
+    NULL contagion matches the flat operator: a NULL value nulls B and
+    es for its segment, and A·e+B propagates the null to every later
+    segment.  Inside the level-1 lambda the fold arithmetic runs on
+    null-coalesced values with an explicit null COUNTER, and the NULL
+    is applied at extraction: Spark's struct-accumulator HOF fold was
+    observed dropping the null bit of an interior accumulator field
+    when the aggregation holds multiple groups (b came back as its
+    init 0.0 instead of NULL; single-group folds are correct), so the
+    operator never relies on null propagation inside the lambda.
+
+    Segment key: date_trunc('day', ts) as epoch seconds — cross-engine
+    stable (the events_hourly pattern).
+    """
+    a = float(alpha)
+    one_m = 1.0 - a
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col(value_col).alias("v")))
+    )
+    vals = F.transform(ordered, lambda s: s["v"])
+    seg_fold = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(0).alias("k"),
+            F.lit(1.0).alias("a"),
+            F.lit(0.0).alias("b"),
+            F.lit(0.0).alias("e"),
+            F.lit(0).alias("nn"),
+        ),
+        lambda acc, v: F.struct(
+            (acc["k"] + 1).alias("k"),
+            (acc["a"] * F.lit(one_m)).alias("a"),
+            (F.lit(a) * F.coalesce(v, F.lit(0.0)) + F.lit(one_m) * acc["b"]).alias(
+                "b"
+            ),
+            F.when(acc["k"] == 0, F.coalesce(v, F.lit(0.0)))
+            .otherwise(
+                F.lit(a) * F.coalesce(v, F.lit(0.0)) + F.lit(one_m) * acc["e"]
+            )
+            .alias("e"),
+            (acc["nn"] + F.when(v.isNull(), 1).otherwise(0)).alias("nn"),
+        ),
+    )
+    per_seg = (
+        events.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("long").alias("seg"),
+            "ts",
+            "event_id",
+            value_col,
+        )
+        .groupBy("user_id", "seg")
+        .agg(F.count(F.lit(1)).alias("m"), seg_fold.alias("f"))
+    )
+    poisoned = F.col("f.nn") > 0
+    segs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "seg",
+                "m",
+                F.col("f.a").alias("a"),
+                F.when(poisoned, F.lit(None).cast("double"))
+                .otherwise(F.col("f.b"))
+                .alias("b"),
+                F.when(poisoned, F.lit(None).cast("double"))
+                .otherwise(F.col("f.e"))
+                .alias("es"),
+            )
+        )
+    )
+    combine = F.aggregate(
+        segs,
+        F.struct(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("e"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["n"] + s["m"]).alias("n"),
+            F.when(acc["n"] == 0, s["es"])
+            .otherwise(s["a"] * acc["e"] + s["b"])
+            .alias("e"),
+        ),
+    )
+    return per_seg.groupBy("user_id").agg(
+        combine.alias("_c")
+    ).select(
+        "user_id",
+        F.col("_c.n").alias("n_events"),
+        F.round(F.col("_c.e"), 6).alias("ewma"),
     )

@@ -1742,6 +1742,47 @@ FROM a
 """
 
 
+def q_multimodal_img_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode: synthesize a deterministic 24-bit BMP per
+    document (stdlib struct writer; width 10 forces row padding), then
+    parse headers + padded bottom-up pixel rows back and emit per-image
+    stats.  The pixel pattern is integer-affine mod 256, so the oracle
+    regenerates every pixel and value-checks the round trip — including
+    a position-weighted luma checksum that catches row-order or padding
+    mistakes (operators.multimodal.decode_bmp_stats)."""
+    media = MM.synth_bmp_media(_t(spark, sf, "documents"), "doc_id")
+    return MM.decode_bmp_stats(media)
+
+
+_ORACLE_MM_BMP = """
+WITH p AS (
+  SELECT doc_id, x, y,
+         (doc_id * 41 + y * 19 + x * 5) % 256 AS r,
+         (doc_id * 37 + y * 13 + x * 11) % 256 AS g,
+         (doc_id * 31 + y * 17 + x * 7) % 256 AS b
+  FROM documents,
+       LATERAL unnest(generate_series(0, 9)) tx(x),
+       LATERAL unnest(generate_series(0, 6)) ty(y)),
+l AS (
+  SELECT doc_id, x, y, r, g, b,
+         2126 * r + 7152 * g + 722 * b AS luma
+  FROM p),
+a AS (
+  SELECT doc_id, count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(b) AS BIGINT) AS sb,
+         CAST(max(luma) AS BIGINT) AS pk,
+         CAST(sum((x + 2 * y) * luma) AS BIGINT) AS cks
+  FROM l GROUP BY 1)
+SELECT doc_id AS media_id, 10 AS width, 7 AS height, n AS n_pixels,
+  round(sr / CAST(n AS DOUBLE), 6) AS mean_r,
+  round(sg / CAST(n AS DOUBLE), 6) AS mean_g,
+  round(sb / CAST(n AS DOUBLE), 6) AS mean_b,
+  pk AS peak_luma, cks AS xy_luma_sum
+FROM a
+"""
+
+
 def _synthetic_corpus_update(docs: DataFrame) -> DataFrame:
     """Deterministic update batch for the versioning queries: every 7th
     document re-drops with uppercased text; every 97th also arrives as
@@ -2770,6 +2811,68 @@ GROUP BY user_id
 """
 
 
+def q_user_ewma_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    """Whale-safe per-user EWMA: day-segment summaries (m, A, B, es)
+    composed per user — task memory bounded by the largest DAY, not the
+    largest user (operators.timeseries.user_value_ewma_segmented).  The
+    oracle replays the identical two-level fold (same operand order →
+    bit-exact), via DuckDB's list_reduce with a prepended init struct."""
+    from platform_etl_literature_spark.operators.timeseries import (
+        user_value_ewma_segmented,
+    )
+
+    return user_value_ewma_segmented(_t(spark, sf, "events"), alpha=0.2)
+
+
+_ORACLE_USER_EWMA_SEG = """
+WITH seg AS (
+  SELECT user_id, CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS seg,
+         count(*) AS m,
+         list_reduce(
+           list_prepend(
+             struct_pack(k := 0, a := 1.0, b := 0.0, e := 0.0, nn := 0,
+                         v := CAST(NULL AS DOUBLE)),
+             list_transform(
+               list(struct_pack(ts := ts, event_id := event_id, v := value)
+                    ORDER BY ts, event_id),
+               s -> struct_pack(k := CAST(NULL AS INTEGER),
+                                a := CAST(NULL AS DOUBLE),
+                                b := CAST(NULL AS DOUBLE),
+                                e := CAST(NULL AS DOUBLE),
+                                nn := CAST(NULL AS INTEGER), v := s.v))),
+           (acc, x) -> struct_pack(
+             k := acc.k + 1,
+             a := acc.a * 0.8,
+             b := 0.2 * coalesce(x.v, 0.0) + 0.8 * acc.b,
+             e := CASE WHEN acc.k = 0 THEN coalesce(x.v, 0.0)
+                       ELSE 0.2 * coalesce(x.v, 0.0) + 0.8 * acc.e END,
+             nn := acc.nn + CASE WHEN x.v IS NULL THEN 1 ELSE 0 END,
+             v := CAST(NULL AS DOUBLE))) AS f
+  FROM events GROUP BY 1, 2),
+u AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend(
+             struct_pack(n := CAST(0 AS BIGINT), e := CAST(NULL AS DOUBLE),
+                         m := CAST(NULL AS BIGINT), a := CAST(NULL AS DOUBLE),
+                         b := CAST(NULL AS DOUBLE), es := CAST(NULL AS DOUBLE)),
+             list(struct_pack(n := CAST(NULL AS BIGINT),
+                              e := CAST(NULL AS DOUBLE),
+                              m := m, a := f.a,
+                              b := CASE WHEN f.nn > 0 THEN NULL ELSE f.b END,
+                              es := CASE WHEN f.nn > 0 THEN NULL ELSE f.e END)
+                  ORDER BY seg)),
+           (acc, s) -> struct_pack(
+             n := acc.n + s.m,
+             e := CASE WHEN acc.n = 0 THEN s.es
+                       ELSE s.a * acc.e + s.b END,
+             m := CAST(NULL AS BIGINT), a := CAST(NULL AS DOUBLE),
+             b := CAST(NULL AS DOUBLE), es := CAST(NULL AS DOUBLE))) AS c
+  FROM seg GROUP BY 1)
+SELECT user_id, c.n AS n_events, round(c.e, 6) AS ewma FROM u
+"""
+
+
 def q_lang_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID evaluation: confusion counts of predicted vs labeled
     language over the documents table (the lang column is ground truth)."""
@@ -3283,6 +3386,12 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "mixture_weights": QuerySpec(
         q_mixture_weights, _ORACLE_MIXTURE_WEIGHTS, "temperature-mixing-ext"
+    ),
+    "user_ewma_segmented": QuerySpec(
+        q_user_ewma_segmented, _ORACLE_USER_EWMA_SEG, "timeseries-ewma-segmented"
+    ),
+    "multimodal_img_stats": QuerySpec(
+        q_multimodal_img_stats, _ORACLE_MM_BMP, "multimodal-bmp-roundtrip"
     ),
 }
 

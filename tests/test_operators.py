@@ -416,6 +416,64 @@ def test_ewma_null_value_poisons_not_resets(spark):
     assert out[2] == round(0.2 * 8.0 + 0.8 * 4.0, 6)
 
 
+def test_ewma_segmented_matches_flat_and_contagion(spark):
+    """The two-level segment composition must agree with the flat fold
+    (same recurrence re-associated — equal after 6-dp rounding on tame
+    values) including NULL contagion across segment boundaries."""
+    from platform_etl_literature_spark.operators.timeseries import (
+        user_value_ewma,
+        user_value_ewma_segmented,
+    )
+
+    day = 86_400
+    rows = [
+        # user 1: three days, null on day 2 poisons the rest
+        (1, 1, 10.0, 0), (1, 2, 20.0, 1), (1, 3, None, day), (1, 4, 5.0, 2 * day),
+        # user 2: two days clean
+        (2, 1, 4.0, 0), (2, 2, 8.0, day), (2, 3, 6.0, day + 60),
+        # user 3: single event
+        (3, 1, 7.5, 5 * day),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, sec long"
+    ).withColumn("ts", F.timestamp_micros(F.col("sec") * 1_000_000))
+    flat = {r["user_id"]: (r["n_events"], r["ewma"]) for r in user_value_ewma(ev).collect()}
+    segd = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in user_value_ewma_segmented(ev).collect()
+    }
+    assert segd[1] == (4, None) and flat[1] == (4, None)
+    assert segd[3] == flat[3] == (1, 7.5)
+    assert segd[2][0] == flat[2][0] == 3
+    assert abs(segd[2][1] - flat[2][1]) < 1e-9
+
+
+def test_ewma_segmented_whale_user(spark):
+    """One user with 10^6 events across ~700 days: the flat shape holds
+    the whole history in a single task's array — the segmented shape
+    folds ~700 bounded day summaries.  Results must still agree."""
+    from platform_etl_literature_spark.operators.timeseries import (
+        user_value_ewma,
+        user_value_ewma_segmented,
+    )
+
+    n = 1_000_000
+    ev = (
+        spark.range(n)
+        .select(
+            F.lit(42).alias("user_id"),
+            F.col("id").alias("event_id"),
+            # deterministic value in [0, 100): no RNG in tests
+            (F.pmod(F.col("id") * 37 + 11, F.lit(10_000)) / 100.0).alias("value"),
+            F.timestamp_micros(F.col("id") * 60 * 1_000_000).alias("ts"),
+        )
+    )
+    seg = user_value_ewma_segmented(ev).collect()
+    assert len(seg) == 1 and seg[0]["n_events"] == n
+    flat = user_value_ewma(ev).collect()
+    assert abs(seg[0]["ewma"] - flat[0]["ewma"]) < 1e-6
+
+
 def test_connected_components_chain_triangle_singleton(spark):
     from platform_etl_literature_spark.operators import components as CC
 
@@ -747,6 +805,41 @@ def test_wav_decode_is_real(spark):
     bad = media.select("media_id", F.lit(b"not a wav").alias("payload"))
     with pytest.raises(Exception):
         MM.decode_wav_stats(bad).collect()
+
+
+def test_bmp_roundtrip_real_codec_and_corrupt_payload(spark):
+    """The BMP payload must be a genuine 24-bit bitmap: headers parse
+    with stdlib struct, the bottom-up padded pixel rows decode to the
+    exact test-pattern values (checked pixel-for-pixel against the
+    integer formula, including the padding bytes), and corrupt or
+    truncated payloads fail loudly."""
+    import struct
+
+    ids = spark.createDataFrame([(9,)], ["doc_id"])
+    media = MM.synth_bmp_media(ids, "doc_id", width=10, height=7)
+    payload = bytes(media.collect()[0]["payload"])
+    magic, fsize, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    assert magic == b"BM" and off == 54 and fsize == len(payload)
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    assert (w, h, bpp, comp) == (10, 7, 24, 0)
+    stride = 32  # 10*3 padded to 4 bytes — padding genuinely present
+    assert len(payload) == 54 + stride * 7
+    # bottom row of the file is image row y=0; check pixel (x=3, y=0)
+    x = 3
+    bgr = payload[54 + stride * 6 + 3 * x : 54 + stride * 6 + 3 * x + 3]
+    assert bgr[0] == (9 * 31 + 0 * 17 + x * 7) % 256  # B
+    assert bgr[1] == (9 * 37 + 0 * 13 + x * 11) % 256  # G
+    assert bgr[2] == (9 * 41 + 0 * 19 + x * 5) % 256  # R
+
+    row = MM.decode_bmp_stats(media).collect()[0]
+    rs = [(9 * 41 + y * 19 + x * 5) % 256 for y in range(7) for x in range(10)]
+    assert row["n_pixels"] == 70 and row["width"] == 10
+    assert row["mean_r"] == round(sum(rs) / 70, 6)
+
+    for bad_bytes in (b"not a bmp at all, but long enough " * 2, payload[:60]):
+        bad = media.select("media_id", F.lit(bad_bytes).alias("payload"))
+        with pytest.raises(Exception):
+            MM.decode_bmp_stats(bad).collect()
 
 
 def test_zorder_interleave_matches_python_reference(spark):

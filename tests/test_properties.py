@@ -566,3 +566,30 @@ def test_bpe_matches_python_reference(spark):
     for i, text in docs:
         ws = [w for w in text.split(" ") if w]
         assert enc[i] == (len(ws), sum(py_encode(w) for w in ws)), i
+
+
+def test_bpe_batch_amortization_on_disjoint_vocab(spark):
+    """The merge batching must amortize when the exactness rule allows
+    it: a corpus whose top pairs are pairwise symbol-disjoint with
+    strictly decreasing counts trains 24 merges in O(1) Spark rounds,
+    not 24.  (On adversarial tiny-alphabet corpora the exact rule
+    degrades gracefully toward one merge per round — correctness is
+    pinned by test_bpe_matches_python_reference either way.)"""
+    from platform_etl_literature_spark.operators import bpe as B
+
+    # 24 two-symbol words over disjoint symbol pairs, counts 100,99,...
+    alphabet = [chr(ord("a") + i) for i in range(26)] + [
+        chr(ord("A") + i) for i in range(26)
+    ]
+    words = ["".join(alphabet[2 * i : 2 * i + 2]) for i in range(24)]
+    rows = []
+    doc_id = 0
+    for i, w in enumerate(words):
+        for _ in range(100 - i):
+            rows.append((doc_id, w))
+            doc_id += 1
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = B.bpe_train(sdf, "text", n_merges=24)
+    assert [(m[1], m[2]) for m in got] == [tuple(w) for w in words]
+    assert [m[3] for m in got] == [100 - i for i in range(24)]
+    assert B.last_train_rounds <= 3, B.last_train_rounds
