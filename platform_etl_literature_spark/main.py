@@ -298,10 +298,7 @@ def run_search(spark: SparkSession, cfg: dict) -> None:
         k1=scfg.get("k1", 1.2),
         b=scfg.get("b", 0.75),
     )
-    out_fmt, out_dir = cfg["output"]["format"], cfg["output"]["dir"]
-    write_to(
-        {"search": IOResource(hits, IOResourceConfig(out_fmt, f"{out_dir}/search"))}
-    )
+    write_to(_out(cfg, "search", hits))
     D.release_cached()
 
 

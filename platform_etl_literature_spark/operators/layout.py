@@ -56,6 +56,17 @@ def zorder_bins(
     """
     if not cols:
         raise ValueError("zorder_bins needs at least one column")
+    integral = {"byte", "tinyint", "short", "smallint", "int", "integer", "long", "bigint"}
+    for c in cols:
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"zorder_bins: no such column {c!r}")
+        if dt not in integral:
+            raise ValueError(
+                f"zorder_bins: column {c!r} is {dt}; only integral columns are "
+                "supported (a float would be silently truncated by the BIGINT "
+                "cast, making the bins engine-dependent)"
+            )
     stats = df.agg(
         *[F.min(c).cast("long").alias(f"_mn_{c}") for c in cols],
         *[F.max(c).cast("long").alias(f"_mx_{c}") for c in cols],

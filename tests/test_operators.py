@@ -1107,3 +1107,16 @@ def test_prefix_jaccard_edges_and_brute_force_equality(spark):
         }
         assert got == brute(th), th
         D.release_cached()
+
+
+def test_zorder_bins_rejects_non_integral_columns(spark):
+    """ADVICE r4: the docstring promises integral-only input — a double
+    column must raise, not silently truncate into engine-dependent
+    bins."""
+    from platform_etl_literature_spark.operators.layout import zorder_bins
+
+    df = spark.createDataFrame([(1, 2.5)], "a long, b double")
+    with pytest.raises(ValueError, match="integral"):
+        zorder_bins(df, ["a", "b"])
+    with pytest.raises(ValueError, match="no such column"):
+        zorder_bins(df, ["missing"])
