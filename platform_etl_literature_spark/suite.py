@@ -3415,6 +3415,13 @@ SUITE: dict[str, QuerySpec] = {
 # ann_topk_blocked/lsh/ivf; cluster_split embeds hash_split's bucket
 # map; multimodal_decode/frames), and the displaced queries remain
 # value-gated in the parity suite.
+#
+# Round-5 rotation, same rules: simhash→user_ewma_segmented (family
+# keeps simhash_near_pairs, which exercises the signature too) and
+# events_sliding→multimodal_img_stats (events family keeps
+# events_hourly + sessionize); both new rows carry full value-level
+# oracles (the segmented-EWMA fold replayed op-for-op in DuckDB; the
+# BMP round trip re-generated pixel-for-pixel).
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -3422,10 +3429,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "two_level_window_min", "union_by_name", "string_funcs",
     "date_parts", "case_when_buckets", "grouped_json",
     "evidence_cooc_analog", "dedup_exact", "word_tf", "ngram_jaccard",
-    "minhash_pairs", "winnow_pairs", "simhash_near_pairs", "simhash",
-    "dedup_embedding_cosine", "rrf_hybrid", "ann_topk_blocked",
+    "minhash_pairs", "winnow_pairs", "simhash_near_pairs",
+    "user_ewma_segmented", "dedup_embedding_cosine", "rrf_hybrid", "ann_topk_blocked",
     "embedding_centroids", "vectors_norm_category", "doc_profile",
-    "events_hourly", "events_sliding", "sessionize", "lm_doc_logprob",
+    "events_hourly", "multimodal_img_stats", "sessionize", "lm_doc_logprob",
     "multimodal_decode", "multimodal_frames", "cluster_split",
     "salted_agg", "token_packing", "value_quantiles", "doc_repetition",
     "corpus_curation", "dedup_components", "lsh_ann_topk",

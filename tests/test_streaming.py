@@ -284,3 +284,89 @@ def test_stream_static_segment_enrichment_matches_batch(spark, batch_events):
     rows = orphan.select("segment").distinct().collect()
     assert {r["segment"] for r in rows} == {"UNKNOWN"}
     assert orphan.agg(F.sum("n")).first()[0] == batch_events.count()
+
+
+def test_ingest_dedup_matches_batch_survivor_chain(spark, tmp_path):
+    """End-to-end agreement of the two dedup paths (VERDICT r4 item 7):
+    replaying a corpus (id-ordered) through the foreachBatch ingest
+    dedup must accept EXACTLY the batch side's survivor set — exact-
+    digest edges → connected_components → dedup_survivors.  For exact
+    duplicates the digest relation is transitive, so each component is
+    one digest class and its min id is both the batch survivor and the
+    first-arriving streaming winner."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators import components as CC
+    from platform_etl_literature_spark.operators import dedup as D
+    from platform_etl_literature_spark.streaming.ingest_dedup import (
+        ingest_dedup_writer,
+    )
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+    # guarantee cross-batch duplicates: re-land every 5th doc under a
+    # fresh id strictly above all originals
+    dupes = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(dupes)
+    rows = corpus.orderBy("doc_id").collect()
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    third = (len(rows) + 2) // 3
+    now = time.time()
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        path = str(land / f"part{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+                    "text": pa.array([r["text"] for r in chunk], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (now + 10 * i, now + 10 * i))  # arrival order = id order
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = (
+        ingest_dedup_writer(
+            stream, str(tmp_path / "index"), str(tmp_path / "corpus")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+
+    # batch survivor chain on exact-digest edges
+    keyed = corpus.withColumn("_h", F.md5("text"))
+    mins = keyed.groupBy("_h").agg(F.min("doc_id").alias("_m"))
+    pairs = (
+        keyed.join(mins, "_h")
+        .where(F.col("doc_id") != F.col("_m"))
+        .select(F.col("_m").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    surv = CC.dedup_survivors(corpus, pairs, "doc_id")
+    batch_ids = {r["doc_id"] for r in surv.where("is_survivor").collect()}
+    D.release_cached()
+
+    assert len(accepted) > 0 and len(accepted) < len(rows)  # dedup happened
+    assert accepted == batch_ids
