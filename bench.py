@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_topk_blocked",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "binary_ann_topk",
+    "pq_ann_topk",
     "knn_label_vote",
     "doc_profile",
     "lm_doc_logprob",

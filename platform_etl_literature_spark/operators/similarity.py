@@ -23,6 +23,7 @@ import functools
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from platform_etl_literature_spark.functions.vectors import array_cosine
@@ -445,5 +446,285 @@ def cosine_topk_blocked(
             "neighbor_id",
             "rank",
             F.round("sim_exact", 6).alias("sim"),
+        )
+    )
+
+
+def sign_signatures(
+    df: DataFrame, id_col: str, vec_col: str, dim: int = 64
+) -> DataFrame:
+    """1-bit-per-dimension sign quantization: pack ``sign(v_i) > 0``
+    into two 32-bit halves (``sig_lo`` dims 1-32, ``sig_hi`` dims
+    33-64) — 8 bytes per vector instead of 256+ for the floats, the
+    32x memory compression that lets a 100 TB embedding corpus keep
+    its ENTIRE prescreen index hot.  Two halves rather than one long
+    because the packing fold is exact integer arithmetic (acc*2 + bit)
+    and a 64-bit top bit would overflow under ANSI mode.  Map-side
+    only, deterministic, SQL-replayable (the oracle recomputes the same
+    integers as a power-of-two sum).
+    """
+    if dim > 64:
+        raise ValueError(f"sign_signatures packs at most 64 dims, got {dim}")
+    v = F.col(vec_col).cast("array<double>")
+    half = dim // 2
+
+    def pack(lo: int, hi: int):
+        # fold highest dim first: acc*2 + bit == sum(bit_i * 2^(i-lo))
+        return F.aggregate(
+            F.reverse(F.sequence(F.lit(lo), F.lit(hi))),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(v, i) > 0, 1).otherwise(0),
+        )
+
+    return df.select(
+        F.col(id_col),
+        pack(1, half).alias("sig_lo"),
+        pack(half + 1, dim).alias("sig_hi"),
+    )
+
+
+def binary_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 20,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming prescreen over packed sign
+    signatures, exact-cosine rerank of the per-query shortlist only.
+
+    Scale shape: the prescreen joins the broadcast query signatures
+    against a SIGNATURES-ONLY projection of the corpus (two longs + id
+    per row — the float vectors never enter the scan), scores each pair
+    with two xor+bit_count ops, and keeps ``shortlist`` candidates per
+    query by (hamming ASC, id ASC).  Only the shortlist joins back to
+    the corpus to fetch real vectors for the exact rerank — the
+    fetch-on-demand pattern that makes 1-bit quantization the cheapest
+    ANN prescreen at corpus scale (RaBitQ/BQ practice).  Fully
+    deterministic (stable tie-breaks at both stages), so it takes a
+    value-level oracle.  Returns (query_id, neighbor_id, rank, sim,
+    hamming).
+    """
+    qsig = (
+        sign_signatures(queries, id_col, vec_col, dim)
+        .join(
+            queries.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("qv")
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("sig_lo").alias("qlo"),
+            F.col("sig_hi").alias("qhi"),
+            "qv",
+        )
+    )
+    csig = sign_signatures(corpus, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"), "sig_lo", "sig_hi"
+    )
+    pre = csig.join(
+        F.broadcast(qsig), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "hamming",
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("qhi"))),
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        pre.withColumn("_rn", F.row_number().over(w_pre))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id", "hamming", "qv")
+    )
+    rerank = short.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        "neighbor_id",
+    ).withColumn("sim_exact", array_cosine("qv", "cv"))
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim_exact", 6).alias("sim"),
+            "hamming",
+        )
+    )
+
+
+def _pq_d2_np(sub, cents):
+    """Squared L2 from each row of ``sub`` (n, d) to each centroid
+    (K, d) — (n, K) float64 — with an EXPLICIT left-fold accumulation
+    over the d axis, NOT ``np.sum``: numpy's axis reductions use
+    unrolled/pairwise association above tiny sizes, which re-associates
+    the doubles; the explicit i=0..d-1 loop reproduces the exact
+    left-associative (e−c)·(e−c) + ... chain the DuckDB oracle writes,
+    so argmin inputs agree bit-for-bit across engines."""
+    import numpy as np
+
+    diff = sub[:, None, :] - cents[None, :, :]
+    sq = diff * diff
+    acc = sq[..., 0].copy()
+    for i in range(1, sq.shape[-1]):
+        acc += sq[..., i]
+    return acc
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Product-quantization encode (Jégou/Douze/Schmid, TPAMI'11):
+    split each vector into M subspaces and store only the index of the
+    nearest codebook centroid per subspace — M small ints (here 8×4
+    bits) instead of the float vector, the compression that keeps a
+    100 TB embedding corpus's search structure in memory.
+
+    The encode is matmul-shaped work, so it runs as the sanctioned
+    Arrow-batched numpy kernel (the IVF-assignment / SemDeDup
+    pattern): one (n, K, d) distance tensor per subspace per batch,
+    argmin rows to codes — the measured JVM HOF alternative
+    (zip_with+aggregate per (row, subspace, centroid)) interpreted its
+    lambdas and ran ~10× slower.  Bit-exact with the SQL oracle:
+    elementwise float64 ops plus the explicit left-fold in
+    :func:`_pq_d2_np`, and ``np.argmin`` returns the FIRST minimum —
+    the same (d2 ASC, k ASC) tie rule as the oracle's row_number.
+    Returns (id, codes array<int>[M]).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (M, K, d)
+    M, _K, d = cb.shape
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            codes = np.empty((len(V), M), dtype=np.int32)
+            for m in range(M):
+                sub = V[:, m * d : (m + 1) * d]
+                codes[:, m] = np.argmin(_pq_d2_np(sub, cb[m]), axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf[id_col], "codes": list(codes)}
+            )
+
+    id_field = df.select(id_col).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", id_field.dataType, id_field.nullable),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(run, out_schema)
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: each query precomputes its M×K
+    distance table (query subvector → every centroid, exact doubles),
+    and a corpus row's approximate distance is M table lookups summed
+    — the corpus side never touches floats again after encoding.
+
+    Scale shape: corpus codes are a map-side projection (pq_encode);
+    the M×K tables ride the broadcast with the query set; scoring is a
+    fixed M-term lookup chain inside whole-stage codegen; only the
+    per-query top-k window shuffles, keyed by query id.  Deterministic
+    (stable argmin + stable top-k tie-break) → full value-level
+    oracle.  Returns (query_id, neighbor_id, rank, approx_d2).
+    """
+    from platform_etl_literature_spark.operators.pq_codebooks import (
+        PQ_CODEBOOKS_8x16x8,
+    )
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cb = codebooks if codebooks is not None else PQ_CODEBOOKS_8x16x8
+    M, K = len(cb), len(cb[0])
+    cbn = np.asarray(cb, dtype=np.float64)  # (M, K, d)
+    d = cbn.shape[-1]
+
+    def qrun(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-query M*K distance table, m-major — same numpy kernel
+        # (and the same bit-exact fold) as the encode side
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            tabs = np.concatenate(
+                [
+                    _pq_d2_np(V[:, m * d : (m + 1) * d], cbn[m])
+                    for m in range(M)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame({"query_id": pdf[id_col], "_dtab": list(tabs)})
+
+    id_field = queries.select(id_col).schema.fields[0]
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType, id_field.nullable),
+            T.StructField("_dtab", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    q = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(qrun, q_schema)
+    codes = pq_encode(corpus, id_col, vec_col, cb).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    pre = codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    approx = None
+    for m in range(M):
+        t = F.element_at(
+            F.col("_dtab"), F.lit(m * K + 1) + F.element_at(F.col("codes"), m + 1)
+        )
+        approx = t if approx is None else approx + t
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_ad").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pre.withColumn("_ad", approx)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_ad", 6).alias("approx_d2"),
         )
     )

@@ -2513,6 +2513,128 @@ _ORACLE_IVF_ANN = _ivf_oracle()
 # Registry
 # --------------------------------------------------------------------------
 
+def q_binary_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-quantized ANN: 1-bit sign signatures (two packed 32-bit
+    halves, 32x smaller than the vectors), Hamming prescreen over a
+    signatures-only corpus projection, exact-cosine rerank of the
+    20-candidate shortlist (operators.similarity.binary_ann_topk).
+    Deterministic tie-breaks at both stages -> full value-level
+    oracle."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.binary_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=20
+    )
+
+
+_ORACLE_BINARY_ANN = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (
+  SELECT vec_id, e,
+    CAST(list_sum(list_transform(generate_series(1, 32),
+      i -> CASE WHEN e[i] > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END))
+      AS BIGINT) AS lo,
+    CAST(list_sum(list_transform(generate_series(33, 64),
+      i -> CASE WHEN e[i] > 0 THEN CAST(pow(2, i - 33) AS BIGINT) ELSE 0 END))
+      AS BIGINT) AS hi
+  FROM v),
+q AS (SELECT * FROM sig WHERE vec_id < 10),
+pre AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS hamming,
+         q.e AS qe, c.e AS ce
+  FROM q JOIN sig c ON c.vec_id != q.vec_id),
+short AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rn
+  FROM pre),
+rer AS (
+  SELECT query_id, neighbor_id, hamming,
+    CASE WHEN sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)) = 0
+         THEN 0.0
+         ELSE list_dot_product(qe, ce) /
+              (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))
+    END AS sim_exact
+  FROM short WHERE rn <= 20),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming, sim_exact,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_exact DESC, neighbor_id ASC) AS rank
+  FROM rer)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(sim_exact, 6) AS sim, hamming
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou TPAMI'11): corpus encoded
+    to 8 4-bit codes against the FROZEN per-subspace codebooks
+    (operators/pq_codebooks.py, the build-once pattern), each query
+    scored via its precomputed M×K distance table — the
+    embedding-compression ANN path.  Pure JVM both stages; frozen
+    codebooks + stable tie-breaks -> full value-level oracle."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _pq_oracle(k: int = 5) -> str:
+    """DuckDB oracle for q_pq_ann_topk with the frozen codebooks
+    inlined as a VALUES relation.  Mirrors pq_encode/pq_adc_topk
+    op-for-op: squared-L2 per (subspace, centroid) as the same
+    left-associative (e-c)*(e-c) chain, argmin via row_number
+    (d2 ASC, k ASC), ADC as the same m=0..7 left-associative lookup
+    sum, top-k by (approx_d2 ASC, neighbor_id ASC)."""
+    from platform_etl_literature_spark.operators.pq_codebooks import (
+        PQ_CODEBOOKS_8x16x8 as CB,
+    )
+
+    M, K, D = len(CB), len(CB[0]), len(CB[0][0])
+    rows = ", ".join(
+        "(%d, %d, %s)" % (m, kk, ", ".join(repr(x) for x in CB[m][kk]))
+        for m in range(M)
+        for kk in range(K)
+    )
+    ccols = ", ".join(f"c{i}" for i in range(1, D + 1))
+    chain = " + ".join(
+        f"(e[m * {D} + {i}] - c{i}) * (e[m * {D} + {i}] - c{i})"
+        for i in range(1, D + 1)
+    )
+    kpiv = ", ".join(
+        f"max(CASE WHEN m = {m} THEN code END) AS k{m}" for m in range(M)
+    )
+    djoins = "\n  ".join(
+        f"JOIN d d{m} ON d{m}.vec_id = q.vec_id AND d{m}.m = {m} "
+        f"AND d{m}.k = c.k{m}"
+        for m in range(M)
+    )
+    adc = " + ".join(f"d{m}.d2" for m in range(M))
+    return f"""
+WITH cb(m, k, {ccols}) AS (VALUES {rows}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS MATERIALIZED (
+  SELECT v.vec_id, cb.m, cb.k, {chain} AS d2
+  FROM v CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS rn FROM d)
+  WHERE rn = 1),
+cpiv AS (SELECT vec_id, {kpiv} FROM codes GROUP BY 1),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {adc} AS approx_d2
+  FROM (SELECT vec_id FROM v WHERE vec_id < 10) q
+  JOIN cpiv c ON c.vec_id != q.vec_id
+  {djoins}),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_d2, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(approx_d2, 6) AS approx_d2
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_evidence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The full 4-step chain — processing (grounding) → embedding
     (Word2Vec, seeded) → evidence (cosine pairs + co-occurrence scores)
@@ -3392,6 +3514,12 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "multimodal_img_stats": QuerySpec(
         q_multimodal_img_stats, _ORACLE_MM_BMP, "multimodal-bmp-roundtrip"
+    ),
+    "binary_ann_topk": QuerySpec(
+        q_binary_ann_topk, _ORACLE_BINARY_ANN, "ann-binary-sign-quantization"
+    ),
+    "pq_ann_topk": QuerySpec(
+        q_pq_ann_topk, _pq_oracle(), "ann-product-quantization-adc"
     ),
 }
 

@@ -101,3 +101,59 @@ def test_blocked_topk_zero_norm_and_small_partition(spark):
     # the zero-norm row scores 0.0 against everything, and everything
     # scores 0.0 against it
     assert all(r["sim"] == 0.0 for r in by_q[9])
+
+
+def test_binary_ann_finds_exact_duplicate(spark):
+    rows = [(i, [float(i % 5 == j) - 0.5 * float(j % 2) for j in range(64)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = SIM.binary_ann_topk(df, df.filter(F.col("vec_id") == 0), k=3, shortlist=8)
+    got = {r["neighbor_id"]: (r["rank"], r["sim"], r["hamming"]) for r in out.collect()}
+    # vec 5 and 10 are identical to vec 0 -> hamming 0, sim 1.0, top ranks
+    assert got[5][2] == 0 and got[10][2] == 0
+    assert {got[5][0], got[10][0]} == {1, 2}
+    assert got[5][1] == got[10][1] == 1.0
+
+
+def test_sign_signatures_match_python(spark):
+    import random
+
+    rng = random.Random(7)
+    vec = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    row = SIM.sign_signatures(df, "vec_id", "embedding").collect()[0]
+    lo = sum((1 << (i - 1)) for i in range(1, 33) if vec[i - 1] > 0)
+    hi = sum((1 << (i - 33)) for i in range(33, 65) if vec[i - 1] > 0)
+    assert (row["sig_lo"], row["sig_hi"]) == (lo, hi)
+
+
+def test_pq_codes_match_python_argmin(spark):
+    import random
+
+    from platform_etl_literature_spark.operators.pq_codebooks import (
+        PQ_CODEBOOKS_8x16x8 as CB,
+    )
+
+    rng = random.Random(11)
+    vec = [rng.uniform(-0.3, 0.3) for _ in range(64)]
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    row = SIM.pq_encode(df, "vec_id", "embedding", CB).collect()[0]
+    expected = []
+    for m in range(8):
+        sub = vec[m * 8 : (m + 1) * 8]
+        dists = [
+            (sum((a - b) ** 2 for a, b in zip(sub, c)), k)
+            for k, c in enumerate(CB[m])
+        ]
+        expected.append(min(dists)[1])
+    assert list(row["codes"]) == expected
+
+
+def test_pq_adc_prefers_identical_vector(spark):
+    rows = [(i, [0.1 * ((i * 7 + j) % 11 - 5) for j in range(64)]) for i in range(10)]
+    rows.append((100, rows[0][1]))  # identical twin of vec 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = SIM.pq_adc_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    top = sorted(out.collect(), key=lambda r: r["rank"])[0]
+    # identical vector has identical codes -> ADC distance equals vec 0's
+    # own table sum, the minimum possible
+    assert top["neighbor_id"] == 100

@@ -56,9 +56,43 @@ SHOWCASE: dict[str, str] = {
         "so pair scoring never joins or re-shuffles."
     ),
     "scrub_dup_passages": (
-        "No self-join: posexplode passages, row_number over the md5 digest "
-        "partition picks first occurrences, one groupBy rebuilds the text — "
-        "two linear Exchanges total."
+        "No sort window anywhere: first occurrences are partial_min(struct) "
+        "HashAggregates on the md5 digest (map-side combine flattens hot "
+        "passages before the Exchange — the round-4 16x cliff is gone), "
+        "winners regroup per doc, and a slim (id, n_passages) spine "
+        "left-joins the rebuilt text."
+    ),
+    "prefix_jaccard": (
+        "The PPJoin prefix filter with a DISTRIBUTED global token rank: "
+        "rangepartitioning Exchange → per-partition sort → "
+        "monotonically_increasing_id → BroadcastHashJoin with the "
+        "#partitions-row offset table; no `Exchange SinglePartition` in "
+        "the plan (tests/test_plans.py pins this)."
+    ),
+    "vocab_coverage": (
+        "Zipf rank + running coverage through operators/ranking.py: one "
+        "range Exchange, a Window PARTITIONED by the range-partition id "
+        "(bounded groups), the grand total as a literal from the collected "
+        "partition stats — no single-reducer Window, no second corpus scan."
+    ),
+    "user_ewma_segmented": (
+        "Two HashAggregates: (user, day) summaries fold day-bounded arrays "
+        "map-side; the per-user combine folds ~#days structs — the whale "
+        "user's 10^6-element array never exists."
+    ),
+    "binary_ann_topk": (
+        "1-bit prescreen: the corpus side of the Hamming join is a "
+        "signatures-only projection (two packed longs + id — the float "
+        "vectors never enter the prescreen scan); the exact-cosine rerank "
+        "joins the tiny shortlist back to the corpus to fetch vectors on "
+        "demand."
+    ),
+    "pq_ann_topk": (
+        "Product quantization, pure JVM: encode is an in-projection "
+        "argmin over inline codebook structs (no Python stage), the M×K "
+        "query distance tables ride the BroadcastExchange, ADC scoring is "
+        "a fixed 8-lookup chain in codegen, and only the per-query top-k "
+        "window shuffles."
     ),
     "ann_topk_blocked": (
         "The vectorized exact top-k: one ArrowEvalPython-free mapInPandas "
