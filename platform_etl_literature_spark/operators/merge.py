@@ -68,3 +68,75 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(*key_cols, change.alias("change_type"))
+
+
+def scd2_init(
+    df: DataFrame, compare_cols: list[str], version: int
+) -> DataFrame:
+    """Open an SCD-type-2 history from an initial snapshot: every row
+    becomes current (valid_from=version, valid_to=NULL) with its
+    tracked-column digest precomputed — the digest is what every later
+    :func:`scd2_apply` compares, so the wide columns are hashed exactly
+    once per version, map-side."""
+    return df.select(
+        "*",
+        _row_digest(compare_cols).alias("_dig"),
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+
+
+def scd2_apply(
+    hist: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    version: int,
+) -> DataFrame:
+    """Apply an update batch to an SCD2 history table: changed keys
+    close their current row (valid_to=version) and open a new one,
+    unchanged matches pass through untouched (no spurious versions),
+    new keys insert, and closed history rows are immutable.
+
+    Scale shape: closed rows never join (filter on valid_to, pushed to
+    the scan); the single join is current-rows vs the (much smaller,
+    broadcastable) update batch on the key, comparing 16-byte digests
+    computed map-side — the standard warehouse SCD2 merge expressed as
+    one equijoin + unions, never a row-wise full-row comparison.
+    ``updates`` must hold one row per key.  Returns the same schema as
+    :func:`scd2_init`.
+    """
+    closed = hist.filter(F.col("valid_to").isNotNull())
+    cur = hist.filter(F.col("valid_to").isNull())
+    upd = updates.select(
+        "*", _row_digest(compare_cols).alias("_dig_new")
+    )
+    j = cur.join(
+        upd.select(*key_cols, "_dig_new"), key_cols, "left_outer"
+    )
+    # current rows: unchanged (no match or same digest) stay open;
+    # changed matches close at `version`
+    changed = F.col("_dig_new").isNotNull() & (
+        F.col("_dig_new") != F.col("_dig")
+    )
+    carried = j.withColumn(
+        "valid_to",
+        F.when(changed, F.lit(version).cast("long")).otherwise(
+            F.col("valid_to")
+        ),
+    ).drop("_dig_new")
+    # new versions: update rows whose key is new OR whose digest changed
+    cur_keys = cur.select(*key_cols, F.col("_dig").alias("_dig_cur"))
+    opened = (
+        upd.join(cur_keys, key_cols, "left_outer")
+        .filter(
+            F.col("_dig_cur").isNull() | (F.col("_dig_new") != F.col("_dig_cur"))
+        )
+        .drop("_dig_cur")
+        .withColumnRenamed("_dig_new", "_dig")
+        .withColumn("valid_from", F.lit(version).cast("long"))
+        .withColumn("valid_to", F.lit(None).cast("long"))
+    )
+    return closed.unionByName(carried).unionByName(
+        opened.select(*closed.columns)
+    )

@@ -1883,6 +1883,54 @@ FROM documents o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
 """
 
 
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2 corpus history: initial load at version 1, the
+    synthetic update batch applied at version 2 — changed keys close
+    their v1 row and open a v2 row, unchanged matches stay untouched,
+    new keys insert (operators.merge.scd2_init/scd2_apply).  Digest
+    compare map-side; the only join is current-rows vs the batch."""
+    from platform_etl_literature_spark.operators.merge import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    h1 = scd2_init(docs, ["text"], version=1)
+    h2 = scd2_apply(
+        h1, _synthetic_corpus_update(docs), ["doc_id"], ["text"], version=2
+    )
+    return h2.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    )
+
+
+_ORACLE_SCD2 = """
+WITH upd AS (
+  SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+ch AS (
+  SELECT u.doc_id, u.text AS new_text, c.text AS old_text
+  FROM upd u LEFT JOIN documents c USING (doc_id))
+SELECT d.doc_id, md5(d.text) AS text_md5,
+  CAST(1 AS BIGINT) AS valid_from,
+  CASE WHEN ch.doc_id IS NOT NULL AND ch.new_text != d.text
+       THEN CAST(2 AS BIGINT) END AS valid_to,
+  CAST(CASE WHEN ch.doc_id IS NOT NULL AND ch.new_text != d.text
+       THEN 0 ELSE 1 END AS INTEGER) AS is_current
+FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id
+UNION ALL
+SELECT doc_id, md5(new_text), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), 1
+FROM ch WHERE old_text IS NULL OR new_text != old_text
+"""
+
+
 def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Deequ-style per-column screening profile of the orders table —
     nulls, exact distincts, min/max (operators.profile.table_profile)."""
@@ -2301,6 +2349,68 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     from platform_etl_literature_spark.operators import bpe as B
 
     return B.bpe_merges_df(_t(spark, sf, "documents"), "text", n_merges=8)
+
+
+# Frozen 8-merge BPE table: bpe_train(n_merges=8) on the sf0.01
+# documents table, frozen like the IVF/PQ quantizers (a tokenizer is
+# the canonical train-once/apply-everywhere artifact).  ANY fixed merge
+# list is a valid tokenizer; freezing makes the ENCODE query fully
+# deterministic and SQL-replayable while bpe_merges keeps gating the
+# trainer itself.
+BPE_FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Frozen-tokenizer encode over the corpus: apply the 8 frozen BPE
+    merges greedily per word, count words and subword tokens per doc
+    (operators.bpe.bpe_encode — pure map-side folds, no shuffle, no
+    Python).  The oracle replays the identical greedy left-to-right
+    fold per merge via nested list_reduce."""
+    from platform_etl_literature_spark.operators import bpe
+
+    return bpe.bpe_encode(
+        _t(spark, sf, "documents"), "doc_id", "text", BPE_FROZEN_MERGES
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB oracle for q_bpe_encode: per word, chars fold through the
+    frozen merges IN ORDER, each merge the same greedy rule as
+    bpe._merge_fold (a freshly merged token never re-serves as the LEFT
+    of the same merge — the fold compares the accumulator tail, which
+    now holds the concatenation)."""
+    expr = "string_split(word, '')"
+    for n, (left, right) in enumerate(BPE_FROZEN_MERGES):
+        l, r, lr = (
+            left.replace("'", "''"),
+            right.replace("'", "''"),
+            (left + right).replace("'", "''"),
+        )
+        # each level re-wraps the previous symbol list as one-element
+        # lists so acc and x share the VARCHAR[] type list_reduce needs
+        expr = (
+            f"list_reduce(list_transform({expr}, s{n} -> [s{n}]), "
+            f"(a{n}, x{n}) -> "
+            f"CASE WHEN len(a{n}) > 0 AND a{n}[-1] = '{l}' AND x{n}[1] = '{r}' "
+            f"THEN a{n}[1:len(a{n})-1] || ['{lr}'] ELSE a{n} || x{n} END)"
+        )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+  FROM documents),
+enc AS (
+  SELECT doc_id, len({expr}) AS n_sub FROM w),
+agg AS (
+  SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+  FROM enc GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_words, 0) AS INTEGER) AS n_words,
+  CAST(coalesce(a.n_subwords, 0) AS INTEGER) AS n_subwords
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def q_word2vec_synonyms(spark: SparkSession, sf: str) -> DataFrame:
@@ -3520,6 +3630,12 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "pq_ann_topk": QuerySpec(
         q_pq_ann_topk, _pq_oracle(), "ann-product-quantization-adc"
+    ),
+    "scd2_history": QuerySpec(
+        q_scd2_history, _ORACLE_SCD2, "versioning-scd2-history"
+    ),
+    "bpe_encode": QuerySpec(
+        q_bpe_encode, _bpe_encode_oracle(), "tokenizer-bpe-frozen-encode"
     ),
 }
 

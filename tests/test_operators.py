@@ -1120,3 +1120,48 @@ def test_zorder_bins_rejects_non_integral_columns(spark):
         zorder_bins(df, ["a", "b"])
     with pytest.raises(ValueError, match="no such column"):
         zorder_bins(df, ["missing"])
+
+
+def test_scd2_close_open_unchanged_insert_and_immutability(spark):
+    """SCD2 semantics on a crafted frame: changed key closes v1 + opens
+    v2, unchanged key keeps its single open row, new key inserts, and a
+    second apply never touches closed rows."""
+    from platform_etl_literature_spark.operators.merge import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    h1 = scd2_init(base, ["text"], version=1)
+    upd2 = spark.createDataFrame(
+        [(1, "ALPHA"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    h2 = scd2_apply(h1, upd2, ["doc_id"], ["text"], version=2)
+    rows = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in h2.collect()
+    }
+    assert rows[(1, 1)] == ("alpha", 2)      # closed
+    assert rows[(1, 2)] == ("ALPHA", None)   # opened
+    assert rows[(2, 1)] == ("beta", None)    # unchanged: still open, no v2
+    assert rows[(3, 2)] == ("gamma", None)   # inserted
+    assert len(rows) == 4
+
+    # second apply: key 1 changes again; closed (1,1) row is immutable
+    h3 = scd2_apply(
+        h2,
+        spark.createDataFrame([(1, "alpha3")], ["doc_id", "text"]),
+        ["doc_id"],
+        ["text"],
+        version=3,
+    )
+    rows3 = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in h3.collect()
+    }
+    assert rows3[(1, 1)] == ("alpha", 2)
+    assert rows3[(1, 2)] == ("ALPHA", 3)
+    assert rows3[(1, 3)] == ("alpha3", None)
+    assert rows3[(2, 1)] == ("beta", None) and rows3[(3, 2)] == ("gamma", None)
