@@ -77,3 +77,39 @@ def key_skew_stats(df: DataFrame, keys: list[str], n_salts_target: int = 16) -> 
             F.ceil(F.max("_n") / (F.sum("_n") / F.count(F.lit(1)))).cast("int"),
         ).alias("suggested_salts"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-safe equijoin: every big-side row gets a deterministic
+    salt (content hash mod ``n_salts``), the small side replicates once
+    per salt value, and the join runs on (keys..., salt) — a hot join
+    key's rows now spread over ``n_salts`` reducers instead of one.
+
+    This is the manual fallback for engines/paths where AQE's runtime
+    skew-join splitting doesn't apply (it only fires on sort-merge
+    joins with ``spark.sql.adaptive.skewJoin`` and post-shuffle stats;
+    a bucketed or pre-partitioned join bypasses it).  Result set is
+    EXACTLY the plain join's: each big row matches precisely the one
+    replica carrying its salt.  The salt hashes the big row's join-key
+    and payload columns (xxhash64 — deterministic across retries, so a
+    recomputed task re-derives the same salt; duplicate rows share a
+    salt, which costs skew relief but never correctness).
+
+    ``how`` supports inner / left joins (the replicated side is the
+    RIGHT side; a right/full join against a replicated table would
+    produce phantom unmatched replicas).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return b.join(s, [*on, "_salt"], how).drop("_salt")

@@ -1669,6 +1669,36 @@ GROUP BY event_type
 """
 
 
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key-safe equijoin (operators.skew.salted_join): lineitem
+    salted deterministically, supplier replicated per salt, joined on
+    (suppkey, salt) — result provably identical to the plain join, so
+    the oracle IS the plain join."""
+    from platform_etl_literature_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_suppkey", _cents("l_extendedprice").alias("vc")
+    )
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, sup.withColumnRenamed("s_suppkey", "l_suppkey"), ["l_suppkey"],
+        n_salts=8,
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("vc") / 100.0, 2).alias("sum_price"),
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+SELECT s_nationkey, count(*) AS n,
+  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2)
+    AS sum_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
 def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by content hash —
     reproducible across engines and corpus growth (no RNG), checked as
@@ -3636,6 +3666,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "bpe_encode": QuerySpec(
         q_bpe_encode, _bpe_encode_oracle(), "tokenizer-bpe-frozen-encode"
+    ),
+    "salted_join": QuerySpec(
+        q_salted_join, _ORACLE_SALTED_JOIN, "skew-salted-join"
     ),
 }
 

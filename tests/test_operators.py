@@ -1165,3 +1165,25 @@ def test_scd2_close_open_unchanged_insert_and_immutability(spark):
     assert rows3[(1, 2)] == ("ALPHA", 3)
     assert rows3[(1, 3)] == ("alpha3", None)
     assert rows3[(2, 1)] == ("beta", None) and rows3[(3, 2)] == ("gamma", None)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must produce exactly the plain join's multiset, for
+    inner and left joins, including unmatched-left rows and duplicate
+    big-side rows."""
+    from platform_etl_literature_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c"), (9, "z")], ["k", "v"]
+    )
+    small = spark.createDataFrame([(1, "X"), (2, "Y"), (3, "W")], ["k", "d"])
+
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(big, small, ["k"], n_salts=4, how=how).collect())
+        )
+        want = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+        assert got == want, how
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
