@@ -75,8 +75,11 @@ HEADLINE = [
     "hll_rollup",
     "corpus_upsert",
     "corpus_diff",
+    "scd2_history",
     "zorder_locality",
     "multimodal_img_stats",
+    "salted_join",
+    "bpe_encode",
     "literature_pipeline",
 ]
 
