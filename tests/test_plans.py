@@ -238,3 +238,39 @@ def test_rrf_hybrid_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan
     D.release_cached()
+
+
+def test_binary_ann_prescreen_broadcasts_signatures(spark, sf_dir):
+    """The Hamming prescreen must broadcast the tiny query-signature
+    side (never shuffle the corpus against it), and the prescreen's
+    shortlist window must rank on the packed-signature hamming, not a
+    float distance."""
+    plan = _simple_plan(SUITE["binary_ann_topk"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan[:3000]
+    assert "hamming" in plan, plan[:3000]
+
+
+def test_pq_adc_broadcasts_query_tables_no_shuffle_before_topk(spark, sf_dir):
+    """PQ ADC: the query distance tables ride a BroadcastExchange; the
+    corpus side is codes-only into the broadcast join; the only
+    shuffle is the per-query top-k window."""
+    plan = _simple_plan(SUITE["pq_ann_topk"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+
+
+def test_salted_join_replicates_small_side(spark, sf_dir):
+    """salted_join must Generate (explode) the salt range on the small
+    side and join on (key, salt)."""
+    plan = _simple_plan(SUITE["salted_join"].fn(spark, sf_dir))
+    assert "Generate explode" in plan, plan[:3000]
+    assert "_salt" in plan, plan[:3000]
+
+
+def test_scd2_closed_rows_filter_pushed_to_scan(spark, sf_dir):
+    """SCD2 apply joins only CURRENT rows: the valid_to isNull/isNotNull
+    split must appear as filters, and the update-batch join must be a
+    single equijoin per leg (no cartesian)."""
+    plan = _simple_plan(SUITE["scd2_history"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "isnull(valid_to" in plan or "isnotnull(valid_to" in plan, plan[:3000]

@@ -370,3 +370,84 @@ def test_ingest_dedup_matches_batch_survivor_chain(spark, tmp_path):
 
     assert len(accepted) > 0 and len(accepted) < len(rows)  # dedup happened
     assert accepted == batch_ids
+
+
+def test_scd2_stream_matches_batch_chain(spark, tmp_path):
+    """Streaming SCD2 maintenance: replaying three update files through
+    the foreachBatch writer must leave a latest history snapshot equal
+    to the batch chain scd2_init + 2 x scd2_apply, version for
+    version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.merge import (
+        scd2_apply,
+        scd2_init,
+    )
+    from platform_etl_literature_spark.streaming.scd2 import (
+        _committed_versions,
+        scd2_stream_writer,
+    )
+
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(1, "ALPHA"), (3, "gamma")],          # change + insert
+        [(2, "beta"), (3, "GAMMA"), (3, "g2")],  # no-op + change (dup key in batch)
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = str(land / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    root = str(tmp_path / "hist")
+    q = (
+        scd2_stream_writer(stream, root, ["doc_id"], ["text"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert _committed_versions(spark, root) == [1, 2, 3]
+    got = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in spark.read.parquet(f"{root}/history_v3").collect()
+    }
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    h = scd2_init(df_of(batches[0]), ["text"], version=1)
+    h = scd2_apply(h, df_of(batches[1]), ["doc_id"], ["text"], version=2)
+    # batch 3 carries a duplicate key (3): the stream dedups to the
+    # min-struct winner "GAMMA" — mirror that on the batch side
+    h = scd2_apply(
+        h, df_of([(2, "beta"), (3, "GAMMA")]), ["doc_id"], ["text"], version=3
+    )
+    want = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in h.collect()
+    }
+    assert got == want
+    # spot semantics: key 2 never re-versioned; key 3 closed at v3
+    assert got[(2, 1)] == ("beta", None)
+    assert got[(3, 2)] == ("gamma", 3) and got[(3, 3)] == ("GAMMA", None)
