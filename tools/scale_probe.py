@@ -174,6 +174,13 @@ EMB_OPS = {
     "ann_topk_blocked": lambda df, bits, cents: SIM.cosine_topk_blocked(
         df, df.filter(F.col("vec_id") < 10), k=5
     ),
+    "binary_ann_topk": lambda df, bits, cents: SIM.binary_ann_topk(
+        df, df.filter(F.col("vec_id") < 10), k=5, shortlist=20
+    ),
+    # frozen codebooks: the build-once artifact serves every factor
+    "pq_ann_topk": lambda df, bits, cents: SIM.pq_adc_topk(
+        df, df.filter(F.col("vec_id") < 10), k=5
+    ),
 }
 
 
