@@ -42,6 +42,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "binary_ann_topk",
     "pq_ann_topk",
+    "ivfpq_topk",
     "knn_label_vote",
     "doc_profile",
     "lm_doc_logprob",

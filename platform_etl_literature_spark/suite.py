@@ -2775,6 +2775,96 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed ANN (the 100 TB standard): frozen IVF coarse
+    quantizer prunes to 3 probed lists per query, frozen PQ codebooks
+    score the survivors via 8 ADC lookups — float vectors untouched at
+    query time (operators.similarity.ivfpq_topk).  Both frozen
+    artifacts already carry their own proven oracles; this query's
+    oracle composes them."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=3
+    )
+
+
+def _ivfpq_oracle(k: int = 5, n_probe: int = 3) -> str:
+    """DuckDB oracle for q_ivfpq_topk: the IVF oracle's assignment SQL
+    (v·v − 2·v·c + c·c branches, row_number (d2, l)) composed with the
+    PQ oracle's code/ADC SQL (same VALUES codebooks, same MATERIALIZED
+    distance CTE, same left-associative lookup chain)."""
+    from platform_etl_literature_spark.operators.ivf_quantizer import (
+        IVF_CENTROIDS_8x64,
+    )
+    from platform_etl_literature_spark.operators.pq_codebooks import (
+        PQ_CODEBOOKS_8x16x8 as CB,
+    )
+
+    branches = []
+    for l, cent in enumerate(IVF_CENTROIDS_8x64):
+        arr = ", ".join(repr(x) for x in cent)
+        csq = repr(sum(x * x for x in cent))
+        branches.append(
+            f"SELECT vec_id, {l} AS l, list_dot_product(e, e)"
+            f" - 2.0 * list_dot_product(e, [{arr}]::DOUBLE[]) + {csq} AS d2 FROM v"
+        )
+    ivf_d = "\n  UNION ALL ".join(branches)
+    M, K, D = len(CB), len(CB[0]), len(CB[0][0])
+    rows = ", ".join(
+        "(%d, %d, %s)" % (m, kk, ", ".join(repr(x) for x in CB[m][kk]))
+        for m in range(M)
+        for kk in range(K)
+    )
+    ccols = ", ".join(f"c{i}" for i in range(1, D + 1))
+    chain = " + ".join(
+        f"(e[m * {D} + {i}] - c{i}) * (e[m * {D} + {i}] - c{i})"
+        for i in range(1, D + 1)
+    )
+    kpiv = ", ".join(
+        f"max(CASE WHEN m = {m} THEN code END) AS k{m}" for m in range(M)
+    )
+    djoins = "\n  ".join(
+        f"JOIN pd d{m} ON d{m}.vec_id = q.vec_id AND d{m}.m = {m} "
+        f"AND d{m}.k = c.k{m}"
+        for m in range(M)
+    )
+    adc = " + ".join(f"d{m}.d2" for m in range(M))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ivfd AS ({ivf_d}),
+rl AS (
+  SELECT vec_id, l,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, l ASC) AS r
+  FROM ivfd),
+assigned AS (SELECT vec_id, l AS cluster FROM rl WHERE r = 1),
+cb(m, k, {ccols}) AS (VALUES {rows}),
+pd AS MATERIALIZED (
+  SELECT v.vec_id, cb.m, cb.k, {chain} AS d2
+  FROM v CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS rn FROM pd)
+  WHERE rn = 1),
+cpiv AS (SELECT vec_id, {kpiv} FROM codes GROUP BY 1),
+probes AS (
+  SELECT vec_id, l FROM rl WHERE vec_id < 10 AND r <= {n_probe}),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {adc} AS approx_d2
+  FROM probes q
+  JOIN assigned a ON a.cluster = q.l AND a.vec_id != q.vec_id
+  JOIN cpiv c ON c.vec_id = a.vec_id
+  {djoins}),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_d2, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(approx_d2, 6) AS approx_d2
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_evidence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The full 4-step chain — processing (grounding) → embedding
     (Word2Vec, seeded) → evidence (cosine pairs + co-occurrence scores)
@@ -3669,6 +3759,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "salted_join": QuerySpec(
         q_salted_join, _ORACLE_SALTED_JOIN, "skew-salted-join"
+    ),
+    "ivfpq_topk": QuerySpec(
+        q_ivfpq_topk, _ivfpq_oracle(), "ann-ivf-pq-composed"
     ),
 }
 

@@ -157,3 +157,18 @@ def test_pq_adc_prefers_identical_vector(spark):
     # identical vector has identical codes -> ADC distance equals vec 0's
     # own table sum, the minimum possible
     assert top["neighbor_id"] == 100
+
+
+def test_ivfpq_finds_identical_twin(spark):
+    # non-periodic pattern: no two base vectors collide
+    rows = [
+        (i, [0.01 * ((i * 37 + j * j) % 101 - 50) for j in range(64)])
+        for i in range(20)
+    ]
+    rows.append((100, rows[2][1]))  # identical twin of vec 2
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = SIM.ivfpq_topk(df, df.filter(F.col("vec_id") == 2), k=3, n_probe=3)
+    top = sorted(out.collect(), key=lambda r: r["rank"])[0]
+    # identical vector -> same coarse list (always probed first) and
+    # identical codes -> minimal ADC distance
+    assert top["neighbor_id"] == 100
