@@ -274,3 +274,13 @@ def test_scd2_closed_rows_filter_pushed_to_scan(spark, sf_dir):
     plan = _simple_plan(SUITE["scd2_history"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "isnull(valid_to" in plan or "isnotnull(valid_to" in plan, plan[:3000]
+
+
+def test_ivfpq_broadcasts_probes_single_topk_shuffle(spark, sf_dir):
+    """IVF-PQ: the probed-queries side (list ids + ADC tables) rides a
+    BroadcastExchange into the list_id equijoin; the only hash shuffle
+    is the per-query top-k window."""
+    plan = _simple_plan(SUITE["ivfpq_topk"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]

@@ -88,11 +88,18 @@ SHOWCASE: dict[str, str] = {
         "demand."
     ),
     "pq_ann_topk": (
-        "Product quantization, pure JVM: encode is an in-projection "
-        "argmin over inline codebook structs (no Python stage), the M×K "
-        "query distance tables ride the BroadcastExchange, ADC scoring is "
-        "a fixed 8-lookup chain in codegen, and only the per-query top-k "
-        "window shuffles."
+        "Product quantization: encode and the M×K query distance tables "
+        "are Arrow-batched numpy kernels (`MapInPandas`, explicit "
+        "left-fold accumulation so the doubles match the SQL oracle "
+        "bit-for-bit), the tables ride the BroadcastExchange, ADC scoring "
+        "is a fixed 8-lookup chain in codegen, and only the per-query "
+        "top-k window shuffles."
+    ),
+    "ivfpq_topk": (
+        "The composed index: one MapInPandas emits (id, list_id, codes); "
+        "probed queries broadcast; ADC scoring is the 8-lookup chain after "
+        "the list_id equijoin — float vectors never appear downstream of "
+        "the encode stage."
     ),
     "ann_topk_blocked": (
         "The vectorized exact top-k: one ArrowEvalPython-free mapInPandas "
