@@ -26,9 +26,14 @@ Algorithm (classic word-internal BPE):
    * walk the ranking top-down, stopping at the FIRST pair that shares
      a symbol with an already-batched pair — including the batched
      pairs' concatenations, since merging (a,b) mints new "ab" symbols
-     that can change the counts of any pair mentioning "ab".  The
-     batch is therefore a strict PREFIX of the ranking (no
-     skip-and-continue), pairwise symbol-disjoint;
+     that can change the counts of any pair mentioning "ab" — or whose
+     OWN concatenation aliases an existing symbol (another batch
+     member's concatenation, or any symbol minted in an earlier round:
+     a non-fresh mint would add converted occurrences to already-
+     counted pairs, whose totals can then overtake a batch member —
+     see :func:`_exact_batch`).  The batch is therefore a strict
+     PREFIX of the ranking (no skip-and-continue), pairwise
+     symbol-disjoint, and mints only fresh symbols;
    * trim the batch to counts STRICTLY ABOVE the stopping row's count
      c*.  Disjoint pairs' counts are invariant under each other's
      merges (replacing "l r" elsewhere in a word cannot create or
@@ -101,27 +106,45 @@ last_train_rounds: int = 0
 
 
 def _exact_batch(
-    ranked: list, remaining: int, min_pair_count: int, truncated: bool
+    ranked: list,
+    remaining: int,
+    min_pair_count: int,
+    truncated: bool,
+    minted: frozenset[str] = frozenset(),
 ) -> list[tuple[str, str, int]]:
     """Select the provably-sequential-exact merge batch from a ranked
     (count DESC, l ASC, r ASC) pair list — see the module docstring for
     the prefix/disjoint/strict-count argument.  ``truncated`` means the
     ranking was cut at the fetch limit, so unseen pairs may have counts
-    equal to the last fetched row's."""
+    equal to the last fetched row's.
+
+    ``minted`` is the set of every multi-char symbol an EARLIER round's
+    merge created.  A batched pair whose concatenation ``l+r`` equals a
+    PRE-EXISTING symbol (or another batch member's concatenation) would
+    not mint a fresh symbol: the merge would ADD converted occurrences
+    to already-counted (x, lr) pairs, whose post-merge count can then
+    reach old(x,lr)+old(x,l) <= 2·c* and overtake a later batch member
+    — breaking the count-invariance step of the exactness proof.  The
+    walk therefore stops at the first such collision (the alphabet is
+    single characters, so ``len >= 2`` membership in ``minted``/``used``
+    is a complete collision test)."""
     batch: list[tuple[str, str, int]] = []
     used: set[str] = set()
     c_star = None
     for row in ranked:
         left, right, cnt = row["p"]["l"], row["p"]["r"], int(row["cnt"])
+        cat = left + right
         if (
             len(batch) >= remaining
             or left in used
             or right in used
+            or cat in used
+            or cat in minted
         ):
             c_star = cnt
             break
         batch.append((left, right, cnt))
-        used.update((left, right, left + right))
+        used.update((left, right, cat))
     else:
         # consumed every fetched row: if the fetch was truncated, an
         # unseen pair may tie the last count — be conservative
@@ -155,6 +178,7 @@ def bpe_train(
     )
     state = words.persist()
     merges: list[tuple[int, str, str, int]] = []
+    minted: set[str] = set()  # every multi-char symbol created so far
     rounds = 0
     try:
         while len(merges) < n_merges:
@@ -190,12 +214,14 @@ def bpe_train(
                 remaining=min(batch_cap, n_merges - len(merges)),
                 min_pair_count=min_pair_count,
                 truncated=len(ranked) == fetch,
+                minted=frozenset(minted),
             )
             if not batch:  # conflict right at the top — single exact step
                 top = ranked[0]
                 batch = [(top["p"]["l"], top["p"]["r"], int(top["cnt"]))]
             for left, right, cnt in batch:
                 merges.append((len(merges), left, right, cnt))
+                minted.add(left + right)
             folded = F.col("syms")
             for left, right, _ in batch:
                 folded = _merge_fold(folded, left, right)

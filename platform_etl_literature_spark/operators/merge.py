@@ -103,12 +103,24 @@ def scd2_apply(
     broadcastable) update batch on the key, comparing 16-byte digests
     computed map-side — the standard warehouse SCD2 merge expressed as
     one equijoin + unions, never a row-wise full-row comparison.
-    ``updates`` must hold one row per key.  Returns the same schema as
-    :func:`scd2_init`.
+
+    ``updates`` is deduplicated per key HERE (deterministic min-struct
+    winner over the non-key columns — the same rule the streaming
+    wrapper applies) rather than trusted: a duplicate-key batch passed
+    through unchecked would open multiple current rows for one key and
+    corrupt the at-most-one-current-row invariant for every later
+    apply.  One extra aggregation on the (small, batch-sized) update
+    side.  Returns the same schema as :func:`scd2_init`.
     """
     closed = hist.filter(F.col("valid_to").isNotNull())
     cur = hist.filter(F.col("valid_to").isNull())
-    upd = updates.select(
+    other = [c for c in updates.columns if c not in key_cols]
+    deduped = (
+        updates.groupBy(*key_cols)
+        .agg(F.min(F.struct(*other)).alias("_w"))
+        .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in other])
+    )
+    upd = deduped.select(
         "*", _row_digest(compare_cols).alias("_dig_new")
     )
     j = cur.join(

@@ -118,6 +118,15 @@ def ordered_global_index(
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     if running_sum_col is not None:
+        # The offset table is typed `_sum_off long`: running sums are
+        # supported for integral columns only (every caller here sums
+        # counts).  The cast keeps a drifting caller loud at analysis
+        # time instead of silently truncating doubles driver-side.
+        dtype = dict(ann.dtypes).get(running_sum_col)
+        if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+            raise TypeError(
+                f"running_sum_col must be integral, got {running_sum_col}:{dtype}"
+            )
         aggs.append(F.sum(running_sum_col).alias("_s"))
     stats = sorted(
         ann.groupBy("_pid").agg(*aggs).collect(), key=lambda r: r["_pid"]
@@ -128,7 +137,8 @@ def ordered_global_index(
         rows.append((r["_pid"], row_off, sum_off))
         row_off += r["_n"]
         if running_sum_col is not None:
-            sum_off += r["_s"]
+            # F.sum is NULL over an all-NULL partition — contribute 0
+            sum_off += int(r["_s"] or 0)
     offsets = spark.createDataFrame(
         rows or [(0, 0, 0)], "_pid int, _row_off long, _sum_off long"
     )

@@ -153,16 +153,28 @@ def ranked_topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     Scale shape: the global sort never happens — ``orderBy(...).limit(k)``
     compiles to TakeOrderedAndProject (each partition keeps its local k,
     the driver merges k·partitions rows), and only the k surviving rows
-    pay the single-partition row_number window.  ``order`` must be a
-    total order (include a unique tiebreak column) or ranks are
-    nondeterministic.
+    are ranked — WITHOUT a window.  An unpartitioned
+    ``row_number().over(Window.orderBy(...))`` here would be harmless
+    (≤ k rows) but makes Spark emit the ``WindowExec: No Partition
+    Defined`` degradation warning on every run — noise
+    indistinguishable from a real whole-dataset single-reducer window
+    in bench logs (and partitioning the window on a literal doesn't
+    help: constant folding erases the partition spec before the
+    physical check).  Instead the ≤ k survivors take the k=1-partition
+    case of the ranking-module zipWithIndex construction: one range
+    exchange of ≤ k rows, a local sort, and
+    ``monotonically_increasing_id`` (pid=0, so the id IS the 0-based
+    position in sort order).  ``order`` must be a total order (include
+    a unique tiebreak column) or ranks are nondeterministic.
     """
-    from pyspark.sql.window import Window
-
     return (
         df.orderBy(*order)
         .limit(k)
-        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .repartitionByRange(1, *order)
+        .sortWithinPartitions(*order)
+        .withColumn(
+            "rank", (F.monotonically_increasing_id() + 1).cast("int")
+        )
     )
 
 

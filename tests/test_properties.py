@@ -568,6 +568,88 @@ def test_bpe_matches_python_reference(spark):
         assert enc[i] == (len(ws), sum(py_encode(w) for w in ws)), i
 
 
+def test_bpe_exact_batch_stops_on_concat_collisions():
+    """The batch walk must stop when a pair's concatenation aliases an
+    existing symbol — either one minted in an earlier round or another
+    batch member's concatenation — because a non-fresh mint adds
+    converted occurrences to already-counted pairs and breaks the
+    count-invariance step of the exactness proof (round-5 ADVICE)."""
+    from platform_etl_literature_spark.operators.bpe import _exact_batch
+
+    def row(l, r, cnt):
+        return {"p": {"l": l, "r": r}, "cnt": cnt}
+
+    # top pair's concatenation collides with a prior round's mint:
+    # no safe prefix — caller falls back to the single exact merge
+    ranked = [row("ab", "c", 100), row("d", "e", 90)]
+    assert (
+        _exact_batch(ranked, 10, 1, False, minted=frozenset({"abc"})) == []
+    )
+
+    # same-batch collision: (a,bc) and (ab,c) both mint "abc"; the walk
+    # stops at the second and trims to counts strictly above its 90
+    ranked = [row("a", "bc", 100), row("ab", "c", 90), row("d", "e", 80)]
+    assert _exact_batch(ranked, 10, 1, False) == [("a", "bc", 100)]
+
+    # no collision: same shapes with distinct concatenations batch fully
+    ranked = [row("a", "bc", 100), row("d", "e", 90)]
+    assert _exact_batch(ranked, 10, 1, False) == [
+        ("a", "bc", 100),
+        ("d", "e", 90),
+    ]
+
+
+def test_bpe_tiny_alphabet_aliasing_matches_python_reference(spark):
+    """End-to-end guard for the mint-collision rule: a two-letter
+    alphabet forces repeated-structure merges (ab, abab, ababab, ...)
+    whose concatenations alias quickly; batched training must still
+    replay sequential BPE merge-for-merge."""
+    from platform_etl_literature_spark.operators import bpe as B
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(2, 10)))
+        for _ in range(30)
+    ]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 8))))
+        for i in range(40)
+    ]
+
+    freqs: dict[str, int] = {}
+    for _, text in docs:
+        for w in text.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    vocab = {tuple(w): n for w, n in freqs.items()}
+    expected = []
+    for rank in range(12):
+        counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        expected.append((rank, l, r, c))
+        nxt: dict = {}
+        for syms, n in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        vocab = nxt
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    assert B.bpe_train(sdf, "text", n_merges=12) == expected
+
+
 def test_bpe_batch_amortization_on_disjoint_vocab(spark):
     """The merge batching must amortize when the exactness rule allows
     it: a corpus whose top pairs are pairwise symbol-disjoint with
