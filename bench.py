@@ -103,11 +103,18 @@ rs AS (
   SELECT id, list_sort(list(r)) AS rs, count(*) AS n
   FROM flat JOIN rk USING (t) GROUP BY id),
 pref AS (
-  SELECT id, unnest(rs[1 : CAST(n - ceil(0.85 * n) + 1 AS INT)]) AS r
-  FROM rs),
+  SELECT id, n, p, rs[p] AS r
+  FROM (SELECT id, n, rs,
+               unnest(generate_series(1, CAST(n - ceil(0.85 * n) + 1 AS INT))) AS p
+        FROM rs)),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM pref a JOIN pref b ON a.r = b.r AND a.id < b.id),
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pref a JOIN pref b ON a.r = b.r AND a.id < b.id
+  WHERE b.n >= (0.85 - 1e-6) * a.n AND a.n >= (0.85 - 1e-6) * b.n
+  GROUP BY 1, 2
+  HAVING min(least(a.p - 1, b.p - 1) + 1
+             + least(a.n - a.p, b.n - b.p)
+             - ((0.85 - 1e-6) / (1.85 - 1e-6)) * (a.n + b.n)) >= 0),
 v AS (
   SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
          len(list_intersect(sa.rs, sb.rs)) AS n_inter

@@ -1090,6 +1090,15 @@ def prefix_jaccard_pairs(
     remains available as a belt-and-braces valve for adversarial
     corpora where even a prefix bucket goes viral.
 
+    The prefix filter is compounded with the suite's two other
+    lossless candidate filters (both applied BEFORE the pair-dedup
+    shuffle, so pruned pairs never shuffle): the ICDE'06 LENGTH filter
+    (min(n)/max(n) >= t) inside the bucket join, and the WWW'08
+    POSITIONAL filter — each shared prefix token's sorted positions
+    bound the achievable overlap, and the pair-dedup aggregation keeps
+    a pair only if its tightest bound still reaches the overlap
+    threshold t/(1+t)·(n_a+n_b).
+
     Exact (no recall loss): completeness of the prefix filter is a
     theorem, re-checked against the brute-force all-pairs join in
     tests/test_properties.py.  Returns (id_a, id_b, n_a, n_b, n_inter,
@@ -1123,18 +1132,65 @@ def prefix_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("r")).alias("rs"))
         .select("id", F.size("rs").alias("n"), "rs")
     )
-    # prefix length n - ceil(t*n) + 1; explode only the prefix ranks
+    # prefix length n - ceil(t*n) + 1; explode only the prefix ranks,
+    # keeping each rank's 1-based POSITION in the sorted set (feeds the
+    # positional filter) and the set size (feeds the length filter)
     plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
     prefix = compact.select(
-        "id", F.explode(F.slice("rs", 1, plen)).alias("r")
-    )
+        "id",
+        "n",
+        F.posexplode(F.slice("rs", 1, plen)).alias("_p0", "r"),
+    ).select("id", "n", (F.col("_p0") + 1).alias("p"), "r")
     prefix = _drop_hot_buckets(prefix, ["r"], max_bucket_size)
+    # teff absorbs the round-to-6 slack in the verify's jaccard compare
+    # (a pair can pass verify with true jaccard as low as t - 5e-7), so
+    # neither filter can drop a pair the verify would keep — the
+    # brute-force oracle remains the losslessness proof.
+    teff = threshold - 1e-6
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("n").alias("_na"),
+        F.col("p").alias("_pa"),
+        "r",
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("n").alias("_nb"),
+        F.col("p").alias("_pb"),
+        "r",
+    )
+    # LENGTH FILTER (ICDE'06): J >= t forces min(n)/max(n) >= t —
+    # applied inside the join output, before the pair-dedup shuffle.
+    matched = (
+        a.join(b, "r")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("_nb") >= F.lit(teff) * F.col("_na"))
+            & (F.col("_na") >= F.lit(teff) * F.col("_nb"))
+        )
+    )
+    # POSITIONAL FILTER (WWW'08): a shared token at sorted positions
+    # (pa, pb) caps the overlap at min(pa-1, pb-1) + 1 +
+    # min(na-pa, nb-pb) — earlier tokens overlap at most min(pa-1,pb-1)
+    # times, later ones at most min of the remainders.  J >= t needs
+    # overlap >= t/(1+t)·(na+nb); the bound holds at EVERY shared
+    # token, so the pair-dedup aggregation takes the MIN slack over its
+    # matched prefix tokens (strictly stronger than any single row) and
+    # prunes pairs whose tightest bound already rules them out.
+    ubound = (
+        F.least(F.col("_pa") - 1, F.col("_pb") - 1)
+        + 1
+        + F.least(F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb"))
+    )
+    alpha = (F.lit(teff) / F.lit(1.0 + teff)) * (F.col("_na") + F.col("_nb"))
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "r")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        matched.select(
+            "id_a", "id_b", (ubound.cast("double") - alpha).alias("_slack")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_slack").alias("_min_slack"))
+        .filter(F.col("_min_slack") >= 0.0)
+        .select("id_a", "id_b")
     )
     a = compact.select(
         F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("rs").alias("_ra")
