@@ -386,6 +386,7 @@ def test_scd2_stream_matches_batch_chain(spark, tmp_path):
     )
     from platform_etl_literature_spark.streaming.scd2 import (
         _committed_versions,
+        read_history,
         scd2_stream_writer,
     )
 
@@ -430,7 +431,7 @@ def test_scd2_stream_matches_batch_chain(spark, tmp_path):
     assert _committed_versions(spark, root) == [1, 2, 3]
     got = {
         (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
-        for r in spark.read.parquet(f"{root}/history_v3").collect()
+        for r in read_history(spark, root, 3).collect()
     }
 
     def df_of(rows):
@@ -451,3 +452,99 @@ def test_scd2_stream_matches_batch_chain(spark, tmp_path):
     # spot semantics: key 2 never re-versioned; key 3 closed at v3
     assert got[(2, 1)] == ("beta", None)
     assert got[(3, 2)] == ("gamma", 3) and got[(3, 3)] == ("GAMMA", None)
+
+
+def test_scd2_stream_writes_only_dirty_buckets(spark, tmp_path):
+    """The incremental layout's scale claim, measured: after a 10⁴-key
+    init, a 2-key update batch must write ONLY the hash buckets those
+    keys land in — per-batch write volume ∝ batch, not corpus (VERDICT
+    r5 item 1) — while read_history still reconstructs the exact batch
+    scd2 chain."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.merge import (
+        scd2_apply,
+        scd2_init,
+    )
+    from platform_etl_literature_spark.streaming.scd2 import (
+        _committed_versions,
+        read_history,
+        scd2_stream_writer,
+    )
+
+    n_keys, n_buckets = 10_000, 64
+    batches = [
+        [(i, f"t{i}") for i in range(n_keys)],
+        [(7, "CHANGED"), (n_keys + 1, "NEW")],  # 1 change + 1 insert
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    import time
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = str(land / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    root = str(tmp_path / "hist")
+    q = (
+        scd2_stream_writer(
+            stream, root, ["doc_id"], ["text"], n_buckets=n_buckets
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _committed_versions(spark, root) == [1, 2]
+
+    # v2's data directory holds at most 2 bucket partitions and ~2
+    # buckets' worth of rows — NOT the 10⁴-row corpus
+    v2_buckets = [
+        d
+        for d in os.listdir(f"{root}/history_v2/data")
+        if d.startswith("_bucket=")
+    ]
+    assert 1 <= len(v2_buckets) <= 2, v2_buckets
+    v2_rows = spark.read.parquet(f"{root}/history_v2/data").count()
+    assert v2_rows <= 3 * (n_keys // n_buckets) + 4, v2_rows
+
+    # and the reconstructed snapshot equals the batch chain exactly
+    h = scd2_init(
+        spark.createDataFrame(batches[0], ["doc_id", "text"]),
+        ["text"],
+        version=1,
+    )
+    h = scd2_apply(
+        h,
+        spark.createDataFrame(batches[1], ["doc_id", "text"]),
+        ["doc_id"],
+        ["text"],
+        version=2,
+    )
+    want = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in h.collect()
+    }
+    got = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in read_history(spark, root).collect()
+    }
+    assert got == want
