@@ -2865,6 +2865,107 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_ann_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of every approximate ANN path against the exact
+    brute-force top-5 — the accountability metric the approximate
+    family's plan-equivalence oracles don't measure (VERDICT r5 item
+    2).  One row per method: (method, n_hits, n_total, recall) where
+    n_hits counts (query, neighbor) pairs the approximate top-k shares
+    with the exact top-k and n_total = |exact| (= k·n_queries here; the
+    denominator is the exact result so partial approximate lists are
+    penalized, not excused).
+
+    Scale shape: recall evaluation always runs on a SAMPLED query set
+    (here vec_id < 10), so the brute-force exact side is bounded by
+    sample_size × corpus — the standard ANN eval harness, not a
+    production query path.  The exact top-k materializes ONCE (50
+    rows, broadcast) and each approximate result semi-joins against
+    it; per-method hit counts are single-row aggregates crossed with
+    the single-row total."""
+    from platform_etl_literature_spark.operators.dedup import (
+        _materialize_once,
+    )
+    from platform_etl_literature_spark.operators.ivf_quantizer import (
+        IVF_CENTROIDS_8x64,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _materialize_once(
+        SIM.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    )
+    methods = [
+        ("binary", SIM.binary_ann_topk(emb, q, k=5, shortlist=20)),
+        (
+            "ivf",
+            SIM.ivf_cosine_topk(
+                emb, q, k=5, n_lists=8, n_probe=3,
+                centroids=IVF_CENTROIDS_8x64,
+            ),
+        ),
+        ("ivfpq", SIM.ivfpq_topk(emb, q, k=5, n_probe=3)),
+        (
+            "lsh",
+            SIM.lsh_cosine_topk(
+                emb, q, k=5, n_tables=8, n_bits=4, dim=64
+            ),
+        ),
+        ("pq", SIM.pq_adc_topk(emb, q, k=5)),
+    ]
+    total = exact.agg(F.count(F.lit(1)).alias("n_total"))
+    outs = []
+    for m, approx in methods:
+        hits = approx.join(
+            F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        outs.append(
+            hits.crossJoin(F.broadcast(total)).select(
+                F.lit(m).alias("method"),
+                "n_hits",
+                "n_total",
+                F.round(
+                    F.col("n_hits") / F.col("n_total").cast("double"), 6
+                ).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _ann_recall_oracle() -> str:
+    """DuckDB oracle for q_ann_recall_at_k: the exact oracle and every
+    approximate method's EXISTING full oracle (hyperplanes, centroids
+    and codebooks inlined) as MATERIALIZED CTEs, intersected per
+    method — the recall computation is value-level end to end because
+    each leg already is."""
+    parts = [
+        ("exact", _ORACLE_ANN),
+        ("m_binary", _ORACLE_BINARY_ANN),
+        ("m_ivf", _ORACLE_IVF_ANN),
+        ("m_ivfpq", _ivfpq_oracle()),
+        ("m_lsh", _ORACLE_LSH_ANN),
+        ("m_pq", _pq_oracle()),
+    ]
+    ctes = ",\n".join(
+        f"{name} AS MATERIALIZED (\n{sql.strip().rstrip(';')}\n)"
+        for name, sql in parts
+    )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method,\n"
+        f"  (SELECT count(*) FROM m_{m} JOIN exact USING (query_id, neighbor_id)) AS n_hits,\n"
+        f"  (SELECT count(*) FROM exact) AS n_total,\n"
+        f"  round((SELECT count(*) FROM m_{m} JOIN exact USING (query_id, neighbor_id))\n"
+        f"        / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) AS recall"
+        for m in ("binary", "ivf", "ivfpq", "lsh", "pq")
+    )
+    return f"WITH {ctes}\n{legs}"
+
+
+_ORACLE_ANN_RECALL = _ann_recall_oracle()
+
+
 def q_evidence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The full 4-step chain — processing (grounding) → embedding
     (Word2Vec, seeded) → evidence (cosine pairs + co-occurrence scores)
@@ -3762,6 +3863,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "ivfpq_topk": QuerySpec(
         q_ivfpq_topk, _ivfpq_oracle(), "ann-ivf-pq-composed"
+    ),
+    "ann_recall_at_k": QuerySpec(
+        q_ann_recall_at_k, _ORACLE_ANN_RECALL, "ann-recall-accountability"
     ),
 }
 
