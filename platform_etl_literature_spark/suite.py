@@ -1723,24 +1723,49 @@ GROUP BY 1, 2
 
 
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame sampling over binary media payloads (every 4th 64-byte
-    frame, deterministic fake codec) — rows fan out inside one
-    mapInPandas stage; digests are SQL-checkable via sha256 because the
-    corpus text is ASCII (byte substring == char substring)."""
-    media = MM.to_media_table(_t(spark, sf, "documents"), "doc_id", "text", "source")
-    return MM.frame_sample(media, frame_bytes=64, every=4, fake=True)
+    """REAL video decode + frame sampling: synthesize a deterministic
+    9-frame uncompressed RIFF/AVI per document (stdlib struct writer —
+    genuine container: hdrl/avih/strh/strf headers, movi '00db' DIB
+    frames, idx1 index), then parse the chunk tree back and sample
+    every 4th frame (indices 0, 4, 8) with per-frame pixel stats.  The
+    frame pattern is integer-affine mod 256, so the oracle regenerates
+    every sampled frame pixel-for-pixel — including the
+    position-weighted luma checksum that catches chunk-padding or
+    row-order mistakes (operators.multimodal.decode_avi_frame_stats).
+    Replaces the round-1..5 fake byte-chunking query: no benched or
+    driver-checked multimodal path uses a fake codec any more."""
+    media = MM.synth_avi_media(_t(spark, sf, "documents"), "doc_id")
+    return MM.decode_avi_frame_stats(media, every=4)
 
 
 _ORACLE_MM_FRAMES = """
-SELECT doc_id AS media_id,
-  CAST(i AS BIGINT) AS frame_idx,
-  CAST(octet_length(encode(substr(text, i * 64 + 1, 64))) AS BIGINT) AS n_bytes,
-  sha256(substr(text, i * 64 + 1, 64)) AS digest
-FROM documents,
-  LATERAL unnest(generate_series(
-    0,
-    CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1,
-    4)) AS t(i)
+WITH p AS (
+  SELECT doc_id, f, x, y,
+         (doc_id * 41 + f * 23 + y * 19 + x * 5) % 256 AS r,
+         (doc_id * 37 + f * 29 + y * 13 + x * 11) % 256 AS g,
+         (doc_id * 31 + f * 3 + y * 17 + x * 7) % 256 AS b
+  FROM documents,
+       LATERAL unnest([0, 4, 8]) tf(f),
+       LATERAL unnest(generate_series(0, 9)) tx(x),
+       LATERAL unnest(generate_series(0, 6)) ty(y)),
+l AS (
+  SELECT doc_id, f, x, y, r, g, b,
+         2126 * r + 7152 * g + 722 * b AS luma
+  FROM p),
+a AS (
+  SELECT doc_id, f, count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(b) AS BIGINT) AS sb,
+         CAST(max(luma) AS BIGINT) AS pk,
+         CAST(sum((x + 2 * y) * luma) AS BIGINT) AS cks
+  FROM l GROUP BY 1, 2)
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+  10 AS width, 7 AS height, n AS n_pixels,
+  round(sr / CAST(n AS DOUBLE), 6) AS mean_r,
+  round(sg / CAST(n AS DOUBLE), 6) AS mean_g,
+  round(sb / CAST(n AS DOUBLE), 6) AS mean_b,
+  pk AS peak_luma, cks AS xy_luma_sum
+FROM a
 """
 
 

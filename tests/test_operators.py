@@ -842,6 +842,55 @@ def test_bmp_roundtrip_real_codec_and_corrupt_payload(spark):
             MM.decode_bmp_stats(bad).collect()
 
 
+def test_avi_roundtrip_real_codec_and_corrupt_payload(spark):
+    """The video payload must be a genuine RIFF/AVI container: the
+    chunk tree parses with stdlib struct (RIFF size, avih frame count,
+    strf geometry, word-aligned movi '00db' chunks, idx1 index), the
+    sampled DIB frames decode to the exact test-pattern values, and
+    corrupt / truncated / frame-count-mismatched payloads fail
+    loudly."""
+    import struct
+
+    ids = spark.createDataFrame([(9,)], ["doc_id"])
+    media = MM.synth_avi_media(ids, "doc_id", width=10, height=7, n_frames=9)
+    payload = bytes(media.collect()[0]["payload"])
+    magic, total, ftype = struct.unpack_from("<4sI4s", payload, 0)
+    assert magic == b"RIFF" and ftype == b"AVI " and total == len(payload) - 8
+    # walk top-level chunks: LIST hdrl, LIST movi, idx1
+    kinds = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc, size = struct.unpack_from("<4sI", payload, pos)
+        kinds.append(
+            payload[pos + 8 : pos + 12] if fourcc == b"LIST" else fourcc
+        )
+        pos += 8 + size + (size % 2)
+    assert kinds == [b"hdrl", b"movi", b"idx1"]
+
+    rows = {r["frame_idx"]: r for r in MM.decode_avi_frame_stats(media, every=4).collect()}
+    assert sorted(rows) == [0, 4, 8]
+    # frame 4, checked against the integer formula
+    rs = [
+        (9 * 41 + 4 * 23 + y * 19 + x * 5) % 256
+        for y in range(7)
+        for x in range(10)
+    ]
+    assert rows[4]["n_pixels"] == 70 and rows[4]["width"] == 10
+    assert rows[4]["mean_r"] == round(sum(rs) / 70, 6)
+
+    # corrupt: not RIFF; truncated; avih/movi frame-count mismatch
+    truncated = payload[: len(payload) // 2]
+    mismatched = bytearray(payload)
+    # dwTotalFrames lives 16 bytes into avih data; avih data starts at
+    # 12 (RIFF hdr) + 12 (LIST hdr+type) + 8 (avih chunk hdr) = 32
+    assert payload[24:28] == b"avih"
+    struct.pack_into("<I", mismatched, 32 + 16, 99)
+    for bad_bytes in (b"not an avi, but long enough " * 4, truncated, bytes(mismatched)):
+        bad = media.select("media_id", F.lit(bad_bytes).alias("payload"))
+        with pytest.raises(Exception):
+            MM.decode_avi_frame_stats(bad).collect()
+
+
 def test_zorder_interleave_matches_python_reference(spark):
     """z-values must equal a pure-Python Morton interleave of the same
     integer bins (4-bit, 2 columns)."""
