@@ -154,22 +154,71 @@ def _exact_batch(
     return [m for m in batch if m[2] >= min_pair_count]
 
 
+def _greedy_batch(
+    ranked: list,
+    remaining: int,
+    min_pair_count: int,
+    minted: frozenset[str] = frozenset(),
+) -> list[tuple[str, str, int]]:
+    """Select the GREEDY disjoint merge batch: walk the ranking
+    top-down and keep every pair that is symbol-disjoint from the
+    batch so far (skip-and-continue, vs :func:`_exact_batch`'s
+    stop-at-first-conflict), still refusing concatenation collisions
+    so every recorded count is the pair's true round-start count.
+
+    This is the standard distributed-BPE amortization (frequency-
+    threshold batching): all batched counts are exact as of the round
+    start (disjoint merges cannot change each other's counts), but the
+    merge ORDER can diverge from sequential BPE when a merge's PRODUCT
+    pair would have outranked a later batch member.  On natural-
+    language corpora the exact rule degrades to ~1 merge/round (the
+    top character pairs all share 'e'/'t'/'i'...), so this mode is
+    what makes 32k-merge vocabularies trainable in hundreds, not tens
+    of thousands, of Spark rounds."""
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for row in ranked:
+        if len(batch) >= remaining:
+            break
+        left, right, cnt = row["p"]["l"], row["p"]["r"], int(row["cnt"])
+        if cnt < min_pair_count:
+            break
+        cat = left + right
+        if left in used or right in used or cat in used or cat in minted:
+            continue
+        batch.append((left, right, cnt))
+        used.update((left, right, cat))
+    return batch
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
     n_merges: int = 8,
     min_pair_count: int = 2,
     batch_cap: int = 24,
+    exact: bool = True,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns the
     ordered merge table [(rank, left, right, pair_count)]; stops early
     when the best remaining pair occurs fewer than ``min_pair_count``
     times.  Deterministic: ties break on (count DESC, left, right).
 
-    Learns up to ``batch_cap`` merges per Spark round (module
-    docstring: the batch is bitwise-identical to what the one-merge-
-    per-job loop produces); ``batch_cap`` also bounds the depth of the
-    chained merge-fold expression a single rewrite pass compiles to.
+    Learns up to ``batch_cap`` merges per Spark round; ``batch_cap``
+    also bounds the depth of the chained merge-fold expression a
+    single rewrite pass compiles to.  Two batching modes:
+
+    * ``exact=True`` (default): the batch is PROVABLY the exact prefix
+      sequential BPE would produce (module docstring) — but on
+      natural-language corpora the stop-at-first-conflict rule
+      degrades to ~1 merge/round, because the highest-count character
+      pairs share letters;
+    * ``exact=False``: greedy disjoint batching
+      (:func:`_greedy_batch`) — every batched count is still the true
+      round-start count, merge order may diverge from sequential
+      where a merge's product pair would outrank a later batch
+      member.  The production mode for 32k-merge vocabularies.
+
     Sets :data:`last_train_rounds`.
     """
     global last_train_rounds
@@ -209,13 +258,21 @@ def bpe_train(
             )
             if not ranked or ranked[0]["cnt"] < min_pair_count:
                 break
-            batch = _exact_batch(
-                ranked,
-                remaining=min(batch_cap, n_merges - len(merges)),
-                min_pair_count=min_pair_count,
-                truncated=len(ranked) == fetch,
-                minted=frozenset(minted),
-            )
+            if exact:
+                batch = _exact_batch(
+                    ranked,
+                    remaining=min(batch_cap, n_merges - len(merges)),
+                    min_pair_count=min_pair_count,
+                    truncated=len(ranked) == fetch,
+                    minted=frozenset(minted),
+                )
+            else:
+                batch = _greedy_batch(
+                    ranked,
+                    remaining=min(batch_cap, n_merges - len(merges)),
+                    min_pair_count=min_pair_count,
+                    minted=frozenset(minted),
+                )
             if not batch:  # conflict right at the top — single exact step
                 top = ranked[0]
                 batch = [(top["p"]["l"], top["p"]["r"], int(top["cnt"]))]

@@ -650,6 +650,91 @@ def test_bpe_tiny_alphabet_aliasing_matches_python_reference(spark):
     assert B.bpe_train(sdf, "text", n_merges=12) == expected
 
 
+def test_bpe_greedy_mode_matches_python_reference_and_amortizes(spark):
+    """exact=False greedy disjoint batching vs a literal python
+    transcription of the same rule (rank by (count DESC, l, r), keep
+    top-down skipping symbol/concatenation conflicts, apply the batch,
+    recount).  Also pins the amortization: on this natural-ish corpus
+    the greedy mode must finish in strictly fewer rounds than merges
+    (the exact mode's known ~1/round degradation is the reason the
+    mode exists)."""
+    from platform_etl_literature_spark.operators import bpe as B
+
+    rng = random.Random(42)
+    alphabet = "abcdefgh"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 8)))
+        for _ in range(60)
+    ]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 10))))
+        for i in range(50)
+    ]
+
+    freqs: dict[str, int] = {}
+    for _, text in docs:
+        for w in text.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    vocab = {tuple(w): n for w, n in freqs.items()}
+    n_merges, batch_cap = 24, 8
+    expected: list[tuple[int, str, str, int]] = []
+    minted: set[str] = set()
+    while len(expected) < n_merges:
+        counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        # mirror the engine's bounded fetch: only the top 4*batch_cap
+        # ranking rows are visible to the batch selector each round
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : 4 * batch_cap
+        ]
+        if not ranked or ranked[0][1] < 2:
+            break
+        batch, used = [], set()
+        for (l, r), c in ranked:
+            if len(batch) >= min(batch_cap, n_merges - len(expected)):
+                break
+            if c < 2:
+                break
+            cat = l + r
+            if l in used or r in used or cat in used or cat in minted:
+                continue
+            batch.append((l, r, c))
+            used.update((l, r, cat))
+        if not batch:
+            (l, r), c = ranked[0]
+            batch = [(l, r, c)]
+        for l, r, c in batch:
+            expected.append((len(expected), l, r, c))
+            minted.add(l + r)
+        nxt: dict = {}
+        for syms, n in vocab.items():
+            out = list(syms)
+            for l, r, _ in batch:
+                merged: list = []
+                for s in out:
+                    if merged and merged[-1] == l and s == r:
+                        merged[-1] = l + r
+                    else:
+                        merged.append(s)
+                out = merged
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        vocab = nxt
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = B.bpe_train(
+        sdf, "text", n_merges=n_merges, batch_cap=batch_cap, exact=False
+    )
+    assert got == expected
+    assert B.last_train_rounds < len(got), (
+        B.last_train_rounds,
+        len(got),
+    )
+
+
 def test_bpe_batch_amortization_on_disjoint_vocab(spark):
     """The merge batching must amortize when the exactness rule allows
     it: a corpus whose top pairs are pairwise symbol-disjoint with

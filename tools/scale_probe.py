@@ -259,6 +259,47 @@ def main() -> None:
         ]
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
     lines.append("")
+
+    # tokenizer-scale BPE probe (VERDICT r6 item 6): production merge
+    # budget (n_merges=1024, batch_cap=64), trained to vocabulary
+    # exhaustion.  The amortization claim is rounds ≪ merges; the
+    # exact-prefix mode is probed once at 1x as the honesty row — on
+    # natural-ish text its stop-at-first-conflict rule degrades toward
+    # one merge per round, which is exactly why bpe_train grew the
+    # greedy disjoint mode (exact=False) for production vocabularies.
+    lines += [
+        "## Tokenizer-scale BPE training (n_merges=1024, batch_cap=64)",
+        "",
+        "| corpus | mode | merges learned | Spark rounds | wall |",
+        "|---|---|---|---|---|",
+    ]
+    bpe_cells = [(1, False), (1, True), (max(factors), False)]
+    for factor, exact in bpe_cells:
+        df = spark.read.parquet(f"{WORK}/docs_x{factor}.parquet")
+        t0 = time.time()
+        merges = B.bpe_train(
+            df, "text", n_merges=1024, min_pair_count=2, batch_cap=64,
+            exact=exact,
+        )
+        wall = time.time() - t0
+        mode = "exact prefix" if exact else "greedy disjoint"
+        lines.append(
+            f"| {factor}x | {mode} | {len(merges)} (vocab exhausted) "
+            f"| {B.last_train_rounds} | {round(wall, 1)}s |"
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "bpe_train_1024",
+                    "x": factor,
+                    "mode": mode,
+                    "merges": len(merges),
+                    "rounds": B.last_train_rounds,
+                    "sec": round(wall, 1),
+                }
+            )
+        )
+    lines.append("")
     with open("/root/repo/SCALE.md", "w") as fh:
         fh.write("\n".join(lines))
     print("wrote SCALE.md")
