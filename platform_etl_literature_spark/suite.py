@@ -3921,6 +3921,14 @@ SUITE: dict[str, QuerySpec] = {
 # events_hourly + sessionize); both new rows carry full value-level
 # oracles (the segmented-EWMA fold replayed op-for-op in DuckDB; the
 # BMP round trip re-generated pixel-for-pixel).
+#
+# Round-6 rotation: lsh_ann_topk→ann_recall_at_k — the recall query
+# EMBEDS the LSH top-k (plus all four other approximate paths and the
+# exact baseline) behind a fully composed SQL oracle, so the driver
+# now hashes strictly more of the ANN family than the row it
+# displaces; lsh_ann_topk stays value-gated in the parity suite.
+# multimodal_frames keeps its slot but is now the REAL RIFF/AVI
+# round trip (pixel-level oracle) instead of the fake byte chunker.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -3934,7 +3942,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "events_hourly", "multimodal_img_stats", "sessionize", "lm_doc_logprob",
     "multimodal_decode", "multimodal_frames", "cluster_split",
     "salted_agg", "token_packing", "value_quantiles", "doc_repetition",
-    "corpus_curation", "dedup_components", "lsh_ann_topk",
+    "corpus_curation", "dedup_components", "ann_recall_at_k",
     "ivf_ann_topk", "scan_provenance", "semi_join",
     "agg_first_deterministic", "pivot_event_types", "range_join_bands",
     "asof_join",

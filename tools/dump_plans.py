@@ -62,13 +62,6 @@ SHOWCASE: dict[str, str] = {
         "winners regroup per doc, and a slim (id, n_passages) spine "
         "left-joins the rebuilt text."
     ),
-    "prefix_jaccard": (
-        "The PPJoin prefix filter with a DISTRIBUTED global token rank: "
-        "rangepartitioning Exchange → per-partition sort → "
-        "monotonically_increasing_id → BroadcastHashJoin with the "
-        "#partitions-row offset table; no `Exchange SinglePartition` in "
-        "the plan (tests/test_plans.py pins this)."
-    ),
     "vocab_coverage": (
         "Zipf rank + running coverage through operators/ranking.py: one "
         "range Exchange, a Window PARTITIONED by the range-partition id "
@@ -185,19 +178,34 @@ SHOWCASE: dict[str, str] = {
         "AQE picks shuffle-hash joins co-partitioned on the gram key."
     ),
     "prefix_jaccard": (
-        "PPJoin prefix filter: candidates come from a self-equijoin on "
-        "the EXPLODED RARE-TOKEN PREFIX only (slice of the persisted "
-        "rank-array table — `InMemoryTableScan` on both candidate sides "
-        "AND both verify sides); the df-rank table is built by one "
-        "(token, long) aggregation; the exact-Jaccard verify is per-pair "
-        "array_intersect, no re-tokenization anywhere."
+        "PPJoin with all three lossless filters: candidates come from a "
+        "self-equijoin on the EXPLODED RARE-TOKEN PREFIX only (slice of "
+        "the persisted rank-array table — `InMemoryTableScan` on both "
+        "candidate sides AND both verify sides), with a DISTRIBUTED "
+        "global token rank (range Exchange + monotonically_increasing_id "
+        "+ broadcast offsets; no `Exchange SinglePartition`, test-"
+        "pinned).  The ICDE'06 LENGTH filter and WWW'08 POSITIONAL "
+        "filter both apply BEFORE the pair-dedup Exchange (the Filter "
+        "and the min-slack partial aggregate sit upstream of it), so "
+        "pruned candidates never shuffle; the exact-Jaccard verify is "
+        "per-pair array_intersect, no re-tokenization anywhere."
     ),
     "rrf_hybrid": (
         "Reciprocal-rank fusion: each ranking reaches its top-50 via "
         "`TakeOrderedAndProject` (per-partition local k, no global "
-        "sort); only the <=100 surviving rows pay the rank windows and "
-        "the fusion is one hash aggregate over exact integer nano-unit "
+        "sort); the <=k survivors are ranked by the 1-partition "
+        "zipWithIndex (range Exchange + monotonically_increasing_id — "
+        "NO WindowExec anywhere, so the `No Partition Defined` "
+        "degradation warning is gone from bench logs) and the fusion "
+        "is one hash aggregate over exact integer nano-unit "
         "contributions."
+    ),
+    "ann_recall_at_k": (
+        "Recall accountability: the exact top-k materializes once "
+        "(`InMemoryTableScan`) and rides a BroadcastExchange into five "
+        "per-method left_semi joins; each method's leg pre-reduces to a "
+        "single-row count before the 1×1 cross joins, so the union "
+        "carries five rows total."
     ),
 }
 
