@@ -27,13 +27,17 @@ rewrite a transactional table format (Delta/Iceberg/Hudi) does under
 MERGE with hash-partitioned layout; on those sinks ``_step`` becomes a
 single MERGE and the manifest is the table's own snapshot log.
 
-The version number is ``batch_id + 1``, making the sink idempotent
-under foreachBatch's at-least-once replays: a replayed batch sees its
-manifest already written (the manifest is the LAST artifact of a
-commit — a partially-written failed attempt has none) and skips.
-Storage growth is (change volume × bucket size), not (corpus ×
-versions); retention = drop any ``history_v{k}`` no newer manifest
-references once closed-history age limits pass.
+Version numbers are a monotonic chain decoupled from batch ids: each
+manifest records the ``batch_id`` it committed, and a replayed batch
+skips when ANY committed manifest carries its id (the manifest is the
+LAST artifact of a commit — a partially-written failed attempt has
+none) — so maintenance operations can also claim versions.  Storage
+growth is (change volume × bucket size), not (corpus × versions);
+:func:`compact_history` rewrites all live buckets into one fresh
+version and :func:`vacuum_history` deletes versions the latest
+manifest no longer references — run both only while the stream is
+stopped (single-writer maintenance, the same contract a table
+format's OPTIMIZE/VACUUM has).
 
 Pairs with streaming/ingest_dedup.py (same foreachBatch bridge, same
 batch-operator reuse) — tests/test_streaming.py pins stream == batch
@@ -157,9 +161,19 @@ def scd2_stream_writer(
     def _step(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         versions = _committed_versions(spark, history_root)
-        target = int(batch_id) + 1
-        if target in versions:
+        # Replay check: a batch is committed iff SOME manifest carries
+        # its id (version numbers themselves are a monotonic chain that
+        # compaction can also claim).  O(#versions) tiny-file reads per
+        # batch — bounded in practice by vacuum_history/compact_history
+        # retention, the same shape as a table format's log scan.
+        manifests = {
+            v: _read_manifest(spark, history_root, v) for v in versions
+        }
+        if any(
+            m.get("batch_id") == int(batch_id) for m in manifests.values()
+        ):
             return  # replayed, already committed — idempotent skip
+        target = (versions[-1] + 1) if versions else 1
         other = [c for c in batch.columns if c not in key_cols]
         b = (
             batch.groupBy(*key_cols)
@@ -177,7 +191,7 @@ def scd2_stream_writer(
             hist = scd2_init(b, compare_cols, version=target)
             prev_manifest = {"n_buckets": n_buckets, "buckets": {}}
         else:
-            prev_manifest = _read_manifest(spark, history_root, versions[-1])
+            prev_manifest = manifests[versions[-1]]
             nb = int(prev_manifest["n_buckets"])
             if nb != n_buckets:
                 raise ValueError(
@@ -200,7 +214,80 @@ def scd2_stream_writer(
             spark,
             history_root,
             target,
-            {"version": target, "n_buckets": n_buckets, "buckets": live},
+            {
+                "version": target,
+                "batch_id": int(batch_id),
+                "n_buckets": n_buckets,
+                "key_cols": list(key_cols),
+                "buckets": live,
+            },
         )
 
     return updates.writeStream.foreachBatch(_step).outputMode("update")
+
+
+def compact_history(spark: SparkSession, root: str) -> int:
+    """Rewrite every live bucket into one fresh version whose manifest
+    references only itself — the OPTIMIZE step for the bucketed layout.
+    After compaction, :func:`vacuum_history` can delete every older
+    version.  Single-writer maintenance: run only while the stream is
+    stopped.  Returns the new version number.
+
+    Scale shape: one full-corpus read + partitioned write — the cost a
+    table format's compaction pays too; schedule it at the cadence
+    where accumulated per-version dirty-bucket files start to dominate
+    the manifest-scan / small-file overhead."""
+    versions = _committed_versions(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no committed history under {root}")
+    latest = versions[-1]
+    manifest = _read_manifest(spark, root, latest)
+    key_cols = manifest["key_cols"]
+    n_buckets = int(manifest["n_buckets"])
+    target = latest + 1
+    out = read_history(spark, root, latest).withColumn(
+        "_bucket", _bucket_col(key_cols, n_buckets)
+    )
+    out.write.mode("overwrite").partitionBy("_bucket").parquet(
+        f"{root}/history_v{target}/data"
+    )
+    live = {b: target for b in manifest["buckets"]}
+    _write_manifest(
+        spark,
+        root,
+        target,
+        {
+            "version": target,
+            "batch_id": None,
+            "n_buckets": n_buckets,
+            "key_cols": list(key_cols),
+            "buckets": live,
+        },
+    )
+    return target
+
+
+def vacuum_history(spark: SparkSession, root: str) -> list[int]:
+    """Delete committed versions the LATEST manifest no longer
+    references — the VACUUM step.  Trades time travel (older snapshots
+    become unreadable) for storage, exactly like a table format's
+    vacuum; replay idempotency for batches newer than the surviving
+    manifests' ids is unaffected because Structured Streaming never
+    re-delivers a batch id older than its checkpoint.  Single-writer
+    maintenance: run only while the stream is stopped.  Returns the
+    versions deleted, ascending."""
+    versions = _committed_versions(spark, root)
+    if not versions:
+        return []
+    latest = versions[-1]
+    manifest = _read_manifest(spark, root, latest)
+    referenced = {int(v) for v in manifest["buckets"].values()} | {latest}
+    jvm, _, fs = _fs(spark, root)
+    deleted = []
+    for v in versions:
+        if v not in referenced:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/history_v{v}"), True
+            )
+            deleted.append(v)
+    return deleted

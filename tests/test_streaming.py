@@ -453,6 +453,58 @@ def test_scd2_stream_matches_batch_chain(spark, tmp_path):
     assert got[(2, 1)] == ("beta", None)
     assert got[(3, 2)] == ("gamma", 3) and got[(3, 3)] == ("GAMMA", None)
 
+    # ---- maintenance cycle: compact all live buckets into version 4,
+    # vacuum the now-unreferenced 1..3, and verify the snapshot is
+    # untouched (compaction rewrites files, never rows)
+    from platform_etl_literature_spark.streaming.scd2 import (
+        compact_history,
+        vacuum_history,
+    )
+
+    assert compact_history(spark, root) == 4
+    assert vacuum_history(spark, root) == [1, 2, 3]
+    assert _committed_versions(spark, root) == [4]
+    got4 = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in read_history(spark, root).collect()
+    }
+    assert got4 == want
+
+    # ---- and the stream keeps going on top of the compacted history:
+    # a 4th update file resumes from the same checkpoint (batch_id 3 is
+    # in no surviving manifest) and claims version 5
+    p = str(land / "b3.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["alpha2"], pa.string()),
+            }
+        ),
+        p,
+    )
+    os.utime(p, (now + 40, now + 40))
+    q = (
+        scd2_stream_writer(stream, root, ["doc_id"], ["text"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _committed_versions(spark, root) == [4, 5]
+    h5 = scd2_apply(
+        h, df_of([(1, "alpha2")]), ["doc_id"], ["text"], version=5
+    )
+    got5 = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in read_history(spark, root).collect()
+    }
+    want5 = {
+        (r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+        for r in h5.collect()
+    }
+    assert got5 == want5
+
 
 def test_scd2_stream_writes_only_dirty_buckets(spark, tmp_path):
     """The incremental layout's scale claim, measured: after a 10⁴-key
