@@ -1,0 +1,75 @@
+"""Recall-vs-knob sweep for the approximate ANN paths — the evidence
+that each path's accuracy dial works as designed (recall rises toward
+1.0 as the candidate set widens) while the plan shape stays fixed.
+
+Sweeps, against the exact brute-force top-5 on the same query sample:
+  * IVF: n_probe 1..8 (8 probed lists == every list == exact ranking)
+  * binary sign: shortlist 10/20/40/80
+  * LSH: n_tables 2/4/8/16
+
+Usage: python tools/ann_recall_sweep.py [sf_dir]   (default sf0.01)
+Prints one JSON line per cell; paste the summary into COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from platform_etl_literature_spark.operators import similarity as SIM
+from platform_etl_literature_spark.operators.ivf_quantizer import (
+    IVF_CENTROIDS_8x64,
+)
+from platform_etl_literature_spark.session import build_session
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session("ann-recall-sweep")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        SIM.cosine_topk(emb, q, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_total = exact.count()
+
+    def recall(df) -> float:
+        hits = df.select("query_id", "neighbor_id").join(
+            F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        return round(hits / n_total, 3)
+
+    for n_probe in range(1, 9):
+        r = recall(
+            SIM.ivf_cosine_topk(
+                emb, q, k=5, n_lists=8, n_probe=n_probe,
+                centroids=IVF_CENTROIDS_8x64,
+            )
+        )
+        print(json.dumps({"method": "ivf", "n_probe": n_probe, "recall": r}))
+    for shortlist in (10, 20, 40, 80):
+        r = recall(SIM.binary_ann_topk(emb, q, k=5, shortlist=shortlist))
+        print(
+            json.dumps(
+                {"method": "binary", "shortlist": shortlist, "recall": r}
+            )
+        )
+    for n_tables in (2, 4, 8, 16):
+        r = recall(
+            SIM.lsh_cosine_topk(
+                emb, q, k=5, n_tables=n_tables, n_bits=4, dim=64
+            )
+        )
+        print(
+            json.dumps({"method": "lsh", "n_tables": n_tables, "recall": r})
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -276,12 +276,19 @@ def main() -> None:
     bpe_cells = [(1, False), (1, True), (max(factors), False)]
     for factor, exact in bpe_cells:
         df = spark.read.parquet(f"{WORK}/docs_x{factor}.parquet")
-        t0 = time.time()
-        merges = B.bpe_train(
-            df, "text", n_merges=1024, min_pair_count=2, batch_cap=64,
-            exact=exact,
-        )
-        wall = time.time() - t0
+        # min of 2: a single-shot wall after the 80+ cells above is
+        # GC/codegen-polluted (observed 6.6s vs 36.5s for the same
+        # deterministic 26-round training across two probe runs); the
+        # rounds count is the deterministic claim either way
+        wall = None
+        for _ in range(2):
+            t0 = time.time()
+            merges = B.bpe_train(
+                df, "text", n_merges=1024, min_pair_count=2, batch_cap=64,
+                exact=exact,
+            )
+            dt = time.time() - t0
+            wall = dt if wall is None else min(wall, dt)
         mode = "exact prefix" if exact else "greedy disjoint"
         lines.append(
             f"| {factor}x | {mode} | {len(merges)} (vocab exhausted) "
