@@ -1158,6 +1158,45 @@ def test_prefix_jaccard_edges_and_brute_force_equality(spark):
         D.release_cached()
 
 
+def test_prefix_jaccard_random_losslessness_with_all_filters(spark):
+    """Randomized completeness proof for the compounded prefix + length
+    + positional filters: a skewed-df corpus (Zipf-ish word choice, so
+    rare-first prefixes, size ratios, and position bounds all genuinely
+    engage) must reproduce the brute-force all-pairs answer exactly at
+    several thresholds."""
+    import random as _r
+
+    from platform_etl_literature_spark.operators import dedup as D
+
+    rng = _r.Random(20260814)
+    vocab = [f"w{i}" for i in range(40)]
+    docs, sets = [], {}
+    for i in range(45):
+        n = rng.randint(1, 12)
+        # Zipf-ish: low-index words are far more common
+        ws = {vocab[min(int(rng.expovariate(0.12)), 39)] for _ in range(n)}
+        docs.append((i, " ".join(sorted(ws))))
+        sets[i] = ws
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    for th in (0.85, 0.5, 0.3):
+        want = set()
+        for x in sets:
+            for y in sets:
+                if x < y and (sets[x] or sets[y]):
+                    j = len(sets[x] & sets[y]) / len(sets[x] | sets[y])
+                    if round(j, 6) >= th:
+                        want.add((x, y, round(j, 6)))
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.prefix_jaccard_pairs(
+                sdf, "doc_id", "text", threshold=th
+            ).collect()
+        }
+        assert got == want, th
+        D.release_cached()
+
+
 def test_zorder_bins_rejects_non_integral_columns(spark):
     """ADVICE r4: the docstring promises integral-only input — a double
     column must raise, not silently truncate into engine-dependent
