@@ -1058,6 +1058,58 @@ def winnow_candidate_pairs(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95):
+    order every record by a caller-supplied blocking key, slide a
+    ``window``-record neighborhood down the sorted order, and emit the
+    candidate pairs inside each neighborhood.  The classic entity-
+    resolution complement to hash blocking (MinHash/SimHash buckets):
+    records whose keys are ADJACENT but not equal — typos, prefixes,
+    zero-padding drift — land in the same neighborhood even though
+    they share no exact bucket.
+
+    Scale shape: the global order comes from the range-partitioned
+    zipWithIndex (:func:`operators.ranking.ordered_global_index` — no
+    single-reducer window), and neighborhood pairs are an EQUIJOIN on
+    computed positions: each record explodes to its ``window-1``
+    successor positions and joins the position table — (window-1)×n
+    slim rows, one hash shuffle, never a theta-join.  Candidate count
+    is exactly (window-1)·n minus the tail — linear in n by
+    construction, the property that makes SNM the bounded-candidate
+    baseline.  Returns (id_a, id_b, gap) with id_a the earlier record
+    and gap in [1, window-1]; verify with any similarity on top.
+
+    (key, id) must be deterministic; ties in ``key`` are broken by the
+    id so the order — and the DuckDB ``row_number`` oracle — is total.
+    """
+    from platform_etl_literature_spark.operators.ranking import (
+        ordered_global_index,
+    )
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    k = df.select(F.col(id_col).alias("id"), key.alias("k"))
+    pos = ordered_global_index(
+        k, [F.asc("k"), F.asc("id")], rank_col="pos"
+    ).select("id", "pos")
+    succ = pos.select(
+        F.col("id").alias("id_a"),
+        F.col("pos").alias("pos_a"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + (window - 1))
+        ).alias("pos_b"),
+    )
+    b = pos.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"))
+    return succ.join(b, "pos_b").select(
+        "id_a", "id_b", (F.col("pos_b") - F.col("pos_a")).alias("gap")
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str,

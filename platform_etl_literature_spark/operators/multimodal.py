@@ -660,20 +660,33 @@ def synth_avi_media(
     return flat.mapInPandas(run, out_schema)
 
 
-def decode_avi_frame_stats(media: DataFrame, every: int = 4) -> DataFrame:
+def decode_avi_frame_stats(
+    media: DataFrame, every: int = 4, on_error: str = "raise"
+) -> DataFrame:
     """REAL video decode + frame sampling: walk each AVI payload's RIFF
     chunk tree (hdrl → avih for the frame count, strl → strf for the
     frame geometry; movi → '00db' DIB frames), take every ``every``-th
     frame, and emit per-sampled-frame stats — the same exact-integer
     channel means / peak luma / position-weighted luma checksum as the
     BMP path, so a decoder that misreads chunk padding, bottom-up row
-    order, or the stream geometry fails the oracle.  Corrupt payloads
-    raise ValueError from the executor — at scale wrap upstream with a
-    quarantine filter if bad media must not fail the job.
+    order, or the stream geometry fails the oracle.
+
+    ``on_error`` is the corrupt-media policy a real crawl needs (bad
+    payloads are a certainty at 100 TB, and one must not fail the job):
+
+    * ``"raise"`` (default): loud executor failure — right for trusted
+      synthesized media where corruption means a bug;
+    * ``"skip"``: silently drop undecodable media;
+    * ``"flag"``: emit ONE quarantine row per undecodable media
+      (frame_idx = -1, all stats NULL) so the bad ids can be routed to
+      a quarantine sink / joined back for re-fetch.
 
     Rows fan out (media → sampled frames) inside the Arrow batch; no
-    shuffle, no Python per-row boundary.
+    shuffle, no Python per-row boundary; the error policy adds no plan
+    change (same mapInPandas stage, same schema).
     """
+    if on_error not in ("raise", "skip", "flag"):
+        raise ValueError(f"on_error must be raise|skip|flag, got {on_error!r}")
     import struct
 
     import numpy as np
@@ -745,25 +758,36 @@ def decode_avi_frame_stats(media: DataFrame, every: int = 4) -> DataFrame:
             )
         return out
 
+    _QUARANTINE = (-1, None, None, None, None, None, None, None, None)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, rows = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for r in stats(payload):
+                try:
+                    decoded = stats(payload)
+                except (ValueError, struct.error):
+                    if on_error == "raise":
+                        raise
+                    if on_error == "flag":
+                        ids.append(mid)
+                        rows.append(_QUARANTINE)
+                    continue
+                for r in decoded:
                     ids.append(mid)
                     rows.append(r)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series([r[0] for r in rows], dtype="int64"),
-                    "width": pd.Series([r[1] for r in rows], dtype="int32"),
-                    "height": pd.Series([r[2] for r in rows], dtype="int32"),
-                    "n_pixels": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "width": pd.Series([r[1] for r in rows], dtype="Int32"),
+                    "height": pd.Series([r[2] for r in rows], dtype="Int32"),
+                    "n_pixels": pd.Series([r[3] for r in rows], dtype="Int64"),
                     "mean_r": [r[4] for r in rows],
                     "mean_g": [r[5] for r in rows],
                     "mean_b": [r[6] for r in rows],
-                    "peak_luma": pd.Series([r[7] for r in rows], dtype="int64"),
-                    "xy_luma_sum": pd.Series([r[8] for r in rows], dtype="int64"),
+                    "peak_luma": pd.Series([r[7] for r in rows], dtype="Int64"),
+                    "xy_luma_sum": pd.Series([r[8] for r in rows], dtype="Int64"),
                 }
             )
 

@@ -117,6 +117,71 @@ def fingerprint_from_tokens(w: Column) -> Column:
     )
 
 
+#: character classes for the entropy signal, in FIXED summation order
+#: (the float-parity contract needs both engines to add terms in the
+#: same sequence).  Patterns are "everything that is NOT the class" —
+#: the class count is length(text) - length(stripped).
+_CHAR_CLASSES: list[tuple[str, str]] = [
+    ("n_lower", "[a-z]"),
+    ("n_upper", "[A-Z]"),
+    ("n_digit", "[0-9]"),
+    ("n_space", r"[ \t\n]"),
+]
+
+
+def char_class_counts(text: Column) -> dict[str, Column]:
+    """Exact integer counts of lower/upper/digit/whitespace/other
+    characters — one JVM regex strip per class, no explode, no
+    shuffle."""
+    total = F.length(text)
+    counts = {
+        name: total - F.length(F.regexp_replace(text, pat, ""))
+        for name, pat in _CHAR_CLASSES
+    }
+    counts["n_other"] = total - sum(counts.values(), F.lit(0))
+    return counts
+
+
+def char_class_entropy(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document Shannon entropy over the five character classes —
+    the cheap compressibility/quality signal that separates prose
+    (~1.2-1.5 nats), code and tables (digit/punct-heavy, higher), and
+    degenerate pad text (~0).  Returns (id, n_chars, n_lower, n_upper,
+    n_digit, n_space, n_other, entropy).
+
+    Scale shape: pure map-side projection (five regex strips + fixed
+    arithmetic per row); nothing shuffles.  Float parity: each class
+    term -p·ln(p) is rounded to integer MICRO-NATS and the entropy is
+    the exact integer sum divided once at output (the lm.py micro-nat
+    contract), so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    text = F.col(text_col)
+    counts = char_class_counts(text)
+    n = F.length(text)
+    nn = n.cast("double")
+
+    def term_micro(c: Column) -> Column:
+        p = c.cast("double") / nn
+        return F.when(
+            c > 0, F.round(-p * F.log(p) * 1000000.0, 0).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    order = ["n_lower", "n_upper", "n_digit", "n_space", "n_other"]
+    micro = term_micro(counts[order[0]])
+    for name in order[1:]:
+        micro = micro + term_micro(counts[name])
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        *[counts[name].cast("long").alias(name) for name in order],
+        F.when(n > 0, F.round(micro / 1000000.0, 6))
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )
+
+
 def token_count_bpeish(text: Column) -> Column:
     """Token count under the BPE-ish pre-tokenization regex."""
     return F.size(

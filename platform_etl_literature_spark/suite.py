@@ -2959,6 +2959,71 @@ def q_ann_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-class Shannon entropy per document — the cheap
+    compressibility/quality signal (prose ≈ 1.2-1.5 nats over
+    lower/upper/digit/space/other; degenerate pad text → 0; code and
+    tables skew digit/punct-heavy).  Pure map-side projection: five
+    regex strips + fixed arithmetic per row, nothing shuffles
+    (operators.textstats.char_class_entropy).  Float parity via the
+    lm.py micro-nat contract: each -p·ln(p) term rounds to integer
+    micro-nats, the sum is exact."""
+    return TS.char_class_entropy(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_ORACLE_CHAR_ENTROPY = r"""
+WITH c AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_lower,
+    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g')) AS n_space
+  FROM documents),
+k AS (
+  SELECT *, n_chars - n_lower - n_upper - n_digit - n_space AS n_other
+  FROM c),
+m AS (
+  SELECT doc_id, n_chars, n_lower, n_upper, n_digit, n_space, n_other,
+    CASE WHEN n_lower > 0 THEN CAST(round(-(n_lower / CAST(n_chars AS DOUBLE)) * ln(n_lower / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+    + CASE WHEN n_upper > 0 THEN CAST(round(-(n_upper / CAST(n_chars AS DOUBLE)) * ln(n_upper / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+    + CASE WHEN n_digit > 0 THEN CAST(round(-(n_digit / CAST(n_chars AS DOUBLE)) * ln(n_digit / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+    + CASE WHEN n_space > 0 THEN CAST(round(-(n_space / CAST(n_chars AS DOUBLE)) * ln(n_space / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+    + CASE WHEN n_other > 0 THEN CAST(round(-(n_other / CAST(n_chars AS DOUBLE)) * ln(n_other / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+    AS micro
+  FROM k)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_lower AS BIGINT) AS n_lower, CAST(n_upper AS BIGINT) AS n_upper,
+  CAST(n_digit AS BIGINT) AS n_digit, CAST(n_space AS BIGINT) AS n_space,
+  CAST(n_other AS BIGINT) AS n_other,
+  CASE WHEN n_chars > 0 THEN round(micro / 1000000.0, 6) ELSE 0.0 END AS entropy
+FROM m
+"""
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking candidates (window 4) over a
+    12-char lowercased prefix key — the adjacency-based ER blocking
+    pass that catches typo/prefix-drift neighbors hash buckets miss
+    (operators.dedup.sorted_neighborhood_pairs).  Global order via the
+    distributed zipWithIndex; candidate volume is exactly
+    (window−1)·n − tail, linear by construction."""
+    docs = _t(spark, sf, "documents")
+    return D.sorted_neighborhood_pairs(
+        docs, "doc_id", F.lower(F.substring("text", 1, 12)), window=4
+    )
+
+
+_ORACLE_SORTED_NEIGHBORHOOD = """
+WITH k AS (
+  SELECT doc_id AS id, lower(substr(text, 1, 12)) AS key FROM documents),
+p AS (
+  SELECT id, key, row_number() OVER (ORDER BY key, id) AS pos FROM k)
+SELECT a.id AS id_a, b.id AS id_b, CAST(b.pos - a.pos AS BIGINT) AS gap
+FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 3
+"""
+
+
 def _ann_recall_oracle() -> str:
     """DuckDB oracle for q_ann_recall_at_k: the exact oracle and every
     approximate method's EXISTING full oracle (hyperplanes, centroids
@@ -3891,6 +3956,14 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "ann_recall_at_k": QuerySpec(
         q_ann_recall_at_k, _ORACLE_ANN_RECALL, "ann-recall-accountability"
+    ),
+    "char_entropy": QuerySpec(
+        q_char_entropy, _ORACLE_CHAR_ENTROPY, "textstats-entropy-ext"
+    ),
+    "sorted_neighborhood": QuerySpec(
+        q_sorted_neighborhood,
+        _ORACLE_SORTED_NEIGHBORHOOD,
+        "dedup-sorted-neighborhood-blocking",
     ),
 }
 

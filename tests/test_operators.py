@@ -891,6 +891,48 @@ def test_avi_roundtrip_real_codec_and_corrupt_payload(spark):
             MM.decode_avi_frame_stats(bad).collect()
 
 
+def test_avi_decode_corrupt_media_policies(spark):
+    """The on_error policy a 100 TB crawl needs: a mixed batch of good
+    and corrupt AVI payloads must (skip) drop only the bad media, and
+    (flag) emit exactly one frame_idx=-1 quarantine row per bad media
+    with NULL stats — while the good media's decoded frames are
+    identical under every policy."""
+    ids = spark.createDataFrame([(3,), (5,)], ["doc_id"])
+    media = MM.synth_avi_media(ids, "doc_id", n_frames=9)
+    # corrupt media 5's payload, keep 3's intact
+    mixed = media.select(
+        "media_id",
+        F.when(F.col("media_id") == 5, F.lit(b"garbage payload"))
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    with pytest.raises(Exception):
+        MM.decode_avi_frame_stats(mixed).collect()
+
+    skipped = MM.decode_avi_frame_stats(mixed, on_error="skip").collect()
+    assert {r["media_id"] for r in skipped} == {3}
+    assert sorted(r["frame_idx"] for r in skipped) == [0, 4, 8]
+
+    flagged = MM.decode_avi_frame_stats(mixed, on_error="flag").collect()
+    bad = [r for r in flagged if r["media_id"] == 5]
+    assert len(bad) == 1 and bad[0]["frame_idx"] == -1
+    assert bad[0]["n_pixels"] is None and bad[0]["mean_r"] is None
+    good_rows = {
+        (r["media_id"], r["frame_idx"]): (r["n_pixels"], r["xy_luma_sum"])
+        for r in flagged
+        if r["media_id"] == 3
+    }
+    clean_rows = {
+        (r["media_id"], r["frame_idx"]): (r["n_pixels"], r["xy_luma_sum"])
+        for r in MM.decode_avi_frame_stats(media).collect()
+        if r["media_id"] == 3
+    }
+    assert good_rows == clean_rows
+
+    with pytest.raises(ValueError):
+        MM.decode_avi_frame_stats(media, on_error="quarantine")
+
+
 def test_zorder_interleave_matches_python_reference(spark):
     """z-values must equal a pure-Python Morton interleave of the same
     integer bins (4-bit, 2 columns)."""
@@ -1156,6 +1198,41 @@ def test_prefix_jaccard_edges_and_brute_force_equality(spark):
         }
         assert got == brute(th), th
         D.release_cached()
+
+
+def test_sorted_neighborhood_pairs_edges(spark):
+    """SNM blocking vs a literal python slide: duplicate keys (tie-broken
+    by id), window at the tail, window=2 minimum, and the exact
+    (window-1)·n − tail candidate count."""
+    from platform_etl_literature_spark.operators import dedup as D
+    from platform_etl_literature_spark.operators import ranking as R
+
+    rows = [
+        (1, "bb"), (2, "aa"), (3, "aa"), (4, "cc"), (5, "ab"), (6, "ba")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # python reference: sort by (key, id), pair each with next w-1
+    order = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+
+    for w in (2, 4):
+        want = {
+            (order[i], order[j], j - i)
+            for i in range(len(order))
+            for j in range(i + 1, min(i + w, len(order)))
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["gap"])
+            for r in D.sorted_neighborhood_pairs(
+                df, "doc_id", F.col("text"), window=w
+            ).collect()
+        }
+        assert got == want, w
+        n = len(order)
+        assert len(got) == (w - 1) * n - sum(range(1, w))
+        R.release_cached()
+
+    with pytest.raises(ValueError):
+        D.sorted_neighborhood_pairs(df, "doc_id", F.col("text"), window=1)
 
 
 def test_prefix_jaccard_random_losslessness_with_all_filters(spark):
