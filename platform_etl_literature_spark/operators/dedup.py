@@ -1058,6 +1058,102 @@ def winnow_candidate_pairs(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the gear-hash/FastCDC idea at token
+    granularity): a chunk boundary falls after token *i* whenever the
+    hash of the ``window`` tokens ending at *i* is ≡ 0 mod
+    ``divisor`` — so boundaries are a pure function of LOCAL content.
+    Unlike fixed-size chunking, an insertion early in a document shifts
+    only the chunk it lands in: every later boundary re-synchronizes,
+    which is what makes chunk-digest dedup robust to edit drift
+    (boilerplate, templates, quoted passages) across a crawl.
+
+    Returns one row per chunk: (id, chunk_idx, start, n_tokens,
+    digest) with ``digest = md5(chunk text)``; expected chunk length ≈
+    ``divisor`` tokens.  Documents shorter than ``window`` tokens are
+    a single chunk.
+
+    Scale shape: everything up to the explode is per-row HOF
+    arithmetic on the staged token array (boundary detection is a
+    slice-hash per position — the winnowing gram-hash pattern), no
+    shuffle anywhere; the hash is the engine-portable
+    :func:`token_hash`, so the SQL oracle replays identical
+    boundaries.
+    """
+    if window < 1 or divisor < 1:
+        raise ValueError(
+            f"window and divisor must be >= 1, got {window}, {divisor}"
+        )
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("w")
+    ).filter(F.size("w") > 0)
+    n = F.size("w")
+    w_arr = F.col("w")
+
+    def is_boundary(i: Column) -> Column:
+        gram = F.concat_ws(" ", F.slice(w_arr, i - (window - 1), window))
+        return token_hash(gram) % divisor == 0
+
+    bpos = F.when(
+        n < window, F.array().cast("array<int>")
+    ).otherwise(F.filter(F.sequence(F.lit(window), n), is_boundary))
+    bounds = F.array_sort(
+        F.array_distinct(
+            F.concat(F.array(F.lit(0)), bpos, F.array(n))
+        )
+    )
+    staged = toks.select("id", "w", bounds.alias("b"))
+    chunk = F.transform(
+        F.sequence(F.lit(1), F.size("b") - 1),
+        lambda j: F.struct(
+            (j - 1).alias("chunk_idx"),
+            (F.element_at("b", j) + 1).alias("start"),
+            (F.element_at("b", j + 1) - F.element_at("b", j)).alias(
+                "n_tokens"
+            ),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("w"),
+                        F.element_at("b", j) + 1,
+                        F.element_at("b", j + 1) - F.element_at("b", j),
+                    ),
+                )
+            ).alias("digest"),
+        ),
+    )
+    return staged.select("id", F.explode(chunk).alias("c")).select(
+        "id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start").cast("int").alias("start"),
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+        F.col("c.digest").alias("digest"),
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Cross-corpus chunk-level dedup signal over :func:`cdc_chunks`
+    output: per distinct chunk digest, how many copies exist, how many
+    documents carry it, the earliest carrier, and the chunk length —
+    the table that drives boilerplate stripping or chunk-level
+    delta-storage decisions.  One hash aggregation keyed by the
+    16-byte digest; map-side partial combine flattens hot boilerplate
+    before the exchange."""
+    return chunks.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("id").alias("n_docs"),
+        F.min("id").alias("first_id"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,

@@ -3001,6 +3001,48 @@ FROM m
 """
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking + chunk-digest dedup stats: gear-hash
+    boundaries (window-3 token hash ≡ 0 mod 8 → ~8-token chunks) are a
+    pure function of local content, so repeated boilerplate chunks
+    collide across documents regardless of where edits shifted them —
+    fixed-size chunking breaks on the first insertion
+    (operators.dedup.cdc_chunks / cdc_dedup_stats).  Boundary hash is
+    the engine-portable md5 token_hash, so the oracle replays the
+    identical chunking."""
+    chunks = D.cdc_chunks(
+        _t(spark, sf, "documents"), "doc_id", "text", window=3, divisor=8
+    )
+    return D.cdc_dedup_stats(chunks)
+
+
+_ORACLE_CDC_DEDUP = """
+WITH w AS (
+  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+t AS (SELECT id, toks, len(toks) AS n FROM w WHERE len(toks) > 0),
+bp AS (
+  SELECT id, toks, n,
+    CASE WHEN n < 3 THEN CAST([] AS BIGINT[]) ELSE
+      list_filter(generate_series(3, n),
+        i -> ('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 8))::BIGINT % 8 = 0)
+    END AS bpos
+  FROM t),
+bd AS (SELECT id, toks, list_sort(list_distinct([0] || bpos || [n])) AS b FROM bp),
+ch AS (
+  SELECT id,
+    unnest(list_transform(generate_series(1, len(b) - 1),
+      j -> struct_pack(
+        n_tokens := b[j+1] - b[j],
+        digest := md5(array_to_string(toks[b[j]+1 : b[j+1]], ' '))
+      ))) AS c
+  FROM bd)
+SELECT c.digest AS digest, count(*) AS n_copies, count(DISTINCT id) AS n_docs,
+       min(id) AS first_id, CAST(min(c.n_tokens) AS INT) AS n_tokens
+FROM ch GROUP BY 1
+"""
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     """Sorted-neighborhood blocking candidates (window 4) over a
     12-char lowercased prefix key — the adjacency-based ER blocking
@@ -3964,6 +4006,9 @@ SUITE: dict[str, QuerySpec] = {
         q_sorted_neighborhood,
         _ORACLE_SORTED_NEIGHBORHOOD,
         "dedup-sorted-neighborhood-blocking",
+    ),
+    "cdc_chunk_dedup": QuerySpec(
+        q_cdc_chunk_dedup, _ORACLE_CDC_DEDUP, "dedup-content-defined-chunking"
     ),
 }
 

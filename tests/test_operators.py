@@ -1200,6 +1200,84 @@ def test_prefix_jaccard_edges_and_brute_force_equality(spark):
         D.release_cached()
 
 
+def test_cdc_chunks_python_reference_and_edit_resilience(spark):
+    """CDC chunking vs a literal python transcription (same md5 gear
+    hash, window, divisor), plus THE content-defined property: after
+    inserting a token near the front of a long document, the chunk
+    digests re-synchronize — all but the edited neighborhood's chunks
+    are shared with the original, where fixed-size chunking would
+    shift every later chunk."""
+    import hashlib
+    import random as _r
+
+    from platform_etl_literature_spark.operators import dedup as D
+
+    def th(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def py_chunks(toks, window=3, divisor=8):
+        n = len(toks)
+        bpos = (
+            []
+            if n < window
+            else [
+                i
+                for i in range(window, n + 1)
+                if th(" ".join(toks[i - window : i])) % divisor == 0
+            ]
+        )
+        bounds = sorted(set([0] + bpos + [n]))
+        out = []
+        for j in range(len(bounds) - 1):
+            seg = toks[bounds[j] : bounds[j + 1]]
+            out.append(
+                (
+                    j,
+                    bounds[j] + 1,
+                    len(seg),
+                    hashlib.md5(" ".join(seg).encode()).hexdigest(),
+                )
+            )
+        return out
+
+    rng = _r.Random(99)
+    vocab = [f"t{i}" for i in range(30)]
+    base = [rng.choice(vocab) for _ in range(120)]
+    docs = [
+        (1, " ".join(base)),
+        (2, " ".join(base[:5] + ["INSERTED"] + base[5:])),
+        (3, "a b"),  # shorter than window -> single chunk
+        (4, ""),     # empty -> dropped
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got: dict = {}
+    for r in D.cdc_chunks(sdf, "doc_id", "text").collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["start"], r["n_tokens"], r["digest"])
+        )
+    for i in got:
+        got[i].sort()
+    toks_of = {i: [t for t in s.split(" ") if t] for i, s in docs}
+    assert 4 not in got
+    for i in (1, 2, 3):
+        assert got[i] == py_chunks(toks_of[i]), i
+
+    # edit resilience: the doc-2 digest multiset re-syncs with doc 1
+    d1 = {d for *_, d in got[1]}
+    d2 = {d for *_, d in got[2]}
+    shared = d1 & d2
+    assert len(shared) >= len(d1) - 3, (len(shared), len(d1))
+    # while FIXED-size chunking shares (at most) the chunks before the
+    # insertion point — digests after it all shift
+    def fixed(toks, size=8):
+        return [
+            hashlib.md5(" ".join(toks[i : i + size]).encode()).hexdigest()
+            for i in range(0, len(toks), size)
+        ]
+    f1, f2 = set(fixed(toks_of[1])), set(fixed(toks_of[2]))
+    assert len(f1 & f2) <= 1
+
+
 def test_sorted_neighborhood_pairs_edges(spark):
     """SNM blocking vs a literal python slide: duplicate keys (tie-broken
     by id), window at the tail, window=2 minimum, and the exact
