@@ -142,6 +142,30 @@ def char_class_counts(text: Column) -> dict[str, Column]:
     return counts
 
 
+def char_entropy_expr(text: Column) -> Column:
+    """The entropy column alone (rounded to 6, micro-nat exact sum) —
+    reused by :func:`char_class_entropy` and the frozen quality
+    classifier so both score from the identical expression."""
+    counts = char_class_counts(text)
+    n = F.length(text)
+    nn = n.cast("double")
+
+    def term_micro(c: Column) -> Column:
+        p = c.cast("double") / nn
+        return F.when(
+            c > 0, F.round(-p * F.log(p) * 1000000.0, 0).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    order = ["n_lower", "n_upper", "n_digit", "n_space", "n_other"]
+    micro = term_micro(counts[order[0]])
+    for name in order[1:]:
+        micro = micro + term_micro(counts[name])
+    return (
+        F.when(n > 0, F.round(micro / 1000000.0, 6))
+        .otherwise(F.lit(0.0))
+    )
+
+
 def char_class_entropy(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -160,25 +184,73 @@ def char_class_entropy(
     text = F.col(text_col)
     counts = char_class_counts(text)
     n = F.length(text)
-    nn = n.cast("double")
-
-    def term_micro(c: Column) -> Column:
-        p = c.cast("double") / nn
-        return F.when(
-            c > 0, F.round(-p * F.log(p) * 1000000.0, 0).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-
     order = ["n_lower", "n_upper", "n_digit", "n_space", "n_other"]
-    micro = term_micro(counts[order[0]])
-    for name in order[1:]:
-        micro = micro + term_micro(counts[name])
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_chars"),
         *[counts[name].cast("long").alias(name) for name in order],
-        F.when(n > 0, F.round(micro / 1000000.0, 6))
-        .otherwise(F.lit(0.0))
-        .alias("entropy"),
+        char_entropy_expr(text).alias("entropy"),
+    )
+
+
+#: Frozen quality-classifier weights — the fastText-style linear
+#: quality filter as a build-once artifact (the contract shared with
+#: the IVF centroids / PQ codebooks / frozen BPE merges): trained
+#: offline, shipped as literals, so scoring is pure map-side
+#: arithmetic and the SQL oracle replays it term for term.  The
+#: FEATURE ORDER is part of the artifact: z sums left-to-right in
+#: exactly this sequence on both engines.
+QUALITY_LOGREG_WEIGHTS: list[tuple[str, float]] = [
+    ("bias", -3.1),
+    ("log_len", 0.75),         # ln(1 + n_tokens), capped at 6
+    ("ttr", 1.9),              # lexical diversity
+    ("stopword_ratio", 3.2),   # function-word rate (prose signal)
+    ("mean_token_len", -0.12), # penalize long-token (code/url) text
+    ("entropy", 0.85),         # char-class entropy, nats
+]
+
+
+def quality_logreg(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Model-based quality filtering with a FROZEN logistic classifier
+    (the CCNet/fastText-style quality gate): engineered features →
+    fixed linear form → sigmoid probability → keep flag.  Returns
+    (id, n_tokens, z, prob, keep).
+
+    Scale shape: one map-side projection per document — the token
+    array stages once, every feature is a HOF over it or a regex
+    strip, no join, no shuffle, no Python.  Float parity: features
+    divide exact integers; z rounds to 6 before the sigmoid and prob
+    rounds to 6 after it (the lm.py exp contract), so the DuckDB
+    oracle reproduces every row bit-for-bit.
+    """
+    text = F.col(text_col)
+    w = tokens(text)
+    staged = df.select(F.col(id_col), text.alias("_t"), w.alias("_w"))
+    s = doc_stats_from_tokens(F.col("_w"))
+    feats = {
+        "bias": F.lit(1.0),
+        "log_len": F.least(
+            F.log(F.lit(1.0) + s["n_tokens"].cast("double")), F.lit(6.0)
+        ),
+        "ttr": s["ttr"],
+        "stopword_ratio": s["stopword_ratio"],
+        "mean_token_len": s["mean_token_len"],
+        "entropy": char_entropy_expr(F.col("_t")),
+    }
+    name0, w0 = QUALITY_LOGREG_WEIGHTS[0]
+    z = F.lit(w0) * feats[name0]
+    for name, wt in QUALITY_LOGREG_WEIGHTS[1:]:
+        z = z + F.lit(wt) * feats[name]
+    z = F.round(z, 6)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return staged.select(
+        F.col(id_col),
+        s["n_tokens"].alias("n_tokens"),
+        z.alias("z"),
+        prob.alias("prob"),
+        (prob >= F.lit(threshold)).cast("int").alias("keep"),
     )
 
 

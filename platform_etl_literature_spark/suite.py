@@ -3043,6 +3043,82 @@ FROM ch GROUP BY 1
 """
 
 
+def q_quality_logreg(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering with the FROZEN logistic
+    classifier (operators.textstats.quality_logreg +
+    QUALITY_LOGREG_WEIGHTS — the fastText-style quality gate as a
+    build-once artifact like the IVF/PQ/BPE ones).  Pure map-side:
+    token-array HOF features + regex char-class entropy + fixed
+    left-to-right linear form; z rounds to 6 before the sigmoid, prob
+    after, so the oracle replays every row bit-for-bit."""
+    return TS.quality_logreg(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+def _quality_logreg_oracle(threshold: float = 0.5) -> str:
+    """Oracle generated FROM the frozen weight artifact so the SQL can
+    never drift from the Python-side constants; the z expression sums
+    in the artifact's feature order, left to right."""
+    wts = dict(TS.QUALITY_LOGREG_WEIGHTS)
+    feat_sql = {
+        "bias": "1.0",
+        "log_len": "least(ln(1.0 + n), 6.0)",
+        "ttr": "(nd / nn)",
+        "stopword_ratio": "(n_stop / nn)",
+        "mean_token_len": "(total_len / nn)",
+        "entropy": "entropy",
+    }
+    z = " + ".join(
+        f"({wts[name]!r}) * {feat_sql[name]}"
+        for name, _ in TS.QUALITY_LOGREG_WEIGHTS
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, text, len(toks) AS n, len(list_distinct(toks)) AS nd,
+    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS total_len,
+    len(list_filter(toks, t -> list_contains(
+      ['the','a','an','of','and','or','is','in','to'], t))) AS n_stop,
+    CAST(greatest(len(toks), 1) AS DOUBLE) AS nn
+  FROM w),
+cc AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_lower,
+    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g')) AS n_space
+  FROM documents),
+ck AS (
+  SELECT *, n_chars - n_lower - n_upper - n_digit - n_space AS n_other
+  FROM cc),
+e AS (
+  SELECT doc_id,
+    CASE WHEN n_chars > 0 THEN round((
+      CASE WHEN n_lower > 0 THEN CAST(round(-(n_lower / CAST(n_chars AS DOUBLE)) * ln(n_lower / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+      + CASE WHEN n_upper > 0 THEN CAST(round(-(n_upper / CAST(n_chars AS DOUBLE)) * ln(n_upper / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+      + CASE WHEN n_digit > 0 THEN CAST(round(-(n_digit / CAST(n_chars AS DOUBLE)) * ln(n_digit / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+      + CASE WHEN n_space > 0 THEN CAST(round(-(n_space / CAST(n_chars AS DOUBLE)) * ln(n_space / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+      + CASE WHEN n_other > 0 THEN CAST(round(-(n_other / CAST(n_chars AS DOUBLE)) * ln(n_other / CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END
+      ) / 1000000.0, 6) ELSE 0.0 END AS entropy
+  FROM ck),
+zt AS (
+  SELECT s.doc_id, n, round({z}, 6) AS z
+  FROM s JOIN e ON e.doc_id = s.doc_id)
+SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, z,
+  round(1.0 / (1.0 + exp(-z)), 6) AS prob,
+  CAST(round(1.0 / (1.0 + exp(-z)), 6) >= {threshold!r} AS INTEGER) AS keep
+FROM zt
+"""
+
+
+_ORACLE_QUALITY_LOGREG = _quality_logreg_oracle()
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     """Sorted-neighborhood blocking candidates (window 4) over a
     12-char lowercased prefix key — the adjacency-based ER blocking
@@ -4009,6 +4085,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "cdc_chunk_dedup": QuerySpec(
         q_cdc_chunk_dedup, _ORACLE_CDC_DEDUP, "dedup-content-defined-chunking"
+    ),
+    "quality_logreg": QuerySpec(
+        q_quality_logreg, _ORACLE_QUALITY_LOGREG, "quality-frozen-classifier"
     ),
 }
 

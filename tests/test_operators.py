@@ -1200,6 +1200,38 @@ def test_prefix_jaccard_edges_and_brute_force_equality(spark):
         D.release_cached()
 
 
+def test_quality_logreg_orders_prose_above_degenerate_text(spark):
+    """The frozen quality classifier must rank natural-ish prose above
+    degenerate inputs (single repeated token, pure digits), and emit
+    a deterministic (z, prob, keep) row per document."""
+    from platform_etl_literature_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog and runs off"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "111 111 111 111 111 111 111 111"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in TS.quality_logreg(docs, "doc_id", "text").collect()
+    }
+    assert rows[1]["prob"] > rows[2]["prob"]
+    assert rows[1]["prob"] > rows[3]["prob"]
+    assert rows[1]["keep"] == 1
+    assert rows[2]["keep"] == 0 and rows[3]["keep"] == 0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["prob"] is not None
+    # determinism: identical rerun, identical values
+    again = {
+        r["doc_id"]: r["prob"]
+        for r in TS.quality_logreg(docs, "doc_id", "text").collect()
+    }
+    assert again == {i: rows[i]["prob"] for i in rows}
+
+
 def test_cdc_chunks_python_reference_and_edit_resilience(spark):
     """CDC chunking vs a literal python transcription (same md5 gear
     hash, window, divisor), plus THE content-defined property: after
