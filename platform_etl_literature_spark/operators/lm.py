@@ -101,3 +101,60 @@ def lm_doc_logprob(
         F.round(avg_raw, 6).alias("avg_logp"),
         F.round(F.exp(-avg_raw), 4).alias("ppl"),
     )
+
+
+def lm_doc_logprob_against(
+    ref_docs: DataFrame,
+    tgt_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.1,
+) -> DataFrame:
+    """CCNet proper: score TARGET documents under a bigram LM trained
+    on a separate REFERENCE corpus (Wenzek et al. score crawl text
+    against a Wikipedia-trained LM) — the cross-corpus form that makes
+    perplexity a quality filter rather than a self-consistency score.
+    Same smoothing/float-parity contract as :func:`lm_doc_logprob`;
+    the differences are that counts come from ``ref_docs`` and that
+    target bigrams/prefixes UNSEEN in the reference survive via LEFT
+    joins with zero-coalesced counts (add-k smoothing keeps every
+    probability positive, and unseen transitions are exactly what
+    drive a gibberish document's perplexity up).
+
+    Scale shape: identical to the self-trained variant — count tables
+    shuffle as (gram, long) pairs, the scoring joins co-partition on
+    the gram key (AQE broadcasts small reference models on its own),
+    and the vocabulary scalar rides a single-row broadcast.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    inst = _materialize_once(bigram_instances(tgt_docs, id_col, text_col))
+
+    ref_uni = ref_docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    c1 = _materialize_once(
+        ref_uni.groupBy("t").agg(F.count(F.lit(1)).alias("n1"))
+    )
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    c2 = bigram_instances(ref_docs, id_col, text_col).groupBy("big").agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+
+    logp = F.log(
+        (F.coalesce(F.col("n2"), F.lit(0)) + add_k)
+        / (F.coalesce(F.col("n1"), F.lit(0)) + add_k * F.col("v"))
+    )
+    scored = (
+        inst.join(c2, "big", "left")
+        .join(c1, F.col("pre") == F.col("t"), "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id", F.round(logp * 1000000.0, 0).cast("long").alias("lp_micro")
+        )
+    )
+    n = F.count(F.lit(1))
+    avg_raw = F.sum("lp_micro") / 1000000.0 / n
+    return scored.groupBy("id").agg(
+        n.alias("n_bigrams"),
+        F.round(avg_raw, 6).alias("avg_logp"),
+        F.round(F.exp(-avg_raw), 4).alias("ppl"),
+    )

@@ -29,6 +29,7 @@ from platform_etl_literature_spark.functions.harmonic import (
 )
 from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import lm as LM
 from platform_etl_literature_spark.operators import multimodal as MM
 from platform_etl_literature_spark.operators import retrieval as RET
 from platform_etl_literature_spark.operators import sessionize as SS
@@ -3119,6 +3120,54 @@ FROM zt
 _ORACLE_QUALITY_LOGREG = _quality_logreg_oracle()
 
 
+def q_lm_cross_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-proper cross-corpus LM scoring: every document scored
+    under a bigram model trained ONLY on the ``lang = 'en'`` reference
+    slice (operators.lm.lm_doc_logprob_against) — unseen transitions
+    survive via left joins + add-k smoothing and are what push
+    out-of-domain documents' perplexity up.  Same micro-nat exactness
+    contract as `lm_doc_logprob`."""
+    docs = _t(spark, sf, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return LM.lm_doc_logprob_against(ref, docs, "doc_id", "text")
+
+
+_ORACLE_LM_CROSS = """
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+inst AS (
+  SELECT doc_id AS id,
+         unnest(toks[1:len(toks)-1]) AS pre,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS big
+  FROM w WHERE len(toks) >= 2),
+ref AS (SELECT * FROM w WHERE lang = 'en'),
+runi AS (SELECT unnest(toks) AS t FROM ref),
+c1 AS (SELECT t, count(*) AS n1 FROM runi GROUP BY t),
+vocab AS (SELECT count(*) AS v FROM c1),
+rinst AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS big
+  FROM ref WHERE len(toks) >= 2),
+c2 AS (SELECT big, count(*) AS n2 FROM rinst GROUP BY big),
+sc AS (
+  SELECT id,
+         CAST(round(ln((coalesce(n2, 0) + 0.1)
+                       / (coalesce(n1, 0) + 0.1 * v)) * 1000000.0, 0)
+              AS BIGINT) AS lp
+  FROM inst
+  LEFT JOIN c2 USING (big)
+  LEFT JOIN c1 ON c1.t = inst.pre
+  CROSS JOIN vocab)
+SELECT id, count(*) AS n_bigrams,
+       round(sum(lp) / 1000000.0 / count(*), 6) AS avg_logp,
+       round(exp(-(sum(lp) / 1000000.0 / count(*))), 4) AS ppl
+FROM sc GROUP BY id
+"""
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     """Sorted-neighborhood blocking candidates (window 4) over a
     12-char lowercased prefix key — the adjacency-based ER blocking
@@ -4088,6 +4137,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "quality_logreg": QuerySpec(
         q_quality_logreg, _ORACLE_QUALITY_LOGREG, "quality-frozen-classifier"
+    ),
+    "lm_cross_score": QuerySpec(
+        q_lm_cross_score, _ORACLE_LM_CROSS, "quality-cross-corpus-lm"
     ),
 }
 
