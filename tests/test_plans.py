@@ -127,6 +127,28 @@ def test_no_single_reducer_rank_window(spark, sf_dir):
         assert "SinglePartition" not in plan, (name, plan[:3000])
 
 
+def test_quality_ops_are_pure_map_side(spark, sf_dir):
+    """The per-document quality signals (char-class entropy, the frozen
+    logistic classifier) must compile to scan + project only — no
+    Exchange anywhere: at 100 TB these run embarrassingly parallel or
+    they don't run."""
+    for name in ("char_entropy", "quality_logreg"):
+        plan = _simple_plan(SUITE[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan[:3000])
+
+
+def test_cdc_dedup_digest_keyed_exchanges_only(spark, sf_dir):
+    """CDC chunking is map-side HOF arithmetic; the only shuffles in
+    the dedup stats are the count(DISTINCT id) expansion's standard
+    two-phase aggregation — one exchange on (digest, id), one on
+    digest — each fed by a map-side partial combine.  No join, no
+    document-shaped shuffle, nothing else."""
+    plan = _simple_plan(SUITE["cdc_chunk_dedup"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
 def test_tfidf_single_tokenize_pass(spark, sf_dir):
     """Document frequency must come from a window over the tf aggregate,
     not a second tokenizing scan of the corpus: at most the text scan

@@ -112,6 +112,18 @@ OPS = {
     "table_profile": lambda df: PRO.table_profile(
         df, ["doc_id", "lang", "source", "n_chars"]
     ),
+    # round-6 additions
+    "char_entropy": lambda df: TS.char_class_entropy(df, "doc_id", "text"),
+    "quality_logreg": lambda df: TS.quality_logreg(df, "doc_id", "text"),
+    "cdc_chunk_dedup": lambda df: D.cdc_dedup_stats(
+        D.cdc_chunks(df, "doc_id", "text")
+    ),
+    "sorted_neighborhood": lambda df: D.sorted_neighborhood_pairs(
+        df, "doc_id", F.lower(F.substring("text", 1, 12)), window=4
+    ),
+    "lm_cross_score": lambda df: LM.lm_doc_logprob_against(
+        df.filter(F.col("lang") == "en"), df, "doc_id", "text"
+    ),
 }
 
 
