@@ -302,19 +302,65 @@ def run_search(spark: SparkSession, cfg: dict) -> None:
     D.release_cached()
 
 
+def run_score(spark: SparkSession, cfg: dict) -> None:
+    """Model-based quality scoring over a ``documents`` input: the
+    frozen logistic quality classifier + char-class entropy, plus —
+    when ``ref_lang`` is set — cross-corpus LM perplexity against that
+    language slice (CCNet proper).  Config::
+
+        "score": {"id_col": "doc_id", "text_col": "text",
+                  "threshold": 0.5, "ref_lang": "en", "lang_col": "lang"}
+
+    Writes ``scores`` — one row per document: (id, n_tokens, z, prob,
+    keep, entropy[, n_bigrams, avg_logp, ppl])."""
+    from platform_etl_literature_spark.operators import dedup as D
+    from platform_etl_literature_spark.operators import lm as LM
+    from platform_etl_literature_spark.operators import textstats as TS
+
+    scfg = cfg.get("score", {})
+    id_col = scfg.get("id_col", "doc_id")
+    text_col = scfg.get("text_col", "text")
+    docs = read_from(spark, _io_configs(cfg["inputs"]))["documents"].data
+    out = TS.quality_logreg(
+        docs, id_col, text_col, threshold=scfg.get("threshold", 0.5)
+    ).join(
+        TS.char_class_entropy(docs, id_col, text_col).select(
+            id_col, "entropy"
+        ),
+        id_col,
+    )
+    ref_lang = scfg.get("ref_lang")
+    if ref_lang:
+        lang_col = scfg.get("lang_col", "lang")
+        ppl = (
+            LM.lm_doc_logprob_against(
+                docs.filter(F.col(lang_col) == ref_lang),
+                docs,
+                id_col,
+                text_col,
+            )
+            .withColumnRenamed("id", id_col)
+            .select(id_col, "n_bigrams", "avg_logp", "ppl")
+        )
+        out = out.join(ppl, id_col, "left")
+    write_to(_out(cfg, "scores", out))
+    D.release_cached()
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="platform-etl-literature-spark",
         description=(
             "PySpark literature ETL: processing | embedding | vectors | "
             "evidence | all; plus the training-data steps: curate, cluster, "
-            "scrub, search, split"
+            "scrub, search, split, score"
         ),
     )
     p.add_argument(
         "steps",
         nargs="+",
-        choices=STEPS + ["all", "curate", "cluster", "scrub", "search", "split"],
+        choices=STEPS
+        + ["all", "curate", "cluster", "scrub", "search", "split", "score"],
     )
     p.add_argument("--config", required=True, help="JSON config file")
     p.add_argument("--master", default=None)
@@ -333,6 +379,8 @@ def main(argv: list[str] | None = None) -> None:
         run_search(spark, cfg)
     if "split" in args.steps:
         run_split(spark, cfg)
+    if "score" in args.steps:
+        run_score(spark, cfg)
     steps = STEPS if "all" in args.steps else [s for s in STEPS if s in args.steps]
     if steps:
         run_all(spark, cfg, steps)

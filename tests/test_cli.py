@@ -102,6 +102,43 @@ def test_cli_curate_step(spark, tmp_path):
     assert curated == [1]
 
 
+def test_cli_score_step(spark, tmp_path):
+    """The score step writes one quality row per document (classifier
+    prob/keep + entropy), and with ref_lang set also the cross-corpus
+    LM perplexity — with English scoring lower ppl than German under
+    the English-reference model here."""
+    import json
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog and runs off", "en"),
+            (2, "a lazy dog jumps over the quick brown fox and runs off", "en"),
+            (3, "der hund und die katze und der hund und die katze", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    cfg = {
+        "inputs": {"documents": {"format": "parquet", "path": src}},
+        "output": {"format": "parquet", "dir": out},
+        "score": {"ref_lang": "en"},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cli_main(["score", "--config", str(cfg_path)])
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/scores").collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert 0.0 <= r["prob"] <= 1.0 and r["entropy"] > 0
+        assert r["ppl"] is not None
+    assert max(rows[1]["ppl"], rows[2]["ppl"]) < rows[3]["ppl"]
+
+
 def test_cli_cluster_step(spark, tmp_path):
     """The cluster step writes near-dup clusters and survivor rows;
     with score_col, each cluster keeps its best-scored document."""
