@@ -612,6 +612,120 @@ def contamination(
     )
 
 
+def bloom_positions_sql(gram_sql: str, m_bits: int, k: int) -> list[str]:
+    """SQL expressions for the ``k`` Bloom bit positions of a gram —
+    Kirsch–Mitzenmacher double hashing (h1 + i·h2 mod m) over the
+    engine-portable md5 :func:`token_hash`, so the DuckDB oracle can
+    replay every position (and therefore every false positive)
+    bit-for-bit.  Both base hashes are non-negative 32-bit values, so
+    plain ``%`` agrees across engines and ``h1 + (k-1)·h2`` never
+    overflows a long."""
+    h1 = f"CAST(conv(substring(md5({gram_sql}), 1, 8), 16, 10) AS BIGINT)"
+    h2 = (
+        f"CAST(conv(substring(md5(concat('b2:', {gram_sql})), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    return [f"(({h1}) + {i} * ({h2})) % {m_bits}" for i in range(k)]
+
+
+def bloom_filter_words(
+    df: DataFrame, col: str, m_bits: int, k: int
+) -> list[int]:
+    """Build a Bloom filter over the values of ``df[col]`` and return
+    its bit array as ``m_bits / 64`` longs.  The build is distributed
+    (positions explode + distinct + one word-level bit_or aggregation);
+    the driver collect is bounded by ``m_bits / 64`` rows — a function
+    of the FILTER SIZE, never of the corpus.
+    """
+    if m_bits % 64 != 0 or m_bits < 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64: {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = bloom_positions_sql(f"`{col}`", m_bits, k)
+    words = (
+        df.selectExpr(f"explode(array({', '.join(pos)})) AS p")
+        .distinct()
+        .selectExpr(
+            "shiftright(p, 6) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT)) AS b",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the
+    constant-memory variant of :func:`contamination` for when the
+    reference gram set is itself too large to broadcast as a hash set
+    (decontaminating one crawl against another, or against a
+    many-benchmark union).  The filter is built once from the
+    benchmark's distinct word ``n``-grams, ships to every task as a
+    single ``m_bits/64``-long array on a one-row broadcast, and the
+    corpus probe is pure map-side arithmetic: k shifted bit tests per
+    gram, no corpus-side shuffle except the final per-document
+    aggregation.
+
+    Returns every corpus row as (id, n_grams, bloom_hits,
+    contaminated).  Bloom semantics are one-sided: ``bloom_hits >=``
+    the true shared-gram count (no false negatives — a contaminated
+    document can never slip through), with false-positive rate set by
+    ``m_bits``/``k`` against the benchmark gram volume.  Positions use
+    the portable md5 double-hash (:func:`bloom_positions_sql`), so the
+    SQL oracle replays the EXACT filter — false positives included —
+    through the position-set formulation (bit ``p`` is set in the array
+    iff ``p`` is in the distinct benchmark position set).
+
+    Scale shape: the 100 TB story is the corpus side — one scan, zero
+    shuffle of text or grams; the filter memory is fixed at
+    ``m_bits/8`` bytes per executor regardless of benchmark size, the
+    knob :func:`contamination`'s broadcast set lacks.
+    """
+    spark = corpus.sparkSession
+    bench_grams = staged_gram_arrays(
+        benchmark, id_col, text_col, n, hashed=False
+    ).select(F.explode("_grams").alias("_g"))
+    arr = bloom_filter_words(bench_grams, "_g", m_bits, k)
+    bloom_row = F.broadcast(
+        spark.createDataFrame([(arr,)], "_bloom array<long>")
+    )
+    pos = bloom_positions_sql("_g", m_bits, k)
+    bit_tests = [
+        f"(element_at(_bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) & 63 AS INT))) != 0"
+        for p in pos
+    ]
+    hit = F.expr(
+        "_g IS NOT NULL AND " + " AND ".join(f"({t})" for t in bit_tests)
+    )
+    n_hits = F.count_if(F.col("_hit"))
+    return (
+        staged_gram_arrays(corpus, id_col, text_col, n, hashed=False)
+        .select(F.col("id").alias(id_col), F.explode_outer("_grams").alias("_g"))
+        .crossJoin(bloom_row)
+        .select(F.col(id_col), F.col("_g"), hit.alias("_hit"))
+        .groupBy(id_col)
+        .agg(
+            F.count("_g").alias("n_grams"),
+            n_hits.alias("bloom_hits"),
+            (n_hits > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

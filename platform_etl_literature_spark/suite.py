@@ -3717,6 +3717,64 @@ WHERE d.doc_id % 17 != 0
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination: same benchmark slice as
+    `decontaminate` (doc_id % 17 == 0), but membership is tested
+    against a 2^20-bit / k=3 Bloom filter built from the benchmark
+    4-grams (operators.dedup.bloom_contamination) — the constant-
+    memory path for reference gram sets too large to broadcast as a
+    hash set.  The oracle replays the EXACT filter (false positives
+    included) through the position-set formulation."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return D.bloom_contamination(
+        train, bench, "doc_id", "text", n=4, m_bits=1 << 20, k=3
+    )
+
+
+_ORACLE_BLOOM_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 3, 0)),
+           i -> array_to_string(toks[i:i+3], ' ')))) AS s
+  FROM w WHERE len(toks) >= 4),
+h AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5('b2:' || s), 1, 8))::BIGINT AS h2
+  FROM g),
+ii AS (SELECT unnest(generate_series(0, 2)) AS i),
+bpos AS MATERIALIZED (
+  SELECT DISTINCT (h1 + i * h2) % 1048576 AS p
+  FROM h CROSS JOIN ii WHERE doc_id % 17 = 0),
+probe AS (
+  SELECT h.doc_id, h.s, bool_and(b.p IS NOT NULL) AS hit
+  FROM h CROSS JOIN ii
+  LEFT JOIN bpos b ON b.p = (h.h1 + ii.i * h.h2) % 1048576
+  WHERE h.doc_id % 17 != 0
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM g
+  WHERE doc_id % 17 != 0 GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) FILTER (WHERE hit) AS bloom_hits
+  FROM probe GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(sz.n_grams, 0) AS n_grams,
+  COALESCE(ht.bloom_hits, 0) AS bloom_hits,
+  CAST(COALESCE(ht.bloom_hits, 0) > 0 AS INTEGER) AS contaminated
+FROM documents d
+LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
+LEFT JOIN hits ht ON ht.doc_id = d.doc_id
+WHERE d.doc_id % 17 != 0
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic language-mixture resampling: downsample English to
     20%, keep zh at 50%, upsample-nothing for es (80%) — content-hash
@@ -4061,6 +4119,11 @@ SUITE: dict[str, QuerySpec] = {
     "knn_label_vote": QuerySpec(q_knn_label_vote, _ORACLE_KNN_VOTE, "similarity-knn-eval"),
     "decontaminate": QuerySpec(
         q_decontaminate, _ORACLE_DECONTAMINATE, "decontamination-ext"
+    ),
+    "bloom_decontaminate": QuerySpec(
+        q_bloom_decontaminate,
+        _ORACLE_BLOOM_DECONTAMINATE,
+        "decontamination-bloom-ext",
     ),
     "mixture_sample": QuerySpec(q_mixture_sample, _ORACLE_MIXTURE, "mixture-sampling-ext"),
     "vocab_coverage": QuerySpec(q_vocab_coverage, _ORACLE_VOCAB, "vocab-zipf-ext"),

@@ -214,6 +214,72 @@ def test_contamination_counts_distinct_grams_once(spark):
     assert (row["n_grams"], row["shared_ngrams"]) == (2, 2)
 
 
+def test_bloom_contamination_matches_exact_at_low_load(spark):
+    # At 2^20 bits / k=3 over a five-gram benchmark, the false-positive
+    # probability per gram is ~(15/2^20)^3 — the Bloom answer must equal
+    # the exact broadcast-set answer on the micro-fixture.
+    bench = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "a b c d x"), (2, "x y z w v"), (3, "a b c")],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r["doc_id"]: r
+        for r in D.contamination(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in D.bloom_contamination(
+            corpus, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert set(bloom) == set(exact) == {1, 2, 3}
+    for i in exact:
+        assert bloom[i]["n_grams"] == exact[i]["n_grams"]
+        assert bloom[i]["bloom_hits"] == exact[i]["shared_ngrams"]
+        assert bloom[i]["contaminated"] == exact[i]["contaminated"]
+
+
+def test_bloom_contamination_one_sided_under_saturation(spark):
+    # Tiny filter (64 bits, k=1) forced far past saturation: false
+    # positives abound, but the Bloom guarantee — no false negatives,
+    # hits >= true shared count per document — must still hold.
+    bench = spark.createDataFrame(
+        [(100 + j, f"t{j} u{j} v{j} w{j} x{j}") for j in range(20)],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "t0 u0 v0 w0 q"), (2, "m n o p q r s")],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r["doc_id"]: r["shared_ngrams"]
+        for r in D.contamination(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in D.bloom_contamination(
+            corpus, bench, "doc_id", "text", n=4, m_bits=64, k=1
+        ).collect()
+    }
+    assert exact[1] >= 1
+    for i, true_shared in exact.items():
+        assert bloom[i]["bloom_hits"] >= true_shared
+        if true_shared > 0:
+            assert bloom[i]["contaminated"] == 1
+
+
+def test_bloom_filter_words_shape_and_validation(spark):
+    df = spark.createDataFrame([("a",), ("b",)], ["g"])
+    arr = D.bloom_filter_words(df, "g", m_bits=256, k=2)
+    assert len(arr) == 4  # m_bits / 64 words, zero-filled where unset
+    assert any(w != 0 for w in arr)
+    with pytest.raises(ValueError):
+        D.bloom_filter_words(df, "g", m_bits=100, k=2)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        D.bloom_filter_words(df, "g", m_bits=256, k=0)
+
+
 def test_mixture_sample_deterministic_and_rate_bounded(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 == 0 else "xx") for i in range(400)], ["doc_id", "lang"]

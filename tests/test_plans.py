@@ -97,6 +97,18 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     assert "partial_count" in plan, plan[:3000]
 
 
+def test_bloom_decontaminate_corpus_side_is_map_only(spark, sf_dir):
+    """The Bloom probe must be pure map-side on the corpus: the filter
+    rides a one-row BroadcastNestedLoopJoin and the ONLY corpus-side
+    exchange is the per-document aggregation's (which map-side
+    combines) — no gram shuffle, no hash-set join."""
+    plan = _simple_plan(SUITE["bloom_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
+
+
 def test_mixture_sample_is_map_side(spark, sf_dir):
     """Mixture sampling must be shuffle-free on the corpus: a broadcast
     rate-table join and a filter, no Exchange on the fact side."""
