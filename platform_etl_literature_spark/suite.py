@@ -3775,6 +3775,55 @@ WHERE d.doc_id % 17 != 0
 """
 
 
+def q_suffix_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Suffix-array exact-substring dedup (Lee et al. ACL'22 shape):
+    longest cross-document duplicated token run per document, capped
+    at 8 tokens, flagged at >= 4 (operators.suffix.suffix_lcp —
+    distributed suffix sort via ordered_global_index, adjacent-pair
+    LCP, no single-partition stage).  The oracle replays the IDENTICAL
+    suffix order (byte order of the space-joined keys, ties broken by
+    (doc_id, pos)) with a window row_number, so the neighbor pairs —
+    and therefore every LCP — match exactly."""
+    from platform_etl_literature_spark.operators.suffix import suffix_lcp
+
+    return suffix_lcp(
+        _t(spark, sf, "documents"), "doc_id", "text", k_cap=8, min_len=4
+    )
+
+
+_ORACLE_SUFFIX_DEDUP = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+s0 AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+  FROM w WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS key
+  FROM s0),
+r AS (
+  SELECT doc_id, pos, key,
+         row_number() OVER (ORDER BY key, doc_id, pos) AS rn
+  FROM s),
+p AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         string_split(a.key, ' ') AS sa, string_split(b.key, ' ') AS sb
+  FROM r a JOIN r b ON b.rn = a.rn + 1
+  WHERE a.doc_id != b.doc_id),
+l AS (
+  SELECT ida, idb,
+         len(list_filter(generate_series(1, least(len(sa), len(sb))),
+                         i -> sa[1:i] = sb[1:i])) AS lcp
+  FROM p),
+c AS (SELECT unnest([ida, idb]) AS doc_id, lcp FROM l),
+m AS (SELECT doc_id, max(lcp) AS mx FROM c GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(m.mx, 0) AS INTEGER) AS max_dup_tokens,
+  CAST(coalesce(m.mx, 0) >= 4 AS INTEGER) AS dup_flag
+FROM documents d LEFT JOIN m USING (doc_id)
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic language-mixture resampling: downsample English to
     20%, keep zh at 50%, upsample-nothing for es (80%) — content-hash
@@ -4124,6 +4173,9 @@ SUITE: dict[str, QuerySpec] = {
         q_bloom_decontaminate,
         _ORACLE_BLOOM_DECONTAMINATE,
         "decontamination-bloom-ext",
+    ),
+    "suffix_dedup": QuerySpec(
+        q_suffix_dedup, _ORACLE_SUFFIX_DEDUP, "suffix-array-dedup-ext"
     ),
     "mixture_sample": QuerySpec(q_mixture_sample, _ORACLE_MIXTURE, "mixture-sampling-ext"),
     "vocab_coverage": QuerySpec(q_vocab_coverage, _ORACLE_VOCAB, "vocab-zipf-ext"),

@@ -10,6 +10,7 @@ from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import multimodal as MM
 from platform_etl_literature_spark.operators import sessionize as SS
 from platform_etl_literature_spark.operators import similarity as SIM
+from platform_etl_literature_spark.operators import suffix as SX
 from platform_etl_literature_spark.operators import textstats as TS
 
 
@@ -278,6 +279,65 @@ def test_bloom_filter_words_shape_and_validation(spark):
         D.bloom_filter_words(df, "g", m_bits=100, k=2)  # not a multiple of 64
     with pytest.raises(ValueError):
         D.bloom_filter_words(df, "g", m_bits=256, k=0)
+
+
+def test_suffix_lcp_finds_longest_shared_run(spark):
+    # doc1/doc2 share "quick brown fox" (3 tokens) mid-string; doc1/doc4
+    # share "the lazy dog"; doc3 shares nothing; doc5 is empty.  The
+    # per-doc answer is the LONGEST run, wherever it starts.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox leaps high"),
+            (3, "completely different words here"),
+            (4, "the lazy dog sleeps"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["max_dup_tokens"], r["dup_flag"])
+        for r in SX.suffix_lcp(docs, "doc_id", "text", min_len=3).collect()
+    }
+    assert got == {1: (3, 1), 2: (3, 1), 3: (0, 0), 4: (3, 1), 5: (0, 0)}
+
+
+def test_suffix_lcp_cap_and_internal_repeats(spark):
+    # A 6-token run shared across docs reports k_cap when capped at 4;
+    # a SAME-document internal repeat ("x y x y") must NOT count — only
+    # cross-document sharing does.
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u tail1"),
+            (2, "head p q r s t u"),
+            (3, "x y x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["max_dup_tokens"]
+        for r in SX.suffix_lcp(
+            docs, "doc_id", "text", k_cap=4, min_len=4
+        ).collect()
+    }
+    assert got[1] == 4 and got[2] == 4  # capped at k_cap, not 6
+    assert got[3] == 0  # internal repeat is not cross-doc duplication
+    with pytest.raises(ValueError):
+        SX.suffix_lcp(docs, "doc_id", "text", k_cap=0)
+
+
+def test_token_lcp_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (["a", "b", "c"], ["a", "b", "c"]),
+            (["a", "b", "c"], ["a", "b"]),
+            (["a", "b"], ["a", "b", "c"]),
+            (["a"], ["z"]),
+            ([], ["a"]),
+        ],
+        ["a", "b"],
+    ).select(SX.token_lcp(F.col("a"), F.col("b")).alias("l"))
+    assert [r["l"] for r in df.collect()] == [3, 2, 2, 0, 0]
 
 
 def test_mixture_sample_deterministic_and_rate_bounded(spark):

@@ -134,7 +134,12 @@ def test_no_single_reducer_rank_window(spark, sf_dir):
     unpartitioned row_number/sum window, which is a single-reducer sort
     of the whole vocabulary.  No Exchange SinglePartition anywhere in
     either plan."""
-    for name in ("prefix_jaccard", "vocab_coverage", "sorted_neighborhood"):
+    for name in (
+        "prefix_jaccard",
+        "vocab_coverage",
+        "sorted_neighborhood",
+        "suffix_dedup",
+    ):
         plan = _simple_plan(SUITE[name].fn(spark, sf_dir))
         assert "SinglePartition" not in plan, (name, plan[:3000])
 
