@@ -2422,9 +2422,11 @@ BPE_FROZEN_MERGES: list[tuple[str, str]] = [
 def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     """Frozen-tokenizer encode over the corpus: apply the 8 frozen BPE
     merges greedily per word, count words and subword tokens per doc
-    (operators.bpe.bpe_encode — pure map-side folds, no shuffle, no
-    Python).  The oracle replays the identical greedy left-to-right
-    fold per merge via nested list_reduce."""
+    (operators.bpe.bpe_encode — vocabulary-compacted: the fold runs
+    once per distinct word, occurrences take a broadcast join and
+    never shuffle; no Python anywhere).  The oracle replays the
+    identical greedy left-to-right fold per merge via nested
+    list_reduce."""
     from platform_etl_literature_spark.operators import bpe
 
     return bpe.bpe_encode(

@@ -340,6 +340,35 @@ def test_token_lcp_edges(spark):
     assert [r["l"] for r in df.collect()] == [3, 2, 2, 0, 0]
 
 
+def test_bpe_encode_compacted_equals_direct(spark):
+    # The vocabulary-compacted plan and the zero-shuffle per-occurrence
+    # fold are the same function: identical (n_words, n_subwords) on a
+    # corpus with repeats, multi-merge chains, and an empty doc.
+    from platform_etl_literature_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lower lower newest newest newest wide"),
+            (2, "low lowest new newer"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("n", "e")]
+    fast = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in B.bpe_encode(docs, "doc_id", "text", merges).collect()
+    }
+    slow = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in B.bpe_encode(
+            docs, "doc_id", "text", merges, compact_vocab=False
+        ).collect()
+    }
+    assert fast == slow
+    assert fast[3] == (0, 0)
+
+
 def test_mixture_sample_deterministic_and_rate_bounded(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 == 0 else "xx") for i in range(400)], ["doc_id", "lang"]

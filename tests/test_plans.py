@@ -144,6 +144,18 @@ def test_no_single_reducer_rank_window(spark, sf_dir):
         assert "SinglePartition" not in plan, (name, plan[:3000])
 
 
+def test_bpe_encode_vocab_compacted_plan(spark, sf_dir):
+    """The frozen-tokenizer encode must fold once per distinct word and
+    broadcast the encoded vocabulary back: the occurrence stream takes
+    a BroadcastHashJoin (never a shuffled join), and the only hash
+    exchanges are the vocabulary distinct and the per-doc aggregation —
+    both map-side-combined."""
+    plan = _simple_plan(SUITE["bpe_encode"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
 def test_quality_ops_are_pure_map_side(spark, sf_dir):
     """The per-document quality signals (char-class entropy, the frozen
     logistic classifier) must compile to scan + project only — no
