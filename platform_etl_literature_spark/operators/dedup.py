@@ -726,6 +726,71 @@ def bloom_contamination(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement — Efraimidis &
+    Spirakis (IPL 2006): each row draws a deterministic uniform
+    ``u in (0,1)`` and the ``k`` rows with the largest ``u^(1/w)`` per
+    group are the sample, which is distribution-identical to drawing
+    ``k`` times without replacement with probabilities proportional to
+    ``w``.  The training-data use is quality-weighted corpus
+    subsetting: sample k documents per source/language with
+    inclusion probability scaled by a quality or length weight,
+    reproducibly.
+
+    Engine-portable determinism: ``u`` derives from
+    ``md5(seed ':' id)`` (first 8 hex digits → (h+1)/(2^32+1)), and
+    rows rank by ``ln(u)/w`` — a monotone transform of ``u^(1/w)``
+    (both sides negative-log; larger is better) — rounded to integer
+    MICRO-units (the lm.py micro-nat contract), so the DuckDB oracle
+    replays the exact ranking; ties in the rounded key (and only
+    those) break by id.  Rows with ``w <= 0`` or NULL are excluded —
+    zero-weight rows are unsampleable by definition.
+
+    Scale shape: key computation is map-side arithmetic; the only
+    shuffle is the per-group top-k window on ``group_col``.  k is
+    assumed ≪ group size; group count absorbs corpus growth.
+    """
+    from pyspark.sql.window import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.round(
+        F.log((h + 1) / F.lit(4294967297.0)) / F.col(weight_col) * 1000000.0,
+        0,
+    ).cast("long")
+    win = W.partitionBy(group_col).orderBy(
+        F.col("_key").desc(), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_key", key)
+        .withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col("_key").alias("es_key_micro"),
+            F.col("_rk").cast("int").alias("sample_rank"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

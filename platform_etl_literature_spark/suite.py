@@ -3826,6 +3826,37 @@ FROM documents d LEFT JOIN m USING (doc_id)
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus subsetting: 5 documents per language,
+    sampled without replacement with inclusion probability proportional
+    to n_chars (operators.dedup.weighted_sample — Efraimidis-Spirakis
+    keys from the deterministic md5 uniform, ranked in integer
+    micro-units so the oracle replays the exact order)."""
+    return D.weighted_sample(
+        _t(spark, sf, "documents"), "doc_id", "lang", "n_chars", k=5
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = """
+WITH h AS (
+  SELECT lang, doc_id, n_chars,
+         ('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents WHERE n_chars > 0),
+k AS (
+  SELECT lang, doc_id,
+         CAST(round(ln((h + 1) / 4294967297.0) / n_chars * 1000000.0, 0)
+              AS BIGINT) AS es_key_micro
+  FROM h),
+r AS (
+  SELECT lang, doc_id, es_key_micro,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY es_key_micro DESC, doc_id) AS rk
+  FROM k)
+SELECT lang, doc_id, es_key_micro, CAST(rk AS INTEGER) AS sample_rank
+FROM r WHERE rk <= 5
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic language-mixture resampling: downsample English to
     20%, keep zh at 50%, upsample-nothing for es (80%) — content-hash
@@ -4178,6 +4209,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "suffix_dedup": QuerySpec(
         q_suffix_dedup, _ORACLE_SUFFIX_DEDUP, "suffix-array-dedup-ext"
+    ),
+    "weighted_sample": QuerySpec(
+        q_weighted_sample, _ORACLE_WEIGHTED_SAMPLE, "weighted-sampling-ext"
     ),
     "mixture_sample": QuerySpec(q_mixture_sample, _ORACLE_MIXTURE, "mixture-sampling-ext"),
     "vocab_coverage": QuerySpec(q_vocab_coverage, _ORACLE_VOCAB, "vocab-zipf-ext"),

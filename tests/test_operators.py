@@ -369,6 +369,47 @@ def test_bpe_encode_compacted_equals_direct(spark):
     assert fast[3] == (0, 0)
 
 
+def test_weighted_sample_matches_python_reference(spark):
+    # Exact replay of the Efraimidis-Spirakis keys in pure Python:
+    # same md5 uniform, same micro-rounded ln(u)/w ranking.
+    import hashlib
+    import math
+
+    rows = [(i, "g" if i < 8 else "h", float(1 + (i * 7) % 13)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws1:{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967297.0
+        return round(math.log(u) / w * 1000000.0)
+
+    expected = {}
+    for grp in ("g", "h"):
+        members = sorted(
+            (r for r in rows if r[1] == grp),
+            key=lambda r: (-key(r[0], r[2]), r[0]),
+        )[:3]
+        expected[grp] = [r[0] for r in members]
+    got = D.weighted_sample(df, "doc_id", "grp", "w", k=3)
+    out = {}
+    for r in got.collect():
+        out.setdefault(r["grp"], []).append((r["sample_rank"], r["doc_id"]))
+        assert r["es_key_micro"] == key(r["doc_id"], dict((x[0], x[2]) for x in rows)[r["doc_id"]])
+    for grp in ("g", "h"):
+        assert [d for _, d in sorted(out[grp])] == expected[grp]
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates_k(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 0.0), (3, "g", -1.0), (4, "g", None)],
+        ["doc_id", "grp", "w"],
+    )
+    got = D.weighted_sample(df, "doc_id", "grp", "w", k=10).collect()
+    assert [r["doc_id"] for r in got] == [1]  # k > group size: all valid rows
+    with pytest.raises(ValueError):
+        D.weighted_sample(df, "doc_id", "grp", "w", k=0)
+
+
 def test_mixture_sample_deterministic_and_rate_bounded(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 == 0 else "xx") for i in range(400)], ["doc_id", "lang"]

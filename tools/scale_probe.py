@@ -33,6 +33,7 @@ from platform_etl_literature_spark.operators import layout as LAY
 from platform_etl_literature_spark.operators import profile as PRO
 from platform_etl_literature_spark.operators import retrieval as RET
 from platform_etl_literature_spark.operators import similarity as SIM
+from platform_etl_literature_spark.operators import suffix as SX
 from platform_etl_literature_spark.operators import textstats as TS
 from platform_etl_literature_spark.session import build_session
 
@@ -124,7 +125,29 @@ OPS = {
     "lm_cross_score": lambda df: LM.lm_doc_logprob_against(
         df.filter(F.col("lang") == "en"), df, "doc_id", "text"
     ),
+    # round-6 additions (late)
+    "bloom_decontaminate": lambda df: D.bloom_contamination(
+        df.filter(F.col("doc_id") % 17 != 0),
+        df.filter(F.col("doc_id") % 17 == 0),
+        "doc_id",
+        "text",
+        n=4,
+    ),
+    "suffix_lcp": lambda df: SX.suffix_lcp(
+        df, "doc_id", "text", k_cap=8, min_len=4
+    ),
+    "bpe_encode": lambda df: B.bpe_encode(
+        df, "doc_id", "text", _FROZEN_MERGES
+    ),
 }
+
+# the suite's frozen 8-merge tokenizer (suite.BPE_FROZEN_MERGES
+# inlined: the probe must not import suite, which would register all
+# 113 queries)
+_FROZEN_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
 
 
 def scaled_embeddings(spark, factor: int) -> str:
