@@ -52,3 +52,111 @@ def rollup_sketches(
         F.sum("n_rows").alias("n_rows"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_distinct_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+# mergeable frequency sketch.  Same persist-fine/merge-coarse contract
+# as the HLL sketches above, but for COUNTS: build one d×w counter
+# grid per fine grain at ingest, answer any coarser heavy-hitter /
+# frequency question by summing grids cell-wise — counter addition is
+# exact, so merged sketches are IDENTICAL to a direct build over the
+# union (pinned by test), unlike HLL where only the estimate survives.
+# Estimates are one-sided: est(x) = min over d rows of the cell
+# counters >= true count(x), with overestimate bounded by collisions
+# (~2n/w at the standard depth).  Hash positions reuse the
+# engine-portable md5 double hash (the Bloom pattern in
+# operators/dedup.py), so a SQL oracle can replay the EXACT grid —
+# collisions and all.
+# ---------------------------------------------------------------------------
+
+
+def cms_positions_sql(item_sql: str, w: int, d: int) -> list[str]:
+    """SQL expressions for the ``d`` count-min row positions of an
+    item — Kirsch–Mitzenmacher double hashing (h1 + i·h2 mod w) over
+    md5, one expression per sketch row.  Both base hashes are
+    non-negative 32-bit, so ``%`` agrees across engines and the
+    combination never overflows a long."""
+    h1 = f"CAST(conv(substring(md5({item_sql}), 1, 8), 16, 10) AS BIGINT)"
+    h2 = (
+        f"CAST(conv(substring(md5(concat('c2:', {item_sql})), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    return [f"(({h1}) + {i} * ({h2})) % {w}" for i in range(d)]
+
+
+def cms_build(df: DataFrame, col: str, w: int = 8192, d: int = 3) -> DataFrame:
+    """Build the sketch grid over ``df[col]``: (r, p, cnt) rows, one
+    per NON-EMPTY cell (absent cells are zero).  One map-side explode
+    of d positions per row and one (r, p)-keyed aggregation with
+    map-side partial counts — the shuffle carries at most d·w cells
+    per task, a function of the SKETCH SIZE, never of the corpus."""
+    if w < 1 or d < 1:
+        raise ValueError(f"w and d must be >= 1, got w={w} d={d}")
+    pos = cms_positions_sql(f"`{col}`", w, d)
+    structs = ", ".join(
+        f"struct({i} AS r, {p} AS p)" for i, p in enumerate(pos)
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .selectExpr(f"`{col}`")
+        .selectExpr(f"explode(array({structs})) AS c")
+        .groupBy(F.col("c.r").alias("r"), F.col("c.p").alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketch grids built with the same (w, d): cell-wise counter
+    sum.  Exact — merge(build(A), build(B)) has identical cells to
+    build(A ∪ B)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "p").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    items: DataFrame, col: str, sketch: DataFrame, w: int, d: int
+) -> DataFrame:
+    """Estimated count per item: min over the item's d cells.  The
+    grid broadcasts (≤ d·w rows by construction); items explode their
+    d positions map-side, take a broadcast join, and reduce with a
+    map-side-combined min.  Cells the grid never saw coalesce to 0
+    (an item absent from the build data estimates 0 only if at least
+    one of its cells is empty — otherwise it inherits the collision
+    floor, the documented one-sided error)."""
+    pos = cms_positions_sql(f"`{col}`", w, d)
+    structs = ", ".join(
+        f"struct({i} AS r, {p} AS p)" for i, p in enumerate(pos)
+    )
+    probed = (
+        items.where(F.col(col).isNotNull())
+        .selectExpr(f"`{col}`", f"explode(array({structs})) AS c")
+        .select(col, F.col("c.r").alias("r"), F.col("c.p").alias("p"))
+        .join(F.broadcast(sketch), ["r", "p"], "left")
+    )
+    return probed.groupBy(col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
+    )
+
+
+def cms_topk(
+    df: DataFrame, col: str, w: int = 8192, d: int = 3, k: int = 20
+) -> DataFrame:
+    """Heavy hitters by count-min estimate: build the grid, estimate
+    every DISTINCT item (candidate generation is the vocabulary-sized
+    distinct, the same compaction as bpe_encode), return the top-``k``
+    by (est_count desc, item) with a 1-based rank — deterministic, so
+    the SQL oracle replays it exactly."""
+    from platform_etl_literature_spark.operators.retrieval import (
+        ranked_topk,
+    )
+
+    sketch = cms_build(df, col, w, d)
+    est = cms_estimate(df.select(col).distinct(), col, sketch, w, d)
+    return ranked_topk(
+        est, [F.col("est_count").desc(), F.col(col)], k
+    ).select(col, "est_count", "rank")

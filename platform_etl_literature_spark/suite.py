@@ -3826,6 +3826,49 @@ FROM documents d LEFT JOIN m USING (doc_id)
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min heavy hitters over the corpus word stream
+    (operators.sketch.cms_topk): a deliberately TIGHT 2x64 grid so the
+    31-type vocabulary collides and the one-sided overestimates are
+    exercised — the oracle replays the exact grid (collision floors
+    included) through the same md5 double-hash positions, proving the
+    sketch is engine-portable, not just its happy path."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    words = _t(spark, sf, "documents").select(
+        F.explode(D.tokens(F.col("text"))).alias("word")
+    )
+    return SK.cms_topk(words, "word", w=64, d=2, k=20)
+
+
+_ORACLE_CMS_HEAVY_HITTERS = """
+WITH it AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+  FROM documents),
+h AS (
+  SELECT word,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5('c2:' || word), 1, 8))::BIGINT AS h2
+  FROM it),
+ii AS (SELECT unnest(generate_series(0, 1)) AS r),
+cells AS (
+  SELECT r, (h1 + r * h2) % 64 AS p, count(*) AS cnt
+  FROM h CROSS JOIN ii GROUP BY 1, 2),
+cand AS (SELECT DISTINCT word, h1, h2 FROM h),
+est AS (
+  SELECT cand.word, min(coalesce(c.cnt, 0)) AS est_count
+  FROM cand CROSS JOIN ii
+  LEFT JOIN cells c ON c.r = ii.r AND c.p = (h1 + ii.r * h2) % 64
+  GROUP BY 1),
+rk AS (
+  SELECT word, est_count,
+         row_number() OVER (ORDER BY est_count DESC, word) AS rank
+  FROM est)
+SELECT word, est_count, CAST(rank AS INTEGER) AS rank
+FROM rk WHERE rank <= 20
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-weighted corpus subsetting: 5 documents per language,
     sampled without replacement with inclusion probability proportional
@@ -4212,6 +4255,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "weighted_sample": QuerySpec(
         q_weighted_sample, _ORACLE_WEIGHTED_SAMPLE, "weighted-sampling-ext"
+    ),
+    "cms_heavy_hitters": QuerySpec(
+        q_cms_heavy_hitters, _ORACLE_CMS_HEAVY_HITTERS, "cms-sketch-ext"
     ),
     "mixture_sample": QuerySpec(q_mixture_sample, _ORACLE_MIXTURE, "mixture-sampling-ext"),
     "vocab_coverage": QuerySpec(q_vocab_coverage, _ORACLE_VOCAB, "vocab-zipf-ext"),

@@ -369,6 +369,39 @@ def test_bpe_encode_compacted_equals_direct(spark):
     assert fast[3] == (0, 0)
 
 
+def test_cms_merge_equals_direct_and_one_sided(spark):
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, ["v"])
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 4, ["v"])
+    both = a.unionByName(b)
+    # counter addition is exact: merged grids == direct build cells
+    merged = {
+        (r["r"], r["p"]): r["cnt"]
+        for r in SK.cms_merge(
+            SK.cms_build(a, "v", w=16, d=2), SK.cms_build(b, "v", w=16, d=2)
+        ).collect()
+    }
+    direct = {
+        (r["r"], r["p"]): r["cnt"]
+        for r in SK.cms_build(both, "v", w=16, d=2).collect()
+    }
+    assert merged == direct
+    # one-sided: est >= true everywhere; exact at collision-free width
+    true = {"x": 6, "y": 2, "z": 4}
+    for w, exact in ((4, False), (4096, True)):
+        est = {
+            r["v"]: r["est_count"]
+            for r in SK.cms_topk(both, "v", w=w, d=2, k=10).collect()
+        }
+        for v, t in true.items():
+            assert est[v] >= t
+            if exact:
+                assert est[v] == t
+    with pytest.raises(ValueError):
+        SK.cms_build(a, "v", w=0, d=2)
+
+
 def test_weighted_sample_matches_python_reference(spark):
     # Exact replay of the Efraimidis-Spirakis keys in pure Python:
     # same md5 uniform, same micro-rounded ln(u)/w ranking.

@@ -144,6 +144,17 @@ def test_no_single_reducer_rank_window(spark, sf_dir):
         assert "SinglePartition" not in plan, (name, plan[:3000])
 
 
+def test_cms_heavy_hitters_plan(spark, sf_dir):
+    """The count-min grid must BROADCAST to the candidate probe (the
+    grid is ≤ d·w cells by construction — sketch-sized, never
+    corpus-sized) and the top-k must compile to TakeOrderedAndProject,
+    not a global sort."""
+    plan = _simple_plan(SUITE["cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
 def test_bpe_encode_vocab_compacted_plan(spark, sf_dir):
     """The frozen-tokenizer encode must fold once per distinct word and
     broadcast the encoded vocabulary back: the occurrence stream takes
