@@ -1,0 +1,83 @@
+"""Streaming sketch maintenance: keep a mergeable count-min frequency
+grid (operators/sketch.py) up to date over an arriving stream, with
+replay-safe exactly-once counting.
+
+The trap with streaming COUNTER sketches is that ``foreachBatch`` is
+at-least-once: a replayed batch that merged its counts into a single
+mutable grid would DOUBLE-COUNT (counter addition is not idempotent —
+unlike the digest-set appends of ``ingest_dedup``, where re-appending
+is harmless).  The fix is the sketch contract itself: grids are
+mergeable, so the stream never mutates a global grid at all.  Each
+micro-batch writes ITS OWN grid under ``grid_path/batch=<id>`` with
+``mode("overwrite")`` on that one directory — a replay of batch N
+overwrites batch N's grid with identical cells, so the merged view is
+exactly-once no matter how many times a batch replays.  Readers merge
+on demand (cell-wise sum over ≤ d·w rows per batch — sketch-sized,
+never corpus-sized); a maintenance job may compact old batch grids
+into one with :func:`operators.sketch.cms_merge` at any time, since
+merge is associative.
+
+This is the streaming face of the compute-once/merge-many pattern the
+batch module documents: per-micro-batch grids are just a finer fine
+grain.
+
+Capability extension (SURVEY.md §7.6): the reference has no streaming
+surface; this pairs its batch aggregation semantics with Structured
+Streaming the same way ingest_dedup pairs its dropDuplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from platform_etl_literature_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+)
+
+
+def cms_maintain_writer(
+    stream: DataFrame,
+    col: str,
+    grid_path: str,
+    w: int = 8192,
+    d: int = 3,
+) -> DataStreamWriter:
+    """Build the foreachBatch writer (caller adds checkpoint/trigger
+    and calls ``.start()``).  Each micro-batch lands its own grid at
+    ``grid_path/batch=<batch_id>`` — overwrite-per-batch-directory, so
+    batch replays are idempotent and the merged view stays exact."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        cms_build(batch, col, w, d).write.mode("overwrite").parquet(
+            f"{grid_path}/batch={batch_id}"
+        )
+
+    return stream.writeStream.foreachBatch(_step).outputMode("update")
+
+
+def cms_read_merged(spark: SparkSession, grid_path: str) -> DataFrame:
+    """The merged grid across every landed batch: cell-wise counter
+    sum.  Equal to a direct batch build over everything the stream has
+    delivered (pinned by test) — the reader-side half of the
+    exactly-once story."""
+    return (
+        spark.read.parquet(grid_path)
+        .groupBy("r", "p")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_stream_estimate(
+    spark: SparkSession,
+    grid_path: str,
+    items: DataFrame,
+    col: str,
+    w: int,
+    d: int,
+) -> DataFrame:
+    """Estimated stream-so-far count for each candidate item, against
+    the merged grid.  (w, d) must match the writer's."""
+    return cms_estimate(items, col, cms_read_merged(spark, grid_path), w, d)

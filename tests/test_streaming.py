@@ -600,3 +600,70 @@ def test_scd2_stream_writes_only_dirty_buckets(spark, tmp_path):
         for r in read_history(spark, root).collect()
     }
     assert got == want
+
+
+def test_cms_stream_maintenance_merges_exactly(spark, tmp_path):
+    """Streaming count-min maintenance: per-batch grids land under
+    batch=<id> (replay-idempotent overwrite), and the merged view has
+    IDENTICAL cells to a direct batch build over everything delivered
+    — the exactly-once contract for counter sketches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.sketch import cms_build
+    from platform_etl_literature_spark.streaming.sketches import (
+        cms_maintain_writer,
+        cms_read_merged,
+        cms_stream_estimate,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def arrive(name, words):
+        pq.write_table(
+            pa.table({"word": pa.array(words, pa.string())}), str(land / name)
+        )
+
+    arrive("f1.parquet", ["a", "a", "b", "c"])
+    arrive("f2.parquet", ["a", "c", "c", "d"])
+
+    stream = (
+        spark.readStream.schema("word string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    grid = str(tmp_path / "grid")
+    q = (
+        cms_maintain_writer(stream, "word", grid, w=32, d=2)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # at least two batch directories, each its own grid
+    batches = spark.read.parquet(grid).select("batch").distinct().count()
+    assert batches >= 2
+
+    everything = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 1 + [("c",)] * 3 + [("d",)] * 1, ["word"]
+    )
+    direct = {
+        (r["r"], r["p"]): r["cnt"]
+        for r in cms_build(everything, "word", w=32, d=2).collect()
+    }
+    merged = {
+        (r["r"], r["p"]): r["cnt"]
+        for r in cms_read_merged(spark, grid).collect()
+    }
+    assert merged == direct
+
+    est = {
+        r["word"]: r["est_count"]
+        for r in cms_stream_estimate(
+            spark, grid, everything.distinct(), "word", w=32, d=2
+        ).collect()
+    }
+    for wd, true in (("a", 3), ("b", 1), ("c", 3), ("d", 1)):
+        assert est[wd] >= true
