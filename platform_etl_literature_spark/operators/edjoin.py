@@ -1,0 +1,153 @@
+"""Edit-distance similarity join via deletion neighborhoods (FastSS).
+
+Finds every pair of strings within Levenshtein distance ``d`` WITHOUT
+an all-pairs comparison: each string emits its deletion neighborhood
+``U_d(w)`` (every string reachable by deleting at most ``d``
+characters), pairs sharing ANY neighborhood key are candidates, and a
+single JVM-side ``levenshtein`` check removes false positives.
+
+Correctness (Bocek et al., "Fast Similarity Search in Large
+Dictionaries", 2007 — the FastSS / SymSpell family): if
+``ed(a, b) <= d``, fix an optimal alignment; deleting the ``<= d``
+unmatched/substituted characters from each side yields the SAME string,
+which lies in both ``U_d(a)`` and ``U_d(b)``.  So the candidate set is
+a superset of the answer (lossless), and the verify step makes it
+exact.  The converse does not hold (sharing a key only bounds
+``ed <= 2d``), hence the verify.
+
+This is the edit-distance analog of the prefix-filtered set-similarity
+join (``dedup.prefix_jaccard_pairs``): candidate generation is an
+EQUIJOIN on short string keys — no theta-join, no cross product.
+
+Scale shape (100 TB): the op runs over the DISTINCT vocabulary, which
+by Heaps' law grows ~|corpus|^0.5 — the corpus-sized token stream is
+reduced to (word, count) by a map-side-combine hash aggregate before
+any neighborhood is generated.  A length-``k`` word emits
+``O(k^d / d!)`` keys (k+1 for d=1, ~k^2/2 for d=2), so the exploded
+key table is a small multiple of the vocabulary; the join shuffles
+only (key, word) pairs.  Per-key group sizes are bounded by how many
+vocabulary words share a (k-d)-length subsequence — flat for natural
+vocabularies; ``key_group_stats`` exposes the distribution so a caller
+can detect a pathological key (e.g. single-letter words with d=2)
+before paying for it.  Typo-correction reading: a candidate pair where
+one side's corpus frequency dwarfs the other flags the rare side as a
+likely misspelling of the common one (the SymSpell policy).
+
+Reference parity note: the reference engine normalizes mention strings
+for exact-match grounding (Grounding.scala) but has no fuzzy string
+join; this operator is part of the training-data-curation extension
+surface, not the port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def one_deletions(col: Column) -> Column:
+    """Array of the string itself plus every single-character deletion.
+
+    Pure JVM HOFs (transform/sequence/substring — no Python).  The
+    ``length = 0`` guard matters: Spark's ``sequence(1, 0)`` infers a
+    negative step and yields ``[1, 0]`` instead of an empty array.
+    """
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), i - 1),
+            F.substring(col, i + 1, F.length(col)),
+        ),
+    )
+    return F.when(F.length(col) == 0, F.array(col)).otherwise(
+        F.array_distinct(F.concat(F.array(col), dels))
+    )
+
+
+def deletion_neighborhood(col: Column, d: int) -> Column:
+    """``U_d(col)``: every string reachable by deleting ``<= d`` chars.
+
+    Built by iterating :func:`one_deletions` ``d`` times (each level
+    includes its input, so the union over 0..d comes for free).  The
+    expression nests ``d`` lambda levels — intended for small ``d``
+    (1 or 2, the useful typo range); key count grows ~``len^d/d!``.
+    """
+    if d < 0:
+        raise ValueError(f"deletion distance must be >= 0, got {d}")
+    out = F.array(col)
+    for _ in range(d):
+        out = F.array_distinct(
+            F.flatten(F.transform(out, lambda v: one_deletions(v)))
+        )
+    return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    str_col: str,
+    d: int = 1,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """All pairs of distinct ``str_col`` values with ``ed <= d``.
+
+    ``df`` must hold one row per distinct string (a vocabulary frame);
+    extra per-string columns named in ``keep_cols`` are carried onto
+    both sides of the pair with ``1``/``2`` suffixes.
+
+    Returns (w1, w2, ed, <keep1..>, <keep2..>) with ``w1 < w2`` and
+    ``1 <= ed <= d``.  Plan: project neighborhood → explode →
+    self-equijoin on the key → distinct pairs → map-side levenshtein
+    verify.  The distinct collapses multi-key candidates BEFORE the
+    verify so each pair is scored once.
+    """
+    keep = list(keep_cols or [])
+    # Stage the neighborhood array through its own projection: Catalyst
+    # does not CSE lambda-bearing expressions, and the array is
+    # referenced once by the explode anyway.
+    k = df.select(
+        F.col(str_col).alias("_w"),
+        *[F.col(c) for c in keep],
+        F.explode(deletion_neighborhood(F.col(str_col), d)).alias("_key"),
+    )
+    a = k.select(
+        F.col("_key"),
+        F.col("_w").alias("w1"),
+        *[F.col(c).alias(f"{c}1") for c in keep],
+    )
+    b = k.select(
+        F.col("_key"),
+        F.col("_w").alias("w2"),
+        *[F.col(c).alias(f"{c}2") for c in keep],
+    )
+    cand = (
+        a.join(b, "_key")
+        .filter(F.col("w1") < F.col("w2"))
+        .drop("_key")
+        .distinct()
+    )
+    ed = F.levenshtein(F.col("w1"), F.col("w2"))
+    return cand.filter(ed <= d).withColumn("ed", ed.cast("int"))
+
+
+def key_group_stats(df: DataFrame, str_col: str, d: int = 1) -> DataFrame:
+    """Skew diagnostic for the candidate join: one row per neighborhood
+    key-group size with the number of keys of that size — the candidate
+    pair count is ``sum(n_keys * size*(size-1)/2)``, so a single huge
+    group is visible here before the join pays for it."""
+    k = df.select(
+        F.explode(deletion_neighborhood(F.col(str_col), d)).alias("_key")
+    )
+    sizes = k.groupBy("_key").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .withColumn(
+            "candidate_pairs",
+            (
+                F.col("n_keys")
+                * F.col("group_size")
+                * (F.col("group_size") - 1)
+                / 2
+            ).cast("long"),
+        )
+    )

@@ -29,6 +29,7 @@ from platform_etl_literature_spark.functions.harmonic import (
 )
 from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import edjoin as EJ
 from platform_etl_literature_spark.operators import lm as LM
 from platform_etl_literature_spark.operators import multimodal as MM
 from platform_etl_literature_spark.operators import retrieval as RET
@@ -4096,6 +4097,37 @@ FROM r, tot
 """
 
 
+def q_edit_distance_join(spark: SparkSession, sf: str) -> DataFrame:
+    """FastSS deletion-neighborhood edit-distance join over the corpus
+    vocabulary (operators.edjoin.edit_distance_pairs, d=2): every word
+    pair within Levenshtein distance 2, with both corpus frequencies —
+    the typo/variant-detection primitive.  Candidate generation is an
+    equijoin on deletion keys over the DISTINCT vocabulary (map-side
+    combine reduces the token stream first); the oracle is the BRUTE
+    FORCE all-pairs levenshtein join, so a green row is a losslessness
+    proof of the neighborhood filter, not an algorithm replay."""
+    docs = _t(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return EJ.edit_distance_pairs(vocab, "w", d=2, keep_cols=["c"])
+
+
+_ORACLE_EDIT_JOIN = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM documents),
+v AS (SELECT w, count(*) AS c FROM w GROUP BY 1)
+SELECT a.w AS w1, b.w AS w2,
+       CAST(levenshtein(a.w, b.w) AS INT) AS ed,
+       a.c AS c1, b.c AS c2
+FROM v a JOIN v b
+  ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4337,6 +4369,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "lm_cross_score": QuerySpec(
         q_lm_cross_score, _ORACLE_LM_CROSS, "quality-cross-corpus-lm"
+    ),
+    "edit_distance_join": QuerySpec(
+        q_edit_distance_join, _ORACLE_EDIT_JOIN, "dedup-fastss-edit-join"
     ),
 }
 
