@@ -30,6 +30,7 @@ from platform_etl_literature_spark.functions.harmonic import (
 from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import edjoin as EJ
+from platform_etl_literature_spark.operators import robust as RB
 from platform_etl_literature_spark.operators import lm as LM
 from platform_etl_literature_spark.operators import multimodal as MM
 from platform_etl_literature_spark.operators import retrieval as RET
@@ -4128,6 +4129,66 @@ FROM v a JOIN v b
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD robust z-score outliers per event type
+    (operators.robust.robust_outliers, Iglewicz-Hoaglin cutoff 3.5).
+    Exact medians via distinct-value rank selection — no per-group raw
+    sort, duplicates collapse map-side; the oracle replays the same
+    selection so the medians (a 2-double fold + /2, both exact) match
+    bit-for-bit with no rounding contract."""
+    ev = read_events(spark, sf)
+    return RB.robust_outliers(
+        ev, ["event_type"], "value", cutoff=3.5, id_cols=["event_id"]
+    )
+
+
+_ORACLE_ROBUST = """
+WITH g AS (
+  SELECT event_type, value, count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT event_type, value, cnt,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM g),
+med AS (
+  SELECT event_type,
+    sum(value * (
+      (CASE WHEN cum - cnt + 1 <= (n + 1) // 2 AND (n + 1) // 2 <= cum
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN cum - cnt + 1 <= (n + 2) // 2 AND (n + 2) // 2 <= cum
+            THEN 1 ELSE 0 END))) / 2.0 AS med
+  FROM c GROUP BY 1),
+d AS (
+  SELECT e.event_id, e.event_type, e.value, med.med,
+         abs(e.value - med.med) AS dev
+  FROM events e JOIN med USING (event_type)
+  WHERE e.value IS NOT NULL),
+dg AS (
+  SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+dc AS (
+  SELECT event_type, dev, cnt,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM dg),
+mad AS (
+  SELECT event_type,
+    sum(dev * (
+      (CASE WHEN cum - cnt + 1 <= (n + 1) // 2 AND (n + 1) // 2 <= cum
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN cum - cnt + 1 <= (n + 2) // 2 AND (n + 2) // 2 <= cum
+            THEN 1 ELSE 0 END))) / 2.0 AS mad
+  FROM dc GROUP BY 1)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med, 6) AS med, round(mad.mad, 6) AS mad,
+       round(0.6745 * (d.value - d.med) / mad.mad, 6) AS z
+FROM d JOIN mad USING (event_type)
+WHERE mad.mad > 0 AND abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4372,6 +4433,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "edit_distance_join": QuerySpec(
         q_edit_distance_join, _ORACLE_EDIT_JOIN, "dedup-fastss-edit-join"
+    ),
+    "robust_outliers": QuerySpec(
+        q_robust_outliers, _ORACLE_ROBUST, "quality-robust-median-mad"
     ),
 }
 

@@ -1777,3 +1777,49 @@ def test_edit_join_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_median_matches_statistics_median(spark):
+    """Distinct-value rank-selection median == statistics.median on
+    random duplicate-heavy groups, odd and even sizes, singletons."""
+    import random as _r
+    import statistics as _st
+
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rng = _r.Random(42)
+    rows, want = [], {}
+    for gi, size in enumerate([1, 2, 3, 10, 11, 200]):
+        vals = [float(rng.randint(0, 8)) for _ in range(size)]
+        rows += [(f"g{gi}", v) for v in vals]
+        want[f"g{gi}"] = float(_st.median(vals))
+    rows.append(("gnull", None))
+    rows.append(("gnull", 5.0))
+    want["gnull"] = 5.0
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    got = {
+        r["k"]: r["med"]
+        for r in RB.grouped_median(df, ["k"], "v").collect()
+    }
+    assert got == want
+
+
+def test_robust_outliers_flags_and_mad_zero_guard(spark):
+    """A planted far point is flagged with the textbook z; a group
+    whose MAD is 0 (majority at one value) flags nothing."""
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 100]]
+    rows += [("z", 5.0)] * 6 + [("z", 999.0)]
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "event_id long, k string, v double",
+    )
+    out = RB.robust_outliers(
+        df, ["k"], "v", cutoff=3.5, id_cols=["event_id"]
+    ).collect()
+    # group a: med 4.5, MAD 2.0, z(100) = .6745*95.5/2 = 32.21 -> flagged
+    assert [(r["k"], r["v"], r["med"], r["mad"], r["z"]) for r in out] == [
+        ("a", 100.0, 4.5, 2.0, round(0.6745 * 95.5 / 2.0, 6))
+    ]
