@@ -1,0 +1,178 @@
+"""Declarative data-quality verification (the Deequ pattern).
+
+Schelter et al., "Automating Large-Scale Data Quality Verification"
+(VLDB'18): quality constraints are DECLARED (completeness, uniqueness,
+compliance, bounds, referential integrity), translated to aggregate
+METRICS computed by the engine, and judged against thresholds — the
+report is itself a DataFrame, so a 100 TB table's health check is one
+job, not a notebook of ad-hoc counts.
+
+Metric passes:
+
+* All single-row metrics (completeness / distinctness / compliance /
+  min / max) compile into ONE ``agg`` over the table — a single scan
+  with map-side partial aggregation; ``count(distinct)`` columns ride
+  the same pass via Spark's Expand (one extra shuffle leg per distinct
+  column, still no second scan of the parquet).
+* Deequ-``uniqueness`` (share of values occurring exactly once) needs
+  per-value counts — one ``groupBy(col)`` pass per checked column,
+  shuffling only the column itself (column pruning keeps the scan
+  slim).
+* Referential integrity is a left join against the DISTINCT dimension
+  keys (dimension side deduplicated first — at 100 TB the fact side
+  crosses the wire once; a broadcast is AQE's call when the distinct
+  key set is small).
+
+The report schema is fixed: (check, target, metric, threshold,
+passed).  ``metric`` is a DOUBLE: ratios are exact two-BIGINT
+divisions (bit-identical in any engine), bounds are the raw column
+value — rounded to 6 dp at the edge per the suite float policy.
+
+Reference parity note: the reference engine hard-codes its quality
+gates (e.g. the section allow-list and match-count thresholds in
+Processing.scala / Grounding.scala); this operator is the declarative
+generalization for the curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REPORT_FIELDS = ("check", "target", "metric", "threshold", "passed")
+
+
+def _report_struct(
+    check: str, target: str, metric: Column, threshold: float, passed: Column
+) -> Column:
+    return F.struct(
+        F.lit(check).alias("check"),
+        F.lit(target).alias("target"),
+        F.round(metric.cast("double"), 6).alias("metric"),
+        F.lit(float(threshold)).cast("double").alias("threshold"),
+        passed.alias("passed"),
+    )
+
+
+def verify(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Run declarative checks against ``df``; returns the report frame.
+
+    Each check is a dict with ``check`` in {completeness, distinctness,
+    uniqueness, compliance, min, max} plus:
+
+    * completeness/distinctness/uniqueness: ``column``, ``min_ratio``
+    * compliance: ``name``, ``predicate`` (SQL boolean), ``min_ratio``
+    * min / max: ``column``, ``bound`` (numeric; min checks ``>=``,
+      max checks ``<=``)
+    """
+    single: list[Column] = []  # report structs over the one-row agg
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    uniq_cols: list[tuple[str, float]] = []
+
+    for i, c in enumerate(checks):
+        kind = c["check"]
+        if kind == "completeness":
+            aggs.append(F.count(c["column"]).alias(f"_m{i}"))
+            metric = F.col(f"_m{i}") / F.col("_n")
+            single.append(_report_struct(
+                kind, c["column"], metric, c["min_ratio"],
+                metric >= c["min_ratio"],
+            ))
+        elif kind == "distinctness":
+            aggs.append(F.countDistinct(c["column"]).alias(f"_m{i}"))
+            metric = F.col(f"_m{i}") / F.col("_n")
+            single.append(_report_struct(
+                kind, c["column"], metric, c["min_ratio"],
+                metric >= c["min_ratio"],
+            ))
+        elif kind == "compliance":
+            pred = F.expr(c["predicate"])
+            aggs.append(
+                F.sum(F.when(pred, 1).otherwise(0)).alias(f"_m{i}")
+            )
+            metric = F.col(f"_m{i}") / F.col("_n")
+            single.append(_report_struct(
+                kind, c["name"], metric, c["min_ratio"],
+                metric >= c["min_ratio"],
+            ))
+        elif kind in ("min", "max"):
+            agg = F.min(c["column"]) if kind == "min" else F.max(c["column"])
+            aggs.append(agg.alias(f"_m{i}"))
+            metric = F.col(f"_m{i}")
+            passed = (
+                metric >= c["bound"] if kind == "min" else metric <= c["bound"]
+            )
+            single.append(_report_struct(
+                kind, c["column"], metric, c["bound"], passed
+            ))
+        elif kind == "uniqueness":
+            uniq_cols.append((c["column"], c["min_ratio"]))
+        else:
+            raise ValueError(f"unknown check kind: {kind}")
+
+    parts: list[DataFrame] = []
+    if single:
+        base = df.agg(*aggs)
+        parts.append(
+            base.select(F.explode(F.array(*single)).alias("_r"))
+            .select("_r.*")
+        )
+    for col, min_ratio in uniq_cols:
+        parts.append(uniqueness(df, col, min_ratio))
+    if not parts:
+        raise ValueError("no checks given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def uniqueness(df: DataFrame, column: str, min_ratio: float) -> DataFrame:
+    """Deequ uniqueness: |values occurring exactly once| / |rows with a
+    value| — 1.0 iff the column is a key.  One groupBy pass over the
+    pruned column."""
+    per = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = per.agg(
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("_once"),
+        F.sum("_c").alias("_n"),
+    )
+    metric = F.col("_once") / F.col("_n")
+    return agg.select(
+        _report_struct(
+            "uniqueness", column, metric, min_ratio, metric >= min_ratio
+        ).alias("_r")
+    ).select("_r.*")
+
+
+def referential_integrity(
+    df: DataFrame,
+    column: str,
+    dim: DataFrame,
+    dim_column: str,
+    min_ratio: float = 1.0,
+) -> DataFrame:
+    """Share of non-null foreign keys present in the dimension.
+
+    Left join against the deduplicated dimension keys; the metric is
+    matched / non-null.  Append to a :func:`verify` report with
+    ``unionByName``.
+    """
+    keys = dim.select(F.col(dim_column).alias("_dk")).distinct()
+    fact = df.filter(F.col(column).isNotNull()).select(
+        F.col(column).alias("_fk")
+    )
+    joined = fact.join(keys, fact["_fk"] == keys["_dk"], "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count("_dk").alias("_hit"),
+    )
+    metric = F.col("_hit") / F.col("_n")
+    return agg.select(
+        _report_struct(
+            "referential", column, metric, min_ratio, metric >= min_ratio
+        ).alias("_r")
+    ).select("_r.*")

@@ -30,6 +30,7 @@ from platform_etl_literature_spark.functions.harmonic import (
 from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import edjoin as EJ
+from platform_etl_literature_spark.operators import quality_checks as QC
 from platform_etl_literature_spark.operators import robust as RB
 from platform_etl_literature_spark.operators import lm as LM
 from platform_etl_literature_spark.operators import multimodal as MM
@@ -4189,6 +4190,77 @@ WHERE mad.mad > 0 AND abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5
 """
 
 
+def q_dq_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative Deequ-style data-quality verification of ``orders``
+    (operators.quality_checks): completeness / distinctness /
+    compliance / bounds ride ONE scan, uniqueness one grouped pass,
+    referential integrity a left join against distinct customer keys.
+    The o_orderpriority distinctness check is deliberately strict so a
+    failing report row is exercised, not just the happy path."""
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    report = QC.verify(
+        orders,
+        [
+            {"check": "completeness", "column": "o_custkey", "min_ratio": 1.0},
+            {"check": "distinctness", "column": "o_orderkey", "min_ratio": 1.0},
+            {"check": "distinctness", "column": "o_orderpriority",
+             "min_ratio": 0.5},
+            {"check": "compliance", "name": "positive_total",
+             "predicate": "o_totalprice > 0", "min_ratio": 1.0},
+            {"check": "min", "column": "o_totalprice", "bound": 0.0},
+            {"check": "max", "column": "o_totalprice", "bound": 500000.0},
+            {"check": "uniqueness", "column": "o_orderkey", "min_ratio": 1.0},
+        ],
+    )
+    return report.unionByName(
+        QC.referential_integrity(orders, "o_custkey", customer, "c_custkey")
+    )
+
+
+_ORACLE_DQ = """
+WITH base AS (
+  SELECT count(*) AS n, count(o_custkey) AS c_cust,
+         count(DISTINCT o_orderkey) AS d_ok,
+         count(DISTINCT o_orderpriority) AS d_op,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS ok_pos,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx
+  FROM orders),
+uq AS (
+  SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS once, sum(c) AS n
+  FROM (SELECT count(*) AS c FROM orders
+        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)),
+rf AS (
+  SELECT count(*) AS n, count(c._dk) AS hit
+  FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+  LEFT JOIN (SELECT DISTINCT c_custkey AS _dk FROM customer) c
+    ON o.o_custkey = c._dk)
+SELECT 'completeness' AS "check", 'o_custkey' AS target,
+       round(c_cust / n, 6) AS metric, 1.0 AS threshold,
+       c_cust / n >= 1.0 AS passed FROM base
+UNION ALL
+SELECT 'distinctness', 'o_orderkey', round(d_ok / n, 6), 1.0,
+       d_ok / n >= 1.0 FROM base
+UNION ALL
+SELECT 'distinctness', 'o_orderpriority', round(d_op / n, 6), 0.5,
+       d_op / n >= 0.5 FROM base
+UNION ALL
+SELECT 'compliance', 'positive_total', round(ok_pos / n, 6), 1.0,
+       ok_pos / n >= 1.0 FROM base
+UNION ALL
+SELECT 'min', 'o_totalprice', round(mn, 6), 0.0, mn >= 0.0 FROM base
+UNION ALL
+SELECT 'max', 'o_totalprice', round(mx, 6), 500000.0,
+       mx <= 500000.0 FROM base
+UNION ALL
+SELECT 'uniqueness', 'o_orderkey', round(once / n, 6), 1.0,
+       once / n >= 1.0 FROM uq
+UNION ALL
+SELECT 'referential', 'o_custkey', round(hit / n, 6), 1.0,
+       hit / n >= 1.0 FROM rf
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4436,6 +4508,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "robust_outliers": QuerySpec(
         q_robust_outliers, _ORACLE_ROBUST, "quality-robust-median-mad"
+    ),
+    "dq_verify": QuerySpec(
+        q_dq_verify, _ORACLE_DQ, "quality-declarative-verification"
     ),
 }
 

@@ -1823,3 +1823,53 @@ def test_robust_outliers_flags_and_mad_zero_guard(spark):
     assert [(r["k"], r["v"], r["med"], r["mad"], r["z"]) for r in out] == [
         ("a", 100.0, 4.5, 2.0, round(0.6745 * 95.5 / 2.0, 6))
     ]
+
+
+def test_dq_verify_report_values_and_failures(spark):
+    """Dirty fixture: nulls, a duplicated key, an out-of-bound value,
+    and an orphan foreign key — every check kind must compute the
+    textbook metric and judge it."""
+    from platform_etl_literature_spark.operators import quality_checks as QC
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (2, 10, -1.0),     # dup fk 10, negative value
+            (3, None, 2.0),    # null fk
+            (3, 99, None),     # dup id 3, orphan fk 99, null value
+        ],
+        "id long, fk long, v double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "k long")
+
+    rep = QC.verify(
+        df,
+        [
+            {"check": "completeness", "column": "fk", "min_ratio": 1.0},
+            {"check": "distinctness", "column": "id", "min_ratio": 1.0},
+            {"check": "compliance", "name": "v_pos", "predicate": "v > 0",
+             "min_ratio": 0.5},
+            {"check": "min", "column": "v", "bound": 0.0},
+            {"check": "max", "column": "v", "bound": 10.0},
+            {"check": "uniqueness", "column": "id", "min_ratio": 1.0},
+        ],
+    ).unionByName(QC.referential_integrity(df, "fk", dim, "k"))
+
+    got = {
+        (r["check"], r["target"]): (r["metric"], r["threshold"], r["passed"])
+        for r in rep.collect()
+    }
+    assert got == {
+        ("completeness", "fk"): (0.75, 1.0, False),
+        ("distinctness", "id"): (0.75, 1.0, False),
+        ("compliance", "v_pos"): (0.5, 0.5, True),
+        ("min", "v"): (-1.0, 0.0, False),
+        ("max", "v"): (5.0, 10.0, True),
+        ("uniqueness", "id"): (0.5, 1.0, False),
+        ("referential", "fk"): (round(2 / 3, 6), 1.0, False),
+    }
+
+    with pytest.raises(ValueError, match="unknown check"):
+        QC.verify(df, [{"check": "nope"}])
+    with pytest.raises(ValueError, match="no checks"):
+        QC.verify(df, [])
