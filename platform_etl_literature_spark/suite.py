@@ -30,6 +30,7 @@ from platform_etl_literature_spark.functions.harmonic import (
 from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import edjoin as EJ
+from platform_etl_literature_spark.operators import graph as GR
 from platform_etl_literature_spark.operators import quality_checks as QC
 from platform_etl_literature_spark.operators import robust as RB
 from platform_etl_literature_spark.operators import lm as LM
@@ -4261,6 +4262,61 @@ SELECT 'referential', 'o_custkey', round(hit / n, 6), 1.0,
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts sharing an
+    order): operators.graph.pair_edges → triangle_stats.  Degree
+    orientation bounds the wedge join's max out-degree at O(√m) — the
+    Suri-Vassilvitskii last-reducer fix — and counts each triangle
+    exactly once; the oracle replays edges → degrees → orientation →
+    wedge close in SQL, so every integer (and the 3T/wedges clustering
+    coefficient) must agree exactly."""
+    li = _t(spark, sf, "lineitem")
+    edges = GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    return GR.triangle_stats(edges)
+
+
+_ORACLE_TRIANGLES = """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 64),
+k AS (SELECT m.g, m.i FROM m JOIN sz USING (g)),
+e AS (SELECT DISTINCT a.i AS u, b.i AS v
+      FROM k a JOIN k b ON a.g = b.g AND a.i < b.i),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1),
+o AS (
+  SELECT
+    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         THEN e.u ELSE e.v END AS src,
+    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         THEN e.v ELSE e.u END AS dst,
+    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         THEN dv.deg ELSE du.deg END AS ddeg
+  FROM e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node),
+w AS (
+  SELECT e1.dst AS w1, e2.dst AS w2
+  FROM o e1 JOIN o e2 ON e1.src = e2.src
+  WHERE e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM w JOIN o ON w.w1 = o.src AND w.w2 = o.dst),
+summary AS (
+  SELECT count(*) AS n_nodes, max(deg) AS max_degree,
+         CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg),
+ne AS (SELECT count(*) AS n_edges FROM e)
+SELECT n_nodes, n_edges, CAST(max_degree AS BIGINT) AS max_degree,
+       n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, 6)
+            ELSE 0.0 END AS clustering
+FROM summary, ne, tri
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4511,6 +4567,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "dq_verify": QuerySpec(
         q_dq_verify, _ORACLE_DQ, "quality-declarative-verification"
+    ),
+    "graph_triangles": QuerySpec(
+        q_graph_triangles, _ORACLE_TRIANGLES, "graph-oriented-triangles"
     ),
 }
 

@@ -1873,3 +1873,66 @@ def test_dq_verify_report_values_and_failures(spark):
         QC.verify(df, [{"check": "nope"}])
     with pytest.raises(ValueError, match="no checks"):
         QC.verify(df, [])
+
+
+def test_triangle_stats_known_and_random_graphs(spark):
+    """K4 (4 triangles, clustering 1.0), a triangle-free star, and a
+    random graph checked against a brute-force python census."""
+    import itertools as _it
+    import random as _r
+
+    from platform_etl_literature_spark.operators import graph as GR
+
+    def stats(edge_list):
+        df = spark.createDataFrame(edge_list, "u long, v long")
+        [r] = GR.triangle_stats(df).collect()
+        return r
+
+    k4 = [(a, b) for a, b in _it.combinations(range(4), 2)]
+    r = stats(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["clustering"] == 1.0
+    assert r["max_degree"] == 3 and r["n_wedges"] == 12
+
+    star = [(0, i) for i in range(1, 6)]
+    r = stats(star)
+    assert r["n_triangles"] == 0 and r["clustering"] == 0.0
+
+    rng = _r.Random(7)
+    nodes = range(30)
+    rand = [
+        (a, b) for a, b in _it.combinations(nodes, 2) if rng.random() < 0.25
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in rand:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1 for a, b, c in _it.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    r = stats(rand)
+    assert r["n_triangles"] == want
+    assert r["n_wedges"] == sum(
+        len(s) * (len(s) - 1) // 2 for s in adj.values()
+    )
+
+
+def test_pair_edges_dedup_and_group_valve(spark):
+    """Duplicate group memberships collapse; a group over the valve is
+    excluded entirely (its exclusive pairs vanish, shared pairs survive
+    via smaller groups)."""
+    from platform_etl_literature_spark.operators import graph as GR
+
+    rows = (
+        [("g1", i) for i in (1, 2, 3)]
+        + [("g1", 2)]                      # duplicate membership
+        + [("g2", 2), ("g2", 3)]           # pair (2,3) also via g2
+        + [("gBIG", i) for i in range(10)]  # over the valve
+    )
+    df = spark.createDataFrame(rows, "g string, i long")
+    got = {
+        (r["u"], r["v"])
+        for r in GR.pair_edges(df, "g", "i", max_group=5).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
