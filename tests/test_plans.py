@@ -346,3 +346,42 @@ def test_ivfpq_broadcasts_probes_single_topk_shuffle(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_edit_join_vocab_reused_equijoin_only(spark, sf_dir):
+    """FastSS candidate generation must be an equijoin on deletion keys
+    (never a cross/theta join), and the vocabulary aggregate must be
+    computed once and reused on both sides of the self-join."""
+    df = SUITE["edit_distance_join"].fn(spark, sf_dir)
+    df.collect()  # AQE inserts ReusedExchange only in the final plan
+    plan = _simple_plan(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "ReusedExchange" in plan, plan[:3000]
+
+
+def test_robust_outliers_partitioned_windows_broadcast_stats(spark, sf_dir):
+    """Median selection windows are partitioned by the group key (no
+    single-reducer sort of raw values), and the slim per-group stats
+    row broadcasts back onto the corpus."""
+    plan = _simple_plan(SUITE["robust_outliers"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_dq_verify_distinct_metrics_share_one_pass(spark, sf_dir):
+    """The two count(distinct) metrics must ride the same aggregate via
+    Expand — one scan, not one job per metric — and the referential
+    check must stay a hash join against distinct dimension keys."""
+    plan = _simple_plan(SUITE["dq_verify"].fn(spark, sf_dir))
+    assert "Expand" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_graph_triangles_no_cartesian_wedges(spark, sf_dir):
+    """Wedge generation and closure are equijoins on src / (w1, w2);
+    the only nested-loop joins are the three one-row scalar combines
+    of the final summary."""
+    plan = _simple_plan(SUITE["graph_triangles"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
