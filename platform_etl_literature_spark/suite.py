@@ -31,6 +31,7 @@ from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import edjoin as EJ
 from platform_etl_literature_spark.operators import graph as GR
+from platform_etl_literature_spark.operators import pagerank as PR
 from platform_etl_literature_spark.operators import quality_checks as QC
 from platform_etl_literature_spark.operators import robust as RB
 from platform_etl_literature_spark.operators import lm as LM
@@ -4317,6 +4318,67 @@ FROM summary, ne, tri
 """
 
 
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer PageRank (operators.pagerank, 5 iterations,
+    damping 85%) over the symmetrized co-purchase graph: all mass in
+    nano-units, every iteration pure integer arithmetic, so the oracle
+    replays the recurrence iteration-for-iteration and every
+    rank_nano must agree EXACTLY — the float-free formulation of
+    iterative graph scoring."""
+    li = _t(spark, sf, "lineitem")
+    edges = GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    return PR.pagerank(PR.symmetrize(edges), n_iter=5, damping_pct=85)
+
+
+def _pagerank_oracle(
+    n_iter: int = 5, damping_pct: int = 85, scale: int = 10**9
+) -> str:
+    """Unrolled-iteration SQL replay of operators.pagerank.pagerank
+    over the co-purchase edges.  Every rank CTE is MATERIALIZED — a
+    DuckDB CTE referenced N times re-evaluates N times otherwise, and
+    each iteration reads its predecessor three ways."""
+    dp = damping_pct
+    sql = [f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 64),
+k AS (SELECT m.g, m.i FROM m JOIN sz USING (g)),
+eu AS (SELECT DISTINCT a.i AS u, b.i AS v
+       FROM k a JOIN k b ON a.g = b.g AND a.i < b.i),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM eu
+  UNION ALL SELECT v AS src, u AS dst FROM eu),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+nd AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+od AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS MATERIALIZED (
+  SELECT node, CAST({scale} // nd.n AS BIGINT) AS rank FROM nodes, nd)"""]
+    for it in range(1, n_iter + 1):
+        p = it - 1
+        sql.append(f""",
+c{it} AS (
+  SELECT e.dst AS node, sum(r.rank // od.outdeg) AS contrib
+  FROM e JOIN r{p} r ON e.src = r.node JOIN od ON e.src = od.src
+  GROUP BY 1),
+d{it} AS (
+  SELECT coalesce(sum(r.rank), 0) AS d
+  FROM r{p} r LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL),
+r{it} AS MATERIALIZED (
+  SELECT n.node, CAST(
+    (CAST(100 - {dp} AS BIGINT) * {scale}) // (100 * nd.n)
+    + ({dp} * (coalesce(c.contrib, 0) + d{it}.d // nd.n)) // 100
+    AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{it} c ON n.node = c.node, d{it}, nd)""")
+    sql.append(f"""
+SELECT node, rank AS rank_nano,
+       round(rank / {scale}.0, 6) AS rank
+FROM r{n_iter}""")
+    return "".join(sql)
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4570,6 +4632,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "graph_triangles": QuerySpec(
         q_graph_triangles, _ORACLE_TRIANGLES, "graph-oriented-triangles"
+    ),
+    "pagerank": QuerySpec(
+        q_pagerank, _pagerank_oracle(), "graph-exact-integer-pagerank"
     ),
 }
 

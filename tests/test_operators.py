@@ -1936,3 +1936,62 @@ def test_pair_edges_dedup_and_group_valve(spark):
         for r in GR.pair_edges(df, "g", "i", max_group=5).collect()
     }
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def _pagerank_ref(arcs, n_iter=5, dp=85, scale=10**9):
+    """Python replay of the exact-integer PageRank recurrence."""
+    nodes = sorted({n for a in arcs for n in a})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in arcs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    tp = ((100 - dp) * scale) // (100 * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0 for v in nodes}
+        for s, d in arcs:
+            contrib[d] += rank[s] // outdeg[s]
+        dang = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {
+            v: tp + (dp * (contrib[v] + dang // n)) // 100 for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_python_reference_with_dangling(spark):
+    """Directed graph with a dangling sink and a hub: every rank_nano
+    equals the python replay exactly, and the hub outranks leaves."""
+    from platform_etl_literature_spark.operators import pagerank as PR
+
+    arcs = [(1, 9), (2, 9), (3, 9), (9, 1), (4, 5)]  # 5 is dangling
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    got = {r["node"]: r["rank_nano"] for r in PR.pagerank(df).collect()}
+    assert got == _pagerank_ref(arcs)
+    assert got[9] == max(got.values())
+
+    with pytest.raises(ValueError, match="0..100"):
+        PR.pagerank(df, damping_pct=101)
+
+
+def test_pagerank_cycle_uniform_and_mass_conserved(spark):
+    """A directed cycle is perfectly symmetric → all ranks equal; total
+    mass stays within the documented floor-loss bound of 1.0."""
+    from platform_etl_literature_spark.operators import pagerank as PR
+
+    n, n_iter, scale = 7, 4, 10**9
+    arcs = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    rows = PR.pagerank(df, n_iter=n_iter).collect()
+    ranks = {r["node"]: r["rank_nano"] for r in rows}
+    assert len(set(ranks.values())) == 1
+    total = sum(ranks.values())
+    assert total <= scale
+    assert scale - total <= n_iter * (len(arcs) + n + 1) + n
+
+
+def test_symmetrize_emits_both_arcs(spark):
+    from platform_etl_literature_spark.operators import pagerank as PR
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    got = sorted(map(tuple, PR.symmetrize(df).collect()))
+    assert got == [(1, 2), (2, 1), (2, 3), (3, 2)]
