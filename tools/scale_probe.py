@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from platform_etl_literature_spark.operators import bpe as B
 from platform_etl_literature_spark.operators import components as CC
 from platform_etl_literature_spark.operators import dedup as D
+from platform_etl_literature_spark.operators import edjoin as EJ
+from platform_etl_literature_spark.operators import graph as GR
+from platform_etl_literature_spark.operators import pagerank as PGR
+from platform_etl_literature_spark.operators import quality_checks as QC
+from platform_etl_literature_spark.operators import robust as RB
 from platform_etl_literature_spark.operators import lm as LM
 from platform_etl_literature_spark.operators import layout as LAY
 from platform_etl_literature_spark.operators import profile as PRO
@@ -139,6 +144,30 @@ OPS = {
     "bpe_encode": lambda df: B.bpe_encode(
         df, "doc_id", "text", _FROZEN_MERGES
     ),
+    # round-6 additions (this session).  The probe vocabulary grows
+    # linearly with the factor (every copy's tokens carry a distinct
+    # xi suffix), which is exactly the FastSS stress axis.
+    "edit_distance_join": lambda df: EJ.edit_distance_pairs(
+        df.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c")),
+        "w",
+        d=2,
+        keep_cols=["c"],
+    ),
+    "robust_outliers": lambda df: RB.robust_outliers(
+        df, ["lang"], "n_chars", cutoff=3.5, id_cols=["doc_id"]
+    ),
+    "dq_verify": lambda df: QC.verify(
+        df,
+        [
+            {"check": "completeness", "column": "text", "min_ratio": 1.0},
+            {"check": "distinctness", "column": "lang", "min_ratio": 0.001},
+            {"check": "compliance", "name": "nonempty",
+             "predicate": "n_chars > 0", "min_ratio": 1.0},
+            {"check": "uniqueness", "column": "doc_id", "min_ratio": 1.0},
+        ],
+    ),
 }
 
 # the suite's frozen 8-merge tokenizer (suite.BPE_FROZEN_MERGES
@@ -219,11 +248,49 @@ EMB_OPS = {
 }
 
 
+def scaled_lineitem(spark, factor: int) -> str:
+    """Scaled co-purchase input: copy i shifts BOTH keys by i·max, so
+    each copy is a disjoint, structure-identical subgraph — node and
+    edge counts scale linearly with no artificial cross-copy edges."""
+    path = f"{WORK}/li_x{factor}.parquet"
+    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    no, np_ = base.agg(
+        F.max("l_orderkey") + 1, F.max("l_partkey") + 1
+    ).first()
+    copies = [
+        base.select(
+            (F.col("l_orderkey") + F.lit(i * no)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(i * np_)).alias("l_partkey"),
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+GRAPH_OPS = {
+    "graph_triangles": lambda li: GR.triangle_stats(
+        GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    ),
+    "pagerank_5it": lambda li: PGR.pagerank(
+        PGR.symmetrize(
+            GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+        ),
+        n_iter=5,
+    ),
+}
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     spark = build_session("scale-probe")
     results: dict[str, dict[int, dict]] = {
-        name: {} for name in list(OPS) + list(EMB_OPS)
+        name: {} for name in list(OPS) + list(EMB_OPS) + list(GRAPH_OPS)
     }
     n_docs: dict[int, int] = {}
 
@@ -260,6 +327,11 @@ def main() -> None:
         )
         for name, fn in EMB_OPS.items():
             probe(name, lambda d, f=fn: f(d, bits, cents), emb, factor, n_emb)
+        lpath = scaled_lineitem(spark, factor)
+        li = spark.read.parquet(lpath)
+        n_li = li.count()
+        for name, fn in GRAPH_OPS.items():
+            probe(name, fn, li, factor, n_li)
 
     lines = [
         "# SCALE — measured scaling of the training-data operators",
@@ -276,7 +348,11 @@ def main() -> None:
         "constant — the knob that makes bucketed candidate generation "
         "scale; semantic_dedup's k-means cluster count grows as n/250 "
         "for the same reason (its untimed build-once quantizer is "
-        "re-trained per factor).  Per "
+        "re-trained per factor).  Graph rows (graph_triangles, "
+        "pagerank_5it) scale the sf0.1 lineitem co-purchase input the "
+        "same way (copy i shifts both keys — disjoint "
+        "structure-identical subgraphs, rows/sec is lineitem "
+        "rows).  Per "
         "cell: steady-state seconds (min of 2) and "
         "rows/sec.  Linear ops should hold rows/sec roughly constant as "
         "the corpus grows; pair-generating ops grow with candidate "
@@ -287,7 +363,7 @@ def main() -> None:
         "| operator | " + " | ".join(f"{f}x" for f in factors) + " |",
         "|---|" + "|".join(["---"] * len(factors)) + "|",
     ]
-    for name in list(OPS) + list(EMB_OPS):
+    for name in list(OPS) + list(EMB_OPS) + list(GRAPH_OPS):
         cells = [
             f"{results[name][f]['sec']}s · {results[name][f]['docs_per_sec']:,}/s"
             for f in factors
