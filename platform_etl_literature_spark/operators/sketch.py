@@ -160,3 +160,40 @@ def cms_topk(
     return ranked_topk(
         est, [F.col("est_count").desc(), F.col(col)], k
     ).select(col, "est_count", "rank")
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, d: int = 3
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min grids built
+    with the same (w, d) over the join key: per sketch row the
+    cell-wise inner product Σ_p a[r,p]·b[r,p] over-counts |A ⋈ B| by
+    exactly the hash collisions, so the MIN across the d rows is the
+    classic one-sided estimate (Cormode & Muthukrishnan '05, the CM
+    analog of the AMS inner product): always ≥ the true join size,
+    tight when w ≫ distinct keys.
+
+    This is the planner's use of the sketch family: join sizes of
+    100 TB fact tables judged from two broadcast-sized grids that were
+    built in one pass each (and are MERGEABLE across partitions/days —
+    estimate first, shuffle only if the answer says it's affordable).
+    Inner-join the grids on (r, p): absent cells are zero and
+    contribute nothing.  Returns one row (est_join_size).
+    """
+    prod = (
+        sketch_a.alias("a")
+        .join(sketch_b.alias("b"), ["r", "p"])
+        .select(
+            F.col("r"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("_prod"),
+        )
+    )
+    per_row = prod.groupBy("r").agg(F.sum("_prod").alias("_ip"))
+    # a row with NO colliding cells has inner product 0; surface it via
+    # the d-row spine so the min is taken over all d rows
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) < d, F.lit(0))
+        .otherwise(F.min("_ip"))
+        .cast("long")
+        .alias("est_join_size")
+    )

@@ -4379,6 +4379,64 @@ FROM r{n_iter}""")
     return "".join(sql)
 
 
+def q_cms_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based join cardinality estimation
+    (operators.sketch.cms_join_size): |orders ⋈ customer| judged from
+    two 3x512 count-min grids via the per-row inner product, min
+    across rows — the Cormode-Muthukrishnan one-sided estimate.  The
+    grid is deliberately tight (1.5k keys in 512 cells at sf0.01) so
+    collisions genuinely inflate the estimate; the TRUE join size
+    rides along so the ≥ guarantee is visible in the checked row."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    w, d = 512, 3
+    oa = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    cb = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    est = SK.cms_join_size(
+        SK.cms_build(oa, "k", w, d), SK.cms_build(cb, "k", w, d), d
+    )
+    true = (
+        oa.join(cb, "k").agg(F.count(F.lit(1)).alias("true_join_size"))
+    )
+    return est.crossJoin(true)
+
+
+_ORACLE_CMS_JOIN_SIZE = """
+WITH oa AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+  WHERE o_custkey IS NOT NULL),
+cb AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+  WHERE c_custkey IS NOT NULL),
+ii AS (SELECT unnest(generate_series(0, 2)) AS r),
+ga AS (
+  SELECT ii.r, (h1 + ii.r * h2) % 512 AS p, count(*) AS cnt
+  FROM (SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5('c2:' || k), 1, 8))::BIGINT AS h2
+        FROM oa) CROSS JOIN ii GROUP BY 1, 2),
+gb AS (
+  SELECT ii.r, (h1 + ii.r * h2) % 512 AS p, count(*) AS cnt
+  FROM (SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5('c2:' || k), 1, 8))::BIGINT AS h2
+        FROM cb) CROSS JOIN ii GROUP BY 1, 2),
+ip AS (
+  SELECT ga.r, sum(ga.cnt * gb.cnt) AS ip
+  FROM ga JOIN gb ON ga.r = gb.r AND ga.p = gb.p GROUP BY 1),
+est AS (
+  SELECT CAST(CASE WHEN count(*) < 3 THEN 0 ELSE min(ip) END AS BIGINT)
+         AS est_join_size
+  FROM ip),
+tj AS (
+  SELECT count(*) AS true_join_size
+  FROM oa JOIN cb ON oa.k = cb.k)
+SELECT est_join_size, true_join_size FROM est, tj
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4635,6 +4693,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "pagerank": QuerySpec(
         q_pagerank, _pagerank_oracle(), "graph-exact-integer-pagerank"
+    ),
+    "cms_join_size": QuerySpec(
+        q_cms_join_size, _ORACLE_CMS_JOIN_SIZE, "sketch-join-cardinality"
     ),
 }
 

@@ -1995,3 +1995,32 @@ def test_symmetrize_emits_both_arcs(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
     got = sorted(map(tuple, PR.symmetrize(df).collect()))
     assert got == [(1, 2), (2, 1), (2, 3), (3, 2)]
+
+
+def test_cms_join_size_one_sided_and_exact_when_roomy(spark):
+    """Inner-product estimate >= the true equi-join size always; EXACT
+    when the grid is wide enough that no two keys collide in any row;
+    disjoint key sets estimate 0 when some cell pair is empty."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    a = spark.createDataFrame(
+        [(k,) for k in ["x", "x", "y", "z", "z", "z"]], "k string"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in ["x", "y", "y", "w"]], "k string"
+    )
+    true_size = a.join(b, "k").count()  # 2*1 + 1*2 = 4
+
+    for w, d in [(8192, 3), (4, 2)]:
+        est = SK.cms_join_size(
+            SK.cms_build(a, "k", w, d), SK.cms_build(b, "k", w, d), d
+        ).first()["est_join_size"]
+        assert est >= true_size, (w, d, est)
+        if w == 8192:
+            assert est == true_size
+
+    disj = spark.createDataFrame([("p",), ("q",)], "k string")
+    est0 = SK.cms_join_size(
+        SK.cms_build(a, "k", 8192, 3), SK.cms_build(disj, "k", 8192, 3), 3
+    ).first()["est_join_size"]
+    assert est0 == 0

@@ -667,3 +667,34 @@ def test_cms_stream_maintenance_merges_exactly(spark, tmp_path):
     }
     for wd, true in (("a", 3), ("b", 1), ("c", 3), ("d", 1)):
         assert est[wd] >= true
+
+
+def test_streaming_outlier_flags_match_batch_operator(spark, batch_events):
+    """Stream-static robust-anomaly enrichment: batch-computed med/MAD
+    broadcast into the stream must flag EXACTLY the batch operator's
+    outlier set (shared z arithmetic, shared mad=0 guard) with zero
+    streaming state (append mode, no watermark)."""
+    from platform_etl_literature_spark.operators import robust as RB
+    from platform_etl_literature_spark.streaming.anomaly import flag_outliers
+
+    stats = RB.robust_stats(batch_events, ["event_type"], "value")
+    stream = read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
+    flagged = flag_outliers(
+        stream, stats, ["event_type"], "value",
+        cutoff=2.5, carry_cols=["event_id"],
+    )
+    q = run_to_memory(flagged, "outliers_t", output_mode="append")
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r["event_id"], r["z"]) for r in spark.table("outliers_t").collect()
+    }
+    want = {
+        (r["event_id"], r["z"])
+        for r in RB.robust_outliers(
+            batch_events, ["event_type"], "value",
+            cutoff=2.5, id_cols=["event_id"],
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0

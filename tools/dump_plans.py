@@ -207,6 +207,40 @@ SHOWCASE: dict[str, str] = {
         "single-row count before the 1×1 cross joins, so the union "
         "carries five rows total."
     ),
+    "edit_distance_join": (
+        "FastSS candidates come from an equijoin on deletion keys — no "
+        "cartesian/theta join anywhere; the vocabulary aggregate is "
+        "computed once (AQE `ReusedExchange` at runtime) and the "
+        "`levenshtein` verify rides the join condition, so false "
+        "positives die before the pair-dedup aggregate."
+    ),
+    "robust_outliers": (
+        "Both median passes aggregate to DISTINCT (key, value) counts "
+        "BEFORE their window (partial_count = map-side combine; the "
+        "window sorts distinct values, not raw rows) and every window is "
+        "partitioned by event_type — no `SinglePartition`; the slim "
+        "per-group stats row returns via `BroadcastHashJoin`."
+    ),
+    "dq_verify": (
+        "Completeness/compliance/bounds and BOTH count-distinct metrics "
+        "share one scan (`Expand` fans the distinct columns inside a "
+        "single aggregate); uniqueness reads only its pruned column; the "
+        "referential leg is a hash join against deduplicated dimension "
+        "keys."
+    ),
+    "graph_triangles": (
+        "Wedge generation and closure are hash equijoins on src / "
+        "(w1, w2) over the degree-ORIENTED edges (max out-degree O(√m) "
+        "by construction — the last-reducer fix); the only nested-loop "
+        "joins are the three 1-row scalar combines of the summary."
+    ),
+    "pagerank": (
+        "One corpus-sized shuffle per iteration (edges⋈ranks on src) "
+        "with partial_sum map-side combine on the dst aggregate; the "
+        "rank frame is an eager localCheckpoint each round, so the "
+        "5-iteration plan stays 5 shallow stages, not a growing DAG; "
+        "the dangling-mass row broadcasts."
+    ),
 }
 
 
