@@ -347,20 +347,63 @@ def run_score(spark: SparkSession, cfg: dict) -> None:
     D.release_cached()
 
 
+def run_dq(spark: SparkSession, cfg: dict) -> None:
+    """Declarative data-quality verification over any configured
+    input table (operators.quality_checks).  Config::
+
+        "dq": {"table": "documents",
+               "checks": [{"check": "completeness", "column": "text",
+                           "min_ratio": 1.0}, ...],
+               "referential": [{"column": "o_custkey",
+                                "dim_table": "customer",
+                                "dim_column": "c_custkey"}],
+               "fail_on_violation": false}
+
+    Writes ``dq_report`` — (check, target, metric, threshold, passed);
+    with ``fail_on_violation`` the step raises after writing if any
+    check failed (the CI-gate mode)."""
+    from platform_etl_literature_spark.operators import quality_checks as QC
+
+    dcfg = cfg.get("dq", {})
+    inputs = read_from(spark, _io_configs(cfg["inputs"]))
+    df = inputs[dcfg.get("table", "documents")].data
+    report = QC.verify(df, dcfg.get("checks", []))
+    for ref in dcfg.get("referential", []):
+        report = report.unionByName(
+            QC.referential_integrity(
+                df,
+                ref["column"],
+                inputs[ref["dim_table"]].data,
+                ref["dim_column"],
+                ref.get("min_ratio", 1.0),
+            )
+        )
+    report = report.localCheckpoint(eager=True)  # evaluate once: write + gate
+    write_to(_out(cfg, "dq_report", report))
+    if dcfg.get("fail_on_violation"):
+        bad = [
+            f"{r['check']}({r['target']}): {r['metric']} vs {r['threshold']}"
+            for r in report.filter(~F.col("passed")).collect()
+        ]
+        if bad:
+            raise SystemExit("DQ violations: " + "; ".join(bad))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="platform-etl-literature-spark",
         description=(
             "PySpark literature ETL: processing | embedding | vectors | "
             "evidence | all; plus the training-data steps: curate, cluster, "
-            "scrub, search, split, score"
+            "scrub, search, split, score, dq"
         ),
     )
     p.add_argument(
         "steps",
         nargs="+",
         choices=STEPS
-        + ["all", "curate", "cluster", "scrub", "search", "split", "score"],
+        + ["all", "curate", "cluster", "scrub", "search", "split", "score",
+           "dq"],
     )
     p.add_argument("--config", required=True, help="JSON config file")
     p.add_argument("--master", default=None)
@@ -381,6 +424,8 @@ def main(argv: list[str] | None = None) -> None:
         run_split(spark, cfg)
     if "score" in args.steps:
         run_score(spark, cfg)
+    if "dq" in args.steps:
+        run_dq(spark, cfg)
     steps = STEPS if "all" in args.steps else [s for s in STEPS if s in args.steps]
     if steps:
         run_all(spark, cfg, steps)

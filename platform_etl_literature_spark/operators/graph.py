@@ -96,9 +96,16 @@ def _oriented(edges: DataFrame) -> DataFrame:
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row graph summary: n_nodes, n_edges, max_degree, n_wedges
     (Σ C(deg,2), the open-wedge count), n_triangles, clustering
-    (3T / wedges, rounded 6; 0.0 for a wedge-free graph)."""
+    (3T / wedges, rounded 6; 0.0 for a wedge-free graph).
+
+    The edge list (often an expensive pair-generation chain) is read
+    four ways and the oriented set three (both wedge legs + the
+    closing join) — persist both for DAG reuse (the persist-vs-
+    checkpoint rule; AQE exchange reuse alone doesn't cover separate
+    actions).  Caches release on the session's next clearCache."""
+    edges = edges.persist()
     deg = degrees(edges)
-    o = _oriented(edges)
+    o = _oriented(edges).persist()
 
     e1 = o.select(
         F.col("src"),

@@ -4437,6 +4437,59 @@ SELECT est_join_size, true_join_size FROM est, tj
 """
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-64 distinct-user sketches per event type, plus the
+    MERGED all-types row (operators.kmv) — the oracle-checkable
+    mergeable-cardinality sketch the HLL family can't give (hll_rollup
+    is rows-only for exactly that reason).  The oracle computes the
+    ALL row directly from the full data: bottom-k of a union equals
+    bottom-k of the unioned bottom-k sets, so merge == direct is the
+    THEOREM the matching hash proves."""
+    from platform_etl_literature_spark.operators import kmv as KMV
+
+    k = 64
+    ev = read_events(spark, sf)
+    per = KMV.kmv_sketch(ev, "user_id", k, key_cols=["event_type"])
+    per_est = KMV.kmv_estimate(per, k, ["event_type"])
+    all_est = KMV.kmv_estimate(KMV.kmv_merge(per, k=k), k).select(
+        F.lit("ALL").alias("event_type"), "n_sampled", "est_distinct"
+    )
+    return per_est.unionByName(all_est)
+
+
+_ORACLE_KMV = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
+  FROM h),
+e AS (
+  SELECT event_type, count(*) AS n_sampled,
+         max(CASE WHEN pos = 64 THEN h END) AS hk
+  FROM r WHERE pos <= 64 GROUP BY 1),
+ra AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS pos
+  FROM (SELECT DISTINCT h FROM h)),
+ea AS (
+  SELECT count(*) AS n_sampled,
+         max(CASE WHEN pos = 64 THEN h END) AS hk
+  FROM ra WHERE pos <= 64)
+SELECT event_type, n_sampled,
+  CAST(CASE WHEN n_sampled < 64 THEN n_sampled
+       ELSE round(63 * 1152921504606846976.0 / hk, 0) END AS BIGINT)
+  AS est_distinct
+FROM e
+UNION ALL
+SELECT 'ALL', n_sampled,
+  CAST(CASE WHEN n_sampled < 64 THEN n_sampled
+       ELSE round(63 * 1152921504606846976.0 / hk, 0) END AS BIGINT)
+FROM ea
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4696,6 +4749,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "cms_join_size": QuerySpec(
         q_cms_join_size, _ORACLE_CMS_JOIN_SIZE, "sketch-join-cardinality"
+    ),
+    "kmv_distinct_users": QuerySpec(
+        q_kmv_distinct_users, _ORACLE_KMV, "sketch-kmv-mergeable-distinct"
     ),
 }
 

@@ -277,3 +277,54 @@ def test_cli_split_step(spark, tmp_path):
     assert rows[1]["component"] == rows[2]["component"]
     assert rows[1]["split"] == rows[2]["split"]
     assert {r["split"] for r in rows.values()} <= {"train", "test"}
+
+
+def test_cli_dq_step(spark, tmp_path):
+    """The dq step writes the verification report (including a
+    referential check against a second input) and, in
+    fail_on_violation mode, raises AFTER writing when a check fails."""
+    import json
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (2, None, 99)],
+        ["doc_id", "text", "ref_id"],
+    )
+    dim = spark.createDataFrame([(10,), (20,)], ["k"])
+    src, dsrc = str(tmp_path / "docs.parquet"), str(tmp_path / "dim.parquet")
+    docs.write.parquet(src)
+    dim.write.parquet(dsrc)
+    out = str(tmp_path / "out")
+    cfg = {
+        "inputs": {
+            "documents": {"format": "parquet", "path": src},
+            "dims": {"format": "parquet", "path": dsrc},
+        },
+        "output": {"format": "parquet", "dir": out},
+        "dq": {
+            "table": "documents",
+            "checks": [
+                {"check": "completeness", "column": "text", "min_ratio": 1.0},
+                {"check": "uniqueness", "column": "doc_id", "min_ratio": 1.0},
+            ],
+            "referential": [
+                {"column": "ref_id", "dim_table": "dims", "dim_column": "k"}
+            ],
+            "fail_on_violation": True,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with pytest.raises(SystemExit, match="DQ violations"):
+        cli_main(["dq", "--config", str(cfg_path)])
+
+    got = {
+        (r["check"], r["target"]): r["passed"]
+        for r in spark.read.parquet(f"{out}/dq_report").collect()
+    }
+    assert got == {
+        ("completeness", "text"): False,
+        ("uniqueness", "doc_id"): False,
+        ("referential", "ref_id"): False,
+    }

@@ -2024,3 +2024,77 @@ def test_cms_join_size_one_sided_and_exact_when_roomy(spark):
         SK.cms_build(a, "k", 8192, 3), SK.cms_build(disj, "k", 8192, 3), 3
     ).first()["est_join_size"]
     assert est0 == 0
+
+
+def test_kmv_merge_equals_direct_and_exact_below_k(spark):
+    """Bottom-k of unioned bottom-k sets == the direct sketch of the
+    union (EXACT mergeability, row for row); a group below k estimates
+    its true distinct count exactly."""
+    from platform_etl_literature_spark.operators import kmv as KMV
+
+    rows = [(f"u{i % 37}", f"g{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "v string, part string")
+    k = 16
+
+    parts = [
+        KMV.kmv_sketch(df.filter(F.col("part") == f"g{i}"), "v", k)
+        for i in range(3)
+    ]
+    merged = sorted(
+        (r["h"], r["pos"]) for r in KMV.kmv_merge(*parts, k=k).collect()
+    )
+    direct = sorted(
+        (r["h"], r["pos"]) for r in KMV.kmv_sketch(df, "v", k).collect()
+    )
+    assert merged == direct and len(direct) == k
+
+    small = df.filter(F.col("v").isin("u0", "u1", "u2"))
+    [r] = KMV.kmv_estimate(KMV.kmv_sketch(small, "v", k), k).collect()
+    assert (r["n_sampled"], r["est_distinct"]) == (3, 3)
+
+    with pytest.raises(ValueError, match=">= 2"):
+        KMV.kmv_sketch(df, "v", 1)
+
+
+def test_kmv_estimate_accuracy_and_grouped(spark):
+    """k=256 over 10k distinct values: the (k-1)/u_k estimate lands
+    within 25% (≈ 4σ at 1/√k relative error); grouped sketches
+    estimate per group independently."""
+    from platform_etl_literature_spark.operators import kmv as KMV
+
+    k = 256
+    df = spark.createDataFrame(
+        [(f"v{i}", "a" if i % 2 else "b") for i in range(10_000)],
+        "v string, g string",
+    )
+    [r] = KMV.kmv_estimate(KMV.kmv_sketch(df, "v", k), k).collect()
+    assert abs(r["est_distinct"] - 10_000) / 10_000 < 0.25
+
+    got = {
+        r["g"]: r["est_distinct"]
+        for r in KMV.kmv_estimate(
+            KMV.kmv_sketch(df, "v", k, key_cols=["g"]), k, ["g"]
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    for est in got.values():
+        assert abs(est - 5_000) / 5_000 < 0.25
+
+
+def test_kmv_intersect_exact_sides_and_disjoint(spark):
+    """Both sides below k → theta is the sentinel and the intersection
+    estimate is EXACT; disjoint sets estimate 0."""
+    from platform_etl_literature_spark.operators import kmv as KMV
+
+    k = 64
+    a = spark.createDataFrame([(f"x{i}",) for i in range(30)], "v string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(20, 50)], "v string")
+    sa, sb = KMV.kmv_sketch(a, "v", k), KMV.kmv_sketch(b, "v", k)
+    [r] = KMV.kmv_intersect_estimate(sa, sb, k).collect()
+    assert (r["n_common"], r["est_intersection"]) == (10, 10)
+
+    c = spark.createDataFrame([(f"y{i}",) for i in range(10)], "v string")
+    [r0] = KMV.kmv_intersect_estimate(
+        sa, KMV.kmv_sketch(c, "v", k), k
+    ).collect()
+    assert (r0["n_common"], r0["est_intersection"]) == (0, 0)

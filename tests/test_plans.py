@@ -385,3 +385,18 @@ def test_graph_triangles_no_cartesian_wedges(spark, sf_dir):
     plan = _simple_plan(SUITE["graph_triangles"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+
+
+def test_kmv_bottom_k_no_single_reducer_window(spark, sf_dir):
+    """The ungrouped (merged ALL) bottom-k must compile to
+    TakeOrderedAndProject — never an unpartitioned row_number window
+    over every distinct hash; grouped bottom-k windows partition by
+    the key."""
+    plan = _simple_plan(SUITE["kmv_distinct_users"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # grouped bottom-k: the pos <= k filter must push into the window
+    # (WindowGroupLimit keeps per-group state at k rows, never the full
+    # distinct-hash list); the only single-partition exchange allowed is
+    # ranked_topk's post-limit <= k-row one.
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert plan.count("SinglePartition") <= 1, plan[:3000]
