@@ -868,3 +868,57 @@ def ivfpq_topk(
             F.round("_ad", 6).alias("approx_d2"),
         )
     )
+
+
+def refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact re-rank of approximate candidates — the refine stage of the
+    classic two-phase ANN pipeline (Jégou et al. TPAMI'11 §V: coarse/PQ
+    shortlist -> exact re-scoring of the shortlist).  ``candidates`` is
+    any (query_id, neighbor_id) pair set, typically an approximate
+    top-m with m > k; the output is the exact-cosine top-k *within*
+    those candidates, in the same (query_id, neighbor_id, rank, sim)
+    contract as :func:`cosine_topk` — so recall lost to quantization is
+    recovered wherever the true neighbor made the shortlist at all.
+
+    Scale shape: cost is proportional to |candidates|, never |corpus| —
+    that is the point of refining.  The candidate pair set (n_queries
+    x m rows, small by contract) joins the broadcast query vectors, and
+    that still-small result BROADCASTS into the corpus equijoin on
+    neighbor_id, so the corpus is scanned once with no shuffle; the
+    only shuffle is the per-query top-k window over <= n_queries x m
+    scored rows.  The cosine is the same JVM-side HOF fold as
+    ``cosine_topk`` — bit-identical sims, full value-level oracle.
+    """
+    cand = candidates.select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe = cand.join(F.broadcast(q), "query_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = c.join(F.broadcast(probe), "neighbor_id").withColumn(
+        "sim_exact", array_cosine("qv", "cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim_exact", 6).alias("sim"),
+        )
+    )

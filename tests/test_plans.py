@@ -400,3 +400,14 @@ def test_kmv_bottom_k_no_single_reducer_window(spark, sf_dir):
     # ranked_topk's post-limit <= k-row one.
     assert "WindowGroupLimit" in plan, plan[:3000]
     assert plan.count("SinglePartition") <= 1, plan[:3000]
+
+
+def test_refine_rerank_broadcasts_candidates_single_topk_shuffle(spark, sf_dir):
+    """The refine stage scans the corpus ONCE against the broadcast
+    candidate set (cost ∝ shortlist, never corpus²): the exact-cosine
+    join must be a BroadcastHashJoin, and the only hash shuffle is the
+    per-query top-k window over ≤ n_queries × m scored rows."""
+    plan = _simple_plan(SUITE["ivfpq_rerank_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]

@@ -172,3 +172,41 @@ def test_ivfpq_finds_identical_twin(spark):
     # identical vector -> same coarse list (always probed first) and
     # identical codes -> minimal ADC distance
     assert top["neighbor_id"] == 100
+
+
+def test_refine_full_candidates_equals_exact(spark, sf_dir):
+    """Refining the FULL pair set must reproduce cosine_topk exactly
+    (same fold, same tiebreak) — the losslessness contract of the
+    refine stage."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    all_pairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"))
+        .crossJoin(q.select(F.col("vec_id").alias("query_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    refined = SIM.refine_topk(emb, q, all_pairs, k=3)
+    exact = SIM.cosine_topk(emb, q, k=3)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = {key(r): (r["neighbor_id"], r["sim"]) for r in refined.collect()}
+    want = {key(r): (r["neighbor_id"], r["sim"]) for r in exact.collect()}
+    assert got == want
+
+
+def test_refine_recovers_ivfpq_recall(spark, sf_dir):
+    """Exact re-rank of a wide IVF-PQ shortlist must strictly beat the
+    raw IVF-PQ top-k on recall and can never exceed the shortlist's
+    candidate ceiling (every refined hit is in the shortlist)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(SIM.cosine_topk(emb, q, k=5))
+    shortlist = SIM.ivfpq_topk(emb, q, k=50, n_probe=3)
+    raw = _topk_sets(SIM.ivfpq_topk(emb, q, k=5, n_probe=3))
+    ref = _topk_sets(SIM.refine_topk(emb, q, shortlist, k=5))
+    cand = _topk_sets(shortlist)
+    hits = lambda a: sum(  # noqa: E731
+        len(exact[qid] & a.get(qid, set())) for qid in exact
+    )
+    assert hits(ref) > hits(raw), (hits(ref), hits(raw))
+    for qid, s in ref.items():
+        assert s <= cand[qid]
