@@ -197,3 +197,125 @@ def cms_join_size(
         .cast("long")
         .alias("est_join_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR log-linear quantile sketch (Tene's HdrHistogram bucket scheme;
+# the same persist-fine/merge-coarse contract as HLL/CMS/KMV above but
+# for QUANTILES — the missing member of the sketch family).  Buckets
+# are log-linear over positive integers: octave e = floor(log2(v))
+# computed EXACTLY as length(bin(v)) - 1, then m linear sub-buckets
+# per octave via pure integer arithmetic, so bucketing is
+# engine-portable bit-for-bit (no float log at any point — DDSketch's
+# ceil(log_gamma(x)) would be one libm ulp away from a cross-engine
+# bucket flip at boundaries).  Bucket counts are exact counters, so
+# merge == direct build IDENTICALLY (the CMS invariant), and any
+# quantile is answered from the sketch with relative error <= 1/(2m)
+# (bucket width 2^e/m at values >= 2^e, midpoint estimate).  Values
+# are positive integers by contract — fixed-point scale floats first
+# (cents, micro-units), the repo-wide float-parity policy anyway.
+# ---------------------------------------------------------------------------
+
+
+def hdr_bucket_sql(v_sql: str, m: int) -> str:
+    """Engine-portable-by-construction bucket id for a positive
+    integer expression: ``e*m + ((v - 2^e) * m) DIV 2^e`` with
+    ``e = length(bin(v)) - 1``.  ``pow(2, e)`` is a power of two —
+    exactly representable, so the BIGINT cast is exact in any IEEE
+    engine; everything after is integer arithmetic.  (Spark dialect;
+    a DuckDB oracle replays it with ``//`` for DIV.)"""
+    e = f"(length(bin({v_sql})) - 1)"
+    p2e = f"CAST(pow(2, {e}) AS BIGINT)"
+    return f"({e} * {m} + (({v_sql}) - {p2e}) * {m} DIV {p2e})"
+
+
+def hdr_build(
+    df: DataFrame, col: str, m: int = 32, keys: list[str] | None = None
+) -> DataFrame:
+    """Build per-``keys`` histograms over positive-integer ``df[col]``:
+    (*keys, b, cnt) rows, one per non-empty bucket.  One map-side
+    projection + one (keys, b)-keyed aggregation with partial counts —
+    the shuffle carries at most ~63·m cells per key, a function of the
+    SKETCH SIZE, never the corpus.  Rows with ``col`` NULL or < 1 are
+    out of domain and excluded (fixed-point scale first)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    keys = list(keys or [])
+    b = F.expr(hdr_bucket_sql(f"`{col}`", m))
+    return (
+        df.where(F.col(col).isNotNull() & (F.col(col) >= 1))
+        .groupBy(*keys, b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(*sketches: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Merge histograms built with the same ``m``: bucket-wise counter
+    sum.  Exact — merge(build(A), build(B)) has cells IDENTICAL to
+    build(A ∪ B) (pinned by test), so sketches persisted per
+    source × day answer any coarser rollup without re-scanning."""
+    if not sketches:
+        raise ValueError("hdr_merge needs at least one sketch")
+    keys = list(keys or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys, "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    m: int = 32,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-rank quantile estimates from a histogram: for each q,
+    the midpoint of the first bucket whose cumulative count reaches
+    ``max(1, ceil(q·n))`` — relative error <= 1/(2m) by the bucket
+    width bound.  Everything here is sketch-sized: the cumulative
+    window partitions by ``keys`` over <= ~63·m bucket rows per key,
+    and the q probes join as a broadcast literal array.  Returns
+    (*keys, q, n, est_q) with est_q rounded to 6 places (the bucket
+    midpoint is derived from integers by identical IEEE arithmetic in
+    any engine, so the value is oracle-checkable)."""
+    from pyspark.sql.window import Window
+
+    keys = list(keys or [])
+    n = sketch.groupBy(*keys).agg(F.sum("cnt").alias("n"))
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if keys
+        else Window.partitionBy(F.lit(0))
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("_cum", F.sum("cnt").over(w))
+    probes = n.select(
+        *keys,
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn(
+        "_target",
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n"))),
+    )
+    hit = cum.join(probes, keys) if keys else cum.crossJoin(F.broadcast(probes))
+    hit = hit.where(
+        (F.col("_cum") >= F.col("_target"))
+        & (F.col("_cum") - F.col("cnt") < F.col("_target"))
+    )
+    e = (F.col("b") / m).cast("long")
+    sub = F.col("b") - e * m
+    lo = F.pow(F.lit(2.0), e.cast("double")) * (
+        F.lit(1.0) + sub.cast("double") / F.lit(float(m))
+    )
+    hi = F.pow(F.lit(2.0), e.cast("double")) * (
+        F.lit(1.0) + (sub + 1).cast("double") / F.lit(float(m))
+    )
+    return hit.select(
+        *keys,
+        "q",
+        "n",
+        F.round((lo + hi) / F.lit(2.0), 6).alias("est_q"),
+    )

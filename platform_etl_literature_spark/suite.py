@@ -4548,6 +4548,115 @@ FROM ea
 """
 
 
+def q_hdr_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HDR log-linear quantile sketch over order totals
+    (operators.sketch.hdr_build/merge/quantiles) — the quantile member
+    of the sketch family (CMS = counts, KMV/HLL = distinct).  Bucket
+    ids are pure integer arithmetic (length(bin(v)) octaves, m=32
+    linear sub-buckets), so the sketch is engine-portable bit-for-bit
+    and merge == direct build IDENTICALLY; the ALL row is computed by
+    MERGING the per-priority sketches while the oracle builds it
+    directly from the data — the matching hash is the merge theorem,
+    the same proof shape as kmv_distinct_users.  Each row also carries
+    the exact nearest-rank quantile and the realized relative error,
+    making the ≤ 1/(2m) bound visible in checked output."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    m, qs = 32, [0.5, 0.9, 0.99]
+    src = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("v"),
+        )
+        .where(F.col("v") >= 1)
+    )
+    per = SK.hdr_build(src, "v", m=m, keys=["g"])
+    merged_all = SK.hdr_merge(
+        per.withColumn("g", F.lit("ALL")), keys=["g"]
+    )
+    est = SK.hdr_quantiles(
+        per.unionByName(merged_all), qs, m=m, keys=["g"]
+    )
+    allsrc = src.unionByName(src.withColumn("g", F.lit("ALL")))
+    from pyspark.sql.window import Window as W
+
+    ranked = allsrc.withColumn(
+        "rn", F.row_number().over(W.partitionBy("g").orderBy("v"))
+    ).select(F.col("g").alias("_rg"), "v", "rn")
+    targets = est.select(
+        "g",
+        "q",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n"))
+        ).alias("_target"),
+    )
+    exact = targets.join(
+        ranked,
+        (F.col("g") == F.col("_rg")) & (F.col("_target") == F.col("rn")),
+    ).select("g", "q", F.col("v").cast("double").alias("exact_q"))
+    return est.join(exact, ["g", "q"]).select(
+        "g",
+        "q",
+        "n",
+        "est_q",
+        "exact_q",
+        F.round(
+            F.abs(F.col("est_q") - F.col("exact_q")) / F.col("exact_q"), 6
+        ).alias("rel_err"),
+    )
+
+
+_ORACLE_HDR = """
+WITH src AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+    AND CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 1),
+allsrc AS (
+  SELECT g, v FROM src UNION ALL SELECT 'ALL' AS g, v FROM src),
+bk AS (
+  SELECT g,
+         (length(bin(v)) - 1) * 32 +
+           ((v - CAST(pow(2, length(bin(v)) - 1) AS BIGINT)) * 32)
+             // CAST(pow(2, length(bin(v)) - 1) AS BIGINT) AS b,
+         count(*) AS cnt
+  FROM allsrc GROUP BY 1, 2),
+n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM bk GROUP BY 1),
+cum AS (
+  SELECT g, b, cnt,
+         sum(cnt) OVER (PARTITION BY g ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bk),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                 (CAST(0.99 AS DOUBLE))),
+probes AS (
+  SELECT g, n, q,
+         greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS target
+  FROM n CROSS JOIN qs),
+hit AS (
+  SELECT p.g, p.q, p.n, c.b
+  FROM probes p JOIN cum c ON c.g = p.g
+  WHERE c.cum >= p.target AND c.cum - c.cnt < p.target),
+est AS (
+  SELECT g, q, n,
+         round((pow(2, b // 32) * (1 + (b % 32) / 32.0)
+                + pow(2, b // 32) * (1 + ((b % 32) + 1) / 32.0)) / 2.0, 6)
+           AS est_q
+  FROM hit),
+ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+  FROM allsrc),
+exact AS (
+  SELECT p.g, p.q, CAST(r.v AS DOUBLE) AS exact_q
+  FROM probes p JOIN ranked r ON r.g = p.g AND r.rn = p.target)
+SELECT e.g, e.q, e.n, e.est_q, x.exact_q,
+       round(abs(e.est_q - x.exact_q) / x.exact_q, 6) AS rel_err
+FROM est e JOIN exact x ON x.g = e.g AND x.q = e.q
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4813,6 +4922,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "ivfpq_rerank_topk": QuerySpec(
         q_ivfpq_rerank_topk, _ivfpq_rerank_oracle(), "ann-refine-rerank"
+    ),
+    "hdr_quantile_sketch": QuerySpec(
+        q_hdr_quantile_sketch, _ORACLE_HDR, "sketch-hdr-mergeable-quantiles"
     ),
 }
 

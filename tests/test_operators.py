@@ -2098,3 +2098,110 @@ def test_kmv_intersect_exact_sides_and_disjoint(spark):
         sa, KMV.kmv_sketch(c, "v", k), k
     ).collect()
     assert (r0["n_common"], r0["est_intersection"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# HDR log-linear quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_merge_equals_direct(spark):
+    """Bucket counters are exact, so merge(build(A), build(B)) must have
+    cells IDENTICAL to build(A ∪ B) — the mergeability theorem."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    a = spark.createDataFrame([(v,) for v in range(1, 500, 3)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(2, 800, 5)], "v long")
+    merged = {
+        r["b"]: r["cnt"]
+        for r in SK.hdr_merge(
+            SK.hdr_build(a, "v", m=8), SK.hdr_build(b, "v", m=8)
+        ).collect()
+    }
+    direct = {
+        r["b"]: r["cnt"]
+        for r in SK.hdr_build(a.unionByName(b), "v", m=8).collect()
+    }
+    assert merged == direct
+
+
+def test_hdr_quantile_error_bound(spark):
+    """Every estimate must sit within the bucket of the true
+    nearest-rank value: relative error <= 1/(2m) + half-bucket slack
+    (the documented guarantee), checked over an adversarial mix of
+    octaves."""
+    import math
+
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    vals = [int(1.37**i) + j for i in range(1, 40) for j in range(3)]
+    vals = [v for v in vals if v >= 1]
+    m = 16
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = {
+        r["q"]: r["est_q"]
+        for r in SK.hdr_quantiles(SK.hdr_build(df, "v", m=m), qs, m=m).collect()
+    }
+    sv = sorted(vals)
+    for q in qs:
+        target = max(1, math.ceil(q * len(sv)))
+        exact = sv[target - 1]
+        assert abs(out[q] - exact) / exact <= 1.0 / m, (q, out[q], exact)
+
+
+def test_hdr_domain_and_args(spark):
+    """Values < 1 and NULLs are out of domain (excluded, not crashed);
+    m < 1 raises."""
+    import pytest as _pt
+
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [(None,), (0,), (-5,), (1,), (7,)], "v long"
+    )
+    cells = SK.hdr_build(df, "v", m=4).collect()
+    assert sum(r["cnt"] for r in cells) == 2
+    with _pt.raises(ValueError):
+        SK.hdr_build(df, "v", m=0)
+
+
+def test_hdr_grouped_quantiles_match_python(spark):
+    """Grouped quantiles replayed in pure python bucket-for-bucket:
+    the Spark walk (cum >= target, first bucket) must agree exactly."""
+    import math
+
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    rows = [("a", v) for v in range(1, 200)] + [
+        ("b", v * v) for v in range(1, 60)
+    ]
+    m = 8
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["q"]): r["est_q"]
+        for r in SK.hdr_quantiles(
+            SK.hdr_build(df, "v", m=m, keys=["g"]), [0.5, 0.9], m=m, keys=["g"]
+        ).collect()
+    }
+
+    def bucket(v):
+        e = v.bit_length() - 1
+        return e * m + ((v - (1 << e)) * m) // (1 << e)
+
+    for g in ("a", "b"):
+        vs = sorted(v for gg, v in rows if gg == g)
+        counts = {}
+        for v in vs:
+            counts[bucket(v)] = counts.get(bucket(v), 0) + 1
+        for q in (0.5, 0.9):
+            target = max(1, math.ceil(q * len(vs)))
+            cum = 0
+            for b in sorted(counts):
+                cum += counts[b]
+                if cum >= target:
+                    e, sub = b // m, b % m
+                    lo = 2.0**e * (1 + sub / m)
+                    hi = 2.0**e * (1 + (sub + 1) / m)
+                    assert got[(g, q)] == round((lo + hi) / 2, 6), (g, q)
+                    break

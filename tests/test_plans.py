@@ -411,3 +411,13 @@ def test_refine_rerank_broadcasts_candidates_single_topk_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_hdr_sketch_partitioned_windows_no_cartesian(spark, sf_dir):
+    """Histogram build shuffles sketch-sized (g, b) cells; the
+    cumulative walk and the exact-accounting rank window both
+    partition by the group key — never a single-reducer sort; all
+    joins are equijoins on the key."""
+    plan = _simple_plan(SUITE["hdr_quantile_sketch"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]
