@@ -38,6 +38,7 @@ from platform_etl_literature_spark.operators import layout as LAY
 from platform_etl_literature_spark.operators import profile as PRO
 from platform_etl_literature_spark.operators import retrieval as RET
 from platform_etl_literature_spark.operators import similarity as SIM
+from platform_etl_literature_spark.operators import sketch as SK
 from platform_etl_literature_spark.operators import suffix as SX
 from platform_etl_literature_spark.operators import textstats as TS
 from platform_etl_literature_spark.session import build_session
@@ -69,6 +70,14 @@ def scaled_docs(spark, factor: int) -> str:
 
 OPS = {
     "doc_profile": lambda df: TS.document_profile(df, "doc_id", "text"),
+    # sketch-family quantiles: build shuffles only (lang, bucket) cells;
+    # the quantile walk is sketch-sized regardless of corpus
+    "hdr_quantiles": lambda df: SK.hdr_quantiles(
+        SK.hdr_build(df, "n_chars", m=32, keys=["lang"]),
+        [0.5, 0.9, 0.99],
+        m=32,
+        keys=["lang"],
+    ),
     "tfidf_terms": lambda df: TS.tfidf_top_terms(df, "doc_id", "text", 3),
     "exact_dedup": lambda df: D.exact_dedup(df, "text", "doc_id"),
     "simhash": lambda df: D.simhash32(df, "doc_id", "text"),
@@ -244,6 +253,14 @@ EMB_OPS = {
     # frozen codebooks: the build-once artifact serves every factor
     "pq_ann_topk": lambda df, bits, cents: SIM.pq_adc_topk(
         df, df.filter(F.col("vec_id") < 10), k=5
+    ),
+    # two-phase refine: IVF-PQ shortlist (m=50) -> exact re-rank; cost
+    # follows the shortlist, so cells should track ivfpq, not corpus^2
+    "ivfpq_rerank": lambda df, bits, cents: SIM.refine_topk(
+        df,
+        df.filter(F.col("vec_id") < 10),
+        SIM.ivfpq_topk(df, df.filter(F.col("vec_id") < 10), k=50, n_probe=3),
+        k=5,
     ),
 }
 
