@@ -81,3 +81,56 @@ def cms_stream_estimate(
     """Estimated stream-so-far count for each candidate item, against
     the merged grid.  (w, d) must match the writer's."""
     return cms_estimate(items, col, cms_read_merged(spark, grid_path), w, d)
+
+
+def hdr_maintain_writer(
+    stream: DataFrame,
+    col: str,
+    hist_path: str,
+    m: int = 32,
+    keys: list[str] | None = None,
+) -> DataStreamWriter:
+    """Streaming HDR quantile-histogram maintenance — same
+    overwrite-per-batch-directory contract as :func:`cms_maintain_writer`
+    (bucket counters are not idempotent under replay, per-batch grids
+    are): each micro-batch lands its own (keys, b, cnt) histogram at
+    ``hist_path/batch=<batch_id>``, so replays overwrite identical
+    cells and the merged view stays exactly-once."""
+    from platform_etl_literature_spark.operators.sketch import hdr_build
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        hdr_build(batch, col, m, keys).write.mode("overwrite").parquet(
+            f"{hist_path}/batch={batch_id}"
+        )
+
+    return stream.writeStream.foreachBatch(_step).outputMode("update")
+
+
+def hdr_read_merged(
+    spark: SparkSession, hist_path: str, keys: list[str] | None = None
+) -> DataFrame:
+    """The merged histogram across every landed batch: bucket-wise
+    counter sum — IDENTICAL cells to a direct batch build over
+    everything the stream has delivered (pinned by test, the exact-merge
+    theorem of operators.sketch.hdr_merge)."""
+    keys = list(keys or [])
+    return (
+        spark.read.parquet(hist_path)
+        .groupBy(*keys, "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_stream_quantiles(
+    spark: SparkSession,
+    hist_path: str,
+    qs: list[float],
+    m: int = 32,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Stream-so-far quantile estimates from the merged histogram —
+    sketch-sized work regardless of how much the stream has seen.
+    ``m`` must match the writer's."""
+    from platform_etl_literature_spark.operators.sketch import hdr_quantiles
+
+    return hdr_quantiles(hdr_read_merged(spark, hist_path, keys), qs, m, keys)

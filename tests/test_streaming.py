@@ -698,3 +698,70 @@ def test_streaming_outlier_flags_match_batch_operator(spark, batch_events):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_hdr_stream_maintenance_merges_exactly(spark, tmp_path):
+    """Streaming HDR quantile-histogram maintenance: per-batch
+    histograms land under batch=<id> (replay-idempotent overwrite);
+    the merged view has IDENTICAL cells to a direct batch build over
+    everything delivered, and stream-so-far quantiles answer from the
+    merged sketch."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.sketch import hdr_build
+    from platform_etl_literature_spark.streaming.sketches import (
+        hdr_maintain_writer,
+        hdr_read_merged,
+        hdr_stream_quantiles,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def arrive(name, vals):
+        pq.write_table(
+            pa.table({"v": pa.array(vals, pa.int64())}), str(land / name)
+        )
+
+    b1 = list(range(1, 120, 2))
+    b2 = [v * 7 for v in range(1, 80)]
+    arrive("f1.parquet", b1)
+    arrive("f2.parquet", b2)
+
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    hist = str(tmp_path / "hist")
+    q = (
+        hdr_maintain_writer(stream, "v", hist, m=8)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert (
+        spark.read.parquet(hist).select("batch").distinct().count() >= 2
+    )
+    everything = spark.createDataFrame([(v,) for v in b1 + b2], "v long")
+    direct = {
+        r["b"]: r["cnt"] for r in hdr_build(everything, "v", m=8).collect()
+    }
+    merged = {
+        r["b"]: r["cnt"] for r in hdr_read_merged(spark, hist).collect()
+    }
+    assert merged == direct
+
+    got = {
+        r["q"]: r["est_q"]
+        for r in hdr_stream_quantiles(spark, hist, [0.5, 0.9], m=8).collect()
+    }
+    sv = sorted(b1 + b2)
+    for qq in (0.5, 0.9):
+        exact = sv[max(1, math.ceil(qq * len(sv))) - 1]
+        assert abs(got[qq] - exact) / exact <= 1.0 / 8, (qq, got[qq], exact)

@@ -241,6 +241,22 @@ SHOWCASE: dict[str, str] = {
         "5-iteration plan stays 5 shallow stages, not a growing DAG; "
         "the dangling-mass row broadcasts."
     ),
+    "ivfpq_rerank_topk": (
+        "Two-phase refine: the IVF-PQ shortlist (already "
+        "broadcast-probed) joins back to true vectors via a "
+        "BroadcastHashJoin of the candidate pairs into ONE corpus scan "
+        "— refine cost ∝ shortlist, never corpus; the only hash "
+        "shuffle is the per-query top-k window over ≤ n_q × m scored "
+        "rows."
+    ),
+    "hdr_quantile_sketch": (
+        "Histogram build is one map-side projection + a (g, b)-keyed "
+        "aggregation with partial counts — the shuffle carries at most "
+        "~63·m cells per key, sketch-sized; the cumulative walk and "
+        "the exact-accounting rank window partition by g (no "
+        "single-reducer sort); the merged ALL row re-aggregates "
+        "sketch cells, never the raw rows."
+    ),
 }
 
 
