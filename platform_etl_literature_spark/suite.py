@@ -4657,6 +4657,55 @@ FROM est e JOIN exact x ON x.g = e.g AND x.q = e.q
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance for grouped count/sum/avg
+    (operators.ivm): the per-customer order-total state is built from
+    a base slice of the facts, then a CDC batch (inserts = the %4==0
+    slice, deletes = the %5==0 rows) folds in WITHOUT rescanning the
+    facts — O(state + delta) work.  The oracle aggregates the final
+    fact set directly, so the matching hash IS the maintenance
+    theorem apply(build(A), +B, −C) == build((A ∪ B) − C), the same
+    proof shape as the sketch-family merge rows.  Counts and sums are
+    exactly decomposable under deletion (min/max deliberately
+    unsupported); sums are integer cents per the float-parity
+    policy."""
+    from platform_etl_literature_spark.operators import ivm as IVM
+
+    src = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    base = src.where(F.col("o_orderkey") % 4 != 0)
+    inserts = src.where(F.col("o_orderkey") % 4 == 0)
+    deletes = src.where(F.col("o_orderkey") % 5 == 0)
+    state = IVM.agg_state_build(base, ["o_custkey"], ["cents"])
+    state = IVM.agg_state_apply(
+        state, ["o_custkey"], ["cents"], inserts=inserts, deletes=deletes
+    )
+    return IVM.agg_state_read(state, ["cents"])
+
+
+_ORACLE_IVM = """
+WITH src AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL),
+fin AS (SELECT * FROM src WHERE o_orderkey % 5 <> 0)
+SELECT o_custkey,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       round(CAST(sum(cents) AS BIGINT) / count(*), 6) AS avg_cents
+FROM fin GROUP BY 1
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4925,6 +4974,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "hdr_quantile_sketch": QuerySpec(
         q_hdr_quantile_sketch, _ORACLE_HDR, "sketch-hdr-mergeable-quantiles"
+    ),
+    "incremental_agg": QuerySpec(
+        q_incremental_agg, _ORACLE_IVM, "ivm-exact-delta-maintenance"
     ),
 }
 

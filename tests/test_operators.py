@@ -2205,3 +2205,78 @@ def test_hdr_grouped_quantiles_match_python(spark):
                     hi = 2.0**e * (1 + (sub + 1) / m)
                     assert got[(g, q)] == round((lo + hi) / 2, 6), (g, q)
                     break
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_apply_equals_direct_build(spark):
+    """apply(build(A), +B, −C) must equal build((A ∪ B) − C)
+    row-for-row, including a group that empties out entirely."""
+    from platform_etl_literature_spark.operators import ivm as IVM
+
+    a = spark.createDataFrame(
+        [("g1", 10), ("g1", 20), ("g2", 5), ("g3", 7)], "g string, v long"
+    )
+    b = spark.createDataFrame([("g1", 30), ("g4", 1)], "g string, v long")
+    # deletes: both g2 rows' worth (g2 empties), one g1 row
+    c = spark.createDataFrame([("g2", 5), ("g1", 10)], "g string, v long")
+
+    state = IVM.agg_state_apply(
+        IVM.agg_state_build(a, ["g"], ["v"]),
+        ["g"],
+        ["v"],
+        inserts=b,
+        deletes=c,
+    )
+    direct_rows = [("g1", 20), ("g1", 30), ("g3", 7), ("g4", 1)]
+    direct = IVM.agg_state_build(
+        spark.createDataFrame(direct_rows, "g string, v long"), ["g"], ["v"]
+    )
+    got = {r["g"]: (r["n_rows"], r["sum_v"]) for r in state.collect()}
+    want = {r["g"]: (r["n_rows"], r["sum_v"]) for r in direct.collect()}
+    assert got == want
+    assert "g2" not in got  # emptied group leaves the state
+
+
+def test_ivm_negative_count_raises_at_read(spark):
+    """Deleting rows that were never inserted (violated CDC contract)
+    must trip the read-boundary guard loudly."""
+    import pytest as _pt
+
+    from platform_etl_literature_spark.operators import ivm as IVM
+
+    a = spark.createDataFrame([("g1", 10)], "g string, v long")
+    c = spark.createDataFrame([("g1", 10), ("g1", 99)], "g string, v long")
+    state = IVM.agg_state_apply(
+        IVM.agg_state_build(a, ["g"], ["v"]), ["g"], ["v"], deletes=c
+    )
+    with _pt.raises(Exception, match="negative group count"):
+        IVM.agg_state_read(state, ["v"]).collect()
+
+
+def test_ivm_idempotent_groups_untouched(spark):
+    """A delta touching one group must leave every other group's
+    state row bit-identical (counts and integer sums)."""
+    from platform_etl_literature_spark.operators import ivm as IVM
+
+    a = spark.createDataFrame(
+        [(f"g{i}", i * 11) for i in range(20)], "g string, v long"
+    )
+    before = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in IVM.agg_state_build(a, ["g"], ["v"]).collect()
+    }
+    delta = spark.createDataFrame([("g3", 100)], "g string, v long")
+    after = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in IVM.agg_state_apply(
+            IVM.agg_state_build(a, ["g"], ["v"]), ["g"], ["v"], inserts=delta
+        ).collect()
+    }
+    assert after["g3"] == (2, 133)
+    for g, v in before.items():
+        if g != "g3":
+            assert after[g] == v

@@ -421,3 +421,14 @@ def test_hdr_sketch_partitioned_windows_no_cartesian(spark, sf_dir):
     plan = _simple_plan(SUITE["hdr_quantile_sketch"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_ivm_apply_partial_aggregates_no_fact_join(spark, sf_dir):
+    """State maintenance is pure aggregation: every leg partial-
+    aggregates map-side before its exchange (delta shuffles carry
+    group rows, never fact rows), and there is no join of the fact
+    table back into the state."""
+    plan = _simple_plan(SUITE["incremental_agg"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
