@@ -765,3 +765,123 @@ def test_hdr_stream_maintenance_merges_exactly(spark, tmp_path):
     for qq in (0.5, 0.9):
         exact = sv[max(1, math.ceil(qq * len(sv))) - 1]
         assert abs(got[qq] - exact) / exact <= 1.0 / 8, (qq, got[qq], exact)
+
+
+def test_ivm_stream_matches_direct_build(spark, tmp_path):
+    """Streaming aggregate maintenance: CDC files (inserts + deletes,
+    one per micro-batch) folded through the dirty-bucket writer must
+    leave a state equal to a direct batch build over the NET fact set
+    — including a group that empties out entirely."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.ivm import agg_state_build
+    from platform_etl_literature_spark.streaming.ivm import (
+        agg_maintain_writer,
+        read_state,
+    )
+
+    batches = [
+        [("I", "g1", 10), ("I", "g1", 20), ("I", "g2", 5)],
+        [("I", "g3", 7), ("D", "g1", 10)],        # delete one g1 row
+        [("D", "g2", 5), ("I", "g1", 100)],       # g2 empties out
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = str(land / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "_op": pa.array([r[0] for r in rows], pa.string()),
+                    "g": pa.array([r[1] for r in rows], pa.string()),
+                    "v": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("_op string, g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    root = str(tmp_path / "state")
+    q = (
+        agg_maintain_writer(stream, root, ["g"], ["v"], n_buckets=8)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    net = [("g1", 20), ("g3", 7), ("g1", 100)]
+    direct = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in agg_state_build(
+            spark.createDataFrame(net, "g string, v long"), ["g"], ["v"]
+        ).collect()
+    }
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in read_state(spark, root).collect()
+    }
+    assert got == direct
+    assert "g2" not in got
+
+
+def test_ivm_stream_writes_only_dirty_buckets(spark, tmp_path):
+    """A 2-key CDC batch over a many-group state must write only the
+    buckets those keys hash to — per-batch write volume follows the
+    batch, not the state (the same contract the SCD2 layout pins)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.streaming.ivm import (
+        agg_maintain_writer,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    base = [("I", f"g{i}", i) for i in range(500)]
+    delta = [("I", "g3", 999), ("D", "g7", 7)]
+    for i, rows in enumerate([base, delta]):
+        p = str(land / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "_op": pa.array([r[0] for r in rows], pa.string()),
+                    "g": pa.array([r[1] for r in rows], pa.string()),
+                    "v": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("_op string, g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    root = str(tmp_path / "state")
+    q = (
+        agg_maintain_writer(stream, root, ["g"], ["v"], n_buckets=64)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    v2 = tmp_path / "state" / "history_v2" / "data"
+    written = [d for d in os.listdir(v2) if d.startswith("_bucket=")]
+    assert 1 <= len(written) <= 2, written
