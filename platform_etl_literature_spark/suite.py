@@ -5015,6 +5015,24 @@ SUITE: dict[str, QuerySpec] = {
 # displaces; lsh_ann_topk stays value-gated in the parity suite.
 # multimodal_frames keeps its slot but is now the REAL RIFF/AVI
 # round trip (pixel-level oracle) instead of the fake byte chunker.
+#
+# Round-6 rotation (late session), same rules — five round-6 flagship
+# operators move INTO the window so the independent driver hashes
+# them; every displaced row is a within-family near-redundancy and
+# stays value-gated in the parity suite:
+#   value_quantiles→hdr_quantile_sketch (quantile family upgraded:
+#     the sketch row CARRIES the exact nearest-rank quantile and the
+#     realized error in its checked columns),
+#   ann_topk_blocked→pagerank (ANN keeps the recall row — which
+#     embeds the exact baseline — plus ivf_ann_topk; graphs gain
+#     their first driver row, a full iteration-replay oracle),
+#   events_hourly→incremental_agg (events keep sessionize;
+#     the IVM row hashes the maintenance theorem),
+#   multimodal_decode→kmv_distinct_users (multimodal keeps the two
+#     strictly-stronger pixel-level codec rows; the sketch family
+#     gains its first driver row, hashing the merge theorem),
+#   semi_join→graph_triangles (join family keeps anti/outer/theta/
+#     range/asof rows).
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -5023,13 +5041,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "date_parts", "case_when_buckets", "grouped_json",
     "evidence_cooc_analog", "dedup_exact", "word_tf", "ngram_jaccard",
     "minhash_pairs", "winnow_pairs", "simhash_near_pairs",
-    "user_ewma_segmented", "dedup_embedding_cosine", "rrf_hybrid", "ann_topk_blocked",
+    "user_ewma_segmented", "dedup_embedding_cosine", "rrf_hybrid", "pagerank",
     "embedding_centroids", "vectors_norm_category", "doc_profile",
-    "events_hourly", "multimodal_img_stats", "sessionize", "lm_doc_logprob",
-    "multimodal_decode", "multimodal_frames", "cluster_split",
-    "salted_agg", "token_packing", "value_quantiles", "doc_repetition",
+    "incremental_agg", "multimodal_img_stats", "sessionize", "lm_doc_logprob",
+    "kmv_distinct_users", "multimodal_frames", "cluster_split",
+    "salted_agg", "token_packing", "hdr_quantile_sketch", "doc_repetition",
     "corpus_curation", "dedup_components", "ann_recall_at_k",
-    "ivf_ann_topk", "scan_provenance", "semi_join",
+    "ivf_ann_topk", "scan_provenance", "graph_triangles",
     "agg_first_deterministic", "pivot_event_types", "range_join_bands",
     "asof_join",
 )
