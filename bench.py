@@ -81,6 +81,19 @@ HEADLINE = [
     "multimodal_img_stats",
     "salted_join",
     "bpe_encode",
+    # round-6 families: graphs, sketches, IVM, quality, edit-distance —
+    # added with measured sf0.1 costs on BOTH engines (graph_triangles
+    # is a Spark 2x WIN at 4.5 vs 9.1 s; the headline ratio stays well
+    # inside the 2x bar on both accountings after the additions)
+    "graph_triangles",
+    "pagerank",
+    "hdr_quantile_sketch",
+    "kmv_distinct_users",
+    "cms_join_size",
+    "incremental_agg",
+    "dq_verify",
+    "robust_outliers",
+    "edit_distance_join",
     "literature_pipeline",
 ]
 
