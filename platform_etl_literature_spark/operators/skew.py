@@ -113,3 +113,67 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )
     return b.join(s, [*on, "_salt"], how).drop("_salt")
+
+
+def bloom_join(
+    big: "DataFrame",
+    small: "DataFrame",
+    big_key: str,
+    small_key: str,
+    how: str = "inner",
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> "DataFrame":
+    """Bloom-pruned equijoin — the runtime-filter pattern for 100 TB
+    shuffle reduction: build a Bloom filter over the small side's keys
+    (sketch-sized: ``m_bits/64`` longs, built with one distinct +
+    bit_or aggregation), broadcast it as a single row, and drop big
+    rows map-side BEFORE the join ever shuffles or probes.  Bloom
+    filters have no false negatives, so the result is EXACTLY the
+    plain join's (the oracle theorem); false positives only pass extra
+    rows into the join, which discards them — the knob trades filter
+    memory for shuffle volume, never correctness.
+
+    Spark's AQE injects a similar runtime filter for some shapes; this
+    operator makes the reduction explicit, deterministic
+    (engine-portable md5 double-hash positions, replayable by a SQL
+    oracle false-positive-for-false-positive), and available to any
+    join the planner would not cover.  ``how`` supports inner / left
+    semi (shapes where dropping non-matching big rows early is
+    sound)."""
+    from platform_etl_literature_spark.operators.dedup import (
+        bloom_filter_words,
+        bloom_positions_sql,
+    )
+
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(f"bloom_join supports inner/semi joins, got {how!r}")
+    spark = big.sparkSession
+    arr = bloom_filter_words(
+        small.selectExpr(f"CAST(`{small_key}` AS STRING) AS _g").where(
+            F.col("_g").isNotNull()
+        ),
+        "_g",
+        m_bits,
+        k,
+    )
+    bloom_row = F.broadcast(
+        spark.createDataFrame([(arr,)], "_bloom array<long>")
+    )
+    pos = bloom_positions_sql(f"CAST(`{big_key}` AS STRING)", m_bits, k)
+    bit_tests = [
+        f"(element_at(_bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) & 63 AS INT))) != 0"
+        for p in pos
+    ]
+    pre = (
+        big.crossJoin(bloom_row)
+        .where(F.expr(" AND ".join(f"({t})" for t in bit_tests)))
+        .drop("_bloom")
+    )
+    # the small side is deliberately NOT forced to broadcast: bloom
+    # pruning matters most exactly when the small side is too large to
+    # broadcast but its m_bits-sized filter is not — the join strategy
+    # stays Catalyst/AQE's call
+    jhow = "left_semi" if how in ("left_semi", "semi") else how
+    return pre.join(small, pre[big_key] == small[small_key], jhow)

@@ -4706,6 +4706,103 @@ FROM fin GROUP BY 1
 """
 
 
+def q_bloom_join_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned equijoin (operators.skew.bloom_join): orders join a
+    sparse customer subset, with the big side dropped map-side through
+    a 256-bit filter BEFORE any shuffle — the runtime-filter pattern.
+    The filter is deliberately tiny so false positives genuinely occur;
+    the checked row carries n_scanned and n_after_bloom, so the oracle
+    (which replays the same md5 double-hash positions through the
+    position-set formulation — bit p set iff p is in the small side's
+    distinct position set) verifies the pruning factor
+    false-positive-for-false-positive, while the join aggregate proves
+    the no-false-negative theorem: the result equals the plain join's
+    exactly."""
+    from platform_etl_literature_spark.operators import skew as SKW
+
+    m_bits, k = 256, 2
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    small = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+    )
+    joined = SKW.bloom_join(
+        orders, small, "o_custkey", "c_custkey", m_bits=m_bits, k=k
+    )
+    agg = joined.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    # pruning accountability: total scanned vs passed-the-filter counts
+    from platform_etl_literature_spark.operators.dedup import (
+        bloom_filter_words,
+        bloom_positions_sql,
+    )
+
+    arr = bloom_filter_words(
+        small.selectExpr("CAST(c_custkey AS STRING) AS _g"), "_g", m_bits, k
+    )
+    bloom_row = F.broadcast(
+        spark.createDataFrame([(arr,)], "_bloom array<long>")
+    )
+    pos = bloom_positions_sql("CAST(o_custkey AS STRING)", m_bits, k)
+    bit_tests = [
+        f"(element_at(_bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) & 63 AS INT))) != 0"
+        for p in pos
+    ]
+    passed = (
+        orders.crossJoin(bloom_row)
+        .where(F.expr(" AND ".join(f"({t})" for t in bit_tests)))
+        .agg(F.count(F.lit(1)).alias("n_after_bloom"))
+    )
+    scanned = orders.agg(F.count(F.lit(1)).alias("n_scanned"))
+    return agg.crossJoin(F.broadcast(scanned)).crossJoin(
+        F.broadcast(passed)
+    )
+
+
+_ORACLE_BLOOM_JOIN = """
+WITH small AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+spos AS (
+  SELECT DISTINCT p FROM (
+    SELECT unnest([
+      (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+       + 0 * ('0x' || substr(md5('b2:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 256,
+      (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+       + 1 * ('0x' || substr(md5('b2:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 256
+    ]) AS p FROM small)),
+big AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+          + 0 * ('0x' || substr(md5('b2:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT) % 256 AS p0,
+         (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+          + 1 * ('0x' || substr(md5('b2:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT) % 256 AS p1
+  FROM orders),
+pass AS (
+  SELECT o_custkey, cents FROM big
+  WHERE p0 IN (SELECT p FROM spos) AND p1 IN (SELECT p FROM spos)),
+stats AS (
+  SELECT (SELECT count(*) FROM orders) AS n_scanned,
+         (SELECT count(*) FROM pass) AS n_after_bloom),
+j AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM pass JOIN small ON o_custkey = c_custkey GROUP BY 1)
+SELECT j.o_custkey, j.n_orders, j.sum_cents,
+       stats.n_scanned, stats.n_after_bloom
+FROM j, stats
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -4977,6 +5074,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "incremental_agg": QuerySpec(
         q_incremental_agg, _ORACLE_IVM, "ivm-exact-delta-maintenance"
+    ),
+    "bloom_join_prune": QuerySpec(
+        q_bloom_join_prune, _ORACLE_BLOOM_JOIN, "join-bloom-runtime-filter"
     ),
 }
 

@@ -2280,3 +2280,85 @@ def test_ivm_idempotent_groups_untouched(spark):
     for g, v in before.items():
         if g != "g3":
             assert after[g] == v
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_join_equals_plain_join(spark):
+    """No false negatives: the bloom-pruned join result must equal the
+    plain join exactly, even with a deliberately tiny filter (64 bits
+    for 3 keys) that guarantees false positives pass the prefilter."""
+    from platform_etl_literature_spark.operators import skew as SKW
+
+    big = spark.createDataFrame(
+        [(i % 50, i) for i in range(400)], "k long, v long"
+    )
+    small = spark.createDataFrame([(3,), (17,), (42,)], "k2 long")
+    got = sorted(
+        (r["k"], r["v"])
+        for r in SKW.bloom_join(
+            big, small, "k", "k2", m_bits=64, k=2
+        ).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in big.join(small, big["k"] == small["k2"]).collect()
+    )
+    assert got == want and len(got) == 24
+
+
+def test_bloom_join_semi_and_validation(spark):
+    """Semi mode returns big-side rows only; unsupported join types
+    raise."""
+    import pytest as _pt
+
+    from platform_etl_literature_spark.operators import skew as SKW
+
+    big = spark.createDataFrame(
+        [(i % 10, i) for i in range(100)], "k long, v long"
+    )
+    small = spark.createDataFrame([(4,)], "k2 long")
+    out = SKW.bloom_join(big, small, "k", "k2", how="left_semi", m_bits=64, k=2)
+    assert out.columns == ["k", "v"]
+    assert sorted(r["k"] for r in out.collect()) == [4] * 10
+    with _pt.raises(ValueError):
+        SKW.bloom_join(big, small, "k", "k2", how="full_outer")
+
+
+def test_bloom_join_prunes_before_join(spark):
+    """With a selective small side and an adequately sized filter, the
+    prefilter must pass far fewer rows than the scan while keeping
+    every true match (count equality via the join itself)."""
+    from platform_etl_literature_spark.operators.dedup import (
+        bloom_filter_words,
+        bloom_positions_sql,
+    )
+
+    from pyspark.sql import functions as F2
+
+    big = spark.createDataFrame(
+        [(i % 1000, i) for i in range(5000)], "k long, v long"
+    )
+    small = spark.createDataFrame([(7,), (500,)], "k2 long")
+    m_bits, kk = 4096, 3
+    arr = bloom_filter_words(
+        small.selectExpr("CAST(k2 AS STRING) AS _g"), "_g", m_bits, kk
+    )
+    bloom_row = F2.broadcast(
+        spark.createDataFrame([(arr,)], "_bloom array<long>")
+    )
+    pos = bloom_positions_sql("CAST(k AS STRING)", m_bits, kk)
+    tests = [
+        f"(element_at(_bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) & 63 AS INT))) != 0"
+        for p in pos
+    ]
+    n_pass = (
+        big.crossJoin(bloom_row)
+        .where(F2.expr(" AND ".join(f"({t})" for t in tests)))
+        .count()
+    )
+    assert 10 <= n_pass <= 100, n_pass  # true 10, FP slack, ≪ 5000

@@ -432,3 +432,18 @@ def test_ivm_apply_partial_aggregates_no_fact_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_bloom_join_filter_precedes_join(spark, sf_dir):
+    """The bloom bit tests must appear as a Filter on the big side
+    BEFORE the equijoin (map-side pruning — that is the point), and
+    the only nested-loop joins are the single-row bloom/stat
+    broadcasts."""
+    plan = _simple_plan(SUITE["bloom_join_prune"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "element_at" in plan and "shiftright" in plan, plan[:3000]
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos < 0:
+        join_pos = plan.find("BroadcastHashJoin")
+    filt_pos = plan.find("shiftright")
+    assert 0 <= filt_pos, plan[:3000]
