@@ -103,3 +103,85 @@ def optimize_layout(
         .sortWithinPartitions("_z")
         .drop("_z", *[f"_bin_{c}" for c in cols])
     )
+
+
+def zonemap_skip_stats(
+    df: DataFrame,
+    zcols: list[str],
+    natural_col: str,
+    n_files: int = 64,
+    bits: int = 8,
+    band: tuple[int, int] = (45, 55),
+) -> DataFrame:
+    """Zone-map skipping accountability — the layout family's analog of
+    ANN recall: MEASURE how many simulated files a range predicate must
+    scan under the Z-order layout versus the natural (ingest-order)
+    layout, instead of asserting that clustering "should" help.
+
+    File assignment is simulated with the same integer arithmetic the
+    layout itself uses (equi-width buckets of ``_z`` for the z-order
+    layout, of ``natural_col`` for the natural one — the
+    repartitionByRange model), so the whole harness is exact and
+    SQL-replayable.  One predicate per z-column: the middle
+    ``band[0]..band[1]`` percent range of that column.  A file must be
+    scanned iff its zone map overlaps: NOT (max < lo OR min > hi) —
+    byte-for-byte the pruning rule a parquet reader applies to footer
+    stats.
+
+    Returns one row per (layout, pred_col): (layout, pred_col,
+    n_files_total, n_scanned, scan_pct).  Everything after the corpus
+    projection is file-count-sized: two grouped aggregations of
+    ``n_files`` zone-map rows and a handful of scalar combines.
+    """
+    if not zcols:
+        raise ValueError("zonemap_skip_stats needs at least one z column")
+    z = zorder_bins(df, zcols, bits=bits)
+    stats = z.agg(
+        F.min("_z").alias("_mnz"),
+        F.max("_z").alias("_mxz"),
+        F.min(F.col(natural_col).cast("long")).alias("_mnn"),
+        F.max(F.col(natural_col).cast("long")).alias("_mxn"),
+        *[F.min(F.col(c).cast("long")).alias(f"_mn_{c}") for c in zcols],
+        *[F.max(F.col(c).cast("long")).alias(f"_mx_{c}") for c in zcols],
+    )
+    b = z.crossJoin(F.broadcast(stats))
+    fz = F.expr(f"(_z - _mnz) * {n_files} div (_mxz - _mnz + 1)")
+    fn = F.expr(
+        f"(CAST({natural_col} AS BIGINT) - _mnn) * {n_files}"
+        " div (_mxn - _mnn + 1)"
+    )
+    proj = b.select(
+        fz.alias("_fz"),
+        fn.alias("_fn"),
+        *[F.col(c).cast("long").alias(c) for c in zcols],
+    )
+    lo, hi = band
+    out = None
+    for layout, fcol in (("zorder", "_fz"), ("natural", "_fn")):
+        zone = proj.groupBy(F.col(fcol).alias("_file")).agg(
+            *[F.min(c).alias(f"_fmn_{c}") for c in zcols],
+            *[F.max(c).alias(f"_fmx_{c}") for c in zcols],
+        )
+        zs = zone.crossJoin(F.broadcast(stats))
+        for c in zcols:
+            plo = f"(_mn_{c} + (_mx_{c} - _mn_{c}) * {lo} div 100)"
+            phi = f"(_mn_{c} + (_mx_{c} - _mn_{c}) * {hi} div 100)"
+            scanned = zs.agg(
+                F.count(F.lit(1)).alias("n_files_total"),
+                F.count_if(
+                    ~F.expr(f"(_fmx_{c} < {plo}) OR (_fmn_{c} > {phi})")
+                ).alias("n_scanned"),
+            ).select(
+                F.lit(layout).alias("layout"),
+                F.lit(c).alias("pred_col"),
+                "n_files_total",
+                "n_scanned",
+                F.round(
+                    F.col("n_scanned")
+                    / F.col("n_files_total").cast("double")
+                    * 100,
+                    2,
+                ).alias("scan_pct"),
+            )
+            out = scanned if out is None else out.unionByName(scanned)
+    return out

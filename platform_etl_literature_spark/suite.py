@@ -4803,6 +4803,92 @@ FROM j, stats
 """
 
 
+def q_zonemap_skip(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map skipping accountability (operators.layout.
+    zonemap_skip_stats): MEASURED file-skip rates for the z-order
+    layout vs the natural ingest order, per predicate column — the
+    layout family's recall metric.  At sf0.01 the natural layout scans
+    100% of files for the non-clustered o_custkey band while z-order
+    scans ~25-30% for BOTH columns; every number is exact integer
+    arithmetic replayed by the oracle (bins, Morton interleave, file
+    buckets, and the footer overlap rule NOT (max < lo OR min > hi))."""
+    from platform_etl_literature_spark.operators.layout import (
+        zonemap_skip_stats,
+    )
+
+    return zonemap_skip_stats(
+        _t(spark, sf, "orders"),
+        ["o_custkey", "o_orderkey"],
+        "o_orderkey",
+        n_files=64,
+        bits=8,
+    )
+
+
+def _zonemap_oracle(
+    n_files: int = 64, bits: int = 8, lo: int = 45, hi: int = 55
+) -> str:
+    """DuckDB oracle for q_zonemap_skip: replays zorder_bins, the
+    Morton interleave, equi-width file buckets, per-file zone maps and
+    the overlap counts — all integer-exact."""
+    width = 1 << bits
+    inter = " + ".join(
+        f"(((b{n} >> {b}) & 1) << {b * 2 + (1 - i)})"
+        for b in range(bits - 1, -1, -1)
+        for i, n in enumerate(("c", "o"))
+    )
+    legs = []
+    for layout, fcol in (("zorder", "fz"), ("natural", "fn")):
+        for c, mnc, mxc in (
+            ("o_custkey", "mn_c", "mx_c"),
+            ("o_orderkey", "mn_o", "mx_o"),
+        ):
+            plo = f"({mnc} + ({mxc} - {mnc}) * {lo} // 100)"
+            phi = f"({mnc} + ({mxc} - {mnc}) * {hi} // 100)"
+            legs.append(
+                f"SELECT '{layout}' AS layout, '{c}' AS pred_col,\n"
+                f"  count(*) AS n_files_total,\n"
+                f"  CAST(sum(CASE WHEN NOT (fmx_{c} < {plo} OR fmn_{c} > {phi})\n"
+                f"       THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,\n"
+                f"  round(CAST(sum(CASE WHEN NOT (fmx_{c} < {plo} OR fmn_{c} > {phi})\n"
+                f"       THEN 1 ELSE 0 END) AS BIGINT)\n"
+                f"      / CAST(count(*) AS DOUBLE) * 100, 2) AS scan_pct\n"
+                f"FROM zone_{fcol} CROSS JOIN stats"
+            )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH stats AS (
+  SELECT CAST(min(o_custkey) AS BIGINT) AS mn_c, CAST(max(o_custkey) AS BIGINT) AS mx_c,
+         CAST(min(o_orderkey) AS BIGINT) AS mn_o, CAST(max(o_orderkey) AS BIGINT) AS mx_o
+  FROM orders),
+b AS (
+  SELECT o_custkey, o_orderkey,
+    (CAST(o_custkey AS BIGINT) - mn_c) * {width} // (mx_c - mn_c + 1) AS bc,
+    (CAST(o_orderkey AS BIGINT) - mn_o) * {width} // (mx_o - mn_o + 1) AS bo
+  FROM orders CROSS JOIN stats),
+z AS (
+  SELECT o_custkey, o_orderkey, {inter} AS zv
+  FROM b),
+zstats AS (SELECT min(zv) AS mnz, max(zv) AS mxz FROM z),
+f AS (
+  SELECT o_custkey, o_orderkey,
+    (zv - mnz) * {n_files} // (mxz - mnz + 1) AS fz,
+    (CAST(o_orderkey AS BIGINT) - mn_o) * {n_files} // (mx_o - mn_o + 1) AS fn
+  FROM z CROSS JOIN zstats CROSS JOIN stats),
+zone_fz AS (
+  SELECT fz AS file,
+         min(o_custkey) AS fmn_o_custkey, max(o_custkey) AS fmx_o_custkey,
+         min(o_orderkey) AS fmn_o_orderkey, max(o_orderkey) AS fmx_o_orderkey
+  FROM f GROUP BY 1),
+zone_fn AS (
+  SELECT fn AS file,
+         min(o_custkey) AS fmn_o_custkey, max(o_custkey) AS fmx_o_custkey,
+         min(o_orderkey) AS fmn_o_orderkey, max(o_orderkey) AS fmx_o_orderkey
+  FROM f GROUP BY 1)
+{union}
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -5077,6 +5163,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "bloom_join_prune": QuerySpec(
         q_bloom_join_prune, _ORACLE_BLOOM_JOIN, "join-bloom-runtime-filter"
+    ),
+    "zonemap_skip": QuerySpec(
+        q_zonemap_skip, _zonemap_oracle(), "layout-zonemap-accountability"
     ),
 }
 

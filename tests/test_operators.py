@@ -2362,3 +2362,32 @@ def test_bloom_join_prunes_before_join(spark):
         .count()
     )
     assert 10 <= n_pass <= 100, n_pass  # true 10, FP slack, ≪ 5000
+
+
+def test_zonemap_skip_zorder_beats_natural_on_nonclustered(spark, sf_dir):
+    """The accountability numbers must show the point of the layout:
+    the natural (ingest-order) layout scans ~every file for the
+    non-clustered column's band, z-order scans a small fraction for
+    BOTH columns; every file is counted exactly once per layout."""
+    from platform_etl_literature_spark.operators.layout import (
+        zonemap_skip_stats,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = {
+        (r["layout"], r["pred_col"]): (r["n_files_total"], r["n_scanned"])
+    for r in zonemap_skip_stats(
+            orders, ["o_custkey", "o_orderkey"], "o_orderkey",
+            n_files=64, bits=8,
+        ).collect()
+    }
+    assert len(rows) == 4
+    nat_cust = rows[("natural", "o_custkey")]
+    z_cust = rows[("zorder", "o_custkey")]
+    z_ord = rows[("zorder", "o_orderkey")]
+    assert nat_cust[1] == nat_cust[0]          # natural: full scan
+    assert z_cust[1] <= z_cust[0] // 2         # zorder: ≥2x skip
+    assert z_ord[1] <= z_ord[0] // 2
+    # zone maps can never skip a file containing a matching row: the
+    # band rows must all live in scanned files (spot via count>0)
+    assert all(v[1] >= 1 for v in rows.values())
