@@ -257,6 +257,25 @@ SHOWCASE: dict[str, str] = {
         "single-reducer sort); the merged ALL row re-aggregates "
         "sketch cells, never the raw rows."
     ),
+    "incremental_agg": (
+        "Pure aggregation end to end: every leg (base build, insert "
+        "delta, delete delta) partial-aggregates map-side before its "
+        "exchange, the final merge groups state + delta rows — no "
+        "join of the facts back into the state, no fact rescan."
+    ),
+    "bloom_join_prune": (
+        "The m_bits/64-long filter rides a single-row "
+        "BroadcastNestedLoopJoin and the bit tests appear as a Filter "
+        "on the big side BEFORE the equijoin — rows are dropped "
+        "map-side pre-shuffle; the join strategy itself stays "
+        "Catalyst's choice."
+    ),
+    "zonemap_skip": (
+        "After the corpus projection everything is file-count-sized: "
+        "two grouped aggregations build the n_files-row zone maps "
+        "(map-side partial min/max), and the overlap counts are "
+        "single-row combines against the broadcast global-stats row."
+    ),
 }
 
 
