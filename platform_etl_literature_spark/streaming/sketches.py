@@ -134,3 +134,96 @@ def hdr_stream_quantiles(
     from platform_etl_literature_spark.operators.sketch import hdr_quantiles
 
     return hdr_quantiles(hdr_read_merged(spark, hist_path, keys), qs, m, keys)
+
+
+def bloom_maintain_writer(
+    stream: DataFrame,
+    col: str,
+    words_path: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataStreamWriter:
+    """Streaming Bloom-filter maintenance — membership, the third
+    member of the streaming sketch family (CMS = counts, HDR =
+    quantiles).  Each micro-batch lands its own (w, bits) word rows
+    under ``words_path/batch=<batch_id>`` (the per-batch-directory
+    replay contract); because ``bit_or`` is idempotent AND associative,
+    the merged filter is bit-identical to a direct build over
+    everything delivered no matter how batches replay or reorder."""
+    from platform_etl_literature_spark.operators.dedup import (
+        bloom_positions_sql,
+    )
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        pos = bloom_positions_sql(f"`{col}`", m_bits, k)
+        (
+            batch.where(F.col(col).isNotNull())
+            .selectExpr(f"explode(array({', '.join(pos)})) AS p")
+            .distinct()
+            .selectExpr(
+                "shiftright(p, 6) AS w",
+                "shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT)) AS b",
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("bits"))
+            .write.mode("overwrite")
+            .parquet(f"{words_path}/batch={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(_step).outputMode("update")
+
+
+def bloom_read_merged(spark: SparkSession, words_path: str) -> list[int]:
+    """The merged filter across every landed batch as the
+    ``m_bits/64``-long word array (absent words are zero) — collect is
+    bounded by the FILTER size, never the stream volume."""
+    rows = (
+        spark.read.parquet(words_path)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    )
+    if not rows:
+        return []
+    n_words = max(r["w"] for r in rows) + 1
+    arr = [0] * n_words
+    for r in rows:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_stream_probe(
+    spark: SparkSession,
+    words_path: str,
+    items: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Membership probe of candidate items against the merged stream
+    filter: one-sided — a value the stream delivered ALWAYS probes
+    true; a fresh value probes false except for documented false
+    positives.  Pure map-side bit tests against the one-row broadcast
+    array."""
+    from platform_etl_literature_spark.operators.dedup import (
+        bloom_positions_sql,
+    )
+
+    arr = bloom_read_merged(spark, words_path)
+    arr = arr + [0] * (m_bits // 64 - len(arr))
+    bloom_row = F.broadcast(
+        spark.createDataFrame([(arr,)], "_bloom array<long>")
+    )
+    pos = bloom_positions_sql(f"`{col}`", m_bits, k)
+    tests = [
+        f"(element_at(_bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) & 63 AS INT))) != 0"
+        for p in pos
+    ]
+    return (
+        items.crossJoin(bloom_row)
+        .select(
+            F.col(col),
+            F.expr(" AND ".join(f"({t})" for t in tests)).alias("maybe_seen"),
+        )
+    )

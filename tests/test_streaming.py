@@ -885,3 +885,69 @@ def test_ivm_stream_writes_only_dirty_buckets(spark, tmp_path):
     v2 = tmp_path / "state" / "history_v2" / "data"
     written = [d for d in os.listdir(v2) if d.startswith("_bucket=")]
     assert 1 <= len(written) <= 2, written
+
+
+def test_bloom_stream_maintenance_merges_exactly(spark, tmp_path):
+    """Streaming Bloom maintenance: per-batch word arrays land under
+    batch=<id>; the bit_or merge is bit-identical to a direct build
+    over everything delivered (idempotent + associative), and the
+    probe is one-sided: every delivered value probes true."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.dedup import (
+        bloom_filter_words,
+    )
+    from platform_etl_literature_spark.streaming.sketches import (
+        bloom_maintain_writer,
+        bloom_read_merged,
+        bloom_stream_probe,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def arrive(name, vals):
+        pq.write_table(
+            pa.table({"v": pa.array(vals, pa.string())}), str(land / name)
+        )
+
+    b1 = [f"tok{i}" for i in range(40)]
+    b2 = [f"tok{i}" for i in range(30, 70)]  # overlap with b1
+    arrive("f1.parquet", b1)
+    arrive("f2.parquet", b2)
+
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    words = str(tmp_path / "bloom")
+    m_bits, k = 1024, 3
+    q = (
+        bloom_maintain_writer(stream, "v", words, m_bits=m_bits, k=k)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    everything = spark.createDataFrame(
+        [(v,) for v in b1 + b2], "v string"
+    )
+    direct = bloom_filter_words(everything, "v", m_bits, k)
+    merged = bloom_read_merged(spark, words)
+    merged = merged + [0] * (m_bits // 64 - len(merged))
+    assert merged == direct
+
+    probes = spark.createDataFrame(
+        [(v,) for v in ["tok0", "tok69", "never-seen-1", "never-seen-2"]],
+        "v string",
+    )
+    got = {
+        r["v"]: r["maybe_seen"]
+        for r in bloom_stream_probe(
+            spark, words, probes, "v", m_bits, k
+        ).collect()
+    }
+    assert got["tok0"] and got["tok69"]  # no false negatives, ever
