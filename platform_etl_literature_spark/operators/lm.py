@@ -58,19 +58,14 @@ def bigram_instances(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lm_doc_logprob(
-    docs: DataFrame, id_col: str, text_col: str, add_k: float = 0.1
+def _doc_lp_micro(
+    docs: DataFrame, id_col: str, text_col: str, add_k: float
 ) -> DataFrame:
-    """Average bigram log-probability (and perplexity) per document
-    under an add-k-smoothed bigram LM trained on the same corpus:
-
-        logP(w_i | w_{i-1}) = ln((c2(w_{i-1} w_i) + k) / (c1(w_{i-1}) + k·V))
-
-    where c2/c1 are corpus bigram/unigram counts and V the distinct
-    unigram vocabulary size.  Returns (id, n_bigrams, avg_logp, ppl)
-    for every document with at least one bigram; ``ppl`` is
-    exp(-avg_logp), the standard per-token perplexity filter metric.
-    """
+    """Per-bigram-instance scores as EXACT integer micro-nats:
+    (id, lp_micro) with lp_micro = round(ln(p)·10⁶) — the shared
+    scoring frame behind both the averaged filter metric
+    (:func:`lm_doc_logprob`) and the integer totals
+    (:func:`lm_doc_neg_micro_nats`)."""
     if add_k <= 0:
         raise ValueError(f"add_k must be > 0, got {add_k}")
     inst = _materialize_once(bigram_instances(docs, id_col, text_col))
@@ -88,12 +83,44 @@ def lm_doc_logprob(
     logp = F.log(
         (F.col("n2") + add_k) / (F.col("n1") + add_k * F.col("v"))
     )
-    scored = (
+    return (
         inst.join(c2, "big")
         .join(c1, F.col("pre") == F.col("t"))
         .crossJoin(F.broadcast(vocab))
         .select("id", F.round(logp * 1000000.0, 0).cast("long").alias("lp_micro"))
     )
+
+
+def lm_doc_neg_micro_nats(
+    docs: DataFrame, id_col: str, text_col: str, add_k: float = 0.1
+) -> DataFrame:
+    """Per-document total negative log-likelihood in EXACT integer
+    micro-nats — (id, n_bigrams, neg_lp_micro) with neg_lp_micro ≥ 1
+    for any scoreable document; the form downstream integer-exact
+    consumers (HDR quantile thresholds, mixture diagnostics) need,
+    where the averaged float metric would reintroduce float-parity
+    risk."""
+    scored = _doc_lp_micro(docs, id_col, text_col, add_k)
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("lp_micro")).alias("neg_lp_micro"),
+    )
+
+
+def lm_doc_logprob(
+    docs: DataFrame, id_col: str, text_col: str, add_k: float = 0.1
+) -> DataFrame:
+    """Average bigram log-probability (and perplexity) per document
+    under an add-k-smoothed bigram LM trained on the same corpus:
+
+        logP(w_i | w_{i-1}) = ln((c2(w_{i-1} w_i) + k) / (c1(w_{i-1}) + k·V))
+
+    where c2/c1 are corpus bigram/unigram counts and V the distinct
+    unigram vocabulary size.  Returns (id, n_bigrams, avg_logp, ppl)
+    for every document with at least one bigram; ``ppl`` is
+    exp(-avg_logp), the standard per-token perplexity filter metric.
+    """
+    scored = _doc_lp_micro(docs, id_col, text_col, add_k)
     n = F.count(F.lit(1))
     avg_raw = F.sum("lp_micro") / 1000000.0 / n
     return scored.groupBy("id").agg(

@@ -4889,6 +4889,103 @@ zone_fn AS (
 """
 
 
+def q_quality_thresholds(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-family composition — the CCNet-style per-language quality
+    cut computed end to end inside the engine: exact integer micro-nat
+    LM totals per document (operators.lm.lm_doc_neg_micro_nats) feed a
+    per-language HDR quantile sketch (operators.sketch), whose p90
+    estimate becomes the filter threshold; the checked row carries the
+    per-language doc count, the threshold, and how many documents the
+    cut flags.  Everything is integer-exact or identically-derived
+    double, so the full chain (LM scoring → sketch → threshold →
+    flag counts) is value-replayed by one composed oracle.  Scale
+    shape: scoring is the lm family's proven join plan; the sketch and
+    threshold stages are sketch-sized; flagging is one broadcast join
+    of a 1-row-per-language threshold table."""
+    from platform_etl_literature_spark.operators import lm as LM
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    m = 32
+    docs = _t(spark, sf, "documents")
+    sc = LM.lm_doc_neg_micro_nats(docs, "doc_id", "text")
+    scored = sc.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).select("id", "lang", "neg_lp_micro")
+    sk = SK.hdr_build(scored, "neg_lp_micro", m=m, keys=["lang"])
+    thr = SK.hdr_quantiles(sk, [0.9], m=m, keys=["lang"]).select(
+        "lang", F.col("n").alias("n_docs"), F.col("est_q").alias("p90_micro")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("p90_micro").alias("p90_micro"),
+            F.count_if(
+                F.col("neg_lp_micro") > F.col("p90_micro")
+            ).alias("n_flagged"),
+        )
+    )
+
+
+_ORACLE_QUALITY_THRESHOLDS = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+inst AS (
+  SELECT doc_id AS id,
+         unnest(toks[1:len(toks)-1]) AS pre,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS big
+  FROM w WHERE len(toks) >= 2),
+uni AS (SELECT unnest(toks) AS t FROM w),
+c1 AS (SELECT t, count(*) AS n1 FROM uni GROUP BY t),
+vocab AS (SELECT count(DISTINCT t) AS v FROM uni),
+c2 AS (SELECT big, count(*) AS n2 FROM inst GROUP BY big),
+sc AS MATERIALIZED (
+  SELECT id,
+         CAST(-sum(CAST(round(ln((n2 + 0.1) / (n1 + 0.1 * v)) * 1000000.0, 0)
+                        AS BIGINT)) AS BIGINT) AS neg
+  FROM inst JOIN c2 USING (big) JOIN c1 ON c1.t = inst.pre CROSS JOIN vocab
+  GROUP BY id),
+scored AS MATERIALIZED (
+  SELECT sc.id, d.lang, sc.neg FROM sc JOIN documents d ON d.doc_id = sc.id),
+bk AS (
+  SELECT lang,
+         (length(bin(neg)) - 1) * 32 +
+           ((neg - CAST(pow(2, length(bin(neg)) - 1) AS BIGINT)) * 32)
+             // CAST(pow(2, length(bin(neg)) - 1) AS BIGINT) AS b,
+         count(*) AS cnt
+  FROM scored WHERE neg >= 1 GROUP BY 1, 2),
+n AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM bk GROUP BY 1),
+cum AS (
+  SELECT lang, b, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bk),
+probes AS (
+  SELECT lang, n,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT)) AS target
+  FROM n),
+hit AS (
+  SELECT p.lang, p.n, c.b
+  FROM probes p JOIN cum c ON c.lang = p.lang
+  WHERE c.cum >= p.target AND c.cum - c.cnt < p.target),
+thr AS (
+  SELECT lang, n AS n_docs,
+         round((pow(2, b // 32) * (1 + (b % 32) / 32.0)
+                + pow(2, b // 32) * (1 + ((b % 32) + 1) / 32.0)) / 2.0, 6)
+           AS p90_micro
+  FROM hit)
+SELECT s.lang, t.n_docs, t.p90_micro,
+       CAST(sum(CASE WHEN s.neg > t.p90_micro THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM scored s JOIN thr t ON t.lang = s.lang
+GROUP BY s.lang, t.n_docs, t.p90_micro
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -5166,6 +5263,11 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "zonemap_skip": QuerySpec(
         q_zonemap_skip, _zonemap_oracle(), "layout-zonemap-accountability"
+    ),
+    "quality_thresholds": QuerySpec(
+        q_quality_thresholds,
+        _ORACLE_QUALITY_THRESHOLDS,
+        "composed-lm-hdr-quality-cut",
     ),
 }
 

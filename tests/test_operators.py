@@ -2391,3 +2391,25 @@ def test_zonemap_skip_zorder_beats_natural_on_nonclustered(spark, sf_dir):
     # zone maps can never skip a file containing a matching row: the
     # band rows must all live in scanned files (spot via count>0)
     assert all(v[1] >= 1 for v in rows.values())
+
+
+def test_lm_neg_micro_nats_matches_avg_metric(spark, sf_dir):
+    """The integer totals and the averaged metric must describe the
+    same scores: avg_logp == -neg_lp_micro / 1e6 / n_bigrams to the
+    metric's own rounding."""
+    from platform_etl_literature_spark.operators import lm as LM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    avg = {
+        r["id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in LM.lm_doc_logprob(docs, "doc_id", "text").collect()
+    }
+    tot = {
+        r["id"]: (r["n_bigrams"], r["neg_lp_micro"])
+        for r in LM.lm_doc_neg_micro_nats(docs, "doc_id", "text").collect()
+    }
+    assert set(avg) == set(tot)
+    for i, (n, a) in avg.items():
+        nt, neg = tot[i]
+        assert nt == n
+        assert a == round(-neg / 1e6 / n, 6), (i, a, neg, n)
