@@ -4986,6 +4986,47 @@ GROUP BY s.lang, t.n_docs, t.p90_micro
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshaping via DataFrame.unpivot (melt) — the inverse
+    of pivot_event_types, completing the reshape family: a wide
+    per-priority metrics table (orders count / cents sum / distinct
+    customers) melts into (o_orderpriority, metric, value) rows.  All
+    measures cast to long so the single value column is exact."""
+    wide = (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+            ).alias("sum_cents"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "sum_cents", "n_custs"],
+        "metric",
+        "value",
+    )
+
+
+_ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         count(DISTINCT o_custkey) AS n_custs
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'sum_cents', sum_cents FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_custs', n_custs FROM wide
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -5268,6 +5309,9 @@ SUITE: dict[str, QuerySpec] = {
         q_quality_thresholds,
         _ORACLE_QUALITY_THRESHOLDS,
         "composed-lm-hdr-quality-cut",
+    ),
+    "unpivot_metrics": QuerySpec(
+        q_unpivot_metrics, _ORACLE_UNPIVOT, "reshape-unpivot-melt"
     ),
 }
 
