@@ -1,0 +1,79 @@
+"""Ordered-funnel conversion over event streams.
+
+The classic product-analytics question — how many users performed
+step 1, then step 2 strictly after it, then step 3 after that — as a
+deterministic chained-min plan: the step-1 frontier is a per-user
+``min(ts)`` aggregate, and each later frontier is the per-user
+``min(ts)`` of that step's events STRICTLY after the previous
+frontier.  Strict inequality makes the semantics order-free (ties at
+the same timestamp never count as progress, so no tiebreak on event
+ids is needed and any engine replays the same answer).
+
+Scale shape: one filtered scan of the events table (only funnel step
+types survive the pushed filter), then per step one equijoin on the
+shrinking user frontier + one (user)-keyed min aggregate — all
+map-side-combined, nothing corpus-sized after the first frontier.
+The per-step report rows are single-row count aggregates.
+
+A per-user fold over a collected event array would do this in one
+pass but puts per-user history in task memory; the chained-min shape
+keeps every stage an aggregate and is the one a 100 TB funnel wants
+(steps is small and fixed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-step reach counts for the ordered funnel ``steps``:
+    (step, step_idx, n_users) where n_users counts users whose
+    chained strictly-increasing timestamps reach that step.  Repeated
+    step types are fine (a second 'click' needs a click strictly
+    after the first)."""
+    if not steps:
+        raise ValueError("funnel_conversion needs at least one step")
+    e = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_s"),
+        F.col(ts_col).alias("_ts"),
+    )
+    reach = (
+        e.where(F.col("_s") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_t"))
+    )
+    outs = [
+        reach.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(steps[0]).alias("step"),
+            F.lit(1).alias("step_idx"),
+            "n_users",
+        )
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        reach = (
+            e.where(F.col("_s") == st)
+            .join(reach, "_u")
+            .where(F.col("_ts") > F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        outs.append(
+            reach.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(st).alias("step"),
+                F.lit(i).alias("step_idx"),
+                "n_users",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -5027,6 +5027,40 @@ SELECT o_orderpriority, 'n_custs', n_custs FROM wide
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view → click → purchase over the events table
+    (operators.funnel.funnel_conversion): per-user chained
+    strictly-increasing min timestamps, reported as per-step reach
+    counts.  Strict inequality makes the answer order-free and
+    engine-portable; the oracle replays the same chained-min plan."""
+    from platform_etl_literature_spark.operators.funnel import (
+        funnel_conversion,
+    )
+
+    return funnel_conversion(
+        read_events(spark, sf), ["view", "click", "purchase"]
+    )
+
+
+_ORACLE_FUNNEL = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS s, ts
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+r1 AS (SELECT u, min(ts) AS t FROM e WHERE s = 'view' GROUP BY u),
+r2 AS (
+  SELECT e.u, min(e.ts) AS t FROM e JOIN r1 ON r1.u = e.u
+  WHERE e.s = 'click' AND e.ts > r1.t GROUP BY e.u),
+r3 AS (
+  SELECT e.u, min(e.ts) AS t FROM e JOIN r2 ON r2.u = e.u
+  WHERE e.s = 'purchase' AND e.ts > r2.t GROUP BY e.u)
+SELECT 'view' AS step, 1 AS step_idx, (SELECT count(*) FROM r1) AS n_users
+UNION ALL
+SELECT 'click', 2, (SELECT count(*) FROM r2)
+UNION ALL
+SELECT 'purchase', 3, (SELECT count(*) FROM r3)
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -5312,6 +5346,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "unpivot_metrics": QuerySpec(
         q_unpivot_metrics, _ORACLE_UNPIVOT, "reshape-unpivot-melt"
+    ),
+    "funnel_steps": QuerySpec(
+        q_funnel_steps, _ORACLE_FUNNEL, "events-ordered-funnel"
     ),
 }
 

@@ -2413,3 +2413,41 @@ def test_lm_neg_micro_nats_matches_avg_metric(spark, sf_dir):
         nt, neg = tot[i]
         assert nt == n
         assert a == round(-neg / 1e6 / n, 6), (i, a, neg, n)
+
+
+def test_funnel_strict_order_and_ties(spark):
+    """Funnel semantics: progress requires STRICTLY later timestamps
+    (same-instant ties never count), order of arrival is irrelevant,
+    and repeated step types need a strictly later recurrence."""
+    from datetime import datetime
+
+    from platform_etl_literature_spark.operators.funnel import (
+        funnel_conversion,
+    )
+
+    T = datetime
+    rows = [
+        # u1 completes a->b->c in order
+        (1, "a", T(2024, 1, 1, 0)), (1, "b", T(2024, 1, 1, 1)), (1, "c", T(2024, 1, 1, 2)),
+        # u2: b at the SAME instant as a — tie must not count as after
+        (2, "a", T(2024, 1, 1, 0)), (2, "b", T(2024, 1, 1, 0)),
+        # u3: b before a only — no progress past step 1
+        (3, "b", T(2024, 1, 1, 0)), (3, "a", T(2024, 1, 1, 1)),
+        # u4: never does step 1
+        (4, "b", T(2024, 1, 1, 0)), (4, "c", T(2024, 1, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_conversion(df, ["a", "b", "c"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1}
+
+    # repeated type: a->a needs a second strictly later 'a'
+    got2 = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_conversion(df, ["a", "a"]).collect()
+    }
+    assert got2 == {1: 3, 2: 0}
