@@ -77,3 +77,64 @@ def funnel_conversion(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_periods: int = 8,
+) -> DataFrame:
+    """Weekly retention cohorts — funnel's sibling report: users
+    cohorted by the ISO week of their FIRST event, then counted as
+    active in each 7-day period offset after it.  Period arithmetic is
+    day-difference integer division (calendar-date based, so timezone
+    and sub-day encoding differences can never shift a bucket), and
+    every count is exact.
+
+    Returns (cohort_week, period, cohort_size, n_active,
+    retention_pct) for offsets [0, max_periods).  Scale shape: one
+    per-user min aggregate, one equijoin of events against the
+    user→cohort frame, a distinct on (cohort, user, period) — all
+    map-side combined — and a final cohort-sized aggregation; the
+    cohort-size frame broadcasts back."""
+    e = events.select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+    ).where(F.col(user_col).isNotNull())
+    first = e.groupBy("_u").agg(F.min("_ts").alias("_first"))
+    cohorts = first.select(
+        "_u",
+        F.date_format(
+            F.date_trunc("week", F.col("_first")), "yyyy-MM-dd"
+        ).alias("cohort_week"),
+        F.to_date("_first").alias("_d0"),
+    )
+    size = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        e.join(cohorts, "_u")
+        .select(
+            "cohort_week",
+            "_u",
+            (
+                F.datediff(F.to_date("_ts"), F.col("_d0")) / 7
+            ).cast("long").alias("period"),
+        )
+        .where((F.col("period") >= 0) & (F.col("period") < max_periods))
+        .distinct()
+        .groupBy("cohort_week", "period")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "period",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 4
+            ).alias("retention_pct"),
+        )
+    )

@@ -5061,6 +5061,44 @@ SELECT 'purchase', 3, (SELECT count(*) FROM r3)
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohorts over events (operators.funnel.
+    retention_cohorts): users cohorted by the ISO week of their first
+    event, counted active per 7-day offset.  All calendar-date integer
+    arithmetic — timezone/encoding-proof — with exact counts and a
+    rounded retention ratio."""
+    from platform_etl_literature_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(read_events(spark, sf), max_periods=8)
+
+
+_ORACLE_RETENTION = """
+WITH e AS (
+  SELECT user_id AS u, ts FROM events WHERE user_id IS NOT NULL),
+f AS (SELECT u, min(ts) AS first FROM e GROUP BY u),
+c AS (
+  SELECT u, strftime(CAST(date_trunc('week', first) AS DATE), '%Y-%m-%d')
+           AS cohort_week,
+         CAST(first AS DATE) AS d0
+  FROM f),
+sz AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
+act AS (
+  SELECT DISTINCT cohort_week, e.u,
+         datediff('day', d0, CAST(e.ts AS DATE)) // 7 AS period
+  FROM e JOIN c ON c.u = e.u
+  WHERE datediff('day', d0, CAST(e.ts AS DATE)) // 7 >= 0
+    AND datediff('day', d0, CAST(e.ts AS DATE)) // 7 < 8),
+agg AS (
+  SELECT cohort_week, period, count(*) AS n_active
+  FROM act GROUP BY 1, 2)
+SELECT a.cohort_week, a.period, s.cohort_size, a.n_active,
+       round(a.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention_pct
+FROM agg a JOIN sz s ON s.cohort_week = a.cohort_week
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -5349,6 +5387,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "funnel_steps": QuerySpec(
         q_funnel_steps, _ORACLE_FUNNEL, "events-ordered-funnel"
+    ),
+    "retention_cohorts": QuerySpec(
+        q_retention_cohorts, _ORACLE_RETENTION, "events-weekly-retention"
     ),
 }
 

@@ -2451,3 +2451,30 @@ def test_funnel_strict_order_and_ties(spark):
         for r in funnel_conversion(df, ["a", "a"]).collect()
     }
     assert got2 == {1: 3, 2: 0}
+
+
+def test_retention_cohorts_micro(spark):
+    """Crafted cohorts: two users starting in different weeks, one
+    returning in period 1, period buckets calendar-exact."""
+    from datetime import datetime
+
+    from platform_etl_literature_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1)), (1, T(2024, 1, 9)),   # u1: wk of Jan 1, back day 8 → period 1
+        (2, T(2024, 1, 2)), (2, T(2024, 1, 8)),   # u2: same cohort wk, day 6 → period 0
+        (3, T(2024, 1, 10)),                       # u3: wk of Jan 8, never back
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"], r["period"]): (r["cohort_size"], r["n_active"])
+        for r in retention_cohorts(df, max_periods=4).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2),
+        ("2024-01-01", 1): (2, 1),
+        ("2024-01-08", 0): (1, 1),
+    }
