@@ -447,3 +447,29 @@ def test_bloom_join_filter_precedes_join(spark, sf_dir):
         join_pos = plan.find("BroadcastHashJoin")
     filt_pos = plan.find("shiftright")
     assert 0 <= filt_pos, plan[:3000]
+
+
+def test_funnel_pushes_step_filter_no_cartesian(spark, sf_dir):
+    """The step-type filter must reach the events scan (only funnel
+    step rows are ever read), and every frontier advance is an
+    equijoin — no cartesian anywhere."""
+    plan = _simple_plan(SUITE["funnel_steps"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "In(event_type" in plan or "event_type IN" in plan, plan[:3000]
+
+
+def test_retention_broadcasts_cohort_sizes(spark, sf_dir):
+    """The cohort-size frame (one row per week) broadcasts back onto
+    the per-period counts; no single-reducer stage."""
+    plan = _simple_plan(SUITE["retention_cohorts"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_quality_thresholds_broadcasts_thresholds(spark, sf_dir):
+    """The per-language threshold table (≤ languages rows) must ride a
+    BroadcastExchange into the flagging join — the corpus-side scores
+    are never shuffled for it."""
+    plan = _simple_plan(SUITE["quality_thresholds"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]

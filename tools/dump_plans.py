@@ -276,6 +276,19 @@ SHOWCASE: dict[str, str] = {
         "(map-side partial min/max), and the overlap counts are "
         "single-row combines against the broadcast global-stats row."
     ),
+    "funnel_steps": (
+        "The step-type IN filter is pushed to the events scan; each "
+        "frontier advance is an equijoin on the shrinking user set + "
+        "a keyed min with map-side partial aggregation; the report "
+        "rows are single-row count combines."
+    ),
+    "quality_thresholds": (
+        "LM scoring reuses the lm family's proven join plan; the "
+        "sketch and threshold stages are sketch-sized; the "
+        "per-language threshold table rides a BroadcastExchange into "
+        "the flagging join, so scored corpus rows are never shuffled "
+        "for it."
+    ),
 }
 
 
