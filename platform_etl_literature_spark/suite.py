@@ -5099,6 +5099,74 @@ FROM agg a JOIN sz s ON s.cohort_week = a.cohort_week
 """
 
 
+def q_ivm_from_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """The CDC loop closed inside the engine: two order snapshots are
+    diffed by the repo's own snapshot_diff (operators.merge), the
+    inserted/changed/deleted classification becomes the exact
+    insert/delete delta (changed keys delete their OLD row and insert
+    their NEW one — the before-image contract agg_state_apply
+    documents), and the maintained per-customer state must then equal
+    a direct build over the new snapshot — which is all the oracle
+    computes.  Exercises the change leg the plain incremental_agg
+    query doesn't: overlapping keys whose tracked value actually
+    changed."""
+    from platform_etl_literature_spark.operators import ivm as IVM
+    from platform_etl_literature_spark.operators.merge import snapshot_diff
+
+    src = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    v1 = src.where(F.col("o_orderkey") % 3 != 0)
+    v2 = src.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("cents") + 100
+        ).otherwise(F.col("cents")),
+    )
+    diff = snapshot_diff(v1, v2, ["o_orderkey"], ["o_custkey", "cents"])
+    ins_keys = diff.where(
+        F.col("change_type").isin("inserted", "changed")
+    ).select("o_orderkey")
+    del_keys = diff.where(
+        F.col("change_type").isin("deleted", "changed")
+    ).select("o_orderkey")
+    inserts = v2.join(ins_keys, "o_orderkey")
+    deletes = v1.join(del_keys, "o_orderkey")
+    state = IVM.agg_state_apply(
+        IVM.agg_state_build(v1, ["o_custkey"], ["cents"]),
+        ["o_custkey"],
+        ["cents"],
+        inserts=inserts,
+        deletes=deletes,
+    )
+    return IVM.agg_state_read(state, ["cents"])
+
+
+_ORACLE_IVM_DIFF = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL),
+v2 AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM src WHERE o_orderkey % 5 <> 0)
+SELECT o_custkey,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       round(CAST(sum(cents) AS BIGINT) / count(*), 6) AS avg_cents
+FROM v2 GROUP BY 1
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -5390,6 +5458,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "retention_cohorts": QuerySpec(
         q_retention_cohorts, _ORACLE_RETENTION, "events-weekly-retention"
+    ),
+    "ivm_from_diff": QuerySpec(
+        q_ivm_from_diff, _ORACLE_IVM_DIFF, "ivm-cdc-loop-closed"
     ),
 }
 
