@@ -187,3 +187,68 @@ def user_value_ewma_segmented(
         F.col("_c.n").alias("n_events"),
         F.round(F.col("_c.e"), 6).alias("ewma"),
     )
+
+def gap_fill_ffill(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed per-key time
+    grid with forward fill (the classic resample-and-ffill).
+
+    Per key: a dense grid of ``bucket_seconds``-wide buckets from the
+    key's first to last observation, LEFT-joined against the last
+    observation inside each bucket (deterministic last = max
+    (ts, id)), then ``last(value, ignorenulls=True)`` over an
+    UNBOUNDED PRECEDING row frame carries the most recent observation
+    across empty buckets.  ``is_filled`` marks carried rows.
+
+    Scale shape: one shuffle on the key for the per-bucket reduction,
+    one for the grid join, one window per key (the join and window
+    reuse the same hash partitioning under AQE).  Grid size is bounded
+    by span/bucket_seconds per key — the grid explode is lazy
+    (``sequence`` + ``explode``), so no driver-side materialization.
+    The leading bucket always holds an observation (the grid starts AT
+    the first observation), so the fill never emits NULL.
+    """
+    from pyspark.sql.window import Window
+
+    epoch = F.floor(F.col(ts_col).cast("double")).cast("long")
+    b = events.select(
+        F.col(user_col).alias("_u"),
+        F.floor(epoch / F.lit(bucket_seconds)).cast("long").alias("_b"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    wn = Window.partitionBy("_u", "_b").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    obs = (
+        b.withColumn("_rn", F.row_number().over(wn))
+        .filter(F.col("_rn") == 1)
+        .select("_u", "_b", "_v")
+    )
+    grid = (
+        b.groupBy("_u")
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select("_u", F.explode(F.sequence("_lo", "_hi")).alias("_b"))
+    )
+    wf = Window.partitionBy("_u").orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(obs, ["_u", "_b"], "left")
+        .select(
+            F.col("_u").alias(user_col),
+            F.col("_b").alias("bucket_id"),
+            F.last("_v", ignorenulls=True).over(wf).alias("value_ff"),
+            F.when(F.col("_v").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_filled"),
+        )
+    )

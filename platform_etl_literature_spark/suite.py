@@ -5167,6 +5167,89 @@ FROM v2 GROUP BY 1
 """
 
 
+def q_gap_fill_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Resample the irregular event stream onto a dense per-user hourly
+    grid with forward fill (operators.timeseries.gap_fill_ffill) —
+    grid = sequence+explode, per-bucket last obs, carried via
+    last(ignorenulls) over an unbounded-preceding row frame.  Output
+    micro-units are exact integers (value is COPIED, not reduced, so
+    floor(v*1e6) matches bit-for-bit on both engines)."""
+    from platform_etl_literature_spark.operators.timeseries import gap_fill_ffill
+
+    g = gap_fill_ffill(_t(spark, sf, "events"), bucket_seconds=3600)
+    return g.select(
+        "user_id",
+        "bucket_id",
+        F.floor(F.col("value_ff") * 1000000).cast("long").alias("value_ff_micro"),
+        "is_filled",
+    )
+
+
+_ORACLE_GAP_FILL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS _b,
+         ts, event_id, value
+  FROM events),
+obs AS (
+  SELECT user_id, _b, value FROM (
+    SELECT user_id, _b, value,
+           row_number() OVER (PARTITION BY user_id, _b
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM b) WHERE rn = 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(min(_b), max(_b))) AS _b
+  FROM b GROUP BY user_id),
+j AS (
+  SELECT g.user_id, g._b, o.value
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g._b = o._b)
+SELECT user_id, _b AS bucket_id,
+  CAST(floor(last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY _b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+       AS BIGINT) AS value_ff_micro,
+  CAST(CASE WHEN value IS NULL THEN 1 ELSE 0 END AS INT) AS is_filled
+FROM j
+"""
+
+
+def q_ntile_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile(10) percentile bucketing per event_type over a (value,
+    event_id) total order, rolled up to per-bucket count and exact
+    min/max micro-units — the ntile window function itself is the
+    coverage target; the total order makes the standard bucket-sizing
+    rule (first n%k buckets take the extra row) deterministic."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    micro = F.floor(F.col("value") * 1000000).cast("long")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(micro).alias("min_micro"),
+            F.max(micro).alias("max_micro"),
+        )
+    )
+
+
+_ORACLE_NTILE = """
+WITH d AS (
+  SELECT event_type,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile,
+         CAST(floor(value * 1000000) AS BIGINT) AS micro
+  FROM events)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       count(*) AS n_rows,
+       min(micro) AS min_micro,
+       max(micro) AS max_micro
+FROM d GROUP BY event_type, decile
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -5461,6 +5544,12 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "ivm_from_diff": QuerySpec(
         q_ivm_from_diff, _ORACLE_IVM_DIFF, "ivm-cdc-loop-closed"
+    ),
+    "gap_fill_ffill": QuerySpec(
+        q_gap_fill_ffill, _ORACLE_GAP_FILL, "timeseries-resample-ffill"
+    ),
+    "ntile_deciles": QuerySpec(
+        q_ntile_deciles, _ORACLE_NTILE, "window-ntile-bucketing"
     ),
 }
 

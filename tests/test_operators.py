@@ -2478,3 +2478,45 @@ def test_retention_cohorts_micro(spark):
         ("2024-01-01", 1): (2, 1),
         ("2024-01-08", 0): (1, 1),
     }
+
+
+def test_gap_fill_ffill_micro(spark):
+    """Hand-built stream: user 10 observes at buckets 0, 3 (two obs in
+    bucket 3 — the later one wins), user 20 at a single bucket.  The
+    grid densifies every intermediate bucket, carries the last value
+    forward, and flags exactly the carried rows."""
+    import datetime as dt
+
+    from platform_etl_literature_spark.operators.timeseries import (
+        gap_fill_ffill,
+    )
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 10, 1.5),
+            (2, t(3, 10), 10, 2.5),
+            (3, t(3, 40), 10, 4.5),  # later in same bucket -> wins
+            (4, t(5), 20, 9.0),
+        ],
+        ["event_id", "ts", "user_id", "value"],
+    )
+    out = gap_fill_ffill(df, bucket_seconds=3600)
+    rows = {
+        (r["user_id"], r["bucket_id"]): (r["value_ff"], r["is_filled"])
+        for r in out.collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    # Spark session TZ may shift the bucket origin; recompute from output.
+    b0 = min(b for (u, b) in rows if u == 10)
+    assert len([k for k in rows if k[0] == 10]) == 4  # buckets 0..3
+    assert rows[(10, b0)] == (1.5, 0)
+    assert rows[(10, b0 + 1)] == (1.5, 1)
+    assert rows[(10, b0 + 2)] == (1.5, 1)
+    assert rows[(10, b0 + 3)] == (4.5, 0)  # in-bucket last obs wins
+    assert len([k for k in rows if k[0] == 20]) == 1
+    (k20,) = [k for k in rows if k[0] == 20]
+    assert rows[k20] == (9.0, 0)
+    assert base > 0  # silence unused; origin asserted via relative offsets

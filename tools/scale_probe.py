@@ -290,6 +290,85 @@ def scaled_lineitem(spark, factor: int) -> str:
     return path
 
 
+def scaled_events(spark, factor: int) -> str:
+    """Scaled events: copy i shifts user_id and event_id by i·max, so
+    every copy is a disjoint population with an IDENTICAL per-user event
+    distribution — session counts, funnels and cohorts scale linearly
+    with no artificial cross-copy interference; timestamps are shared
+    (cohort weeks line up, as a real growing product's would)."""
+    from platform_etl_literature_spark.sources.events import read_table
+
+    path = f"{WORK}/ev_x{factor}.parquet"
+    base = read_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    nu, ne = base.agg(
+        F.max("user_id") + 1, F.max("event_id") + 1
+    ).first()
+    copies = [
+        base.select(
+            (F.col("event_id") + F.lit(i * ne)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * nu)).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _ev_sessionize(ev):
+    from platform_etl_literature_spark.operators.sessionize import sessionize
+
+    return sessionize(ev)
+
+
+def _ev_ewma(ev):
+    from platform_etl_literature_spark.operators.timeseries import (
+        user_value_ewma_segmented,
+    )
+
+    return user_value_ewma_segmented(ev, alpha=0.2)
+
+
+def _ev_funnel(ev):
+    from platform_etl_literature_spark.operators.funnel import (
+        funnel_conversion,
+    )
+
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+def _ev_retention(ev):
+    from platform_etl_literature_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(ev, max_periods=8)
+
+
+def _ev_gap_fill(ev):
+    from platform_etl_literature_spark.operators.timeseries import (
+        gap_fill_ffill,
+    )
+
+    return gap_fill_ffill(ev, bucket_seconds=3600)
+
+
+EVENTS_OPS = {
+    "sessionize": _ev_sessionize,
+    "user_ewma_segmented": _ev_ewma,
+    "funnel_steps": _ev_funnel,
+    "retention_cohorts": _ev_retention,
+    "gap_fill_ffill": _ev_gap_fill,
+}
+
+
 GRAPH_OPS = {
     "graph_triangles": lambda li: GR.triangle_stats(
         GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
@@ -307,7 +386,10 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     spark = build_session("scale-probe")
     results: dict[str, dict[int, dict]] = {
-        name: {} for name in list(OPS) + list(EMB_OPS) + list(GRAPH_OPS)
+        name: {}
+        for name in (
+            list(OPS) + list(EMB_OPS) + list(GRAPH_OPS) + list(EVENTS_OPS)
+        )
     }
     n_docs: dict[int, int] = {}
 
@@ -349,6 +431,11 @@ def main() -> None:
         n_li = li.count()
         for name, fn in GRAPH_OPS.items():
             probe(name, fn, li, factor, n_li)
+        evpath = scaled_events(spark, factor)
+        ev = spark.read.parquet(evpath)
+        n_ev = ev.count()
+        for name, fn in EVENTS_OPS.items():
+            probe(name, fn, ev, factor, n_ev)
 
     lines = [
         "# SCALE — measured scaling of the training-data operators",
@@ -369,7 +456,10 @@ def main() -> None:
         "pagerank_5it) scale the sf0.1 lineitem co-purchase input the "
         "same way (copy i shifts both keys — disjoint "
         "structure-identical subgraphs, rows/sec is lineitem "
-        "rows).  Per "
+        "rows).  Events rows (sessionize/ewma/funnel/retention) scale "
+        "the events table by shifting user and event ids per copy — "
+        "disjoint populations with identical per-user distributions, "
+        "shared timestamps.  Per "
         "cell: steady-state seconds (min of 2) and "
         "rows/sec.  Linear ops should hold rows/sec roughly constant as "
         "the corpus grows; pair-generating ops grow with candidate "
@@ -380,7 +470,9 @@ def main() -> None:
         "| operator | " + " | ".join(f"{f}x" for f in factors) + " |",
         "|---|" + "|".join(["---"] * len(factors)) + "|",
     ]
-    for name in list(OPS) + list(EMB_OPS) + list(GRAPH_OPS):
+    for name in (
+        list(OPS) + list(EMB_OPS) + list(GRAPH_OPS) + list(EVENTS_OPS)
+    ):
         cells = [
             f"{results[name][f]['sec']}s · {results[name][f]['docs_per_sec']:,}/s"
             for f in factors
