@@ -152,3 +152,21 @@ def scd2_apply(
     return closed.unionByName(carried).unionByName(
         opened.select(*closed.columns)
     )
+
+
+def scd2_as_of(hist: DataFrame, version: int) -> DataFrame:
+    """Time-travel read: reconstruct the snapshot that was current AT
+    ``version`` from an SCD2 history — rows whose validity interval
+    covers it (valid_from ≤ v < valid_to, open intervals current).
+
+    Pure filter + column drop: both predicates push down to the
+    history scan (at scale, min/max footer stats on valid_from /
+    valid_to skip whole files of closed history), no shuffle at all —
+    reading yesterday's corpus costs a scan of the covering rows, not
+    a reverse replay of the change log.
+    """
+    snap = hist.filter(
+        (F.col("valid_from") <= F.lit(version))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(version)))
+    )
+    return snap.drop("_dig", "valid_from", "valid_to")

@@ -5167,6 +5167,56 @@ FROM v2 GROUP BY 1
 """
 
 
+def q_scd2_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-travel reads over the 2-version SCD2 history
+    (operators.merge.scd2_as_of): the v1 snapshot must equal the
+    original corpus and the v2 snapshot the corpus with the update
+    batch applied — the oracle derives BOTH sides from the raw tables,
+    so a matching hash proves snapshot reconstruction end-to-end."""
+    from platform_etl_literature_spark.operators.merge import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    h2 = scd2_apply(
+        scd2_init(docs, ["text"], version=1),
+        _synthetic_corpus_update(docs),
+        ["doc_id"],
+        ["text"],
+        version=2,
+    )
+    snaps = [
+        scd2_as_of(h2, v).select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.lit(v).cast("int").alias("snap_version"),
+        )
+        for v in (1, 2)
+    ]
+    return snaps[0].unionByName(snaps[1])
+
+
+_ORACLE_SCD2_TRAVEL = """
+WITH upd AS (
+  SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0)
+SELECT doc_id, md5(text) AS text_md5, CAST(1 AS INT) AS snap_version
+FROM documents
+UNION ALL
+SELECT d.doc_id, md5(coalesce(u.text, d.text)), CAST(2 AS INT)
+FROM documents d LEFT JOIN upd u USING (doc_id)
+UNION ALL
+SELECT u.doc_id, md5(u.text), CAST(2 AS INT)
+FROM upd u LEFT JOIN documents d USING (doc_id)
+WHERE d.doc_id IS NULL
+"""
+
+
 def q_gap_fill_ffill(spark: SparkSession, sf: str) -> DataFrame:
     """Resample the irregular event stream onto a dense per-user hourly
     grid with forward fill (operators.timeseries.gap_fill_ffill) —
@@ -5550,6 +5600,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "ntile_deciles": QuerySpec(
         q_ntile_deciles, _ORACLE_NTILE, "window-ntile-bucketing"
+    ),
+    "scd2_time_travel": QuerySpec(
+        q_scd2_time_travel, _ORACLE_SCD2_TRAVEL, "versioning-time-travel"
     ),
 }
 

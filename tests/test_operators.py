@@ -1670,6 +1670,21 @@ def test_scd2_close_open_unchanged_insert_and_immutability(spark):
     assert rows3[(1, 3)] == ("alpha3", None)
     assert rows3[(2, 1)] == ("beta", None) and rows3[(3, 2)] == ("gamma", None)
 
+    # time travel: every version reconstructs exactly the snapshot that
+    # was current then (including versions BETWEEN two applies)
+    from platform_etl_literature_spark.operators.merge import scd2_as_of
+
+    def snap(v):
+        return {
+            (r["doc_id"], r["text"]) for r in scd2_as_of(h3, v).collect()
+        }
+
+    assert snap(1) == {(1, "alpha"), (2, "beta")}
+    assert snap(2) == {(1, "ALPHA"), (2, "beta"), (3, "gamma")}
+    assert snap(3) == {(1, "alpha3"), (2, "beta"), (3, "gamma")}
+    assert snap(99) == snap(3)  # future reads see the current snapshot
+    assert "valid_from" not in scd2_as_of(h3, 1).columns
+
 
 def test_salted_join_equals_plain_join(spark):
     """salted_join must produce exactly the plain join's multiset, for

@@ -473,3 +473,29 @@ def test_quality_thresholds_broadcasts_thresholds(spark, sf_dir):
     plan = _simple_plan(SUITE["quality_thresholds"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_gap_fill_grid_generated_in_task_no_single_reducer(spark, sf_dir):
+    """The dense bucket grid must come from an in-task
+    Generate/explode(sequence) — never a driver-side range — and no
+    stage of the resampler may collapse to a single partition."""
+    plan = _simple_plan(SUITE["gap_fill_ffill"].fn(spark, sf_dir))
+    assert "Generate explode(sequence" in plan.replace("  ", " "), plan[:3000]
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_scd2_time_travel_interval_filter_no_extra_shuffle(spark, sf_dir):
+    """Snapshot reconstruction is a validity-interval filter over the
+    history: the as_of read adds NO exchange beyond the history build
+    (at most 2x for the two snapshots).  With the history built
+    in-plan from literal versions, Catalyst constant-folds the
+    interval predicate away entirely — the filter must NOT survive as
+    a post-shuffle row filter on the snapshot branches."""
+    travel = _simple_plan(SUITE["scd2_time_travel"].fn(spark, sf_dir))
+    history = _simple_plan(SUITE["scd2_history"].fn(spark, sf_dir))
+    assert "Filter (valid_from" not in travel  # folded, not re-evaluated
+    # two snapshots read the same 2-version history: at most 2x the
+    # history build's exchanges, no single-partition collapse
+    assert travel.count("Exchange") <= 2 * max(history.count("Exchange"), 1)
+    assert "SinglePartition" not in travel

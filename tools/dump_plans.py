@@ -289,6 +289,20 @@ SHOWCASE: dict[str, str] = {
         "the flagging join, so scored corpus rows are never shuffled "
         "for it."
     ),
+    "gap_fill_ffill": (
+        "The dense bucket grid is `Generate explode(sequence(...))` INSIDE "
+        "the task that owns the key — no driver materialization; the "
+        "per-bucket dedup window, the grid join, and the forward-fill "
+        "window key on the same user column, and the fill is "
+        "`last(ignorenulls)` over a row frame (O(1) running state, no "
+        "per-key array).  No SinglePartition exchange anywhere."
+    ),
+    "scd2_time_travel": (
+        "Each snapshot read is a pure validity-interval Filter over the "
+        "history — zero additional shuffle beyond the history build "
+        "itself; at rest the predicate pushes to the parquet footer and "
+        "skips closed-history files."
+    ),
 }
 
 
