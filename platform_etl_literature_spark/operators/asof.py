@@ -1,0 +1,125 @@
+"""Distributed as-of (point-in-time) join.
+
+For every left row attach the most recent right row with the same key
+and right timestamp <= left timestamp (``direction="backward"``; the
+standard market-data "latest quote for each trade" join), or the
+earliest right row at-or-after it (``"forward"``).
+
+Spark has no AsofJoin operator (DuckDB/kdb/pandas ``merge_asof`` do),
+and expressing it as a theta join explodes: an equi-join on key with a
+``r.ts <= l.ts`` predicate produces every EARLIER right row per left
+row before a top-1 window prunes them — O(n·m) per key.  The shape a
+100 TB as-of join wants is the union-and-carry plan used here:
+
+1. tag both sides and union them (a zero-cost plan node),
+2. ONE hash exchange on the key — the only shuffle in the whole plan,
+3. per key, sort by (ts, side) and carry the last right payload with
+   ``last(_rrow, ignorenulls=True)`` over an unbounded-preceding row
+   frame — O(1) running state per key, never a per-key array,
+4. keep the left rows and unpack the carried payload.
+
+No join operator appears in the physical plan at all.  Ordering
+``_side`` right-before-left at equal timestamps makes the match
+INCLUSIVE (r.ts == l.ts matches), same as DuckDB ``ASOF JOIN ... ON
+l.ts >= r.ts``.  Equal right timestamps within a key are resolved
+deterministically: the payload struct (right columns, in order) is the
+final sort key, so the lexicographically greatest payload wins — put a
+unique id first in ``right``'s column order to pin the rule (the suite
+query uses max ``event_id``; its DuckDB oracle replays the rule with
+``arg_max(..., event_id)``).
+
+Skew note: one hot key serializes into one task's sort, exactly like
+any keyed window.  The remedy is upstream (range-partition the key's
+time axis into segments and stitch, as ``timeseries.user_value_ewma_
+segmented`` does for folds); the carry itself is already O(1)-state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the columns of its
+    as-of match in ``right`` (NULLs when no match).  Right's non-key
+    columns are appended; a name colliding with a left column — and
+    the right timestamp column always — gets ``suffix``.
+
+    ``tolerance`` (optional) voids matches farther than that from the
+    left timestamp ALONG THE ORDERING AXIS: it is compared with plain
+    column subtraction, so pass numeric axes (e.g. ``unix_micros``)
+    when you need it; leave None for raw timestamp columns.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"key column {k!r} missing from a side")
+    payload = [c for c in right.columns if c not in keys]
+    if right_ts not in payload:
+        raise ValueError(f"right_ts {right_ts!r} must be a non-key column")
+
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    rrow = F.struct(*[F.col(c) for c in payload])
+    l_dtype = left.select(lrow.alias("x")).schema["x"].dataType
+    r_dtype = right.select(rrow.alias("x")).schema["x"].dataType
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        lrow.alias("_lrow"),
+        F.lit(None).cast(r_dtype).alias("_rrow"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_dtype).alias("_lrow"),
+        rrow.alias("_rrow"),
+    )
+
+    if direction == "backward":
+        order = [F.col("_ats").asc(), F.col("_side").asc(), F.col("_rrow").asc()]
+    else:
+        order = [F.col("_ats").desc(), F.col("_side").asc(), F.col("_rrow").desc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    carried = F.last("_rrow", ignorenulls=True).over(w)
+    out = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_carried", carried)
+        .where(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        gap = (
+            F.col("_ats") - F.col(f"_carried.{right_ts}")
+            if direction == "backward"
+            else F.col(f"_carried.{right_ts}") - F.col("_ats")
+        )
+        out = out.withColumn(
+            "_carried", F.when(gap <= F.lit(tolerance), F.col("_carried"))
+        )
+
+    left_names = set(left.columns)
+    cols = [F.col(f"_lrow.`{c}`").alias(c) for c in left.columns]
+    for c in payload:
+        name = c + suffix if (c == right_ts or c in left_names) else c
+        cols.append(F.col(f"_carried.`{c}`").alias(name))
+    return out.select(*cols)

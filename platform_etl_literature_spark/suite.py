@@ -5263,6 +5263,88 @@ FROM j
 """
 
 
+def q_asof_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators.asof.asof_join): each purchase event is
+    enriched with the user's most recent click at-or-before it — the
+    point-in-time join Spark lacks as a built-in, run as the
+    union + one-exchange + last(ignorenulls) carry plan (no join
+    operator in the physical plan).  Oracle = DuckDB's NATIVE ``ASOF
+    JOIN`` — an independent engine implementation of the semantics,
+    with the equal-timestamp tie rule (max event_id wins) replayed via
+    pre-aggregation + arg_max."""
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    ev = read_events(spark, sf)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # payload column order (event_id first) pins the equal-ts tie rule
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.col("event_id_r").alias("click_id"),
+        F.unix_micros("ts_r").alias("click_ts_us"),
+        F.col("value_r").alias("click_value"),
+    )
+
+
+_ORACLE_ASOF_ENRICH = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, max(event_id) AS click_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+       c.click_id, epoch_us(c.ts) AS click_ts_us, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Global interval-overlap range join
+    (operators.rangejoin.interval_overlap_join): order validity
+    windows on the calendar-day axis, all overlapping pairs — found by
+    bin-explode + hash equijoin + meeting-bin dedup, never a
+    nested-loop theta join.  Oracle = DuckDB's inequality join
+    (IEJoin): a completely different physical strategy for the same
+    semantics, so a matching hash is a losslessness proof at data
+    scale (the randomized pytest pins it property-style)."""
+    from platform_etl_literature_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 50 == 0)
+    s = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    iv = o.select(
+        F.col("o_orderkey").alias("id"),
+        s.alias("s"),
+        (s + F.col("o_orderkey") % 14).alias("e"),
+    )
+    return interval_overlap_join(iv, bin_width=16)
+
+
+_ORACLE_INTERVAL_OVERLAP = """
+WITH iv AS (
+  SELECT o_orderkey AS id,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + o_orderkey % 14 AS e
+  FROM orders WHERE o_orderkey % 50 = 0)
+SELECT a.id AS a_id, b.id AS b_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+FROM iv a JOIN iv b
+  ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 def q_ntile_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """ntile(10) percentile bucketing per event_type over a (value,
     event_id) total order, rolled up to per-bucket count and exact
@@ -5603,6 +5685,12 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "scd2_time_travel": QuerySpec(
         q_scd2_time_travel, _ORACLE_SCD2_TRAVEL, "versioning-time-travel"
+    ),
+    "asof_enrich": QuerySpec(
+        q_asof_enrich, _ORACLE_ASOF_ENRICH, "asof-point-in-time-join"
+    ),
+    "interval_overlap": QuerySpec(
+        q_interval_overlap, _ORACLE_INTERVAL_OVERLAP, "range-join-binned"
     ),
 }
 

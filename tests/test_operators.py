@@ -2535,3 +2535,167 @@ def test_gap_fill_ffill_micro(spark):
     (k20,) = [k for k in rows if k[0] == 20]
     assert rows[k20] == (9.0, 0)
     assert base > 0  # silence unused; origin asserted via relative offsets
+
+
+def test_asof_join_semantics_micro(spark):
+    """Backward/forward/tolerance/no-match legs against hand-derivable
+    answers, the inclusive equal-ts rule, and the duplicate-right-ts
+    deterministic winner (max payload struct = max first payload col)."""
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")],
+        "k int, ts int, lv string",
+    )
+    r = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (1, 15, "c"), (2, 99, "z")],
+        "k int, ts int, p string",
+    )
+    back = {
+        (x["k"], x["ts"]): (x["ts_r"], x["p"])
+        for x in asof_join(l, r, "k", "ts", "ts").collect()
+    }
+    # inclusive at equal ts; duplicate right ts=15 -> max struct (ts
+    # is the first payload column, tie broken by p: "c" wins)
+    assert back == {
+        (1, 10): (10, "a"),
+        (1, 20): (15, "c"),
+        (2, 5): (None, None),
+    }
+    fwd = {
+        (x["k"], x["ts"]): (x["ts_r"], x["p"])
+        for x in asof_join(l, r, "k", "ts", "ts", direction="forward").collect()
+    }
+    assert fwd == {
+        (1, 10): (10, "a"),  # inclusive both directions
+        (1, 20): (None, None),
+        (2, 5): (99, "z"),
+    }
+    tol = {
+        (x["k"], x["ts"]): x["p"]
+        for x in asof_join(l, r, "k", "ts", "ts", tolerance=4).collect()
+    }
+    assert tol == {(1, 10): "a", (1, 20): None, (2, 5): None}
+    # collision naming: right ts -> ts_r always; unique names untouched
+    out = asof_join(l, r, "k", "ts", "ts")
+    assert out.columns == ["k", "ts", "lv", "ts_r", "p"]
+
+
+def test_asof_join_equals_bruteforce_randomized(spark):
+    """Property: the union+carry plan equals the obvious-but-quadratic
+    definition (theta join, keep max (ts, payload) per left row) on a
+    seeded random dataset with key gaps and duplicate timestamps."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    rng = random.Random(20260815)
+    lrows = [
+        (i, rng.randrange(8), rng.randrange(50)) for i in range(300)
+    ]
+    rrows = [
+        (1000 + i, rng.randrange(10), rng.randrange(50), float(i))
+        for i in range(400)
+    ]
+    l = spark.createDataFrame(lrows, "lid int, k int, ts int")
+    r = spark.createDataFrame(rrows, "rid int, k int, ts int, v double")
+    got = {
+        (x["lid"]): (x["ts_r"], x["rid"], x["v"])
+        for x in asof_join(l, r, "k", "ts", "ts").collect()
+    }
+    w = Window.partitionBy("lid").orderBy(
+        F.col("rts").desc(), F.col("rid").desc()
+    )
+    brute = (
+        l.join(r.selectExpr("rid", "k", "ts rts", "v"), "k", "left")
+        .where(F.col("rts").isNull() | (F.col("rts") <= F.col("ts")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    want = {
+        x["lid"]: (x["rts"], x["rid"], x["v"]) for x in brute.collect()
+    }
+    # left rows whose key never matches fall out of the brute left
+    # join only when rts is null -> they appear with None legs
+    for lid, _, _ in lrows:
+        assert got[lid] == want.get(lid, (None, None, None)), lid
+    assert len(got) == len(lrows)
+
+
+def test_interval_overlap_join_equals_bruteforce(spark):
+    """Losslessness of bin-explode + meeting-bin dedup: equality with
+    the brute theta join on seeded random intervals spanning negative
+    coordinates, at several bin widths (incl. width 1 and width far
+    above every interval length)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(250):
+        s = rng.randrange(-100, 100)
+        rows.append((i, s, s + rng.randrange(0, 25)))
+    iv = spark.createDataFrame(rows, "id int, s int, e int")
+    a, b = iv.alias("a"), iv.alias("b")
+    brute = {
+        (x["a_id"], x["b_id"], x["ov"])
+        for x in a.join(
+            b,
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (
+                F.least("a.e", "b.e") - F.greatest("a.s", "b.s")
+            ).alias("ov"),
+        )
+        .collect()
+    }
+    assert brute  # non-trivial instance
+    for w in (1, 7, 16, 1000):
+        got = {
+            tuple(x)
+            for x in interval_overlap_join(iv, bin_width=w).collect()
+        }
+        assert got == brute, f"bin_width={w}"
+    # min_overlap filter
+    got3 = {
+        tuple(x)
+        for x in interval_overlap_join(
+            iv, bin_width=16, min_overlap=3
+        ).collect()
+    }
+    assert got3 == {t for t in brute if t[2] >= 3}
+
+
+def test_interval_overlap_exact_at_epoch_micros_scale(spark):
+    """Bin ids are computed in long arithmetic: at epoch-micros
+    magnitude (~2^51) a double-division floor can misround a boundary
+    coordinate into the wrong bin and silently drop a pair."""
+    from platform_etl_literature_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    base = 4_503_599_627_370_496  # 2^52
+    rows = [
+        (1, base - 3, base - 1),
+        (2, base - 1, base + 1),  # overlaps 1 (at base-1) and 3
+        (3, base + 1, base + 5),
+        (4, base + 7, base + 9),  # disjoint from all
+    ]
+    iv = spark.createDataFrame(rows, "id long, s long, e long")
+    got = {
+        tuple(x) for x in interval_overlap_join(iv, bin_width=4).collect()
+    }
+    assert got == {(1, 2, 0), (2, 3, 0)}

@@ -499,3 +499,34 @@ def test_scd2_time_travel_interval_filter_no_extra_shuffle(spark, sf_dir):
     # history build's exchanges, no single-partition collapse
     assert travel.count("Exchange") <= 2 * max(history.count("Exchange"), 1)
     assert "SinglePartition" not in travel
+
+
+def test_asof_join_no_join_operator_single_exchange(spark, sf_dir):
+    """The as-of join must execute as union + ONE hash exchange +
+    window carry: no join operator of any kind, no single-partition
+    collapse, and the event_type filters pushed into both scans."""
+    plan = _simple_plan(SUITE["asof_enrich"].fn(spark, sf_dir))
+    for bad in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoop",
+        "CartesianProduct",
+    ):
+        assert bad not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "SinglePartition" not in plan
+    assert plan.count("PushedFilters: [IsNotNull(event_type), EqualTo(event_type") == 2
+
+
+def test_interval_overlap_equijoin_on_bins_no_theta(spark, sf_dir):
+    """The range join's whole point: candidates come from a hash
+    EQUIJOIN on bin ids (broadcast at this size, sort-merge at scale),
+    never a nested-loop/cartesian theta join; the bin grid is generated
+    in-task via explode(sequence)."""
+    plan = _simple_plan(SUITE["interval_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoop" not in plan, plan[:3000]
+    assert "Generate explode(sequence" in plan.replace("  ", " "), plan[:3000]
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "SinglePartition" not in plan

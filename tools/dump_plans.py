@@ -297,6 +297,21 @@ SHOWCASE: dict[str, str] = {
         "`last(ignorenulls)` over a row frame (O(1) running state, no "
         "per-key array).  No SinglePartition exchange anywhere."
     ),
+    "asof_enrich": (
+        "No join operator at all: both event streams union, take ONE "
+        "hash exchange on user_id, and the latest click payload rides a "
+        "`last(_rrow, ignorenulls)` row-frame window — O(1) running "
+        "state per key.  Both event_type filters are pushed into the "
+        "parquet scans."
+    ),
+    "interval_overlap": (
+        "The range join never theta-joins: each interval explodes to "
+        "its covering bins via in-task `Generate explode(sequence)`, "
+        "candidates meet in a hash EQUIJOIN on the bin id (broadcast "
+        "here, sort-merge at scale, AQE-splittable on skewed bins), the "
+        "exact overlap predicate rides the join condition, and the "
+        "meeting-bin filter dedups multi-bin pairs without a distinct."
+    ),
     "scd2_time_travel": (
         "Each snapshot read is a pure validity-interval Filter over the "
         "history — zero additional shuffle beyond the history build "
