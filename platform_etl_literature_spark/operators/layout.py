@@ -185,3 +185,53 @@ def zonemap_skip_stats(
             )
             out = scanned if out is None else out.unionByName(scanned)
     return out
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    id_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner: assign every file to a rewrite
+    group holding ~``target_bytes`` — the maintenance pass a 100 TB
+    table needs continuously (streaming sinks and fine-grained
+    partitioning strew kilobyte files; readers want fewer,
+    target-sized ones).
+
+    The plan is CONTIGUOUS PACKING over a deterministic total order
+    (size desc, id): a file starting at cumulative offset ``cum - size``
+    lands in group ``(cum - size) div target_bytes``.  Groups are
+    target-sized (+ at most one straddling file); a file already >=
+    target_bytes simply spans its own group(s) and can be skipped by
+    the caller via n_files = 1.
+
+    The prefix sum is NOT a single-partition window: it rides
+    :func:`ranking.ordered_global_index` (range exchange, in-partition
+    sums, broadcast per-partition offsets), so planning a billion-file
+    manifest is itself distributed.  Returns per-file
+    (id, size, grp, grp_offset) — aggregate by ``grp`` for the rewrite
+    manifest.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    from platform_etl_literature_spark.operators.ranking import (
+        ordered_global_index,
+    )
+
+    f = files.select(
+        F.col(id_col).alias("file_id"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+    )
+    ranked = ordered_global_index(
+        f,
+        [F.col("size_bytes").desc(), F.col("file_id").asc()],
+        running_sum_col="size_bytes",
+        running_sum_out="_cum",
+    )
+    return ranked.select(
+        "file_id",
+        "size_bytes",
+        F.expr(f"(_cum - size_bytes) div {target_bytes}").alias("grp"),
+        (F.col("_cum") - F.col("size_bytes")).alias("grp_offset"),
+    )

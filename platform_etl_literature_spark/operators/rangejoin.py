@@ -63,6 +63,53 @@ def _binned(iv: DataFrame, id_col: str, s: str, e: str, w: int, tag: str) -> Dat
     )
 
 
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "x",
+    id_col: str = "id",
+    start_col: str = "s",
+    end_col: str = "e",
+    bin_width: int = 16,
+) -> DataFrame:
+    """Asymmetric range join: every point joined to each closed
+    interval [s, e] containing it.  Returns all point columns plus the
+    interval id as ``iv_id``.
+
+    The shape that matters at 100 TB: only the (small) interval side
+    explodes to its covering bins; each point maps to exactly ONE bin
+    — a plain column, no Generate — so the corpus-sized side is
+    shuffled once by bin and never replicated, and no dedup is needed
+    (a containing interval covers the point's bin, and each pair meets
+    in exactly that one bin).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = bin_width
+    iv = _binned(
+        intervals.where(F.col(start_col) <= F.col(end_col)),
+        id_col,
+        start_col,
+        end_col,
+        w,
+        "iv",
+    )
+    px = points.withColumn(
+        "_bin", F.expr(f"({point_col} - pmod({point_col}, {w})) div {w}")
+    )
+    return (
+        px.join(
+            iv,
+            on=[
+                px["_bin"] == iv["_bin"],
+                F.col(point_col) >= F.col("iv_s"),
+                F.col(point_col) <= F.col("iv_e"),
+            ],
+        )
+        .select(*points.columns, F.col("iv_id"))
+    )
+
+
 def interval_overlap_join(
     intervals: DataFrame,
     id_col: str = "id",

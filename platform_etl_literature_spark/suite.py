@@ -5345,6 +5345,91 @@ FROM iv a JOIN iv b
 """
 
 
+def q_point_in_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric range join (operators.rangejoin.point_in_interval_
+    join): shipment events located inside order validity windows.  The
+    corpus-sized point side maps to ONE bin (plain column, no explode);
+    only the small interval side replicates — the shape a 100 TB
+    point-enrichment join needs.  Oracle = DuckDB IEJoin."""
+    from platform_etl_literature_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 25 == 0)
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x"),
+    )
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 50 == 0)
+    s = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    iv = o.select(
+        F.col("o_orderkey").alias("id"),
+        s.alias("s"),
+        (s + F.col("o_orderkey") % 14).alias("e"),
+    )
+    return point_in_interval_join(pts, iv, point_col="x", bin_width=16)
+
+
+_ORACLE_POINT_IN_INTERVAL = """
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS x
+  FROM lineitem WHERE l_orderkey % 25 = 0),
+iv AS (
+  SELECT o_orderkey AS id,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + o_orderkey % 14 AS e
+  FROM orders WHERE o_orderkey % 50 = 0)
+SELECT p.l_orderkey, p.l_linenumber, p.x, iv.id AS iv_id
+FROM pts p JOIN iv ON p.x >= iv.s AND p.x <= iv.e
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning (operators.layout.compaction_
+    plan): documents stand in as a file manifest (doc_id, n_chars
+    bytes); contiguous cumsum packing into ~16 kB rewrite groups.  The
+    global prefix sum rides ordered_global_index — range exchange +
+    broadcast offsets, never a SinglePartition window — while the
+    oracle replays it as the plain SQL window it is semantically."""
+    from platform_etl_literature_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    files = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").cast("long").alias("size_bytes"),
+    )
+    plan = compaction_plan(files, target_bytes=16_000)
+    return plan.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("grp_bytes"),
+        F.min("file_id").alias("first_file"),
+    )
+
+
+_ORACLE_COMPACTION = """
+WITH f AS (
+  SELECT doc_id AS file_id, CAST(n_chars AS BIGINT) AS size_bytes
+  FROM documents),
+r AS (
+  SELECT file_id, size_bytes,
+         sum(size_bytes) OVER (
+           ORDER BY size_bytes DESC, file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM f)
+SELECT CAST((cum - size_bytes) // 16000 AS BIGINT) AS grp,
+       count(*) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS grp_bytes,
+       min(file_id) AS first_file
+FROM r GROUP BY 1
+"""
+
+
 def q_ntile_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """ntile(10) percentile bucketing per event_type over a (value,
     event_id) total order, rolled up to per-bucket count and exact
@@ -5691,6 +5776,14 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "interval_overlap": QuerySpec(
         q_interval_overlap, _ORACLE_INTERVAL_OVERLAP, "range-join-binned"
+    ),
+    "point_in_interval": QuerySpec(
+        q_point_in_interval,
+        _ORACLE_POINT_IN_INTERVAL,
+        "range-join-asymmetric",
+    ),
+    "compaction_plan": QuerySpec(
+        q_compaction_plan, _ORACLE_COMPACTION, "layout-compaction"
     ),
 }
 

@@ -2699,3 +2699,82 @@ def test_interval_overlap_exact_at_epoch_micros_scale(spark):
         tuple(x) for x in interval_overlap_join(iv, bin_width=4).collect()
     }
     assert got == {(1, 2, 0), (2, 3, 0)}
+
+
+def test_point_in_interval_join_equals_bruteforce(spark):
+    """Asymmetric binned range join == brute theta join on seeded
+    random data (negative coords, boundary points, several widths)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    rng = random.Random(7)
+    ivs = []
+    for i in range(80):
+        s = rng.randrange(-60, 60)
+        ivs.append((i, s, s + rng.randrange(0, 20)))
+    pts = [(1000 + j, rng.randrange(-70, 90)) for j in range(300)]
+    # boundary points: exactly on some starts/ends
+    pts += [(2000, ivs[0][1]), (2001, ivs[0][2]), (2002, ivs[3][1])]
+    ivdf = spark.createDataFrame(ivs, "id int, s int, e int")
+    pdf = spark.createDataFrame(pts, "pid int, x int")
+    brute = {
+        (r["pid"], r["id"])
+        for r in pdf.join(
+            ivdf,
+            (F.col("x") >= F.col("s")) & (F.col("x") <= F.col("e")),
+        ).collect()
+    }
+    assert brute
+    for w in (1, 5, 16, 500):
+        got = {
+            (r["pid"], r["iv_id"])
+            for r in point_in_interval_join(
+                pdf, ivdf, point_col="x", bin_width=w
+            ).collect()
+        }
+        assert got == brute, f"bin_width={w}"
+
+
+def test_compaction_plan_packing_invariants(spark):
+    """Contiguous cumsum packing: group = starting-offset div target.
+    Every group except possibly the last must reach the target once its
+    straddling file is counted; files larger than the target span their
+    own groups; the assignment is deterministic."""
+    from platform_etl_literature_spark.operators import ranking
+    from platform_etl_literature_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    files = spark.createDataFrame(
+        [(1, 70), (2, 40), (3, 40), (4, 30), (5, 10), (6, 250), (7, 5)],
+        "file_id int, size_bytes int",
+    )
+    out = {
+        r["file_id"]: (r["grp"], r["grp_offset"])
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    ranking.release_cached()
+    # order: 250(6), 70(1), 40(2), 40(3), 30(4), 10(5), 5(7)
+    # offsets: 0, 250, 320, 360, 400, 430, 440
+    assert out == {
+        6: (0, 0),
+        1: (2, 250),
+        2: (3, 320),
+        3: (3, 360),
+        4: (4, 400),
+        5: (4, 430),
+        7: (4, 440),
+    }
+    # grouped view: every group's bytes + straddle reach the target
+    # (group 2 holds 70 but file 6 straddles into it)
+    again = {
+        r["file_id"]: (r["grp"], r["grp_offset"])
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    ranking.release_cached()
+    assert again == out  # deterministic

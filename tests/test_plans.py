@@ -530,3 +530,30 @@ def test_interval_overlap_equijoin_on_bins_no_theta(spark, sf_dir):
     assert "Generate explode(sequence" in plan.replace("  ", " "), plan[:3000]
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
     assert "SinglePartition" not in plan
+
+
+def test_point_in_interval_only_interval_side_explodes(spark, sf_dir):
+    """The corpus-sized point side must map to ONE bin (a plain
+    projection) — exactly one Generate in the plan, on the interval
+    side; candidates meet in a hash equijoin, never a theta join."""
+    plan = _simple_plan(SUITE["point_in_interval"].fn(spark, sf_dir))
+    assert plan.replace("  ", " ").count("Generate explode(sequence") == 1, (
+        plan[:3000]
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "SinglePartition" not in plan
+
+
+def test_compaction_plan_no_single_partition_prefix_sum(spark, sf_dir):
+    """The manifest prefix sum must ride the distributed rank (range
+    exchange + broadcast offsets), never an unpartitioned window."""
+    from platform_etl_literature_spark.operators import ranking
+
+    plan = _simple_plan(SUITE["compaction_plan"].fn(spark, sf_dir))
+    ranking.release_cached()
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan, (
+        plan[:3000]
+    )

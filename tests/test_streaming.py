@@ -951,3 +951,80 @@ def test_bloom_stream_maintenance_merges_exactly(spark, tmp_path):
         ).collect()
     }
     assert got["tok0"] and got["tok69"]  # no false negatives, ever
+
+
+def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
+    """Micro-batched as-of enrichment == the batch operator over the
+    full stream, and a replayed batch is byte-idempotent (overwrite
+    per-batch dir)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.asof import asof_join
+    from platform_etl_literature_spark.streaming.asof import (
+        asof_enrich_writer,
+        read_enriched,
+    )
+
+    right_rows = [
+        (1, 10, 1.0),
+        (1, 25, 2.5),
+        (2, 5, 9.0),
+        (3, 50, 7.0),  # key never streamed: pruned by the semi join
+    ]
+    right = spark.createDataFrame(right_rows, "k long, ts long, quote double")
+
+    batches = [
+        [(100, 1, 12), (101, 2, 4)],   # 4 < 5: no quote yet
+        [(102, 1, 25), (103, 1, 30), (104, 9, 7)],  # tie, later, no key
+    ]
+    land = tmp_path / "facts"
+    land.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = str(land / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "fid": pa.array([r[0] for r in rows], pa.int64()),
+                    "k": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("fid long, k long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    out = str(tmp_path / "enriched")
+    q = (
+        asof_enrich_writer(stream, right, out, "k")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["fid"]: (r["ts_r"], r["quote"])
+        for r in read_enriched(spark, out).collect()
+    }
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], "fid long, k long, ts long"
+    )
+    want = {
+        r["fid"]: (r["ts_r"], r["quote"])
+        for r in asof_join(full, right, "k").collect()
+    }
+    assert got == want
+    assert got[100] == (10, 1.0)
+    assert got[101] == (None, None)
+    assert got[102] == (25, 2.5)  # inclusive at equal ts
+    assert got[104] == (None, None)

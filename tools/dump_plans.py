@@ -312,6 +312,19 @@ SHOWCASE: dict[str, str] = {
         "exact overlap predicate rides the join condition, and the "
         "meeting-bin filter dedups multi-bin pairs without a distinct."
     ),
+    "point_in_interval": (
+        "Asymmetric range join: the corpus-sized point side maps to ONE "
+        "bin via a plain projection — the single Generate in the plan "
+        "belongs to the small interval side.  One hash exchange each, "
+        "equijoin on the bin, containment verified in the join "
+        "condition, no dedup needed by construction."
+    ),
+    "compaction_plan": (
+        "The manifest prefix sum runs on the distributed rank "
+        "(RangePartitioning exchange + per-partition sums + broadcast "
+        "offsets) — no SinglePartition window anywhere, so planning a "
+        "billion-file manifest is itself a distributed job."
+    ),
     "scd2_time_travel": (
         "Each snapshot read is a pure validity-interval Filter over the "
         "history — zero additional shuffle beyond the history build "

@@ -360,12 +360,49 @@ def _ev_gap_fill(ev):
     return gap_fill_ffill(ev, bucket_seconds=3600)
 
 
+def _ev_asof(ev):
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof_join(p, c, "user_id", "ts", "ts")
+
+
+def _ev_interval_overlap(ev, users_1x: int):
+    """Intervals sampled from events; copy i's axis is offset by
+    100k days (copy = user_id div users_1x), so interval density per
+    copy — and so the OUTPUT pair count — scales linearly with the
+    corpus instead of quadratically with shared-axis density."""
+    from platform_etl_literature_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    s = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        + (F.col("user_id") / users_1x).cast("long") * 100000
+    )
+    iv = (
+        ev.where(F.col("event_id") % 199 == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            s.alias("s"),
+            (s + F.col("event_id") % 14).alias("e"),
+        )
+    )
+    return interval_overlap_join(iv, bin_width=16)
+
+
 EVENTS_OPS = {
     "sessionize": _ev_sessionize,
     "user_ewma_segmented": _ev_ewma,
     "funnel_steps": _ev_funnel,
     "retention_cohorts": _ev_retention,
     "gap_fill_ffill": _ev_gap_fill,
+    "asof_join": _ev_asof,
 }
 
 
@@ -388,7 +425,11 @@ def main() -> None:
     results: dict[str, dict[int, dict]] = {
         name: {}
         for name in (
-            list(OPS) + list(EMB_OPS) + list(GRAPH_OPS) + list(EVENTS_OPS)
+            list(OPS)
+            + list(EMB_OPS)
+            + list(GRAPH_OPS)
+            + list(EVENTS_OPS)
+            + ["interval_overlap"]
         )
     }
     n_docs: dict[int, int] = {}
@@ -436,6 +477,15 @@ def main() -> None:
         n_ev = ev.count()
         for name, fn in EVENTS_OPS.items():
             probe(name, fn, ev, factor, n_ev)
+        # copy i holds user ids [i*u, (i+1)*u) -> u recovers the copy
+        users_1x = ev.agg(F.max("user_id")).first()[0] // factor + 1
+        probe(
+            "interval_overlap",
+            lambda d: _ev_interval_overlap(d, users_1x),
+            ev,
+            factor,
+            n_ev,
+        )
 
     lines = [
         "# SCALE — measured scaling of the training-data operators",
@@ -459,7 +509,11 @@ def main() -> None:
         "rows).  Events rows (sessionize/ewma/funnel/retention) scale "
         "the events table by shifting user and event ids per copy — "
         "disjoint populations with identical per-user distributions, "
-        "shared timestamps.  Per "
+        "shared timestamps; asof_join matches scaled purchases to "
+        "scaled clicks per user, and interval_overlap samples "
+        "intervals from the scaled events with a per-copy axis offset "
+        "so pair density — and so the OUTPUT — scales linearly rather "
+        "than quadratically with shared-axis crowding.  Per "
         "cell: steady-state seconds (min of 2) and "
         "rows/sec.  Linear ops should hold rows/sec roughly constant as "
         "the corpus grows; pair-generating ops grow with candidate "
@@ -471,7 +525,11 @@ def main() -> None:
         "|---|" + "|".join(["---"] * len(factors)) + "|",
     ]
     for name in (
-        list(OPS) + list(EMB_OPS) + list(GRAPH_OPS) + list(EVENTS_OPS)
+        list(OPS)
+        + list(EMB_OPS)
+        + list(GRAPH_OPS)
+        + list(EVENTS_OPS)
+        + ["interval_overlap"]
     ):
         cells = [
             f"{results[name][f]['sec']}s · {results[name][f]['docs_per_sec']:,}/s"
