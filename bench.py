@@ -95,6 +95,17 @@ HEADLINE = [
     "robust_outliers",
     "edit_distance_join",
     "literature_pipeline",
+    # round-6 session-6 families: point-in-time + range joins, resample,
+    # versioned reads, compaction planning — measured before promotion
+    # (spark/duck at sf0.1: asof .56/.06, interval .36/.02, point .33/.15,
+    # gap_fill .88/1.07 — a Spark WIN, scd2 .59/.02, compaction .72/.01);
+    # headline ratio stays inside the 2x bar on both accountings
+    "asof_enrich",
+    "interval_overlap",
+    "point_in_interval",
+    "gap_fill_ffill",
+    "scd2_time_travel",
+    "compaction_plan",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

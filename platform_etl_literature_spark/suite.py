@@ -5840,6 +5840,14 @@ SUITE: dict[str, QuerySpec] = {
 #     gains its first driver row, hashing the merge theorem),
 #   semi_join→graph_triangles (join family keeps anti/outer/theta/
 #     range/asof rows).
+#
+# Round-6 rotation (session 6): range_join_bands→interval_overlap —
+# the broadcast band-lookup row is subsumed by the round's binned
+# range-join family: interval_overlap hashes the general
+# interval×interval case (bin-explode + meeting-bin dedup vs DuckDB's
+# IEJoin), strictly harder than point-in-band; range_join_bands and
+# the asymmetric point_in_interval stay value-gated in the parity
+# suite.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -5855,7 +5863,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "salted_agg", "token_packing", "hdr_quantile_sketch", "doc_repetition",
     "corpus_curation", "dedup_components", "ann_recall_at_k",
     "ivf_ann_topk", "scan_provenance", "graph_triangles",
-    "agg_first_deterministic", "pivot_event_types", "range_join_bands",
+    "agg_first_deterministic", "pivot_event_types", "interval_overlap",
     "asof_join",
 )
 

@@ -1028,3 +1028,102 @@ def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
     assert got[101] == (None, None)
     assert got[102] == (25, 2.5)  # inclusive at equal ts
     assert got[104] == (None, None)
+
+
+def test_stream_stream_asof_join_out_of_order(spark, tmp_path):
+    """Stream-stream as-of: a right row arriving a BATCH AFTER the left
+    row it affects (but within the watermark) must still win — naive
+    resolve-on-arrival would answer with the stale quote.  Final output
+    equals the batch asof_join over all data."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.streaming.asof_stream import (
+        asof_join_stream,
+    )
+    from platform_etl_literature_spark.streaming import run_to_memory
+
+    def write_batches(d, schema_cols, batches):
+        d.mkdir()
+        now = time.time()
+        for i, rows in enumerate(batches):
+            arrays = {}
+            for name, typ in schema_cols:
+                vals = [r[[n for n, _ in schema_cols].index(name)] for r in rows]
+                if typ == "ts":
+                    arrays[name] = pa.array(
+                        [v * 1_000_000 for v in vals], pa.timestamp("us")
+                    )
+                elif typ == "long":
+                    arrays[name] = pa.array(vals, pa.int64())
+                else:
+                    arrays[name] = pa.array(vals, pa.string())
+            p = str(d / f"b{i}.parquet")
+            pq.write_table(pa.table(arrays), p)
+            os.utime(p, (now + 10 * i, now + 10 * i))
+
+    lcols = [("k", "long"), ("ts", "ts"), ("fact", "string")]
+    rcols = [("k", "long"), ("ts", "ts"), ("quote", "string")]
+    write_batches(
+        tmp_path / "l",
+        lcols,
+        [
+            [(1, 100, "f1")],
+            [(2, 50, "f2")],
+            [(3, 2000, "f3")],  # also moves the left watermark forward
+        ],
+    )
+    write_batches(
+        tmp_path / "r",
+        rcols,
+        [
+            [(1, 90, "a")],
+            # out-of-order: arrives after left(k1, 100) but ts 95 <= 100
+            [(1, 95, "b"), (2, 40, "z")],
+            [(99, 2000, "flush")],
+        ],
+    )
+    ls = (
+        spark.readStream.schema("k long, ts timestamp, fact string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "l"))
+    )
+    rs = (
+        spark.readStream.schema("k long, ts timestamp, quote string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "r"))
+    )
+    joined = asof_join_stream(ls, rs, "k", delay="10 seconds")
+    q = run_to_memory(joined, "asof_ss_t", output_mode="append")
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        r["k"]: (r["fact"], r["ts_r_us"], r["quote"])
+        for r in spark.table("asof_ss_t").collect()
+    }
+    # k=1: the batch-later quote at 95 wins over the stale 90
+    assert got[1] == ("f1", 95_000_000, "b")
+    assert got[2] == ("f2", 40_000_000, "z")
+    # k=3 (ts 2000) is NOT resolvable: the final watermark stops at
+    # 1990 only after the flush row, and 2000 > 1990 -> stays pending
+    assert 3 not in got
+
+    # batch twin equality on the resolvable subset
+    from platform_etl_literature_spark.operators.asof import asof_join
+    import pyspark.sql.functions as F
+
+    lb = spark.createDataFrame(
+        [(1, 100, "f1"), (2, 50, "f2")], "k long, s long, fact string"
+    ).select("k", F.timestamp_seconds("s").alias("ts"), "fact")
+    rb = spark.createDataFrame(
+        [(1, 90, "a"), (1, 95, "b"), (2, 40, "z"), (99, 2000, "flush")],
+        "k long, s long, quote string",
+    ).select("k", F.timestamp_seconds("s").alias("ts"), "quote")
+    want = {
+        r["k"]: (r["fact"], r["ts_r"] and int(r["ts_r"].timestamp() * 1e6), r["quote"])
+        for r in asof_join(lb, rb, "k").collect()
+    }
+    assert {k: got[k] for k in want} == want
