@@ -794,3 +794,91 @@ def decode_avi_frame_stats(
     return media.select("media_id", "payload").mapInPandas(
         run, AVI_FRAME_STATS_SCHEMA
     )
+
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feat_idx", T.IntegerType(), False),
+        T.StructField("feat_val", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_bmp_features(
+    media: DataFrame, gx: int = 2, gy: int = 2
+) -> DataFrame:
+    """REAL image feature extraction (no model, no external codec): a
+    gy x gx block-mean thumbnail embedding over the decoded BMP pixel
+    array — the downsample-and-flatten features classical vision
+    pipelines feed to dedup/ANN.  Pixel (x, y) belongs to block
+    ``(y*gy div height, x*gx div width)``; the feature for (block,
+    channel) is the exact integer channel sum over the block divided
+    by the block's pixel count (rounded to 6) — fully SQL-replayable,
+    so the oracle value-checks decode AND extraction.
+
+    Output is EXPLODED (media_id, feat_idx, feat_val) with
+    ``feat_idx = (by*gx + bx)*3 + channel`` (r=0, g=1, b=2): scalar
+    rows hash engine-portably and feed straight into the ANN family's
+    (id, vector) assembly via collect_list over an ordered window.
+
+    `decode_features` remains the honest stand-in for a MODEL
+    embedding (that genuinely needs weights this environment lacks);
+    this is the real-computation counterpart on the real codec.
+    """
+    import struct
+
+    import numpy as np
+
+    if gx < 1 or gy < 1:
+        raise ValueError("grid must be >= 1 in both axes")
+
+    def feats(payload: bytes):
+        buf = bytes(payload)
+        if len(buf) < 54 or buf[:2] != b"BM":
+            raise ValueError("not a BMP")
+        off = struct.unpack_from("<I", buf, 10)[0]
+        _hsize, width, height, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", buf, 14
+        )
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP: bpp {bpp} comp {comp}")
+        bottom_up = height > 0
+        height = abs(height)
+        stride = (width * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            buf, dtype=np.uint8, count=stride * height, offset=off
+        ).reshape(height, stride)[:, : width * 3]
+        if bottom_up:
+            rows = rows[::-1]
+        px = rows.reshape(height, width, 3).astype(np.int64)
+        y, x = np.mgrid[0:height, 0:width]
+        blk = (y * gy // height) * gx + (x * gx // width)
+        out = []
+        for b in range(gx * gy):
+            mask = blk == b
+            n = int(mask.sum())
+            for c, ch in enumerate((2, 1, 0)):  # BGR storage -> r,g,b
+                s = int(px[..., ch][mask].sum())
+                out.append((b * 3 + c, round(s / n, 6) if n else None))
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, v in feats(payload):
+                    ids.append(mid)
+                    idxs.append(i)
+                    vals.append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "feat_idx": pd.Series(idxs, dtype="int32"),
+                    "feat_val": pd.Series(vals, dtype="float64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, BMP_FEATURES_SCHEMA
+    )

@@ -1844,6 +1844,43 @@ FROM a
 """
 
 
+def q_multimodal_img_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image feature extraction: 2x2 block-mean thumbnail
+    embedding over the decoded BMP pixels
+    (operators.multimodal.decode_bmp_features) — decode AND extraction
+    value-checked, since the oracle regenerates every pixel and
+    replays the exact block partition (y*2 div 7, x*2 div 10)."""
+    media = MM.synth_bmp_media(_t(spark, sf, "documents"), "doc_id")
+    return MM.decode_bmp_features(media, gx=2, gy=2)
+
+
+_ORACLE_MM_FEATURES = """
+WITH p AS (
+  SELECT doc_id, x, y,
+         (doc_id * 41 + y * 19 + x * 5) % 256 AS r,
+         (doc_id * 37 + y * 13 + x * 11) % 256 AS g,
+         (doc_id * 31 + y * 17 + x * 7) % 256 AS b
+  FROM documents,
+       LATERAL unnest(generate_series(0, 9)) tx(x),
+       LATERAL unnest(generate_series(0, 6)) ty(y)),
+a AS (
+  SELECT doc_id,
+         CAST((y * 2 // 7) * 2 + (x * 2 // 10) AS INT) AS blk,
+         count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(b) AS BIGINT) AS sb
+  FROM p GROUP BY 1, 2),
+f AS (
+  SELECT doc_id, blk * 3 + 0 AS idx, round(sr / CAST(n AS DOUBLE), 6) AS v FROM a
+  UNION ALL
+  SELECT doc_id, blk * 3 + 1, round(sg / CAST(n AS DOUBLE), 6) FROM a
+  UNION ALL
+  SELECT doc_id, blk * 3 + 2, round(sb / CAST(n AS DOUBLE), 6) FROM a)
+SELECT doc_id AS media_id, CAST(idx AS INT) AS feat_idx, v AS feat_val
+FROM f
+"""
+
+
 def _synthetic_corpus_update(docs: DataFrame) -> DataFrame:
     """Deterministic update batch for the versioning queries: every 7th
     document re-drops with uppercased text; every 97th also arrives as
@@ -5784,6 +5821,11 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "compaction_plan": QuerySpec(
         q_compaction_plan, _ORACLE_COMPACTION, "layout-compaction"
+    ),
+    "multimodal_img_features": QuerySpec(
+        q_multimodal_img_features,
+        _ORACLE_MM_FEATURES,
+        "multimodal-real-feature-extraction",
     ),
 }
 

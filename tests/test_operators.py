@@ -2778,3 +2778,37 @@ def test_compaction_plan_packing_invariants(spark):
     }
     ranking.release_cached()
     assert again == out  # deterministic
+
+
+def test_decode_bmp_features_block_means_and_corrupt(spark):
+    """Hand-checkable 1x1 grid (features == whole-image channel means,
+    already value-pinned by the stats oracle) plus a 2x2 grid block
+    assignment sanity check and the corrupt-payload contract."""
+    import pytest
+
+    from platform_etl_literature_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    media = MM.synth_bmp_media(docs, "doc_id")
+    stats = {
+        r["media_id"]: (r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in MM.decode_bmp_stats(media).collect()
+    }
+    f1 = MM.decode_bmp_features(media, gx=1, gy=1)
+    got = {
+        (r["media_id"], r["feat_idx"]): r["feat_val"] for r in f1.collect()
+    }
+    for mid, (mr, mg, mb) in stats.items():
+        assert got[(mid, 0)] == mr
+        assert got[(mid, 1)] == mg
+        assert got[(mid, 2)] == mb
+    # 2x2: every media contributes exactly 12 features; block pixel
+    # counts partition the 10x7 image as (5x4, 5x4, 5x3, 5x3)
+    f2 = MM.decode_bmp_features(media, gx=2, gy=2).collect()
+    assert len(f2) == 2 * 12
+    # corrupt payload fails loudly
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"JUNK" * 20))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a BMP"):
+        MM.decode_bmp_features(bad).collect()
