@@ -38,6 +38,12 @@ Batch twin: ``operators.asof.asof_join`` (the equality the test
 pins).  Tie rule matches it when right rows are unique per (key, ts);
 duplicate equal-ts rights resolve by greatest JSON payload — pass
 pre-deduped rights (or a unique id first) for a pinned rule.
+
+Lateness contract (inherited from the watermark, as for every
+stateful streaming op): input rows older than the current watermark
+are dropped before the state operator sees them, so ``delay`` must
+cover the worst expected cross-stream disorder — the randomized test
+scatters rows ~900 s out of order and declares a 1000 s delay.
 """
 
 from __future__ import annotations

@@ -1881,6 +1881,78 @@ FROM f
 """
 
 
+def q_img_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal->ANN composition, end to end in one plan: REAL BMP
+    decode -> block-mean thumbnail embeddings -> embedding-cosine
+    near-dup pairs (the image analog of dedup_embedding_cosine).  The
+    oracle regenerates every pixel, replays the block partition AND
+    the cosine join — the whole multimodal dedup pipeline
+    value-checked across engines.  Brute cosine is quadratic BY
+    DESIGN (the exactness baseline; the LSH route is the scale path),
+    so the pair stage runs on a 1-in-5 id sample — Spark's per-element
+    HOF fold prices 12.5M x 3 folds at ~90 s where DuckDB's
+    vectorized list_dot_product doesn't, and the sample keeps the
+    value check meaningful without benching an anti-pattern."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+    media = MM.synth_bmp_media(docs, "doc_id")
+    feats = MM.decode_bmp_features(media, gx=2, gy=2)
+    vecs = (
+        feats.groupBy("media_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("feat_idx", "feat_val"))
+            ).alias("_s")
+        )
+        .select(
+            "media_id",
+            F.transform("_s", lambda t: t["feat_val"]).alias("emb"),
+        )
+    )
+    return D.embedding_cosine_pairs(
+        vecs, "media_id", "emb", threshold=0.98
+    )
+
+
+_ORACLE_IMG_NEAR_DUP = """
+WITH p AS (
+  SELECT doc_id, x, y,
+         (doc_id * 41 + y * 19 + x * 5) % 256 AS r,
+         (doc_id * 37 + y * 13 + x * 11) % 256 AS g,
+         (doc_id * 31 + y * 17 + x * 7) % 256 AS b
+  FROM documents,
+       LATERAL unnest(generate_series(0, 9)) tx(x),
+       LATERAL unnest(generate_series(0, 6)) ty(y)
+  WHERE doc_id % 5 = 0),
+a AS (
+  SELECT doc_id,
+         CAST((y * 2 // 7) * 2 + (x * 2 // 10) AS INT) AS blk,
+         count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(b) AS BIGINT) AS sb
+  FROM p GROUP BY 1, 2),
+f AS (
+  SELECT doc_id, blk * 3 + 0 AS idx, round(sr / CAST(n AS DOUBLE), 6) AS v FROM a
+  UNION ALL
+  SELECT doc_id, blk * 3 + 1, round(sg / CAST(n AS DOUBLE), 6) FROM a
+  UNION ALL
+  SELECT doc_id, blk * 3 + 2, round(sb / CAST(n AS DOUBLE), 6) FROM a),
+vec AS (
+  SELECT doc_id AS media_id, list(v ORDER BY idx) AS e FROM f GROUP BY 1)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) = 0
+             THEN 0.0
+             ELSE list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        END, 6) AS cos
+FROM vec a JOIN vec b ON a.media_id < b.media_id
+WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) = 0
+           THEN 0.0
+           ELSE list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      END >= 0.98
+"""
+
+
 def _synthetic_corpus_update(docs: DataFrame) -> DataFrame:
     """Deterministic update batch for the versioning queries: every 7th
     document re-drops with uppercased text; every 97th also arrives as
@@ -5826,6 +5898,9 @@ SUITE: dict[str, QuerySpec] = {
         q_multimodal_img_features,
         _ORACLE_MM_FEATURES,
         "multimodal-real-feature-extraction",
+    ),
+    "img_near_dup": QuerySpec(
+        q_img_near_dup, _ORACLE_IMG_NEAR_DUP, "multimodal-ann-composition"
     ),
 }
 

@@ -2812,3 +2812,28 @@ def test_decode_bmp_features_block_means_and_corrupt(spark):
     )
     with pytest.raises(Exception, match="not a BMP"):
         MM.decode_bmp_features(bad).collect()
+
+
+def test_asof_join_multikey_and_distinct_ts_names(spark):
+    """Composite keys and differently-named timestamp columns."""
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("b", 1, 10)],
+        "sym string, venue int, t_exec int",
+    )
+    r = spark.createDataFrame(
+        [("a", 1, 5, 1.5), ("a", 2, 9, 2.5), ("a", 2, 11, 9.9), ("b", 2, 1, 7.0)],
+        "sym string, venue int, t_quote int, px double",
+    )
+    out = {
+        (x["sym"], x["venue"]): (x["t_quote_r"], x["px"])
+        for x in asof_join(
+            l, r, ["sym", "venue"], left_ts="t_exec", right_ts="t_quote"
+        ).collect()
+    }
+    assert out == {
+        ("a", 1): (5, 1.5),
+        ("a", 2): (9, 2.5),
+        ("b", 1): (None, None),  # venue mismatch: composite key respected
+    }

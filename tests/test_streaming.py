@@ -1127,3 +1127,109 @@ def test_stream_stream_asof_join_out_of_order(spark, tmp_path):
         for r in asof_join(lb, rb, "k").collect()
     }
     assert {k: got[k] for k in want} == want
+
+
+def test_stream_stream_asof_randomized_equals_batch(spark, tmp_path):
+    """Property: for seeded random facts/quotes scattered arbitrarily
+    across micro-batches (heavy out-of-order), the stream-stream as-of
+    equals the batch asof_join on every left row the final watermark
+    resolves."""
+    import os
+    import random
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from platform_etl_literature_spark.operators.asof import asof_join
+    from platform_etl_literature_spark.streaming import run_to_memory
+    from platform_etl_literature_spark.streaming.asof_stream import (
+        asof_join_stream,
+    )
+
+    rng = random.Random(20260815)
+    lefts = [
+        (i, rng.randrange(4), rng.randrange(100, 1000))
+        for i in range(40)
+    ]
+    rights = [
+        (1000 + i, rng.randrange(5), rng.randrange(100, 1000), float(i))
+        for i in range(60)
+    ]
+    # one flush quote far in the future pushes the final watermark
+    rights.append((9999, 99, 1_000_000, -1.0))
+
+    n_batches = 4
+    lb = [[] for _ in range(n_batches)]
+    rb = [[] for _ in range(n_batches)]
+    for row in lefts:
+        lb[rng.randrange(n_batches)].append(row)
+    for row in rights[:-1]:
+        rb[rng.randrange(n_batches)].append(row)
+    rb[n_batches - 1].append(rights[-1])  # flush arrives last
+
+    def write(d, cols, types, batches):
+        d.mkdir()
+        now = time.time()
+        for i, rows in enumerate(batches):
+            arrays = {}
+            for j, (name, typ) in enumerate(zip(cols, types)):
+                vals = [r[j] for r in rows]
+                if typ == "ts":
+                    arrays[name] = pa.array(
+                        [v * 1_000_000 for v in vals], pa.timestamp("us")
+                    )
+                elif typ == "f":
+                    arrays[name] = pa.array(vals, pa.float64())
+                else:
+                    arrays[name] = pa.array(vals, pa.int64())
+            p = str(d / f"b{i}.parquet")
+            pq.write_table(pa.table(arrays), p)
+            os.utime(p, (now + 10 * i, now + 10 * i))
+
+    write(tmp_path / "l", ["lid", "k", "ts"], ["i", "i", "ts"], lb)
+    write(tmp_path / "r", ["rid", "k", "ts", "v"], ["i", "i", "ts", "f"], rb)
+
+    ls = (
+        spark.readStream.schema("lid long, k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "l"))
+    )
+    rs = (
+        spark.readStream.schema(
+            "rid long, k long, ts timestamp, v double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "r"))
+    )
+    # delay must cover the full scatter disorder (~900 s): anything
+    # later than the watermark is dropped as late input — the standard
+    # streaming contract the operator inherits
+    joined = asof_join_stream(ls, rs, "k", delay="1000 seconds")
+    q = run_to_memory(joined, "asof_rand_t", output_mode="append")
+    q.awaitTermination(240)
+    q.stop()
+    got = {
+        r["lid"]: (r["ts_r_us"], r["rid"], r["v"])
+        for r in spark.table("asof_rand_t").collect()
+    }
+
+    fl = spark.createDataFrame(lefts, "lid long, k long, s long").select(
+        "lid", "k", F.timestamp_seconds("s").alias("ts")
+    )
+    fr = spark.createDataFrame(
+        rights, "rid long, k long, s long, v double"
+    ).select("rid", "k", F.timestamp_seconds("s").alias("ts"), "v")
+    want = {
+        r["lid"]: (
+            r["ts_r"] and int(r["ts_r"].timestamp() * 1e6),
+            r["rid"],
+            r["v"],
+        )
+        for r in asof_join(fl, fr, "k").collect()
+    }
+    # all lefts resolve: final watermark ~999000 covers ts < 1000
+    assert set(got) == {lid for lid, _, _ in lefts}
+    for lid in got:
+        assert got[lid] == want[lid], lid
