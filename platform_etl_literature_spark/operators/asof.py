@@ -94,7 +94,10 @@ def asof_join(
     if direction == "backward":
         order = [F.col("_ats").asc(), F.col("_side").asc(), F.col("_rrow").asc()]
     else:
-        order = [F.col("_ats").desc(), F.col("_side").asc(), F.col("_rrow").desc()]
+        # _rrow stays ASC under the reversed time order so the carried
+        # row among equal-ts rights is still the greatest payload
+        # struct — the same tie rule in both directions
+        order = [F.col("_ats").desc(), F.col("_side").asc(), F.col("_rrow").asc()]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

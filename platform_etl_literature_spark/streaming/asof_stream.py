@@ -44,6 +44,13 @@ stateful streaming op): input rows older than the current watermark
 are dropped before the state operator sees them, so ``delay`` must
 cover the worst expected cross-stream disorder — the randomized test
 scatters rows ~900 s out of order and declares a 1000 s delay.
+
+State-retention caveat: a key whose stream goes silent keeps its
+buffered rights (correct — a future left may still need them) with no
+timeout armed once no lefts are pending; eviction for such keys only
+runs at their next invocation.  For keyspaces that churn, arm a
+coarse TTL upstream (filter rights older than the business horizon)
+— the operator cannot know a key is retired.
 """
 
 from __future__ import annotations

@@ -2837,3 +2837,18 @@ def test_asof_join_multikey_and_distinct_ts_names(spark):
         ("a", 2): (9, 2.5),
         ("b", 1): (None, None),  # venue mismatch: composite key respected
     }
+
+
+def test_asof_join_forward_equal_ts_tie_rule_matches_backward(spark):
+    """Equal-ts duplicate rights must resolve to the SAME winner (max
+    payload struct) in both directions — regression: the forward
+    ordering originally inverted the tie to min-struct."""
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 15)], "k int, ts int")
+    r = spark.createDataFrame(
+        [(1, 15, "a"), (1, 15, "b")], "k int, ts int, p string"
+    )
+    fwd = asof_join(l, r, "k", direction="forward").collect()[0]
+    back = asof_join(l, r, "k", direction="backward").collect()[0]
+    assert fwd["p"] == back["p"] == "b"
