@@ -662,3 +662,51 @@ def length_bucketed_batches(
             6,
         ).alias("waste_frac"),
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shuf1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle into shards — the
+    "randomize the corpus, reproducibly" step every training run needs
+    at 100 TB, where a naive orderBy(rand()) is neither reproducible
+    nor resumable.
+
+    Each row's position is its rank in ``(md5(seed:id), id)`` order —
+    pseudo-random with respect to any data attribute, identical across
+    engines/runs/partitionings, and stable under reshards of the same
+    corpus.  The rank rides :func:`ranking.ordered_global_index`
+    (range exchange + broadcast offsets — no SinglePartition sort), and
+    shards deal round-robin so every shard is a uniform sample of the
+    shuffled order: ``shard = pos % n_shards``,
+    ``pos_in_shard = pos div n_shards``.
+
+    Returns the input columns + (pos, shard, pos_in_shard), 0-based.
+    Compose downstream with ``repartitionByRange(shard, pos_in_shard)``
+    + ``sortWithinPartitions`` to materialize shard files in order.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from platform_etl_literature_spark.operators.dedup import token_hash
+    from platform_etl_literature_spark.operators.ranking import (
+        ordered_global_index,
+    )
+
+    h = token_hash(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    ranked = ordered_global_index(
+        df.withColumn("_h", h),
+        [F.col("_h").asc(), F.col(id_col).asc()],
+        rank_col="_rnk",
+    )
+    pos = F.col("_rnk") - 1
+    return ranked.select(
+        *df.columns,
+        pos.alias("pos"),
+        (pos % n_shards).cast("int").alias("shard"),
+        F.expr(f"(_rnk - 1) div {n_shards}").alias("pos_in_shard"),
+    )

@@ -1953,6 +1953,31 @@ WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.
 """
 
 
+def q_training_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order shuffle into 8 round-robin
+    shards (operators.textstats.training_shuffle) — positions are
+    ranks in portable-md5 order, computed on the distributed rank, so
+    the oracle's single-node row_number replays them exactly."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return TS.training_shuffle(docs, "doc_id", n_shards=8)
+
+
+_ORACLE_TRAINING_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+  FROM h)
+SELECT doc_id, lang, pos,
+       CAST(pos % 8 AS INT) AS shard,
+       pos // 8 AS pos_in_shard
+FROM r
+"""
+
+
 def _synthetic_corpus_update(docs: DataFrame) -> DataFrame:
     """Deterministic update batch for the versioning queries: every 7th
     document re-drops with uppercased text; every 97th also arrives as
@@ -5901,6 +5926,11 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "img_near_dup": QuerySpec(
         q_img_near_dup, _ORACLE_IMG_NEAR_DUP, "multimodal-ann-composition"
+    ),
+    "training_shuffle": QuerySpec(
+        q_training_shuffle,
+        _ORACLE_TRAINING_SHUFFLE,
+        "training-order-shuffle",
     ),
 }
 

@@ -2852,3 +2852,33 @@ def test_asof_join_forward_equal_ts_tie_rule_matches_backward(spark):
     fwd = asof_join(l, r, "k", direction="forward").collect()[0]
     back = asof_join(l, r, "k", direction="backward").collect()[0]
     assert fwd["p"] == back["p"] == "b"
+
+
+def test_training_shuffle_is_a_permutation_and_balanced(spark):
+    """Positions are a 0..n-1 permutation; round-robin shards differ in
+    size by at most 1; re-running yields the identical assignment."""
+    from platform_etl_literature_spark.operators import ranking
+    from platform_etl_literature_spark.operators.textstats import (
+        training_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(101)], "doc_id long")
+    out = training_shuffle(df, "doc_id", n_shards=4).collect()
+    ranking.release_cached()
+    pos = sorted(r["pos"] for r in out)
+    assert pos == list(range(101))
+    by_shard = {}
+    for r in out:
+        assert r["shard"] == r["pos"] % 4
+        assert r["pos_in_shard"] == r["pos"] // 4
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert max(sizes) - min(sizes) <= 1
+    for v in by_shard.values():  # in-shard positions are dense
+        assert sorted(v) == list(range(len(v)))
+    again = {
+        r["doc_id"]: (r["pos"], r["shard"])
+        for r in training_shuffle(df, "doc_id", n_shards=4).collect()
+    }
+    ranking.release_cached()
+    assert again == {r["doc_id"]: (r["pos"], r["shard"]) for r in out}

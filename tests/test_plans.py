@@ -557,3 +557,14 @@ def test_compaction_plan_no_single_partition_prefix_sum(spark, sf_dir):
     assert "RangePartitioning" in plan or "rangepartitioning" in plan, (
         plan[:3000]
     )
+
+
+def test_training_shuffle_no_single_partition(spark, sf_dir):
+    """The global shuffle position must ride the distributed rank —
+    RangePartitioning exchange, never a SinglePartition sort."""
+    from platform_etl_literature_spark.operators import ranking
+
+    plan = _simple_plan(SUITE["training_shuffle"].fn(spark, sf_dir))
+    ranking.release_cached()
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
