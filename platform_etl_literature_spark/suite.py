@@ -5442,6 +5442,66 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_asof_forward_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """The as-of join's OTHER half under the oracle gate: forward
+    direction (earliest click at-or-after each purchase) with a 2-hour
+    tolerance — DuckDB's native ASOF is backward-only, so the oracle
+    emulates the semantics with a window argmin, i.e. an entirely
+    independent formulation again.  Timestamps ride as exact epoch
+    micros (the numeric-axis requirement tolerance documents)."""
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    ev = read_events(spark, sf).withColumn(
+        "tus", F.unix_micros(F.col("ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("tus").alias("ts"), "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", F.col("tus").alias("ts"), "user_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        "ts",
+        direction="forward",
+        tolerance=7_200_000_000,  # 2 h in micros
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        "value",
+        F.col("event_id_r").alias("click_id"),
+        F.col("ts_r").alias("click_ts_us"),
+        F.col("value_r").alias("click_value"),
+    )
+
+
+_ORACLE_ASOF_FWD = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events
+  WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, epoch_us(ts) AS tus, max(event_id) AS click_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+j AS (
+  SELECT p.event_id, p.user_id, p.tus, p.value,
+         c.click_id, c.tus AS ctus, c.click_value,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.tus ASC NULLS LAST) AS rn
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id AND c.tus >= p.tus
+   AND c.tus - p.tus <= 7200000000)
+SELECT event_id, user_id, tus AS ts_us, value,
+       click_id, ctus AS click_ts_us, click_value
+FROM j WHERE rn = 1
+"""
+
+
 def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Global interval-overlap range join
     (operators.rangejoin.interval_overlap_join): order validity
@@ -5907,6 +5967,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "asof_enrich": QuerySpec(
         q_asof_enrich, _ORACLE_ASOF_ENRICH, "asof-point-in-time-join"
+    ),
+    "asof_forward_tolerance": QuerySpec(
+        q_asof_forward_tolerance, _ORACLE_ASOF_FWD, "asof-forward-tolerance"
     ),
     "interval_overlap": QuerySpec(
         q_interval_overlap, _ORACLE_INTERVAL_OVERLAP, "range-join-binned"

@@ -325,6 +325,19 @@ SHOWCASE: dict[str, str] = {
         "offsets) — no SinglePartition window anywhere, so planning a "
         "billion-file manifest is itself a distributed job."
     ),
+    "training_shuffle": (
+        "The global shuffle position is the distributed rank — "
+        "RangePartitioning exchange on the md5 key + per-partition "
+        "numbering + broadcast offsets; no SinglePartition sort touches "
+        "the corpus, so shuffling 100 TB into shards is itself "
+        "distributed."
+    ),
+    "img_near_dup": (
+        "One plan end to end: Arrow-batched BMP decode (mapInPandas), "
+        "block-mean embedding assembly via an ordered collect, then the "
+        "brute cosine verify — quadratic BY DESIGN as the exactness "
+        "baseline (sampled here; the LSH route is the scale path)."
+    ),
     "scd2_time_travel": (
         "Each snapshot read is a pure validity-interval Filter over the "
         "history — zero additional shuffle beyond the history build "
