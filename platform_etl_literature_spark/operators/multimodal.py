@@ -882,3 +882,81 @@ def decode_bmp_features(
     return media.select("media_id", "payload").mapInPandas(
         run, BMP_FEATURES_SCHEMA
     )
+
+
+def resize_bmp(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL image resize (the last multimodal verb to shed its stub):
+    parse each 24-bit BMP, nearest-neighbor resample to
+    ``out_w x out_h`` — source pixel of output (x, y) is
+    ``(x*src_w div out_w, y*src_h div out_h)``, the standard integer
+    mapping, SQL-replayable — and RE-ENCODE a real BMP payload, so
+    resize stages compose with every decoder here (the suite oracle
+    round-trips resize->decode value-for-value).
+
+    Output schema matches ``synth_bmp_media`` (media_id, payload,
+    mime, n_bytes).  ``resize_media`` remains the honest stand-in for
+    codec-library resampling (bilinear etc. need real codecs); this is
+    the real-computation path for the real in-repo format.
+    """
+    import struct
+
+    import numpy as np
+
+    if out_w < 1 or out_h < 1:
+        raise ValueError("target dimensions must be >= 1")
+    stride_o = (out_w * 3 + 3) // 4 * 4
+    img_size = stride_o * out_h
+
+    def one(payload: bytes) -> bytes:
+        buf = bytes(payload)
+        if len(buf) < 54 or buf[:2] != b"BM":
+            raise ValueError("not a BMP")
+        off = struct.unpack_from("<I", buf, 10)[0]
+        _hs, w, h, _pl, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP: bpp {bpp} comp {comp}")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            buf, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3]
+        if bottom_up:
+            rows = rows[::-1]
+        px = rows.reshape(h, w, 3)
+        sx = np.arange(out_w) * w // out_w
+        sy = np.arange(out_h) * h // out_h
+        res = px[sy][:, sx]  # (out_h, out_w, 3) BGR
+        orows = np.zeros((out_h, stride_o), dtype=np.uint8)
+        orows[:, : out_w * 3] = res.reshape(out_h, out_w * 3)[::-1]
+        header = struct.pack(
+            "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, img_size, 0, 0, 0, 0
+        )
+        return header + info + orows.tobytes()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "n_bytes": payloads.map(len).astype("int64"),
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)

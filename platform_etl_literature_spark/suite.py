@@ -1881,6 +1881,44 @@ FROM f
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image resize round trip: synth 10x7 BMP -> nearest-neighbor
+    resample to 4x3 (re-encoded as a REAL BMP) -> full decode.  The
+    oracle regenerates the source pattern at the mapped coordinates
+    (x*10 div 4, y*7 div 3), so encoder, resampler, and decoder are
+    all value-checked in one hash (operators.multimodal.resize_bmp)."""
+    media = MM.synth_bmp_media(_t(spark, sf, "documents"), "doc_id")
+    return MM.decode_bmp_stats(MM.resize_bmp(media, out_w=4, out_h=3))
+
+
+_ORACLE_MM_RESIZE = """
+WITH p AS (
+  SELECT doc_id, x, y, x * 10 // 4 AS sx, y * 7 // 3 AS sy
+  FROM documents,
+       LATERAL unnest(generate_series(0, 3)) tx(x),
+       LATERAL unnest(generate_series(0, 2)) ty(y)),
+l AS (
+  SELECT doc_id, x, y,
+         (doc_id * 41 + sy * 19 + sx * 5) % 256 AS r,
+         (doc_id * 37 + sy * 13 + sx * 11) % 256 AS g,
+         (doc_id * 31 + sy * 17 + sx * 7) % 256 AS b
+  FROM p),
+a AS (
+  SELECT doc_id, count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(b) AS BIGINT) AS sb,
+         CAST(max(2126 * r + 7152 * g + 722 * b) AS BIGINT) AS pk,
+         CAST(sum((x + 2 * y) * (2126 * r + 7152 * g + 722 * b)) AS BIGINT) AS cks
+  FROM l GROUP BY 1)
+SELECT doc_id AS media_id, 4 AS width, 3 AS height, n AS n_pixels,
+  round(sr / CAST(n AS DOUBLE), 6) AS mean_r,
+  round(sg / CAST(n AS DOUBLE), 6) AS mean_g,
+  round(sb / CAST(n AS DOUBLE), 6) AS mean_b,
+  pk AS peak_luma, cks AS xy_luma_sum
+FROM a
+"""
+
+
 def q_img_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal->ANN composition, end to end in one plan: REAL BMP
     decode -> block-mean thumbnail embeddings -> embedding-cosine
@@ -5994,6 +6032,9 @@ SUITE: dict[str, QuerySpec] = {
         q_training_shuffle,
         _ORACLE_TRAINING_SHUFFLE,
         "training-order-shuffle",
+    ),
+    "multimodal_resize": QuerySpec(
+        q_multimodal_resize, _ORACLE_MM_RESIZE, "multimodal-real-resize"
     ),
 }
 

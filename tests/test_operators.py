@@ -2882,3 +2882,45 @@ def test_training_shuffle_is_a_permutation_and_balanced(spark):
     }
     ranking.release_cached()
     assert again == {r["doc_id"]: (r["pos"], r["shard"]) for r in out}
+
+
+def test_resize_bmp_identity_upscale_corrupt(spark):
+    """Identity resize reproduces the source stats exactly; nearest
+    upscale replicates pixels (means preserved per mapped source);
+    corrupt payloads fail loudly."""
+    import pytest
+
+    from platform_etl_literature_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    media = MM.synth_bmp_media(docs, "doc_id")  # 10x7
+    src = {
+        r["media_id"]: (
+            r["mean_r"], r["mean_g"], r["mean_b"],
+            r["peak_luma"], r["xy_luma_sum"],
+        )
+        for r in MM.decode_bmp_stats(media).collect()
+    }
+    ident = {
+        r["media_id"]: (
+            r["mean_r"], r["mean_g"], r["mean_b"],
+            r["peak_luma"], r["xy_luma_sum"],
+        )
+        for r in MM.decode_bmp_stats(MM.resize_bmp(media, 10, 7)).collect()
+    }
+    assert ident == src
+    # 2x nearest upscale: every source pixel appears exactly 4 times ->
+    # channel means and peak luma are preserved bit-for-bit
+    up = {
+        r["media_id"]: (r["width"], r["height"], r["mean_r"], r["peak_luma"])
+        for r in MM.decode_bmp_stats(MM.resize_bmp(media, 20, 14)).collect()
+    }
+    for mid in src:
+        assert up[mid][:2] == (20, 14)
+        assert up[mid][2] == src[mid][0]
+        assert up[mid][3] == src[mid][3]
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"nope" * 40))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a BMP"):
+        MM.resize_bmp(bad, 4, 4).collect()
