@@ -338,6 +338,18 @@ SHOWCASE: dict[str, str] = {
         "brute cosine verify — quadratic BY DESIGN as the exactness "
         "baseline (sampled here; the LSH route is the scale path)."
     ),
+    "asof_forward_tolerance": (
+        "Same zero-join union-and-carry shape as asof_enrich, reversed "
+        "time order + tolerance null-out — still one hash exchange and "
+        "one window pass; direction and tolerance are pure expression "
+        "changes, not new operators."
+    ),
+    "multimodal_resize": (
+        "Three Arrow-batched mapInPandas stages in one plan — encode, "
+        "resample+re-encode, decode — with no shuffle anywhere: media "
+        "transforms are embarrassingly parallel and stay in the "
+        "partition that owns the row."
+    ),
     "scd2_time_travel": (
         "Each snapshot read is a pure validity-interval Filter over the "
         "history — zero additional shuffle beyond the history build "
