@@ -56,12 +56,18 @@ def asof_join(
     columns are appended; a name colliding with a left column — and
     the right timestamp column always — gets ``suffix``.
 
+    ``direction``: "backward" (latest right at-or-before), "forward"
+    (earliest right at-or-after), or "nearest" (the closer of the two,
+    ties preferring backward — pandas ``merge_asof`` semantics; for
+    timestamps the gap comparison uses interval arithmetic, which
+    Spark orders correctly).
+
     ``tolerance`` (optional) voids matches farther than that from the
     left timestamp ALONG THE ORDERING AXIS: it is compared with plain
     column subtraction, so pass numeric axes (e.g. ``unix_micros``)
     when you need it; leave None for raw timestamp columns.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     for k in keys:
@@ -91,34 +97,65 @@ def asof_join(
         rrow.alias("_rrow"),
     )
 
-    if direction == "backward":
-        order = [F.col("_ats").asc(), F.col("_side").asc(), F.col("_rrow").asc()]
-    else:
-        # _rrow stays ASC under the reversed time order so the carried
-        # row among equal-ts rights is still the greatest payload
-        # struct — the same tie rule in both directions
-        order = [F.col("_ats").desc(), F.col("_side").asc(), F.col("_rrow").asc()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # _rrow stays ASC under either time order so the carried row among
+    # equal-ts rights is always the greatest payload struct — the same
+    # tie rule in every direction
+    back_order = [F.col("_ats").asc(), F.col("_side").asc(), F.col("_rrow").asc()]
+    fwd_order = [F.col("_ats").desc(), F.col("_side").asc(), F.col("_rrow").asc()]
 
-    carried = F.last("_rrow", ignorenulls=True).over(w)
-    out = (
-        l_tagged.unionByName(r_tagged)
-        .withColumn("_carried", carried)
-        .where(F.col("_side") == 1)
-    )
-    if tolerance is not None:
-        gap = (
-            F.col("_ats") - F.col(f"_carried.{right_ts}")
-            if direction == "backward"
-            else F.col(f"_carried.{right_ts}") - F.col("_ats")
+    def _window(order):
+        return (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+
+    def _gapped(carried_col, backward: bool):
+        # NULL gap (no candidate) propagates; tolerance nulls out the
+        # whole candidate below
+        rts = carried_col[right_ts]
+        return F.col("_ats") - rts if backward else rts - F.col("_ats")
+
+    unioned = l_tagged.unionByName(r_tagged)
+    if direction == "nearest":
+        # both carries ride the SAME hash exchange (same partition
+        # keys — the second window only re-sorts in place); the nearer
+        # side wins, ties preferring backward (pandas merge_asof rule)
+        out = (
+            unioned.withColumn(
+                "_cb", F.last("_rrow", ignorenulls=True).over(_window(back_order))
+            )
+            .withColumn(
+                "_cf", F.last("_rrow", ignorenulls=True).over(_window(fwd_order))
+            )
+            .where(F.col("_side") == 1)
+        )
+        gb = _gapped(F.col("_cb"), True)
+        gf = _gapped(F.col("_cf"), False)
+        if tolerance is not None:
+            out = out.withColumn(
+                "_cb", F.when(gb <= F.lit(tolerance), F.col("_cb"))
+            ).withColumn("_cf", F.when(gf <= F.lit(tolerance), F.col("_cf")))
+            gb, gf = _gapped(F.col("_cb"), True), _gapped(F.col("_cf"), False)
         out = out.withColumn(
-            "_carried", F.when(gap <= F.lit(tolerance), F.col("_carried"))
+            "_carried",
+            F.when(F.col("_cb").isNull(), F.col("_cf")).when(
+                F.col("_cf").isNull() | (gb <= gf), F.col("_cb")
+            ).otherwise(F.col("_cf")),
         )
+    else:
+        order = back_order if direction == "backward" else fwd_order
+        out = (
+            unioned.withColumn(
+                "_carried", F.last("_rrow", ignorenulls=True).over(_window(order))
+            )
+            .where(F.col("_side") == 1)
+        )
+        if tolerance is not None:
+            gap = _gapped(F.col("_carried"), direction == "backward")
+            out = out.withColumn(
+                "_carried", F.when(gap <= F.lit(tolerance), F.col("_carried"))
+            )
 
     left_names = set(left.columns)
     cols = [F.col(f"_lrow.`{c}`").alias(c) for c in left.columns]

@@ -5540,6 +5540,53 @@ FROM j WHERE rn = 1
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """The third as-of direction under the oracle gate: NEAREST click
+    to each purchase (pandas merge_asof semantics — closer side wins,
+    ties prefer backward).  Spark runs both carries over ONE hash
+    exchange; the oracle is a global window argmin over |gap| with the
+    backward tiebreak — an independent formulation once more."""
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    ev = read_events(spark, sf)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = asof_join(purchases, clicks, "user_id", direction="nearest")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.col("event_id_r").alias("click_id"),
+        F.unix_micros("ts_r").alias("click_ts_us"),
+        F.col("value_r").alias("click_value"),
+    )
+
+
+_ORACLE_ASOF_NEAREST = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, max(event_id) AS click_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+j AS (
+  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+         c.click_id, epoch_us(c.ts) AS click_ts_us, c.click_value,
+         row_number() OVER (PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+                    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id)
+SELECT event_id, user_id, ts_us, value, click_id, click_ts_us, click_value
+FROM j WHERE rn = 1
+"""
+
+
 def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Global interval-overlap range join
     (operators.rangejoin.interval_overlap_join): order validity
@@ -6008,6 +6055,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "asof_forward_tolerance": QuerySpec(
         q_asof_forward_tolerance, _ORACLE_ASOF_FWD, "asof-forward-tolerance"
+    ),
+    "asof_nearest": QuerySpec(
+        q_asof_nearest, _ORACLE_ASOF_NEAREST, "asof-nearest"
     ),
     "interval_overlap": QuerySpec(
         q_interval_overlap, _ORACLE_INTERVAL_OVERLAP, "range-join-binned"

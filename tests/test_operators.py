@@ -2924,3 +2924,42 @@ def test_resize_bmp_identity_upscale_corrupt(spark):
     )
     with pytest.raises(Exception, match="not a BMP"):
         MM.resize_bmp(bad, 4, 4).collect()
+
+
+def test_asof_join_nearest_semantics(spark):
+    """Nearest picks the closer side, ties prefer backward (pandas
+    merge_asof), tolerance voids both sides, forward-only and
+    backward-only legs fall through."""
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 13), (1, 20), (2, 5), (3, 7)],
+        "k int, ts int",
+    )
+    r = spark.createDataFrame(
+        [(1, 8, "a"), (1, 16, "b"), (2, 99, "z")], "k int, ts int, p string"
+    )
+    near = {
+        (x["k"], x["ts"]): x["p"]
+        for x in asof_join(l, r, "k", direction="nearest").collect()
+    }
+    assert near == {
+        (1, 10): "a",   # 2 vs 6
+        (1, 12): "a",   # tie 4 vs 4 -> backward
+        (1, 13): "b",   # 5 vs 3
+        (1, 20): "b",   # forward-only leg null, backward 'b'
+        (2, 5): "z",    # forward-only match
+        (3, 7): None,   # no key
+    }
+    tol = {
+        (x["k"], x["ts"]): x["p"]
+        for x in asof_join(l, r, "k", direction="nearest", tolerance=3).collect()
+    }
+    assert tol == {
+        (1, 10): "a",
+        (1, 12): None,  # both gaps 4 > 3
+        (1, 13): "b",
+        (1, 20): None,
+        (2, 5): None,
+        (3, 7): None,
+    }

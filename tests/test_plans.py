@@ -568,3 +568,14 @@ def test_training_shuffle_no_single_partition(spark, sf_dir):
     ranking.release_cached()
     assert "SinglePartition" not in plan, plan[:3000]
     assert "rangepartitioning" in plan.lower(), plan[:3000]
+
+
+def test_asof_nearest_single_exchange_two_windows(spark, sf_dir):
+    """Nearest runs BOTH carries over the same hash partitioning: still
+    exactly one exchange, two Window operators, zero join operators."""
+    plan = _simple_plan(SUITE["asof_nearest"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert plan.count("Window") >= 2
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
+    assert "SinglePartition" not in plan
