@@ -338,6 +338,12 @@ SHOWCASE: dict[str, str] = {
         "brute cosine verify — quadratic BY DESIGN as the exactness "
         "baseline (sampled here; the LSH route is the scale path)."
     ),
+    "asof_nearest": (
+        "Both the backward and forward carries ride ONE hash exchange "
+        "(same partition keys — the second Window just re-sorts in "
+        "place); the closer side wins per row.  Still zero join "
+        "operators for a three-direction as-of family."
+    ),
     "asof_forward_tolerance": (
         "Same zero-join union-and-carry shape as asof_enrich, reversed "
         "time order + tolerance null-out — still one hash exchange and "
