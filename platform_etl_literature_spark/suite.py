@@ -5587,6 +5587,38 @@ FROM j WHERE rn = 1
 """
 
 
+def q_asof_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    """The whale-safe as-of join (operators.asof.asof_join_segmented)
+    on the SAME purchases-enriched-with-latest-click task as
+    asof_enrich: the keyed sort is sub-partitioned by UTC day of the
+    ordering axis, carried per (user, day) slice, and stitched
+    through a per-slice summary frame — bit-identical output to the
+    flat plan (the segmented carry is an exact re-association), so
+    the same DuckDB NATIVE ASOF JOIN oracle hashes it."""
+    from platform_etl_literature_spark.operators.asof import (
+        asof_join_segmented,
+    )
+
+    ev = read_events(spark, sf)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # payload column order (event_id first) pins the equal-ts tie rule
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = asof_join_segmented(purchases, clicks, "user_id", "ts", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.col("event_id_r").alias("click_id"),
+        F.unix_micros("ts_r").alias("click_ts_us"),
+        F.col("value_r").alias("click_value"),
+    )
+
+
 def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Global interval-overlap range join
     (operators.rangejoin.interval_overlap_join): order validity
@@ -6058,6 +6090,9 @@ SUITE: dict[str, QuerySpec] = {
     ),
     "asof_nearest": QuerySpec(
         q_asof_nearest, _ORACLE_ASOF_NEAREST, "asof-nearest"
+    ),
+    "asof_segmented": QuerySpec(
+        q_asof_segmented, _ORACLE_ASOF_ENRICH, "asof-whale-safe-segmented"
     ),
     "interval_overlap": QuerySpec(
         q_interval_overlap, _ORACLE_INTERVAL_OVERLAP, "range-join-binned"

@@ -2963,3 +2963,115 @@ def test_asof_join_nearest_semantics(spark):
         (2, 5): None,
         (3, 7): None,
     }
+
+def test_asof_join_segmented_equals_flat_all_directions(spark):
+    """The segmented plan is an exact re-association of the flat
+    carry: bit-identical rows in every direction, with and without
+    tolerance, on a seeded dataset whose keys straddle many
+    segments, share timestamps across sides, and include one-sided
+    keys."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators.asof import (
+        asof_join,
+        asof_join_segmented,
+    )
+
+    rng = random.Random(20260815)
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(h):
+        return base + datetime.timedelta(hours=h)
+
+    lrows = [
+        (f"k{rng.randrange(5)}", ts(rng.randrange(240)), i)
+        for i in range(300)
+    ]
+    rrows = [
+        (f"k{rng.randrange(7)}", ts(rng.randrange(240)), 1000 + i, float(i))
+        for i in range(250)
+    ]
+    # force equal timestamps across sides and duplicate right ts
+    rrows += [(k, t, 5000 + i, 0.5) for i, (k, t, _) in enumerate(lrows[:30])]
+    l = spark.createDataFrame(lrows, "k string, ts timestamp, lid long")
+    r = spark.createDataFrame(
+        rrows, "k string, ts timestamp, event_id long, v double"
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    for direction in ("backward", "forward", "nearest"):
+        assert canon(
+            asof_join_segmented(l, r, "k", direction=direction)
+        ) == canon(asof_join(l, r, "k", direction=direction)), direction
+
+    # numeric axis requires an explicit segment; tolerance composes
+    lN = l.select("k", F.unix_micros("ts").alias("ts"), "lid")
+    rN = r.select("k", F.unix_micros("ts").alias("ts"), "event_id", "v")
+    seg = lambda c: F.floor(c / F.lit(86_400_000_000))  # noqa: E731
+    for direction in ("backward", "forward", "nearest"):
+        assert canon(
+            asof_join_segmented(
+                lN, rN, "k", direction=direction,
+                tolerance=3_600_000_000, segment=seg,
+            )
+        ) == canon(
+            asof_join(lN, rN, "k", direction=direction, tolerance=3_600_000_000)
+        ), f"numeric {direction}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="segment is required"):
+        asof_join_segmented(lN, rN, "k")
+
+
+def test_asof_join_segmented_whale_key_splits_the_sort(spark):
+    """A single 1M-row key does NOT serialize into one task: the
+    carry windows partition on (key, segment) — pinned in the
+    physical plan — and the job completes with the per-slice rows
+    bounded by the largest single segment."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators.asof import (
+        asof_join_segmented,
+    )
+
+    n = 1_000_000
+    # one key, timestamps spread over ~116 days -> day segments
+    l = (
+        spark.range(n)
+        .select(
+            F.lit("whale").alias("k"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 10).alias(
+                "ts"
+            ),
+            F.col("id").alias("lid"),
+        )
+    )
+    r = (
+        spark.range(0, n, 100)
+        .select(
+            F.lit("whale").alias("k"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 10 + 5).alias(
+                "ts"
+            ),
+            F.col("id").alias("rid"),
+        )
+    )
+    out = asof_join_segmented(l, r, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the carry exchange is keyed by (k, _seg), not k alone
+    assert "hashpartitioning(k" in plan and "_seg" in plan.split(
+        "hashpartitioning(k", 1
+    )[1][:80], plan[:2000]
+    # backward match for lid=i: rid = latest multiple of 100 at
+    # ts+5 <= ts(i) -> floor((i-1)/100)*100 for i>0, null for i=0
+    got = out.where(F.col("lid").isin(0, 1, 99, 100, 101, 999_999)).select(
+        "lid", "rid"
+    ).collect()
+    want = {0: None, 1: 0, 99: 0, 100: 0, 101: 100, 999_999: 999_900}
+    assert {x["lid"]: x["rid"] for x in got} == want
