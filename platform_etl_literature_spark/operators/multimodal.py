@@ -15,13 +15,16 @@ samples/pixels:
   with uncompressed DIB frames via ``struct`` (hdrl/avih/strl headers,
   movi '00db' chunk walk, idx1 index).
 
-Only the learned-model stage stays stubbed: ``decode_features``
-(feature EXTRACTION — a real one needs a vision model, not a codec)
-raises ``NotImplementedError`` unless ``fake=True``, in which case it
-computes a deterministic fake feature vector from the payload bytes —
-the Spark plumbing (schema, batching, partitioning) is real and tested
-either way.  ``frame_sample``'s fake chunker likewise remains as the
-codec-agnostic plumbing shape for containers without a local decoder.
+Feature extraction is REAL too: ``decode_features`` dispatches on the
+container magic — BMP → block-mean thumbnail embedding, WAV → windowed
+|amplitude| means, both integer-exact and SQL-replayable — and raises
+for payloads that would need a LEARNED embedding (model weights this
+environment lacks; pretending otherwise is how synthetic features leak
+into a pipeline).  No ``fake=`` flag survives anywhere in this module:
+the last one (decode_features) was retired in round 7, and the
+fake-codec plumbing stubs ``frame_sample`` / ``resize_media`` were
+deleted once their real counterparts (``decode_avi_frame_stats``,
+``resize_bmp``) landed.
 """
 
 from __future__ import annotations
@@ -83,143 +86,120 @@ def to_media_table(
     )
 
 
-def _fake_features(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a media feature extractor: bytes of
-    sha256(payload) scaled to [0, 1)."""
-    h = hashlib.sha256(payload).digest()
-    raw = (h * ((dim // len(h)) + 1))[:dim]
-    return [b / 256.0 for b in raw]
+def decode_features(media: DataFrame, gx: int = 2, gy: int = 2) -> DataFrame:
+    """REAL payload → feature-vector extraction via Arrow-batched
+    mapInPandas, dispatching on the container magic:
 
+    * ``BM`` (BMP): the gy×gx block-mean thumbnail embedding over the
+      decoded pixel array — 3·gx·gy features ordered
+      ``(by*gx + bx)*3 + channel`` (r=0, g=1, b=2), each the exact
+      integer channel sum over the block divided by its pixel count
+      (rounded to 6) — same contract as :func:`decode_bmp_features`,
+      packed as a vector;
+    * ``RIFF…WAVE`` (PCM WAV): 3·gx·gy equal time windows (sample i →
+      window ``i*K // n``), each feature the exact integer sum of
+      |sample| over the window divided by its count (rounded to 6);
+    * anything else raises ValueError from the executor — a LEARNED
+      embedding genuinely needs model weights this environment lacks,
+      and pretending otherwise is how synthetic features leak into a
+      pipeline.  At scale wrap upstream with a mime filter /
+      quarantine if mixed corpora must not fail the job.
 
-def decode_features(media: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
-    """Decode payloads → feature vectors via Arrow-batched mapInPandas.
-
-    ``fake=False`` raises NotImplementedError from the executors when a
-    batch is processed (no media codecs in this environment); the
-    plumbing — batch iterator signature, output schema, partition
-    preservation — is identical to a real decoder.
+    Both legs are integer-exact and SQL-replayable, so an oracle can
+    value-check every feature.  ``digest``/``n_bytes`` are computed
+    from the payload for lineage.
     """
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    if gx < 1 or gy < 1:
+        raise ValueError("grid must be >= 1 in both axes")
+    k = 3 * gx * gy
+
+    def bmp_feats(buf: bytes) -> list[float]:
+        off = struct.unpack_from("<I", buf, 10)[0]
+        _hsize, width, height, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", buf, 14
+        )
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP: bpp {bpp} comp {comp}")
+        bottom_up = height > 0
+        height = abs(height)
+        stride = (width * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            buf, dtype=np.uint8, count=stride * height, offset=off
+        ).reshape(height, stride)[:, : width * 3]
+        if bottom_up:
+            rows = rows[::-1]
+        px = rows.reshape(height, width, 3).astype(np.int64)
+        y, x = np.mgrid[0:height, 0:width]
+        blk = (y * gy // height) * gx + (x * gx // width)
+        out = []
+        for b in range(gx * gy):
+            mask = blk == b
+            n = int(mask.sum())
+            for ch in (2, 1, 0):  # BGR storage -> r,g,b
+                s = int(px[..., ch][mask].sum())
+                out.append(round(s / n, 6) if n else None)
+        return out
+
+    def wav_feats(buf: bytes) -> list[float]:
+        with wave.open(io.BytesIO(buf), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        s = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+        n = len(s)
+        if n == 0:
+            return [None] * k
+        win = np.arange(n, dtype=np.int64) * k // n
+        out = []
+        for b in range(k):
+            mask = win == b
+            m = int(mask.sum())
+            out.append(round(int(s[mask].sum()) / m, 6) if m else None)
+        return out
+
+    def feats(payload: bytes) -> list[float]:
+        buf = bytes(payload)
+        if buf[:2] == b"BM":
+            return bmp_feats(buf)
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+            return wav_feats(buf)
+        raise ValueError(
+            "no extractor for this payload: only BMP and PCM WAV have "
+            "local codecs; a learned media embedding requires model "
+            "weights not present in this environment"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio codecs not present here; "
-                    "pass fake=True for the deterministic stand-in"
-                )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "digest": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                    "features": payloads.map(lambda b: _fake_features(bytes(b), dim)),
+                    "digest": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "features": payloads.map(lambda b: feats(b)),
                 }
             )
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
-FRAME_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("frame_idx", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("digest", T.StringType(), True),
-    ]
-)
-
-
-def frame_sample(
-    media: DataFrame,
-    frame_bytes: int = 64,
-    every: int = 4,
-    fake: bool = False,
-) -> DataFrame:
-    """Sample every ``every``-th frame from each media payload — the
-    video path (a real decoder seeks keyframes; the fake slices the
-    payload into fixed-size chunks).  One mapInPandas stage, rows fan
-    out (media → sampled frames) inside the Arrow batch, no shuffle.
-    """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "frame extraction requires video codecs not present here; "
-                    "pass fake=True for the deterministic chunking stand-in"
-                )
-            ids, idxs, sizes, digests = [], [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
-                for i in range(0, n_frames, every):
-                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
-                    ids.append(mid)
-                    idxs.append(i)
-                    sizes.append(len(chunk))
-                    digests.append(hashlib.sha256(chunk).hexdigest())
-            yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "n_bytes": sizes, "digest": digests}
-            )
-
-    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
-
-
-def resize_media(
-    media: DataFrame, width: int = 8, height: int = 8, fake: bool = False
-) -> DataFrame:
-    """Resize stub — the image path.  Emits a payload of exactly
-    width×height bytes per row (deterministically derived from the
-    source payload's sha256) with updated metadata; schema identical to
-    the input media table so resize stages compose.
-    """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = width * height
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires codecs not present here; "
-                    "pass fake=True for the deterministic stand-in"
-                )
-            payloads = pdf["payload"].map(
-                lambda b: (hashlib.sha256(bytes(b)).digest() * ((n // 32) + 1))[:n]
-            )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": payloads,
-                    "mime": f"image/raw;w={width};h={height}",
-                    "n_bytes": n,
-                    "source": pdf["source"],
-                }
-            )
-
-    flat = media.select(
-        "media_id", "payload", F.col("meta.source").alias("source")
-    )
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-            T.StructField("mime", T.StringType(), True),
-            T.StructField("n_bytes", T.LongType(), True),
-            T.StructField("source", T.StringType(), True),
-        ]
-    )
-    return flat.mapInPandas(run, out_schema).select(
-        "media_id",
-        "payload",
-        F.struct("mime", "n_bytes", "source").alias("meta"),
-    )
+# frame_sample and resize_media — the round-1..5 fake-codec plumbing
+# stubs — were REMOVED once their real counterparts landed: video frame
+# sampling is decode_avi_frame_stats (real RIFF/AVI chunk walk), image
+# resize is resize_bmp (real nearest-neighbor resample + re-encode).
 
 
 # ---------------------------------------------------------------------------
 # REAL audio path: RIFF/WAVE PCM16 encode + decode via the stdlib `wave`
-# module — no external codec needed, so unlike the image/video stubs
-# above this decode is genuine: the payload bytes are a real WAV file
-# and the decoder parses its header and frames.
+# module — no external codec needed: the payload bytes are a real WAV
+# file and the decoder parses its header and frames.
 
 WAV_STATS_SCHEMA = T.StructType(
     [
@@ -339,7 +319,7 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
 # (VERDICT r4 item 5): the payload bytes are a genuine .bmp file
 # (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows with 4-byte
 # padding), and the decoder parses headers, strips padding, and
-# restores top-down pixel order.  `fake=` remains only for video.
+# restores top-down pixel order.
 
 BMP_STATS_SCHEMA = T.StructType(
     [

@@ -1475,21 +1475,78 @@ FROM documents
 
 
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode stage (deterministic fake
-    features); digest is SQL-checkable via sha256."""
-    media = MM.to_media_table(_t(spark, sf, "documents"), "doc_id", "text", "source")
-    feats = MM.decode_features(media, dim=16, fake=True)
+    """REAL mixed-modality feature extraction
+    (operators.multimodal.decode_features): one media table holding
+    BMP images (even ids) AND PCM WAV clips (odd ids), one
+    mime-dispatching Arrow-batched mapInPandas stage — block-mean
+    pixel features for images, windowed |amplitude| means for audio,
+    every value integer-exact, so the oracle regenerates the pixels
+    AND the PCM and checks all 12 features of every payload.  No
+    synthetic features anywhere: the round-1..6 fake= stand-in is
+    retired."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
+    imgs = MM.synth_bmp_media(
+        docs.select((F.col("doc_id") * 2).alias("mid")), "mid"
+    )
+    clips = MM.synth_wav_media(
+        docs.select((F.col("doc_id") * 2 + 1).alias("mid")), "mid"
+    )
+    media = imgs.select("media_id", "payload").unionByName(
+        clips.select("media_id", "payload")
+    )
+    feats = MM.decode_features(media, gx=2, gy=2)
     return feats.select(
-        "media_id", "n_bytes", "digest", F.size("features").alias("n_features")
+        "media_id", "n_bytes", F.posexplode("features")
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("pos").cast("int").alias("feat_idx"),
+        F.round("col", 6).alias("feat_val"),
     )
 
 
+# BMP leg: regenerate the 10x7 pixel pattern for media_id = 2*doc_id,
+# replay the 2x2 block partition (n_bytes = 54 + stride 32 x 7 = 278).
+# WAV leg: regenerate the 256-sample LCG PCM for media_id = 2*doc_id+1,
+# window k = i*12 // 256 over |sample| (n_bytes = 44-byte header + 512).
 _ORACLE_MM_DECODE = """
-SELECT doc_id AS media_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  sha256(text) AS digest,
-  16 AS n_features
-FROM documents
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+p AS (
+  SELECT doc_id * 2 AS media_id, x, y,
+         (doc_id * 2 * 41 + y * 19 + x * 5) % 256 AS r,
+         (doc_id * 2 * 37 + y * 13 + x * 11) % 256 AS g,
+         (doc_id * 2 * 31 + y * 17 + x * 7) % 256 AS b
+  FROM ids,
+       LATERAL unnest(generate_series(0, 9)) tx(x),
+       LATERAL unnest(generate_series(0, 6)) ty(y)),
+ba AS (
+  SELECT media_id,
+         CAST((y * 2 // 7) * 2 + (x * 2 // 10) AS INT) AS blk,
+         count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(b) AS BIGINT) AS sb
+  FROM p GROUP BY 1, 2),
+bf AS (
+  SELECT media_id, blk * 3 + 0 AS idx, round(sr / CAST(n AS DOUBLE), 6) AS v FROM ba
+  UNION ALL
+  SELECT media_id, blk * 3 + 1, round(sg / CAST(n AS DOUBLE), 6) FROM ba
+  UNION ALL
+  SELECT media_id, blk * 3 + 2, round(sb / CAST(n AS DOUBLE), 6) FROM ba),
+s AS (
+  SELECT doc_id * 2 + 1 AS media_id, i,
+         abs(((doc_id * 2 + 1) * 7919 + i * 104729) % 65536 - 32768) AS a,
+         CAST(i * 12 // 256 AS INT) AS win
+  FROM ids, LATERAL unnest(generate_series(0, 255)) ti(i)),
+wf AS (
+  SELECT media_id, win AS idx,
+         round(CAST(sum(a) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS v
+  FROM s GROUP BY 1, 2),
+u AS (
+  SELECT media_id, CAST(278 AS BIGINT) AS n_bytes, idx, v FROM bf
+  UNION ALL
+  SELECT media_id, CAST(556 AS BIGINT) AS n_bytes, idx, v FROM wf)
+SELECT media_id, n_bytes, CAST(idx AS INT) AS feat_idx, v AS feat_val
+FROM u
 """
 
 

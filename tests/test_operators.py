@@ -130,43 +130,64 @@ def test_sessionize_gap_logic(spark):
     assert stats[8]["n_sessions"] == 1
 
 
-def test_multimodal_fake_decode_and_stub(spark):
+def test_multimodal_media_table_packing(spark):
     df = spark.createDataFrame([(1, "hello", "s")], ["doc_id", "text", "source"])
     media = MM.to_media_table(df, "doc_id", "text", "source")
     row = media.collect()[0]
     assert bytes(row["payload"]) == b"hello"
     assert row["meta"]["n_bytes"] == 5
-    feats = MM.decode_features(media, dim=8, fake=True).collect()[0]
-    assert feats["n_bytes"] == 5
-    assert len(feats["features"]) == 8
+    # a text payload has no local codec and no learned model: the REAL
+    # extractor must refuse rather than ship synthetic features
+    with pytest.raises(Exception, match="no extractor|ValueError"):
+        MM.decode_features(media).collect()
+
+
+def test_multimodal_decode_features_real_bmp_and_wav(spark):
+    """decode_features' BMP leg must agree value-for-value with
+    decode_bmp_features (same block partition, packed as a vector);
+    the WAV leg must equal a hand-computed windowed |amplitude| mean
+    over the regenerated LCG PCM; mime dispatch works inside one
+    mixed batch."""
     import hashlib
 
-    assert feats["digest"] == hashlib.sha256(b"hello").hexdigest()
-    # the non-fake path is a stub that must raise from the executors
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        MM.decode_features(media, fake=False).collect()
+    ids = spark.createDataFrame([(3,), (8,)], ["mid"])
+    imgs = MM.synth_bmp_media(ids, "mid")
+    clips = MM.synth_wav_media(ids.select((F.col("mid") + 100).alias("mid")), "mid")
+    media = imgs.select("media_id", "payload").unionByName(
+        clips.select("media_id", "payload")
+    )
+    got = {r["media_id"]: r for r in MM.decode_features(media, gx=2, gy=2).collect()}
+    assert sorted(got) == [3, 8, 103, 108]
 
+    # BMP leg == decode_bmp_features packed by feat_idx
+    long = MM.decode_bmp_features(imgs, gx=2, gy=2).collect()
+    want_img = {}
+    for r in long:
+        want_img.setdefault(r["media_id"], {})[r["feat_idx"]] = r["feat_val"]
+    for mid in (3, 8):
+        vec = got[mid]["features"]
+        assert len(vec) == 12
+        assert vec == [want_img[mid][i] for i in range(12)]
+        assert got[mid]["n_bytes"] == 278  # 54 header + 32-stride x 7
 
-def test_multimodal_frame_sample_and_resize(spark):
-    import hashlib
+    # WAV leg == windowed abs-mean over the regenerated PCM
+    for mid in (103, 108):
+        samples = [((mid * 7919 + i * 104729) % 65536) - 32768 for i in range(256)]
+        want = []
+        for k in range(12):
+            w = [abs(s) for i, s in enumerate(samples) if i * 12 // 256 == k]
+            want.append(round(sum(w) / len(w), 6))
+        assert got[mid]["features"] == want
+        assert got[mid]["n_bytes"] == 556  # 44 header + 512 PCM
+        # digest is the real payload hash (lineage column)
+        assert len(got[mid]["digest"]) == 64
 
-    text = "x" * 150  # 3 frames of 64 bytes (last partial: 22)
-    df = spark.createDataFrame([(1, text, "s")], ["doc_id", "text", "source"])
-    media = MM.to_media_table(df, "doc_id", "text", "source")
-    frames = {
-        r["frame_idx"]: r for r in MM.frame_sample(media, 64, every=2, fake=True).collect()
-    }
-    assert sorted(frames) == [0, 2]  # every 2nd of frames 0,1,2
-    assert frames[0]["n_bytes"] == 64
-    assert frames[2]["n_bytes"] == 22
-    assert frames[0]["digest"] == hashlib.sha256(b"x" * 64).hexdigest()
-    resized = MM.resize_media(media, width=4, height=4, fake=True).collect()[0]
-    assert resized["meta"]["n_bytes"] == 16
-    assert len(bytes(resized["payload"])) == 16
-    assert resized["meta"]["mime"] == "image/raw;w=4;h=4"
-    assert resized["meta"]["source"] == "s"
-    with pytest.raises(Exception, match="NotImplementedError|frame extraction"):
-        MM.frame_sample(media, fake=False).collect()
+    # fake-era plumbing is gone for good
+    assert not hasattr(MM, "frame_sample")
+    assert not hasattr(MM, "resize_media")
+    assert not hasattr(MM, "_fake_features")
+    payload = [r for r in imgs.collect() if r["media_id"] == 3][0]["payload"]
+    assert got[3]["digest"] == hashlib.sha256(bytes(payload)).hexdigest()
 
 
 def test_document_profile_values(spark):
