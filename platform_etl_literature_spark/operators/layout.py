@@ -192,6 +192,7 @@ def compaction_plan(
     target_bytes: int,
     id_col: str = "file_id",
     size_col: str = "size_bytes",
+    order_by: list | None = None,
 ) -> DataFrame:
     """Small-file compaction planner: assign every file to a rewrite
     group holding ~``target_bytes`` — the maintenance pass a 100 TB
@@ -200,11 +201,15 @@ def compaction_plan(
     target-sized ones).
 
     The plan is CONTIGUOUS PACKING over a deterministic total order
-    (size desc, id): a file starting at cumulative offset ``cum - size``
-    lands in group ``(cum - size) div target_bytes``.  Groups are
-    target-sized (+ at most one straddling file); a file already >=
-    target_bytes simply spans its own group(s) and can be skipped by
-    the caller via n_files = 1.
+    (default: size desc, id): a file starting at cumulative offset
+    ``cum - size`` lands in group ``(cum - size) div target_bytes``.
+    Groups are target-sized (+ at most one straddling file); a file
+    already >= target_bytes simply spans its own group(s) and can be
+    skipped by the caller via n_files = 1.  ``order_by`` overrides the
+    packing order (a list of Columns over ``files``'s columns) —
+    :func:`execute_compaction` passes each file's min cluster value so
+    groups pack CONTIGUOUS cluster ranges and zone-map skipping
+    survives the rewrite.
 
     The prefix sum is NOT a single-partition window: it rides
     :func:`ranking.ordered_global_index` (range exchange, in-partition
@@ -224,8 +229,14 @@ def compaction_plan(
         F.col(size_col).cast("long").alias("size_bytes"),
     )
     ranked = ordered_global_index(
-        f,
-        [F.col("size_bytes").desc(), F.col("file_id").asc()],
+        f if order_by is None else files.select(
+            F.col(id_col).alias("file_id"),
+            F.col(size_col).cast("long").alias("size_bytes"),
+            *[c for c in files.columns if c not in (id_col, size_col)],
+        ),
+        order_by
+        if order_by is not None
+        else [F.col("size_bytes").desc(), F.col("file_id").asc()],
         running_sum_col="size_bytes",
         running_sum_out="_cum",
     )
@@ -235,3 +246,96 @@ def compaction_plan(
         F.expr(f"(_cum - size_bytes) div {target_bytes}").alias("grp"),
         (F.col("_cum") - F.col("size_bytes")).alias("grp_offset"),
     )
+
+
+def _hadoop_fs(spark, path: str):
+    """(jvm, Path, FileSystem) for any supported scheme — the same
+    Hadoop-API shape streaming/scd2.py uses for its manifests."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def execute_compaction(
+    spark,
+    src_dir: str,
+    dest_dir: str,
+    target_bytes: int,
+    cluster_col: str | None = None,
+) -> dict:
+    """Execute a small-file compaction: rewrite ``src_dir``'s parquet
+    files into ``dest_dir`` with ONE file per :func:`compaction_plan`
+    group — the action twin of the planner row (the scrub_dup_passages
+    precedent: a stats query alone is not maintenance).
+
+    * **One distributed rewrite job.**  Rows are tagged with their
+      plan group by joining the (file-count-sized, broadcast) plan on
+      the scan's ``_metadata.file_path``, hash-repartitioned so each
+      group lands wholly in one task, and written with
+      ``partitionBy(_grp)`` — exactly one file per group directory,
+      never a per-group driver loop.
+    * **Clustering survives.**  With ``cluster_col`` set, the packing
+      order is each file's min cluster value (computed by a
+      column-pruned aggregate scan, not a footer walk), so groups pack
+      CONTIGUOUS cluster ranges and the rewritten footers stay narrow
+      — zone-map skipping keeps working (pinned by the layout test).
+      Without it, packing is the planner's default (size desc, id).
+    * **_SUCCESS-gated and idempotent.**  Spark's commit protocol
+      stages the write and drops ``_SUCCESS`` last; a dest that
+      already committed is returned as ``skipped`` untouched, and a
+      partial attempt (no marker) is safely overwritten on re-run.
+
+    Driver state is bounded by the FILE MANIFEST (one listing RPC +
+    one slim row per input file), never by row data — the catalog-
+    sized cost every table-maintenance pass already pays.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    _, dsucc, dfs = _hadoop_fs(spark, f"{dest_dir}/_SUCCESS")
+    if dfs.exists(dsucc):
+        done = spark.read.parquet(dest_dir)
+        return {
+            "skipped": True,
+            "n_rows": done.count(),
+            "n_groups": done.select("_grp").distinct().count(),
+        }
+
+    _, spath, sfs = _hadoop_fs(spark, src_dir)
+    listing = [
+        (st.getPath().getName(), int(st.getLen()))
+        for st in sfs.listStatus(spath)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    if not listing:
+        raise ValueError(f"no parquet files under {src_dir}")
+    files = spark.createDataFrame(listing, "file_id string, size_bytes long")
+
+    rows = spark.read.parquet(src_dir).withColumn(
+        "_fname", F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1)
+    )
+    order_by = None
+    if cluster_col is not None:
+        fmin = rows.groupBy(F.col("_fname").alias("file_id")).agg(
+            F.min(cluster_col).alias("_fmin")
+        )
+        files = files.join(F.broadcast(fmin), "file_id")
+        order_by = [F.col("_fmin").asc(), F.col("file_id").asc()]
+    plan = compaction_plan(files, target_bytes, order_by=order_by)
+
+    n_groups = plan.agg(
+        (F.max("grp") + 1).cast("int").alias("n")
+    ).collect()[0]["n"]
+    tagged = rows.join(
+        F.broadcast(plan.select(F.col("file_id").alias("_fname"), F.col("grp").alias("_grp"))),
+        "_fname",
+    ).drop("_fname")
+    out = tagged.repartition(n_groups, "_grp")
+    if cluster_col is not None:
+        out = out.sortWithinPartitions(cluster_col)
+    out.write.mode("overwrite").partitionBy("_grp").parquet(dest_dir)
+    return {
+        "skipped": False,
+        "n_input_files": len(listing),
+        "n_groups": int(n_groups),
+        "n_rows": spark.read.parquet(dest_dir).count(),
+    }

@@ -212,3 +212,91 @@ def test_optimize_layout_tightens_file_stats(spark, sf_dir, tmp_path):
 
     a_base, a_opt = summed_area(base), summed_area(opt)
     assert a_opt * 3 < a_base, (a_base, a_opt)
+
+
+def test_execute_compaction_invariants_and_zonemap(spark, sf_dir, tmp_path):
+    """execute_compaction's contract: rows preserved value-for-value,
+    exactly one output file per plan group, _SUCCESS-gated idempotent
+    re-run, and — with cluster_col — contiguous packing that keeps
+    the rewritten parquet footers narrow (zone-map skipping
+    survives)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators.layout import (
+        execute_compaction,
+        optimize_layout,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    # a clustered small-file layout: 16 files range-partitioned on
+    # l_partkey (single column -> the z value IS the partkey bin)
+    optimize_layout(li, ["l_partkey"], n_files=16).write.parquet(src)
+    n_src_files = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src_files > 4
+    target = sum(
+        pq.ParquetFile(f).metadata.serialized_size + __import__("os").path.getsize(f)
+        for f in glob.glob(f"{src}/*.parquet")
+    ) // 4  # pack ~4 groups
+
+    stats = execute_compaction(
+        spark, src, dest, target_bytes=target, cluster_col="l_partkey"
+    )
+    assert stats["skipped"] is False
+    assert stats["n_input_files"] == n_src_files
+
+    # rows preserved value-for-value (count + keyed checksum)
+    def fingerprint(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_orderkey") * 7 + F.col("l_partkey") * 3
+                  + F.col("l_suppkey")).alias("ck"),
+        ).collect()[0]
+
+    back = spark.read.parquet(dest).select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    assert tuple(fingerprint(back)) == tuple(fingerprint(li))
+
+    # exactly one file per plan group
+    out_files = glob.glob(f"{dest}/_grp=*/*.parquet")
+    grp_dirs = glob.glob(f"{dest}/_grp=*")
+    assert len(out_files) == stats["n_groups"] == len(grp_dirs)
+    assert len(out_files) < n_src_files
+
+    # zone-map skipping survives: per-file l_partkey ranges do not
+    # interleave (contiguous cluster packing), so a point predicate
+    # still prunes all but ~one file
+    ranges = []
+    for f in out_files:
+        md = pq.ParquetFile(f).metadata
+        mn, mx = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "l_partkey":
+                    st = col.statistics
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        ranges.append((mn, mx))
+    ranges.sort()
+    for (amn, amx), (bmn, bmx) in zip(ranges, ranges[1:]):
+        # contiguous groups may share a boundary file's edge value but
+        # must not interleave
+        assert amx <= bmn + 1, ranges
+
+    # idempotent: the committed dest is not rewritten
+    import os
+
+    mtimes = {f: os.path.getmtime(f) for f in out_files}
+    again = execute_compaction(
+        spark, src, dest, target_bytes=target, cluster_col="l_partkey"
+    )
+    assert again["skipped"] is True
+    assert again["n_groups"] == stats["n_groups"]
+    assert {f: os.path.getmtime(f) for f in out_files} == mtimes
