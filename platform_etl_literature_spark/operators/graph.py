@@ -95,8 +95,20 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row graph summary: n_nodes, n_edges, max_degree, n_wedges
-    (Σ C(deg,2), the open-wedge count), n_triangles, clustering
-    (3T / wedges, rounded 6; 0.0 for a wedge-free graph).
+    (Σ C(deg,2), the open-wedge count), n_candidates, max_out_degree,
+    n_triangles, clustering (3T / wedges, rounded 6; 0.0 for a
+    wedge-free graph).
+
+    ``n_candidates`` = Σ_src C(outdeg(src), 2) over the ORIENTED
+    edges — the exact number of wedge pairs the join actually
+    generates, i.e. the operator's intermediate volume.  It is the
+    accountability column for scale cells: candidate volume grows
+    with out-degree², so a super-linear wall-clock cell is
+    value-verified against the measured candidate count instead of
+    hand-waved.  ``max_out_degree`` is the realized orientation bound
+    (O(√m) by Suri-Vassilvitskii; a graph pushing it toward its
+    theoretical ceiling is the signal to valve upstream via
+    ``pair_edges(max_group=…)``).
 
     The edge list (often an expensive pair-generation chain) is read
     four ways and the oriented set three (both wedge legs + the
@@ -136,15 +148,30 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .alias("n_wedges"),
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # realized join volume + orientation bound (see docstring): one
+    # slim agg over the persisted oriented set, map-side combined
+    cand = (
+        o.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_od"))
+        .agg(
+            (F.sum(F.col("_od") * (F.col("_od") - 1)) / 2)
+            .cast("long")
+            .alias("n_candidates"),
+            F.max("_od").alias("max_out_degree"),
+        )
+    )
 
     return (
         summary.crossJoin(n_edges)
+        .crossJoin(F.broadcast(cand))
         .crossJoin(tri)
         .select(
             "n_nodes",
             "n_edges",
             "max_degree",
             "n_wedges",
+            "n_candidates",
+            "max_out_degree",
             "n_triangles",
             F.when(F.col("n_wedges") > 0,
                    F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))

@@ -4595,13 +4595,17 @@ summary AS (
   SELECT count(*) AS n_nodes, max(deg) AS max_degree,
          CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
   FROM deg),
+cand AS (
+  SELECT CAST(sum(od * (od - 1)) / 2 AS BIGINT) AS n_candidates,
+         CAST(max(od) AS BIGINT) AS max_out_degree
+  FROM (SELECT src, count(*) AS od FROM o GROUP BY 1)),
 ne AS (SELECT count(*) AS n_edges FROM e)
 SELECT n_nodes, n_edges, CAST(max_degree AS BIGINT) AS max_degree,
-       n_wedges, n_triangles,
+       n_wedges, n_candidates, max_out_degree, n_triangles,
        CASE WHEN n_wedges > 0
             THEN round(3.0 * n_triangles / n_wedges, 6)
             ELSE 0.0 END AS clustering
-FROM summary, ne, tri
+FROM summary, cand, ne, tri
 """
 
 
