@@ -5839,7 +5839,11 @@ FROM d GROUP BY event_type, decile
 """
 
 
-SUITE: dict[str, QuerySpec] = {
+# definition order (insertion below); the EXPORTED ordering is pinned
+# by _DRIVER_PREFIX and assembled once at the bottom of the module —
+# SUITE itself is assigned exactly once (the duplicate-assignment
+# guard in tests/test_smoke.py enforces single-assignment module-wide)
+_SUITE_DEFS: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
     "anti_join": QuerySpec(q_anti_join, _ORACLE_ANTI, "J1"),
@@ -6264,9 +6268,12 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "asof_join",
 )
 
-SUITE = {
-    name: SUITE[name]
-    for name in (*_DRIVER_PREFIX, *(n for n in SUITE if n not in set(_DRIVER_PREFIX)))
+SUITE: dict[str, QuerySpec] = {
+    name: _SUITE_DEFS[name]
+    for name in (
+        *_DRIVER_PREFIX,
+        *(n for n in _SUITE_DEFS if n not in set(_DRIVER_PREFIX)),
+    )
 }
 
 DRIVER_CHECKED: frozenset[str] = frozenset(_DRIVER_PREFIX)

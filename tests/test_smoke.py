@@ -39,3 +39,38 @@ def test_driver_prefix_invariants():
     assert list(_DRIVER_PREFIX) == first50
     missing = [n for n in first50 if SUITE[n].oracle is None]
     assert missing == [], f"no-oracle queries inside the driver window: {missing}"
+
+
+def test_no_duplicate_module_level_assignments_in_suite():
+    """A second module-level assignment to the same name silently
+    shadows the first (later-def wins) — in round 6 a duplicate
+    _ORACLE_ASOF constant broke a driver-prefix oracle mid-session.
+    Parse suite.py's AST and fail on ANY name assigned twice at module
+    level (loop/aug/ann-assign targets included; re-assignment inside
+    functions is fine)."""
+    import ast
+    import collections
+    import inspect
+
+    import platform_etl_literature_spark.suite as suite_mod
+
+    src = inspect.getsource(suite_mod)
+    tree = ast.parse(src)
+    seen = collections.Counter()
+    for node in tree.body:  # module level ONLY — no recursion
+        targets = []
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                targets.append(t)
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            targets.append(node.target)
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            seen[node.name] += 1
+        for t in targets:
+            for n in ast.walk(t):
+                if isinstance(n, ast.Name):
+                    seen[n.id] += 1
+    dupes = sorted(name for name, c in seen.items() if c > 1)
+    assert dupes == [], (
+        f"module-level names assigned more than once in suite.py: {dupes}"
+    )
