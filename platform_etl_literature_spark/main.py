@@ -381,9 +381,14 @@ def run_dq(spark: SparkSession, cfg: dict) -> None:
     report = report.localCheckpoint(eager=True)  # evaluate once: write + gate
     write_to(_out(cfg, "dq_report", report))
     if dcfg.get("fail_on_violation"):
+        # unknown counts as FAILED: a NULL `passed` (0/0 completeness on
+        # an empty table, min/max over an all-NULL column) must trip the
+        # gate, not vacuously pass through a NULL-dropping filter
         bad = [
             f"{r['check']}({r['target']}): {r['metric']} vs {r['threshold']}"
-            for r in report.filter(~F.col("passed")).collect()
+            for r in report.filter(
+                ~F.coalesce(F.col("passed"), F.lit(False))
+            ).collect()
         ]
         if bad:
             raise SystemExit("DQ violations: " + "; ".join(bad))

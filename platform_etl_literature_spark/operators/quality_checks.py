@@ -64,6 +64,12 @@ def verify(df: DataFrame, checks: list[dict]) -> DataFrame:
     * compliance: ``name``, ``predicate`` (SQL boolean), ``min_ratio``
     * min / max: ``column``, ``bound`` (numeric; min checks ``>=``,
       max checks ``<=``)
+
+    Degenerate inputs (zero rows, all-NULL columns) yield NULL
+    metrics — ratio divisions use ``try_divide`` so 0/0 is NULL under
+    ANSI mode rather than an error — and a NULL metric makes
+    ``passed`` NULL = UNKNOWN; consumers must treat unknown as failed
+    (main.run_dq's gate coalesces NULL to False).
     """
     single: list[Column] = []  # report structs over the one-row agg
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
@@ -73,14 +79,14 @@ def verify(df: DataFrame, checks: list[dict]) -> DataFrame:
         kind = c["check"]
         if kind == "completeness":
             aggs.append(F.count(c["column"]).alias(f"_m{i}"))
-            metric = F.col(f"_m{i}") / F.col("_n")
+            metric = F.try_divide(F.col(f"_m{i}"), F.col("_n"))
             single.append(_report_struct(
                 kind, c["column"], metric, c["min_ratio"],
                 metric >= c["min_ratio"],
             ))
         elif kind == "distinctness":
             aggs.append(F.countDistinct(c["column"]).alias(f"_m{i}"))
-            metric = F.col(f"_m{i}") / F.col("_n")
+            metric = F.try_divide(F.col(f"_m{i}"), F.col("_n"))
             single.append(_report_struct(
                 kind, c["column"], metric, c["min_ratio"],
                 metric >= c["min_ratio"],
@@ -90,7 +96,7 @@ def verify(df: DataFrame, checks: list[dict]) -> DataFrame:
             aggs.append(
                 F.sum(F.when(pred, 1).otherwise(0)).alias(f"_m{i}")
             )
-            metric = F.col(f"_m{i}") / F.col("_n")
+            metric = F.try_divide(F.col(f"_m{i}"), F.col("_n"))
             single.append(_report_struct(
                 kind, c["name"], metric, c["min_ratio"],
                 metric >= c["min_ratio"],
@@ -140,7 +146,7 @@ def uniqueness(df: DataFrame, column: str, min_ratio: float) -> DataFrame:
         F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("_once"),
         F.sum("_c").alias("_n"),
     )
-    metric = F.col("_once") / F.col("_n")
+    metric = F.try_divide(F.col("_once"), F.col("_n"))
     return agg.select(
         _report_struct(
             "uniqueness", column, metric, min_ratio, metric >= min_ratio
@@ -170,7 +176,7 @@ def referential_integrity(
         F.count(F.lit(1)).alias("_n"),
         F.count("_dk").alias("_hit"),
     )
-    metric = F.col("_hit") / F.col("_n")
+    metric = F.try_divide(F.col("_hit"), F.col("_n"))
     return agg.select(
         _report_struct(
             "referential", column, metric, min_ratio, metric >= min_ratio

@@ -223,10 +223,22 @@ def hdr_bucket_sql(v_sql: str, m: int) -> str:
     ``e = length(bin(v)) - 1``.  ``pow(2, e)`` is a power of two —
     exactly representable, so the BIGINT cast is exact in any IEEE
     engine; everything after is integer arithmetic.  (Spark dialect;
-    a DuckDB oracle replays it with ``//`` for DIV.)"""
+    a DuckDB oracle replays it with ``//`` for DIV.)
+
+    Domain bound: ``(v - 2^e) * m`` runs in BIGINT, so values must
+    satisfy ``v <= (2^63 - 1) DIV m`` (~2^58 at the default m=32) or
+    the multiply overflows and silently flips bucket ids (or raises
+    under ANSI mode).  :func:`hdr_build` enforces this in-plan with
+    ``raise_error`` — reachable in practice for nano-unit fixed-point
+    scaling, which is exactly when a silent flip would be worst."""
     e = f"(length(bin({v_sql})) - 1)"
     p2e = f"CAST(pow(2, {e}) AS BIGINT)"
     return f"({e} * {m} + (({v_sql}) - {p2e}) * {m} DIV {p2e})"
+
+
+def hdr_domain_max(m: int) -> int:
+    """Largest value hdr_bucket_sql buckets without BIGINT overflow."""
+    return (2**63 - 1) // m
 
 
 def hdr_build(
@@ -237,11 +249,22 @@ def hdr_build(
     projection + one (keys, b)-keyed aggregation with partial counts —
     the shuffle carries at most ~63·m cells per key, a function of the
     SKETCH SIZE, never the corpus.  Rows with ``col`` NULL or < 1 are
-    out of domain and excluded (fixed-point scale first)."""
+    out of domain and excluded (fixed-point scale first); values
+    above ``hdr_domain_max(m)`` would overflow the bucket arithmetic
+    and raise from the executor instead of silently mis-bucketing —
+    scale the fixed point down (or reduce m) if the domain needs
+    them."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     keys = list(keys or [])
-    b = F.expr(hdr_bucket_sql(f"`{col}`", m))
+    maxv = hdr_domain_max(m)
+    guarded = (
+        f"CASE WHEN `{col}` > {maxv} THEN CAST(raise_error(concat("
+        f"'hdr_build: value ', CAST(`{col}` AS STRING), "
+        f"' exceeds domain max {maxv} for m={m}; fixed-point scale "
+        f"down or reduce m')) AS BIGINT) ELSE `{col}` END"
+    )
+    b = F.expr(hdr_bucket_sql(f"({guarded})", m))
     return (
         df.where(F.col(col).isNotNull() & (F.col(col) >= 1))
         .groupBy(*keys, b.alias("b"))

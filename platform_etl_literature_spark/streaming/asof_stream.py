@@ -6,9 +6,16 @@ property, not a range predicate).
 Semantics: for every left (fact) row, the right (quote) row with the
 same key and the greatest ``right_ts <= left_ts``.  Correct under
 out-of-order arrival BY CONSTRUCTION: a left row is resolved only once
-the event-time watermark has passed its timestamp — after that, no
-right row that could change its answer can still arrive (any such row
-would be late beyond the watermark and is dropped at the source).
+the event-time watermark has STRICTLY passed its timestamp — after
+that, no right row that could change its answer can still arrive (any
+such row would be late beyond the watermark and dropped before the
+state operator).  Strictness matters at the boundary: whether a row
+stamped EXACTLY at the watermark is filtered is empirically
+shape-dependent in Spark 4.1 (a bare single-source
+applyInPandasWithState pipeline delivered rows at and below the
+watermark; this operator's union shape drops ``ts <= wm``), so the
+operator never banks on the inclusive edge — deferring one watermark
+advance is safe under either convention.
 
 Built on ``applyInPandasWithState`` over the UNION of the two tagged
 streams (so one state shard per key holds both sides):
@@ -17,8 +24,10 @@ streams (so one state shard per key holds both sides):
   rows, both JSON-encoded with integer-microsecond timestamps
   (doubles survive bit-exact via shortest-round-trip repr);
 * on every invocation (new data OR event-time timeout) the operator
-  resolves all pending lefts with ``ts <= watermark`` against the
-  sorted right buffer and APPENDS them to the output;
+  resolves all pending lefts with ``ts < watermark`` (STRICT — a
+  right stamped exactly at the watermark is not yet late and could
+  still arrive as an inclusive match) against the sorted right
+  buffer and APPENDS them to the output;
 * state is watermark-bounded: rights older than the newest
   right <= watermark are evicted (exactly one candidate must survive
   for future lefts — any future left has ts > watermark >= that
@@ -174,7 +183,14 @@ def asof_join_stream(
         still_pending: list[str] = []
         for lraw in lefts:
             ld = _json.loads(lraw)
-            if ld["_us"] > wm_us:
+            # resolve only lefts STRICTLY inside the closed region:
+            # Spark's late-record filter drops rows strictly older
+            # than the watermark, so a right with event time exactly
+            # equal to the watermark (r_us == wm_us == ld_us) can
+            # still arrive in a later batch and would be an inclusive
+            # match for this left — emission waits until the
+            # watermark has strictly passed the left's timestamp
+            if ld["_us"] >= wm_us:
                 still_pending.append(lraw)
                 continue
             match = None
@@ -190,9 +206,14 @@ def asof_join_stream(
                 rec += [match["_us"]] + [match.get(c) for c in r_names]
             out_rows.append(rec)
 
-        # evict rights that can never win again: any future left has
-        # ts > watermark, so only the newest right <= watermark plus
-        # all rights > watermark remain candidates
+        # evict rights that can never win again: every unresolved or
+        # future left has ts >= watermark, so among rights <= watermark
+        # only the newest (greatest (ts, payload) — the tie-rule
+        # winner) can still match; it plus all rights > watermark
+        # remain candidates.  An equal-ts right arriving later can
+        # only BEAT the kept one on payload, never resurrect an
+        # evicted smaller one, so the boundary stays safe under the
+        # strict left-resolution rule above
         keep_idx = len(rs)
         for i, rd in enumerate(rs):
             if rd["_us"] > wm_us:

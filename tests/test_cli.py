@@ -328,3 +328,35 @@ def test_cli_dq_step(spark, tmp_path):
         ("uniqueness", "doc_id"): False,
         ("referential", "ref_id"): False,
     }
+
+
+def test_cli_dq_null_metric_trips_the_gate(spark, tmp_path):
+    """A degenerate table (zero rows) makes ratio metrics 0/0 = NULL;
+    `passed` is then NULL, and the fail_on_violation gate must treat
+    unknown as FAILED — a NULL-dropping filter would let an empty
+    table sail through CI vacuously."""
+    import json
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    src = str(tmp_path / "docs.parquet")
+    empty.write.parquet(src)
+    out = str(tmp_path / "out")
+    cfg = {
+        "inputs": {"documents": {"format": "parquet", "path": src}},
+        "output": {"format": "parquet", "dir": out},
+        "dq": {
+            "table": "documents",
+            "checks": [
+                {"check": "completeness", "column": "text", "min_ratio": 1.0},
+            ],
+            "fail_on_violation": True,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with pytest.raises(SystemExit, match="DQ violations"):
+        cli_main(["dq", "--config", str(cfg_path)])
+    rows = spark.read.parquet(f"{out}/dq_report").collect()
+    assert any(r["passed"] is None for r in rows), rows

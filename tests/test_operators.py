@@ -3096,3 +3096,22 @@ def test_asof_join_segmented_whale_key_splits_the_sort(spark):
     ).collect()
     want = {0: None, 1: 0, 99: 0, 100: 0, 101: 100, 999_999: 999_900}
     assert {x["lid"]: x["rid"] for x in got} == want
+
+
+def test_hdr_build_overflow_domain_guard(spark):
+    """(v - 2^e) * m runs in BIGINT: the top octaves overflow for
+    v > (2^63-1) div m.  hdr_build must bucket the boundary value
+    exactly and raise loudly one past it — never silently flip
+    bucket ids (reachable for nano-unit fixed-point scaling)."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    m = 32
+    maxv = SK.hdr_domain_max(m)
+    ok = spark.createDataFrame([(1,), (maxv,)], "v long")
+    got = {r["b"]: r["cnt"] for r in SK.hdr_build(ok, "v", m=m).collect()}
+    e = maxv.bit_length() - 1
+    want_top = e * m + (maxv - 2**e) * m // 2**e
+    assert got == {0: 1, want_top: 1}
+    bad = spark.createDataFrame([(maxv + 1,)], "v long")
+    with pytest.raises(Exception, match="exceeds domain max"):
+        SK.hdr_build(bad, "v", m=m).collect()

@@ -1233,3 +1233,89 @@ def test_stream_stream_asof_randomized_equals_batch(spark, tmp_path):
     assert set(got) == {lid for lid, _, _ in lefts}
     for lid in got:
         assert got[lid] == want[lid], lid
+
+
+def test_stream_stream_asof_left_at_watermark_stays_pending(spark, tmp_path):
+    """A left must not resolve while left_ts == watermark: whether a
+    right stamped exactly at the watermark can still arrive depends on
+    Spark's late-event filter boundary, which is empirically
+    SHAPE-DEPENDENT (a bare single-source applyInPandasWithState
+    pipeline delivered rows at and even below the watermark; this
+    operator's union shape drops ts <= wm) — so the operator defers
+    emission until the watermark has STRICTLY passed the left's
+    timestamp, which is safe under either convention.  This test pins
+    the deferral: a left whose timestamp equals the FINAL watermark is
+    not emitted (the old inclusive rule emitted it), while a left one
+    second inside the closed region is."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.streaming import run_to_memory
+    from platform_etl_literature_spark.streaming.asof_stream import (
+        asof_join_stream,
+    )
+
+    def write_batches(d, schema_cols, batches):
+        d.mkdir()
+        now = time.time()
+        for i, rows in enumerate(batches):
+            arrays = {}
+            for name, typ in schema_cols:
+                vals = [r[[n for n, _ in schema_cols].index(name)] for r in rows]
+                if typ == "ts":
+                    arrays[name] = pa.array(
+                        [v * 1_000_000 for v in vals], pa.timestamp("us")
+                    )
+                elif typ == "long":
+                    arrays[name] = pa.array(vals, pa.int64())
+                else:
+                    arrays[name] = pa.array(vals, pa.string())
+            p = str(d / f"b{i}.parquet")
+            pq.write_table(pa.table(arrays), p)
+            os.utime(p, (now + 10 * i, now + 10 * i))
+
+    lcols = [("k", "long"), ("ts", "ts"), ("fact", "string")]
+    rcols = [("k", "long"), ("ts", "ts"), ("quote", "string")]
+    # delay=10s; the flush row at ts=110 parks the FINAL watermark at
+    # exactly 100 = left(1)'s timestamp; left(2) at 99 sits one second
+    # strictly inside the closed region
+    write_batches(
+        tmp_path / "l",
+        lcols,
+        [
+            [(1, 100, "f1"), (2, 99, "f2")],
+            [(9, 110, "flush")],
+        ],
+    )
+    write_batches(
+        tmp_path / "r",
+        rcols,
+        [
+            [(1, 90, "a"), (2, 90, "b")],
+        ],
+    )
+    ls = (
+        spark.readStream.schema("k long, ts timestamp, fact string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "l"))
+    )
+    rs = (
+        spark.readStream.schema("k long, ts timestamp, quote string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "r"))
+    )
+    joined = asof_join_stream(ls, rs, "k", delay="10 seconds")
+    q = run_to_memory(joined, "asof_ss_boundary", output_mode="append")
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        r["k"]: (r["fact"], r["ts_r_us"], r["quote"])
+        for r in spark.table("asof_ss_boundary").collect()
+    }
+    # ts == wm: MUST stay pending (old inclusive rule emitted it here)
+    assert 1 not in got, got
+    # ts < wm: resolved, liveness intact
+    assert got[2] == ("f2", 90_000_000, "b"), got
