@@ -6249,21 +6249,46 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 # IEJoin), strictly harder than point-in-band; range_join_bands and
 # the asymmetric point_in_interval stay value-gated in the parity
 # suite.
+#
+# Round-7 rotation, same rules — the round-6 flagships still outside
+# the window move in; every displaced row is a within-family
+# near-redundancy and stays value-gated in the parity suite:
+#   word_tf→edit_distance_join (word_tf's HOF term-frequency shapes
+#     are subsumed by doc_profile's richer checked columns; the
+#     FastSS edit-distance join gains its first driver row, gated by
+#     a brute-force levenshtein oracle),
+#   salted_agg→bloom_join_prune (the salted aggregation's exact
+#     equivalence is the same theorem incremental_agg hashes for the
+#     agg family; the bloom-pruned equijoin row carries its
+#     n_scanned/n_after_bloom accountability columns),
+#   winnow_pairs→funnel_steps (near-dup pair family keeps
+#     minhash_pairs + ngram_jaccard + simhash_near_pairs in the
+#     window; funnels hash the chained strict-min frontier),
+#   ivf_ann_topk→retention_cohorts (ann_recall_at_k EMBEDS the IVF
+#     path — plus all four others and the exact baseline — so the
+#     standalone row is strictly weaker; cohorts hash the
+#     calendar-keyed retention matrix with ISO-string date parity),
+#   doc_repetition→suffix_dedup (doc_repetition's window n-gram
+#     stats are half of corpus_curation's composed verdict; the
+#     distributed suffix-array LCP dedup is the strongest text-dedup
+#     construction in the repo and was never driver-hashed).
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
     "harmonic_relevance", "running_collect", "window_distinct_count",
     "two_level_window_min", "union_by_name", "string_funcs",
     "date_parts", "case_when_buckets", "grouped_json",
-    "evidence_cooc_analog", "dedup_exact", "word_tf", "ngram_jaccard",
-    "minhash_pairs", "winnow_pairs", "simhash_near_pairs",
+    "evidence_cooc_analog", "dedup_exact", "edit_distance_join",
+    "ngram_jaccard",
+    "minhash_pairs", "funnel_steps", "simhash_near_pairs",
     "user_ewma_segmented", "dedup_embedding_cosine", "rrf_hybrid", "pagerank",
     "embedding_centroids", "vectors_norm_category", "doc_profile",
     "incremental_agg", "multimodal_img_stats", "sessionize", "lm_doc_logprob",
     "kmv_distinct_users", "multimodal_frames", "cluster_split",
-    "salted_agg", "token_packing", "hdr_quantile_sketch", "doc_repetition",
+    "bloom_join_prune", "token_packing", "hdr_quantile_sketch",
+    "suffix_dedup",
     "corpus_curation", "dedup_components", "ann_recall_at_k",
-    "ivf_ann_topk", "scan_provenance", "graph_triangles",
+    "retention_cohorts", "scan_provenance", "graph_triangles",
     "agg_first_deterministic", "pivot_event_types", "interval_overlap",
     "asof_join",
 )
