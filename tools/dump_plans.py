@@ -232,14 +232,23 @@ SHOWCASE: dict[str, str] = {
         "Wedge generation and closure are hash equijoins on src / "
         "(w1, w2) over the degree-ORIENTED edges (max out-degree O(√m) "
         "by construction — the last-reducer fix); the only nested-loop "
-        "joins are the three 1-row scalar combines of the summary."
+        "joins are the 1-row scalar combines of the summary, which now "
+        "include the wedge-volume accountability row (n_candidates = "
+        "Σ C(outdeg,2), max_out_degree) so super-linear scale cells "
+        "are value-verified."
     ),
     "pagerank": (
-        "One corpus-sized shuffle per iteration (edges⋈ranks on src) "
-        "with partial_sum map-side combine on the dst aggregate; the "
-        "rank frame is an eager localCheckpoint each round, so the "
-        "5-iteration plan stays 5 shallow stages, not a growing DAG; "
-        "the dangling-mass row broadcasts."
+        "NO edge-sized shuffle inside the loop: the node-sized rank "
+        "frame broadcasts into the contrib join "
+        "(`BroadcastHashJoin`) over the persisted edge spine, and the "
+        "dst aggregate partial-sums map-side so the one shuffle per "
+        "iteration carries N rows, not |E|; the rank frame is an "
+        "eager localCheckpoint each round (5 shallow stages, not a "
+        "growing DAG), the loop runs under loop-scoped shuffle "
+        "settings (AQE off, partitions ∝ N), and the static "
+        "dangling/outdeg structure is ONE fused edge-sized "
+        "aggregation hoisted before the loop — skipped entirely per "
+        "iteration for dangling-free graphs."
     ),
     "ivfpq_rerank_topk": (
         "Two-phase refine: the IVF-PQ shortlist (already "
@@ -303,6 +312,15 @@ SHOWCASE: dict[str, str] = {
         "`last(_rrow, ignorenulls)` row-frame window — O(1) running "
         "state per key.  Both event_type filters are pushed into the "
         "parquet scans."
+    ),
+    "asof_segmented": (
+        "The whale-safe twin: the carry exchange keys on "
+        "(user_id, _seg) — a hot key's sort splits across its day "
+        "slices — both the within-slice and whole-slice carries ride "
+        "that ONE exchange as two window functions; the per-slice "
+        "summary frame (keys × segments rows) chains with a "
+        "keys-partitioned window and joins back on (user_id, _seg), "
+        "where the big side reuses the existing partitioning."
     ),
     "interval_overlap": (
         "The range join never theta-joins: each interval explodes to "
