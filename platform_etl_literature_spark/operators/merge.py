@@ -170,3 +170,63 @@ def scd2_as_of(hist: DataFrame, version: int) -> DataFrame:
         & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(version)))
     )
     return snap.drop("_dig", "valid_from", "valid_to")
+
+
+def scd2_temporal_join(
+    facts: DataFrame,
+    hist: DataFrame,
+    on: str | list[str],
+    version_col: str,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time dimension join — the classic warehouse pattern:
+    each fact row (stamped with the version current when it happened)
+    is enriched with the SCD2 dimension attributes valid AT that
+    version (``valid_from <= v < valid_to``, open intervals current;
+    NULLs when the key did not exist yet / never existed).
+
+    Scale shape: NOT the naive equi+interval theta join (a fact key
+    against a long history generates fact × versions candidates
+    before the residual filter prunes them).  Validity intervals
+    partition the version axis per key, so "the interval covering v"
+    IS "the latest valid_from at-or-before v" — the backward as-of
+    join (operators.asof.asof_join: union + ONE exchange +
+    last(ignorenulls) carry, O(1) state per key, no join operator in
+    the plan).  A closed interval that ended at or before v (a
+    deleted key) is nulled out after the carry.
+
+    The history's ``valid_from`` arrives as ``valid_from{suffix}``
+    (the as-of right-timestamp rule); all other dimension columns
+    keep their names unless they collide with a fact column.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right = hist.drop("_dig")
+    from platform_etl_literature_spark.operators.asof import asof_join
+
+    out = asof_join(
+        facts,
+        right,
+        on=keys,
+        left_ts=version_col,
+        right_ts="valid_from",
+        suffix=suffix,
+    )
+    fact_names = set(facts.columns)
+    carried = [
+        (c + suffix if (c == "valid_from" or c in fact_names) else c)
+        for c in right.columns
+        if c not in keys
+    ]
+    vt = "valid_to" + suffix if "valid_to" in fact_names else "valid_to"
+    # evaluate the invalid flag ONCE before the null-out loop: nulling
+    # valid_to itself mid-loop would flip the condition for the
+    # columns that follow it
+    out = out.withColumn(
+        "_stale",
+        F.col(vt).isNotNull() & (F.col(vt) <= F.col(version_col)),
+    )
+    for c in carried:
+        out = out.withColumn(
+            c, F.when(F.col("_stale"), F.lit(None)).otherwise(F.col(c))
+        )
+    return out.drop("_stale")

@@ -5450,6 +5450,97 @@ WHERE d.doc_id IS NULL
 """
 
 
+def q_scd2_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension join (operators.merge.scd2_temporal_join):
+    facts stamped with the version current when they happened are
+    enriched with the SCD2 attributes valid AT that version — run as
+    the backward as-of carry (one exchange, no fact × versions
+    candidate blowup), with stale (closed-at-or-before) matches
+    nulled.  The fact set deliberately covers every leg: keys whose
+    text changed at v2 read the OLD text at v1 and the NEW at v2,
+    v2-inserted keys read NULL at v1 and their text at v2, and
+    never-existing keys read NULL.  The oracle derives both snapshots
+    from the raw tables and joins facts to the snapshot of their
+    stamp — an entirely different formulation of the same semantics."""
+    from platform_etl_literature_spark.operators.merge import (
+        scd2_apply,
+        scd2_init,
+        scd2_temporal_join,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    h2 = scd2_apply(
+        scd2_init(docs, ["text"], version=1),
+        _synthetic_corpus_update(docs),
+        ["doc_id"],
+        ["text"],
+        version=2,
+    )
+    inserted = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id")
+    )
+    facts = (
+        docs.select(
+            "doc_id", (F.lit(1) + F.col("doc_id") % 2).alias("fact_version")
+        )
+        .unionByName(
+            inserted.select(
+                "doc_id", F.lit(1).cast("long").alias("fact_version")
+            )
+        )
+        .unionByName(
+            inserted.select(
+                "doc_id", F.lit(2).cast("long").alias("fact_version")
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 101 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.lit(2).cast("long").alias("fact_version"),
+            )
+        )
+    )
+    out = scd2_temporal_join(
+        facts, h2.select("doc_id", "text", "valid_from", "valid_to"),
+        ["doc_id"], "fact_version",
+    )
+    return out.select(
+        "doc_id",
+        F.col("fact_version").cast("int").alias("fact_version"),
+        F.md5("text").alias("dim_text_md5"),
+    )
+
+
+_ORACLE_SCD2_TEMPORAL = """
+WITH upd AS (
+  SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+snap2 AS (
+  SELECT d.doc_id, coalesce(u.text, d.text) AS text
+  FROM documents d LEFT JOIN upd u USING (doc_id)
+  UNION ALL
+  SELECT u.doc_id, u.text FROM upd u LEFT JOIN documents d USING (doc_id)
+  WHERE d.doc_id IS NULL),
+snaps AS (
+  SELECT 1 AS v, doc_id, text FROM documents
+  UNION ALL
+  SELECT 2 AS v, doc_id, text FROM snap2),
+facts AS (
+  SELECT doc_id, 1 + doc_id % 2 AS v FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 1 FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 2 FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, 2 FROM documents WHERE doc_id % 101 = 0)
+SELECT f.doc_id, CAST(f.v AS INT) AS fact_version, md5(s.text) AS dim_text_md5
+FROM facts f LEFT JOIN snaps s ON s.doc_id = f.doc_id AND s.v = f.v
+"""
+
+
 def q_gap_fill_ffill(spark: SparkSession, sf: str) -> DataFrame:
     """Resample the irregular event stream onto a dense per-user hourly
     grid with forward fill (operators.timeseries.gap_fill_ffill) —
@@ -6146,6 +6237,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "scd2_time_travel": QuerySpec(
         q_scd2_time_travel, _ORACLE_SCD2_TRAVEL, "versioning-time-travel"
+    ),
+    "scd2_temporal_join": QuerySpec(
+        q_scd2_temporal_join, _ORACLE_SCD2_TEMPORAL,
+        "versioning-point-in-time-dim-join"
     ),
     "asof_enrich": QuerySpec(
         q_asof_enrich, _ORACLE_ASOF_ENRICH, "asof-point-in-time-join"

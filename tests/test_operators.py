@@ -3115,3 +3115,45 @@ def test_hdr_build_overflow_domain_guard(spark):
     bad = spark.createDataFrame([(maxv + 1,)], "v long")
     with pytest.raises(Exception, match="exceeds domain max"):
         SK.hdr_build(bad, "v", m=m).collect()
+
+
+def test_scd2_temporal_join_semantics(spark):
+    """Point-in-time dim join legs: before-validity (NULL), mid-history
+    (old attrs), current (new attrs), DELETED key (interval closed
+    with no successor -> match nulled, the _stale leg scd2_apply never
+    produces), and a never-existing key."""
+    from platform_etl_literature_spark.operators.merge import (
+        scd2_temporal_join,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            # key 1: v1..v3 "a", v3.. "b"  (updated at v3)
+            (1, "a", 1, 3),
+            (1, "b", 3, None),
+            # key 2: v2..v4 "x", then DELETED (closed, no successor)
+            (2, "x", 2, 4),
+        ],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (1, 3), (2, 3), (2, 4), (2, 9), (7, 5)],
+        "k long, v long",
+    )
+    out = {
+        (r["k"], r["v"]): r["attr"]
+        for r in scd2_temporal_join(facts, hist, "k", "v").collect()
+    }
+    assert out == {
+        (1, 0): None,   # before validity
+        (1, 1): "a",    # inclusive start
+        (1, 2): "a",
+        (1, 3): "b",    # boundary: old closed at 3, new opens at 3
+        (2, 3): "x",
+        (2, 4): None,   # deleted exactly at v=4 (valid_to <= v)
+        (2, 9): None,   # stays deleted
+        (7, 5): None,   # never existed
+    }
+    # column plumbing: valid_from suffixed, valid_to rides un-suffixed
+    cols = scd2_temporal_join(facts, hist, "k", "v").columns
+    assert "valid_from_dim" in cols and "valid_to" in cols
