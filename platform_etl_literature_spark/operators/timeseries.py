@@ -252,3 +252,62 @@ def gap_fill_ffill(
             .alias("is_filled"),
         )
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    width_seconds: int = 3600,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-(keys, bucket) OHLC bars — the resample-and-summarize shape
+    market-data and metrics pipelines run continuously: open = first
+    value in the bucket, close = last, high/low = extrema, plus count
+    and an exact volume sum.
+
+    ONE map-side-combined aggregation: open/close are ``min_by`` /
+    ``max_by`` on the (ts, id) struct — a total order (``id_col``
+    unique), so the result is deterministic and engine-replayable with
+    no window, no sort, no self-join.  Values are cent-scaled BIGINT
+    inside the aggregate (the repo float-parity policy: multi-row
+    double sums are order-dependent; integer sums are not) and
+    rescaled on output.
+
+    Returns (*keys, bucket_start, open, high, low, close, n,
+    sum_value), bucket_start = epoch seconds floored to the bar width.
+    """
+    if width_seconds <= 0:
+        raise ValueError("width_seconds must be positive")
+    vc = F.round(F.col(value_col) * cents, 0).cast("long")
+    ts_s = F.col(ts_col).cast("long")
+    order = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(id_col).alias("_id"),
+    )
+    bucket = (ts_s - (ts_s % width_seconds)).alias("bucket_start")
+    money = lambda c: F.round(c / float(cents), 2)  # noqa: E731
+    return (
+        events.select(*keys, bucket, vc.alias("_vc"), order.alias("_o"))
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            F.min_by("_vc", "_o").alias("_open"),
+            F.max("_vc").alias("_high"),
+            F.min("_vc").alias("_low"),
+            F.max_by("_vc", "_o").alias("_close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_vc").alias("_sum"),
+        )
+        .select(
+            *keys,
+            "bucket_start",
+            money(F.col("_open")).alias("open"),
+            money(F.col("_high")).alias("high"),
+            money(F.col("_low")).alias("low"),
+            money(F.col("_close")).alias("close"),
+            "n",
+            money(F.col("_sum")).alias("sum_value"),
+        )
+    )

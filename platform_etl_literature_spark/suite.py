@@ -40,6 +40,7 @@ from platform_etl_literature_spark.operators import retrieval as RET
 from platform_etl_literature_spark.operators import sessionize as SS
 from platform_etl_literature_spark.operators import similarity as SIM
 from platform_etl_literature_spark.operators import textstats as TS
+from platform_etl_literature_spark.operators import timeseries as TSO
 from platform_etl_literature_spark.sources.events import read_events, read_table
 
 
@@ -2088,6 +2089,41 @@ def _synthetic_corpus_update(docs: DataFrame) -> DataFrame:
         "n_chars",
     )
     return upd.unionByName(ins)
+
+
+def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(event_type, 6h-bucket) OHLC bars
+    (operators.timeseries.ohlc_bars): open/close are min_by/max_by on
+    the (ts, event_id) struct — a total order, so no window, no sort,
+    ONE map-side-combined aggregation; values ride as exact cent
+    integers inside the aggregate (float-parity policy).  The oracle
+    replays open/close with arg_min/arg_max over a zero-padded
+    (ts, id) string key — lexicographic equals numeric order — an
+    independent formulation of the same total order."""
+    ev = read_events(spark, sf)
+    return TSO.ohlc_bars(
+        ev, ["event_type"], width_seconds=6 * 3600
+    )
+
+
+_ORACLE_OHLC = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events)
+SELECT event_type,
+       ts_s - ts_s % 21600 AS bucket_start,
+       round(arg_min(vc, ok) / 100.0, 2) AS open,
+       round(max(vc) / 100.0, 2) AS high,
+       round(min(vc) / 100.0, 2) AS low,
+       round(arg_max(vc, ok) / 100.0, 2) AS close,
+       count(*) AS n,
+       round(sum(vc) / 100.0, 2) AS sum_value
+FROM e GROUP BY 1, 2
+"""
 
 
 def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
@@ -6241,6 +6277,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "scd2_temporal_join": QuerySpec(
         q_scd2_temporal_join, _ORACLE_SCD2_TEMPORAL,
         "versioning-point-in-time-dim-join"
+    ),
+    "ohlc_bars": QuerySpec(
+        q_ohlc_bars, _ORACLE_OHLC, "timeseries-ohlc-resample"
     ),
     "asof_enrich": QuerySpec(
         q_asof_enrich, _ORACLE_ASOF_ENRICH, "asof-point-in-time-join"

@@ -3157,3 +3157,36 @@ def test_scd2_temporal_join_semantics(spark):
     # column plumbing: valid_from suffixed, valid_to rides un-suffixed
     cols = scd2_temporal_join(facts, hist, "k", "v").columns
     assert "valid_from_dim" in cols and "valid_to" in cols
+
+
+def test_ohlc_bars_values(spark):
+    """Hand-computed bars: open/close follow the (ts, id) total order
+    (including an equal-ts tie broken by id), high/low are extrema,
+    sums are exact cents."""
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    rows = [
+        # key A, bucket 0 (width 100): open 3.5 (t=5), close 1.25 (t=90)
+        (1, "A", 5, 3.5), (2, "A", 50, 9.0), (3, "A", 90, 1.25),
+        # equal-ts tie in bucket 100: ids 4 < 5 -> open 2.0, close 7.0
+        (4, "A", 110, 2.0), (5, "A", 110, 7.0),
+        # key B single event
+        (6, "B", 10, -4.125),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, k string, s long, value double"
+    ).select("event_id", "k", F.timestamp_seconds("s").alias("ts"), "value")
+    got = {
+        (r["k"], r["bucket_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"], r["sum_value"]
+        )
+        for r in TSO.ohlc_bars(ev, ["k"], width_seconds=100).collect()
+    }
+    assert got == {
+        ("A", 0): (3.5, 9.0, 1.25, 1.25, 3, 13.75),
+        ("A", 100): (2.0, 7.0, 2.0, 7.0, 2, 9.0),
+        # -4.125 cents-rounds HALF_UP (away from zero) to -413 once,
+        # so every column agrees at -4.13 — the one rounding, applied
+        # at ingestion, not four independent ones
+        ("B", 0): (-4.13, -4.13, -4.13, -4.13, 1, -4.13),
+    }
