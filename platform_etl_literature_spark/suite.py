@@ -4455,6 +4455,65 @@ FROM v a JOIN v b
 """
 
 
+def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed record linkage, end to end in one plan: FastSS
+    deletion-neighborhood candidates (operators.edjoin, d=2) over the
+    corpus vocabulary → edit-distance edges → star-contraction
+    connected components (operators.components) → every vocabulary
+    word labeled with its cluster's canonical (lexicographically
+    smallest) variant; singletons label themselves via the left join.
+    The blocking→verify→cluster→canonicalize chain IS the classic
+    entity-resolution pipeline, here over word variants.  The oracle
+    replays it as brute-force levenshtein pairs + a recursive-CTE
+    closure — different candidate generation AND different closure
+    algorithm, same fixpoint."""
+    from platform_etl_literature_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = EJ.edit_distance_pairs(vocab, "w", d=2)
+    comp = connected_components(pairs, "w1", "w2")
+    return (
+        vocab.join(
+            comp.select(F.col("id").alias("w"), "component"), "w", "left"
+        )
+        .select(
+            "w",
+            "c",
+            F.coalesce(F.col("component"), F.col("w")).alias("canon"),
+        )
+    )
+
+
+_ORACLE_RECORD_LINKAGE = """
+WITH RECURSIVE w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM documents),
+v AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+bpairs AS (
+  SELECT a.w AS id_a, b.w AS id_b
+  FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2),
+edges AS (
+  SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v FROM bpairs
+  WHERE id_a != id_b),
+bidir AS (SELECT u AS x, v AS y FROM edges UNION ALL SELECT v AS x, u AS y FROM edges),
+cnodes AS (SELECT DISTINCT x AS id FROM bidir),
+reach(id, r) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT b.y, reach.r FROM bidir b JOIN reach ON reach.id = b.x),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT v.w, v.c, coalesce(comp.component, v.w) AS canon
+FROM v LEFT JOIN comp ON comp.id = v.w
+"""
+
+
 def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Median/MAD robust z-score outliers per event type
     (operators.robust.robust_outliers, Iglewicz-Hoaglin cutoff 3.5).
@@ -6280,6 +6339,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "ohlc_bars": QuerySpec(
         q_ohlc_bars, _ORACLE_OHLC, "timeseries-ohlc-resample"
+    ),
+    "record_linkage": QuerySpec(
+        q_record_linkage, _ORACLE_RECORD_LINKAGE,
+        "entity-resolution-composition"
     ),
     "asof_enrich": QuerySpec(
         q_asof_enrich, _ORACLE_ASOF_ENRICH, "asof-point-in-time-join"
