@@ -242,3 +242,48 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_bars_windowed(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "6 hours",
+    cents: int = 100,
+) -> DataFrame:
+    """Streaming OHLC bars: the windowed-aggregation twin of
+    ``operators.timeseries.ohlc_bars`` — open/close via min_by/max_by
+    on the (ts, event_id) total order inside a tumbling event-time
+    window with a watermark, values as exact cent integers (the
+    float-parity policy).  Works identically on batch and streaming
+    inputs; update-mode state is one (keys, pane) row holding six
+    counters — O(1) per pane, same envelope as hourly_counts."""
+    vc = F.round(F.col("value") * cents, 0).cast("long")
+    order = F.struct(
+        F.unix_micros("ts").alias("_us"), F.col("event_id").alias("_id")
+    )
+    money = lambda c: F.round(c / float(cents), 2)  # noqa: E731
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts", "event_type", vc.alias("_vc"), order.alias("_o")
+        )
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.min_by("_vc", "_o").alias("_open"),
+            F.max("_vc").alias("_high"),
+            F.min("_vc").alias("_low"),
+            F.max_by("_vc", "_o").alias("_close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_vc").alias("_sum"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("bucket_start"),
+            "event_type",
+            money(F.col("_open")).alias("open"),
+            money(F.col("_high")).alias("high"),
+            money(F.col("_low")).alias("low"),
+            money(F.col("_close")).alias("close"),
+            "n",
+            money(F.col("_sum")).alias("sum_value"),
+        )
+    )

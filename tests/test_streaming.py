@@ -1319,3 +1319,33 @@ def test_stream_stream_asof_left_at_watermark_stays_pending(spark, tmp_path):
     assert 1 not in got, got
     # ts < wm: resolved, liveness intact
     assert got[2] == ("f2", 90_000_000, "b"), got
+
+
+def test_streaming_ohlc_bars_match_batch_and_flat_operator(spark, batch_events):
+    """Streaming OHLC == the same windowed code on batch inputs == the
+    flat timeseries.ohlc_bars operator (same width, same cent
+    contract) — the resample family's stream/batch equivalence."""
+    from platform_etl_literature_spark.operators.timeseries import ohlc_bars
+    from platform_etl_literature_spark.streaming.events import (
+        ohlc_bars_windowed,
+    )
+
+    stream = read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
+    got = _drain(spark, ohlc_bars_windowed(stream), "ohlc_t")
+
+    def canon(df):
+        return {
+            (r["bucket_start"], r["event_type"]): (
+                r["open"], r["high"], r["low"], r["close"], r["n"],
+                r["sum_value"],
+            )
+            for r in df.collect()
+        }
+
+    g = canon(got)
+    assert g == canon(ohlc_bars_windowed(batch_events))
+    flat = ohlc_bars(
+        batch_events, ["event_type"], width_seconds=6 * 3600
+    ).withColumnRenamed("bucket_start", "bucket_start")
+    assert g == canon(flat)
+    assert len(g) > 0
