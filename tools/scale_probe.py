@@ -372,6 +372,20 @@ def _ev_asof(ev):
     return asof_join(p, c, "user_id", "ts", "ts")
 
 
+def _ev_asof_segmented(ev):
+    from platform_etl_literature_spark.operators.asof import (
+        asof_join_segmented,
+    )
+
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof_join_segmented(p, c, "user_id", "ts", "ts")
+
+
 def _ev_interval_overlap(ev, users_1x: int):
     """Intervals sampled from events; copy i's axis is offset by
     100k days (copy = user_id div users_1x), so interval density per
@@ -403,6 +417,7 @@ EVENTS_OPS = {
     "retention_cohorts": _ev_retention,
     "gap_fill_ffill": _ev_gap_fill,
     "asof_join": _ev_asof,
+    "asof_join_segmented": _ev_asof_segmented,
 }
 
 
