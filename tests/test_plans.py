@@ -581,3 +581,38 @@ def test_asof_nearest_single_exchange_two_windows(spark, sf_dir):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan
     assert "SinglePartition" not in plan
+
+
+def test_ohlc_bars_single_aggregation_no_window(spark, sf_dir):
+    """The whole bar is ONE map-side-combined aggregation: no Window,
+    no Sort, no join; partial min_by/max_by run before the single
+    exchange."""
+    plan = _simple_plan(SUITE["ohlc_bars"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange") <= 1, plan[:3000]
+    assert "partial_min_by" in plan or "partial_count" in plan, plan[:3000]
+
+
+def test_scd2_temporal_join_rides_the_asof_carry(spark, sf_dir):
+    """The point-in-time dim join must compile to the as-of carry —
+    window over the unioned sides — never an equi+interval join whose
+    fact x versions candidates blow up on long histories.  The only
+    join operators allowed are the history BUILD's (scd2_apply merges
+    state + updates); the fact-to-dimension attachment itself must be
+    join-free."""
+    plan = _simple_plan(SUITE["scd2_temporal_join"].fn(spark, sf_dir))
+    assert "last(_rrow" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # the carry window over the union is present and keyed by the join
+    # key + ordering axis
+    assert "windowspecdefinition(doc_id" in plan, plan[:3000]
+
+
+def test_record_linkage_no_cartesian_anywhere(spark, sf_dir):
+    """Blocking -> verify -> cluster -> canonicalize composes without a
+    cartesian product: candidates come from the deletion-key equijoin,
+    the closure from star-contraction equijoins."""
+    plan = _simple_plan(SUITE["record_linkage"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
