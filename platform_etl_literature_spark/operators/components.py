@@ -59,7 +59,13 @@ def _canon_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node, connect every strictly-larger neighbor to the
-    node's minimum neighborhood label (including itself)."""
+    node's minimum neighborhood label (including itself).
+
+    Deliberately does NOT dedup its output: the only consumer is
+    ``_small_star``, whose min-aggregation is duplicate-idempotent and
+    whose own final dedup restores the canonical edge SET — so the
+    (u, v)-keyed dedup exchange this used to pay per round bought
+    nothing but a smaller intermediate (bounded ≤ 2|E| either way)."""
     nbrs = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         e.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
@@ -71,7 +77,6 @@ def _large_star(e: DataFrame) -> DataFrame:
             F.least("y", "mn").alias("u"), F.greatest("y", "mn").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
     )
 
 
@@ -107,21 +112,36 @@ def connected_components(
     any corpus that fits on hardware).
     """
     e = _canon_edges(edges, a, b).localCheckpoint(eager=True)
-    n = e.count()
+
+    # Cheap one-job per-round signature: (count, order-independent
+    # hash sum).  Equal signatures do NOT declare the fixpoint — they
+    # only decide when to pay for the exact proof below — so a hash
+    # collision costs one wasted exceptAll job, never a wrong answer.
+    def _sig(d: DataFrame) -> tuple:
+        r = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = _sig(e2)
         # exact fixpoint = set equality: no NEW edges (exceptAll empty)
         # AND no edges LOST (equal counts) — a round can strictly
         # shrink the set (e.g. a triangle loses its redundant edge),
         # and subset-only detection would declare a premature fixpoint
-        # on a state that may not be a star forest yet.  Both frames
-        # are materialized checkpoints, so each check is one slim scan.
-        n2 = e2.count()
-        changed = e2.exceptAll(e).limit(1).count()
-        e = e2
-        if changed == 0 and n2 == n:
+        # on a state that may not be a star forest yet.  The expensive
+        # exceptAll scan runs only when the signatures say the sets
+        # MIGHT be equal (in practice: exactly once, on the final
+        # round — every earlier round changes the count or the hash
+        # sum); both frames are materialized checkpoints, so the proof
+        # is one slim scan when it does run.
+        if sig2 == sig and e2.exceptAll(e).limit(1).count() == 0:
+            e = e2
             break
-        n = n2
+        e, sig = e2, sig2
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     # star forest: every edge now points (component-min, member)

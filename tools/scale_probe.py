@@ -68,6 +68,64 @@ def scaled_docs(spark, factor: int) -> str:
     return path
 
 
+def _record_linkage(df):
+    """Mirror of suite q_record_linkage: vocab -> FastSS d=2 pairs ->
+    connected components -> canonical label per word."""
+    vocab = (
+        df.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = EJ.edit_distance_pairs(vocab, "w", d=2)
+    comp = CC.connected_components(pairs, "w1", "w2")
+    return (
+        vocab.join(comp.select(F.col("id").alias("w"), "component"), "w", "left")
+        .select(
+            "w", "c", F.coalesce(F.col("component"), F.col("w")).alias("canon")
+        )
+    )
+
+
+def _scd2_temporal(df):
+    """Mirror of suite q_scd2_temporal_join: build a 2-version SCD2
+    history (every 7th doc re-drops uppercased, every 97th also
+    inserts as a new id), then point-in-time join a corpus-sized fact
+    set stamped with alternating versions."""
+    from platform_etl_literature_spark.operators.merge import (
+        scd2_apply,
+        scd2_init,
+        scd2_temporal_join,
+    )
+
+    docs = df.select("doc_id", "text", "lang", "source", "n_chars")
+    upd = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.upper(F.col("text"))
+    )
+    ins = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 100000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    h2 = scd2_apply(
+        scd2_init(docs, ["text"], version=1),
+        upd.unionByName(ins),
+        ["doc_id"],
+        ["text"],
+        version=2,
+    )
+    facts = docs.select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 2).alias("fact_version")
+    )
+    return scd2_temporal_join(
+        facts,
+        h2.select("doc_id", "text", "valid_from", "valid_to"),
+        ["doc_id"],
+        "fact_version",
+    ).select("doc_id", "fact_version", F.md5("text").alias("dim_text_md5"))
+
+
 OPS = {
     "doc_profile": lambda df: TS.document_profile(df, "doc_id", "text"),
     # sketch-family quantiles: build shuffles only (lang, bucket) cells;
@@ -167,6 +225,13 @@ OPS = {
     "robust_outliers": lambda df: RB.robust_outliers(
         df, ["lang"], "n_chars", cutoff=3.5, id_cols=["doc_id"]
     ),
+    # round-7 headline additions: the composed entity-resolution chain
+    # (FastSS candidates -> verify -> star-contraction components ->
+    # canonical labels) and the SCD2 point-in-time enrichment (history
+    # build + backward as-of carry).  Vocabulary again scales linearly
+    # with the factor (tagged copies), the fact set with the corpus.
+    "record_linkage": _record_linkage,
+    "scd2_temporal_join": _scd2_temporal,
     "dq_verify": lambda df: QC.verify(
         df,
         [
@@ -410,8 +475,15 @@ def _ev_interval_overlap(ev, users_1x: int):
     return interval_overlap_join(iv, bin_width=16)
 
 
+def _ev_ohlc(ev):
+    from platform_etl_literature_spark.operators.timeseries import ohlc_bars
+
+    return ohlc_bars(ev, ["event_type"], width_seconds=6 * 3600)
+
+
 EVENTS_OPS = {
     "sessionize": _ev_sessionize,
+    "ohlc_bars": _ev_ohlc,
     "user_ewma_segmented": _ev_ewma,
     "funnel_steps": _ev_funnel,
     "retention_cohorts": _ev_retention,
