@@ -1,5 +1,5 @@
 """Distributed graph statistics: co-occurrence edges, degrees,
-triangle counting, clustering coefficient.
+triangle counting, clustering coefficient, k-core decomposition.
 
 Triangle counting is the canonical "curse of the last reducer" problem
 (Suri & Vassilvitskii, WWW'11): the naive wedge join generates
@@ -91,6 +91,93 @@ def _oriented(edges: DataFrame) -> DataFrame:
         F.when(u_first, F.col("_du")).otherwise(F.col("_dv")).alias("sdeg"),
         F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("ddeg"),
     )
+
+
+# rounds the last k_core call took to reach its fixpoint — the
+# measured peel depth, read by tests and the suite-oracle unroll bound
+last_peel_rounds: int = 0
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    broadcast_keep: bool = True,
+) -> DataFrame:
+    """The k-core: the maximal subgraph in which every node has degree
+    ≥ k (Seidman 1983, "Network structure and minimum degree") — the
+    standard graph-side quality cut for citation / co-occurrence
+    graphs (peripheral low-engagement nodes peel away; the dense core
+    survives).  Returns (node, core_deg): the surviving nodes with
+    their degree INSIDE the core.
+
+    Iterative peel, all DataFrame equijoins: each round recomputes
+    degrees (one map-side-combined shuffle), keeps nodes with
+    degree ≥ k, and semi-joins the edge list against the survivor set
+    on both endpoints.  With ``broadcast_keep`` (default) the
+    node-sized survivor frame broadcasts into both joins, so the only
+    per-round exchange is the degree aggregation — set it False on a
+    graph whose NODE set alone exceeds broadcast room (the pagerank
+    ``broadcast_ranks`` rule; edges then shuffle per round instead).
+    The peel is monotone (the survivor set only shrinks), so the
+    fixpoint test is one slim aggregate per round — total node count
+    vs surviving node count in the SAME job, no second action, no
+    exceptAll.  Rounds are checkpointed, not persisted (the
+    components.py rule: checkpoint for iteration), and the loop runs
+    under loop-scoped shuffle settings (the pagerank lesson — this
+    loop is join-heavy like pagerank's, and unlike the star
+    contraction it measurably benefits: 6.9 → 4.2 s at sf0.1;
+    BENCH_NOTES.md records both experiments).
+
+    Round complexity is the peel depth of the graph — O(n) worst case
+    (a path with k=2 peels two endpoints per round), but real
+    co-occurrence graphs peel in a handful of rounds; ``max_rounds``
+    raises rather than silently returning a non-core.  Sets
+    :data:`last_peel_rounds` (the suite oracle unrolls the same peel
+    a fixed number of rounds — extra rounds are idempotent at the
+    fixpoint, so the unroll bound only needs to be ≥ the measured
+    depth, which this global makes checkable).
+    """
+    global last_peel_rounds
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = e.sparkSession
+    loop_parts = max(8, e.count() // 50_000)  # edge-proportional
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for rounds in range(1, max_rounds + 1):
+            deg = degrees(e)
+            st = deg.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("deg") >= k).cast("long")).alias("n_keep"),
+            ).first()
+            if st["n"] == (st["n_keep"] or 0):
+                last_peel_rounds = rounds
+                return deg.select("node", F.col("deg").alias("core_deg"))
+            keep = deg.filter(F.col("deg") >= k).select("node")
+            if broadcast_keep:
+                keep = F.broadcast(keep)
+            e = (
+                e.join(keep.withColumnRenamed("node", "u"), "u")
+                .join(keep.withColumnRenamed("node", "v"), "v")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
+    raise RuntimeError(f"k_core: no fixpoint in {max_rounds} rounds")
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:

@@ -278,6 +278,12 @@ def ohlc_bars(
 
     Returns (*keys, bucket_start, open, high, low, close, n,
     sum_value), bucket_start = epoch seconds floored to the bar width.
+
+    NULL ticks are skipped entirely (the standard resampler contract):
+    without the explicit filter, ``min_by``/``max_by`` order on
+    (ts, id) regardless of the value, so a NULL-valued first tick
+    would make ``open`` NULL while ``high``/``low`` (NULL-skipping
+    aggregates) came from real ticks — an inconsistent bar.
     """
     if width_seconds <= 0:
         raise ValueError("width_seconds must be positive")
@@ -290,7 +296,8 @@ def ohlc_bars(
     bucket = (ts_s - (ts_s % width_seconds)).alias("bucket_start")
     money = lambda c: F.round(c / float(cents), 2)  # noqa: E731
     return (
-        events.select(*keys, bucket, vc.alias("_vc"), order.alias("_o"))
+        events.where(F.col(value_col).isNotNull())
+        .select(*keys, bucket, vc.alias("_vc"), order.alias("_o"))
         .groupBy(*keys, "bucket_start")
         .agg(
             F.min_by("_vc", "_o").alias("_open"),

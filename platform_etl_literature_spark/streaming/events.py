@@ -264,6 +264,11 @@ def ohlc_bars_windowed(
     money = lambda c: F.round(c / float(cents), 2)  # noqa: E731
     return (
         events.withWatermark("ts", watermark)
+        # NULL ticks are skipped (same contract as the batch twin):
+        # min_by/max_by order on (ts, id) regardless of the value, so
+        # an unfiltered NULL first tick would null `open` while
+        # high/low skipped it — an inconsistent bar.
+        .where(F.col("value").isNotNull())
         .select(
             "ts", "event_type", vc.alias("_vc"), order.alias("_o")
         )

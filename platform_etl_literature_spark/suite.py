@@ -4704,6 +4704,59 @@ FROM summary, cand, ne, tri
 """
 
 
+def q_k_core(spark: SparkSession, sf: str) -> DataFrame:
+    """3-core of the deterministically sparsified co-purchase graph
+    (operators.graph.k_core): iterative degree peel — drop nodes with
+    degree < 3, recompute, repeat to the fixpoint — the standard
+    graph-side quality cut (Seidman 1983).  The raw co-purchase graph
+    is too dense to peel (min degree ≈ 40), so the query keeps the
+    1/29 edge slice selected by an explicit arithmetic hash
+    ((u·2654435761 + v·40503) mod 29 — plain BIGINT math, identical on
+    both engines; avg degree ≈ 4, measured peel depth 10-13 rounds at
+    sf0.001-0.1).  The oracle unrolls the same peel a fixed 20 rounds
+    in chained CTEs: the peel is monotone and idempotent at the
+    fixpoint, so any unroll depth ≥ the measured depth
+    (graph.last_peel_rounds) replays it exactly, node-for-node and
+    degree-for-degree."""
+    li = _t(spark, sf, "lineitem")
+    edges = GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64).where(
+        (F.col("u") * 2654435761 + F.col("v") * 40503) % 29 == 0
+    )
+    return GR.k_core(edges, k=3)
+
+
+def _k_core_oracle(k: int = 3, rounds: int = 20) -> str:
+    """Unrolled-peel SQL replay of operators.graph.k_core over the
+    sparsified co-purchase edges.  Every edge CTE is MATERIALIZED
+    (each is read three times: next round's degree count + both
+    semi-join sides)."""
+    parts = ["""
+WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 64),
+kk AS MATERIALIZED (SELECT m.g, m.i FROM m JOIN sz USING (g)),
+e0 AS MATERIALIZED (SELECT DISTINCT a.i AS u, b.i AS v
+  FROM kk a JOIN kk b ON a.g = b.g AND a.i < b.i
+  WHERE (a.i * 2654435761 + b.i * 40503) % 29 = 0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+  GROUP BY 1),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN d{r} du ON du.node = e.u AND du.deg >= {k}
+  JOIN d{r} dv ON dv.node = e.v AND dv.deg >= {k})""")
+    parts.append(f"""
+SELECT node, count(*) AS core_deg
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds})
+GROUP BY 1""")
+    return "".join(parts)
+
+
+_ORACLE_K_CORE = _k_core_oracle()
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-integer PageRank (operators.pagerank, 5 iterations,
     damping 85%) over the symmetrized co-purchase graph: all mass in
@@ -6382,6 +6435,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "multimodal_resize": QuerySpec(
         q_multimodal_resize, _ORACLE_MM_RESIZE, "multimodal-real-resize"
+    ),
+    "k_core": QuerySpec(
+        q_k_core, _ORACLE_K_CORE, "graph-k-core-peel"
     ),
 }
 

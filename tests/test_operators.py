@@ -1954,6 +1954,72 @@ def test_triangle_stats_known_and_random_graphs(spark):
     )
 
 
+def _k_core_ref(edge_list, k):
+    """Python reference peel: returns {node: core_deg}."""
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    while True:
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        weak = {n for n, d in deg.items() if d < k}
+        if not weak:
+            return deg
+        edges = {(u, v) for u, v in edges if u not in weak and v not in weak}
+
+
+def test_k_core_known_and_random_graphs(spark):
+    """K5 survives k=4 intact; a pendant path peels away entirely; a
+    clique with a pendant tail keeps exactly the clique; random graphs
+    match the python reference peel node-for-node."""
+    import itertools as _it
+    import random as _r
+
+    from platform_etl_literature_spark.operators import graph as GR
+
+    def core(edge_list, k):
+        df = spark.createDataFrame(edge_list, "u long, v long")
+        return {r["node"]: r["core_deg"] for r in GR.k_core(df, k).collect()}
+
+    k5 = [(a, b) for a, b in _it.combinations(range(5), 2)]
+    assert core(k5, 4) == {n: 4 for n in range(5)}
+
+    # clique {0..4} + tail 4-10-11-12: the tail peels in MULTIPLE
+    # rounds (12 first, then 11, then 10) — exercises iteration depth
+    tail = k5 + [(4, 10), (10, 11), (11, 12)]
+    assert core(tail, 2) == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    assert GR.last_peel_rounds >= 3
+
+    # a path has no 2-core at all -> empty result
+    path = [(i, i + 1) for i in range(6)]
+    assert core(path, 2) == {}
+
+    rng = _r.Random(11)
+    for k in (2, 3):
+        rand = [
+            (a, b)
+            for a, b in _it.combinations(range(40), 2)
+            if rng.random() < 0.08
+        ]
+        assert core(rand, k) == _k_core_ref(rand, k)
+        assert GR.last_peel_rounds <= 20  # the suite oracle's unroll bound
+
+    # loop-scoped shuffle confs must restore on success AND on raise
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    with pytest.raises(ValueError, match=">= 1"):
+        core(k5, 0)
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        df = spark.createDataFrame(tail, "u long, v long")
+        GR.k_core(df, 2, max_rounds=1)
+    assert (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    ) == before
+
+
 def test_pair_edges_dedup_and_group_valve(spark):
     """Duplicate group memberships collapse; a group over the valve is
     excluded entirely (its exclusive pairs vanish, shared pairs survive
@@ -3190,3 +3256,27 @@ def test_ohlc_bars_values(spark):
         # at ingestion, not four independent ones
         ("B", 0): (-4.13, -4.13, -4.13, -4.13, 1, -4.13),
     }
+
+
+def test_ohlc_bars_null_ticks_skipped_consistently(spark):
+    """A NULL-valued tick must not contribute to ANY bar column: the
+    order struct is (ts, id), so without the explicit filter a NULL
+    first/last tick would null open/close while the NULL-skipping
+    high/low came from real ticks — an inconsistent bar.  An all-NULL
+    bucket produces no bar at all."""
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    rows = [
+        (1, "A", 5, None), (2, "A", 50, 9.0), (3, "A", 90, None),
+        (4, "B", 10, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, k string, s long, value double"
+    ).select("event_id", "k", F.timestamp_seconds("s").alias("ts"), "value")
+    got = {
+        (r["k"], r["bucket_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"], r["sum_value"]
+        )
+        for r in TSO.ohlc_bars(ev, ["k"], width_seconds=100).collect()
+    }
+    assert got == {("A", 0): (9.0, 9.0, 9.0, 9.0, 1, 9.0)}

@@ -616,3 +616,13 @@ def test_record_linkage_no_cartesian_anywhere(spark, sf_dir):
     plan = _simple_plan(SUITE["record_linkage"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_k_core_peel_all_equijoins(spark, sf_dir):
+    """The k-core peel composes degree aggregation + survivor
+    semi-joins as plain equijoins on a checkpointed edge set: no
+    cartesian, no nested-loop join, no single-partition funnel."""
+    plan = _simple_plan(SUITE["k_core"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]

@@ -503,6 +503,14 @@ GRAPH_OPS = {
         ),
         n_iter=5,
     ),
+    # mirrors suite q_k_core: the raw co-purchase graph is too dense
+    # to peel, so the query keeps the deterministic 1/29 edge slice
+    "k_core_3": lambda li: GR.k_core(
+        GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64).where(
+            (F.col("u") * 2654435761 + F.col("v") * 40503) % 29 == 0
+        ),
+        k=3,
+    ),
 }
 
 
