@@ -160,6 +160,14 @@ SHOWCASE: dict[str, str] = {
         "lineage never re-executes.  Checkpoint-per-round is what keeps "
         "Catalyst analysis O(1) per round instead of O(2^rounds)."
     ),
+    "k_core": (
+        "Iterative degree peel: the displayed plan is the FINAL degree "
+        "aggregate reading the fixpoint round's `localCheckpoint` — one "
+        "exchange keyed by node, map-side partial_count; the peel "
+        "rounds themselves (degree agg + broadcast survivor semi-joins "
+        "under loop-scoped shuffle confs) are materialized checkpoints "
+        "whose lineage never re-executes."
+    ),
     "winnow_pairs": (
         "Winnowing sketch: one corpus scan builds the per-row gram-hash "
         "array and the window-min fingerprint selection entirely inside "
