@@ -180,6 +180,107 @@ def k_core(
     raise RuntimeError(f"k_core: no fixpoint in {max_rounds} rounds")
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007, Phys. Rev. E 76) made deterministic: every
+    node starts labeled with its own id; each round every node
+    simultaneously adopts the label that is most frequent among its
+    neighbors, ties broken by the SMALLEST label.  Classic async LPA
+    is order-dependent (its results vary run to run); the synchronous
+    + min-tie variant is a pure function of (edges, rounds), so an
+    oracle replays it label-for-label — the same determinism trade
+    pagerank and k_core make.  Runs a FIXED number of rounds rather
+    than to a fixpoint because synchronous LPA can 2-cycle on
+    bipartite-ish regions (Raghavan §IV) — "labels after R rounds" is
+    the well-defined, replayable semantics.  Returns (node, community).
+
+    Per round (all DataFrame ops, no cross product):
+      1. join neighbor labels onto the adjacency list — the node-sized
+         label frame BROADCASTS (``broadcast_labels``) so the
+         edge-sized side never shuffles for the join;
+      2. count (node, label) votes — one map-side-combined exchange;
+      3. argmax with the min-label tie-break via ``max(struct(cnt,
+         -label))`` — a second, strictly smaller exchange (one row per
+         node × distinct neighbor label in, one per node out).
+    Labels are checkpointed each round (the iteration rule: truncate
+    lineage, don't stack 2R joins into one plan), and the loop runs
+    under loop-scoped shuffle confs — join-heavy over node-sized
+    frames, the shape where BENCH_NOTES.md measured the scoping to
+    pay (pagerank, k_core) as opposed to job-floor-bound loops
+    (star contraction, BPE) where it doesn't.
+
+    At 100 TB: state is one (node, label) row per node — the pagerank
+    envelope; per-round volume is one edge-sized projection into a
+    count whose key space is bounded by Σ deg distinct (node, label)
+    pairs.  A celebrity node's vote count concentrates onto few labels
+    (counts combine map-side), so the argmax never sees degree-sized
+    groups.  Set ``broadcast_labels=False`` when the NODE set alone
+    exceeds broadcast room; the joins then hash-partition both sides
+    on the same key and AQE reuses the exchange.
+
+    Labels must be numeric (the ``-label`` tie-break trick); node ids
+    here are BIGINTs by construction throughout the repo."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    spark = adj.sparkSession
+    loop_parts = max(8, adj.count() // 50_000)  # edge-proportional
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = (
+            adj.select("node")
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            nbr_lbl = labels.select(
+                F.col("node").alias("nbr"), F.col("lbl")
+            )
+            if broadcast_labels:
+                nbr_lbl = F.broadcast(nbr_lbl)
+            votes = (
+                adj.join(nbr_lbl, "nbr")
+                .groupBy("node", "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = (
+                votes.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("cnt").alias("c"),
+                            (-F.col("lbl")).alias("nl"),
+                        )
+                    ).alias("_m")
+                )
+                .select("node", (-F.col("_m.nl")).alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row graph summary: n_nodes, n_edges, max_degree, n_wedges
     (Σ C(deg,2), the open-wedge count), n_candidates, max_out_degree,

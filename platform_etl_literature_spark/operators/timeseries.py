@@ -254,6 +254,95 @@ def gap_fill_ffill(
     )
 
 
+def gap_fill_interpolate(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed per-key time
+    grid with LINEAR INTERPOLATION — the numeric twin of
+    :func:`gap_fill_ffill` (step-function carry) for quantities where
+    a straight line between observations is the honest estimate
+    (sensor readings, balances, rates).
+
+    Per key: the same dense bucket grid as ``gap_fill_ffill``
+    (``sequence`` + ``explode``, lazily generated in-task, one
+    observation per bucket = deterministic last by (ts, id)), then two
+    window passes stitch each empty bucket to its bracketing
+    observations: ``last(value ignore nulls)`` looking back and
+    ``first(value ignore nulls)`` looking forward, plus the matching
+    bucket ids.  The interpolated value is
+
+        prev + (next − prev) · (b − b_prev) / (b_next − b_prev)
+
+    emitted UNROUNDED: there is no multi-row reduction here, so the
+    value is bit-identical on any IEEE754 engine that replays the same
+    operand bits in the same op order (the float-parity policy's safe
+    case — the suite oracle floors to micro-units on both sides).  The
+    grid spans first..last observation per key, so both brackets always
+    exist; observed buckets interpolate to themselves (b == b_prev,
+    taken as a copy of the observed value, no arithmetic).
+
+    Scale shape: identical to ``gap_fill_ffill`` — one shuffle for the
+    per-bucket reduction, one grid join, two window passes over the
+    SAME (key, bucket) partitioning (Catalyst runs them in one Window
+    exec pair without re-exchanging).  Grid size is bounded by
+    span/bucket_seconds per key; nothing materializes on the driver.
+    """
+    from pyspark.sql.window import Window
+
+    epoch = F.floor(F.col(ts_col).cast("double")).cast("long")
+    b = events.select(
+        F.col(user_col).alias("_u"),
+        F.floor(epoch / F.lit(bucket_seconds)).cast("long").alias("_b"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    wn = Window.partitionBy("_u", "_b").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    obs = (
+        b.withColumn("_rn", F.row_number().over(wn))
+        .filter(F.col("_rn") == 1)
+        .select("_u", "_b", "_v")
+    )
+    grid = (
+        b.groupBy("_u")
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select("_u", F.explode(F.sequence("_lo", "_hi")).alias("_b"))
+    )
+    wb = Window.partitionBy("_u").orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("_u").orderBy("_b").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    j = grid.join(obs, ["_u", "_b"], "left")
+    prev_v = F.last("_v", ignorenulls=True).over(wb)
+    prev_b = F.last(F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True).over(wb)
+    next_v = F.first("_v", ignorenulls=True).over(wf)
+    next_b = F.first(F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True).over(wf)
+    interp = F.when(F.col("_b") == prev_b, prev_v).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (F.col("_b") - prev_b).cast("double")
+        / (next_b - prev_b).cast("double")
+    )
+    return j.select(
+        F.col("_u").alias(user_col),
+        F.col("_b").alias("bucket_id"),
+        interp.alias("value_interp"),
+        F.when(F.col("_v").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("is_observed"),
+    )
+
+
 def ohlc_bars(
     events: DataFrame,
     keys: list[str],

@@ -4757,6 +4757,53 @@ GROUP BY 1""")
 _ORACLE_K_CORE = _k_core_oracle()
 
 
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous min-tie label-propagation communities over the same
+    deterministically sparsified co-purchase graph as ``k_core``
+    (operators.graph.label_propagation, Raghavan '07 made
+    deterministic): every node starts as its own label; 4 synchronous
+    rounds of adopt-the-most-frequent-neighbor-label, ties to the
+    smallest.  The oracle replays all 4 rounds in unrolled CTEs with
+    the argmax expressed as ``row_number() OVER (ORDER BY cnt DESC,
+    lbl ASC)`` — exactly the ``max(struct(cnt, -lbl))`` the Spark loop
+    computes, label-for-label."""
+    li = _t(spark, sf, "lineitem")
+    edges = GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64).where(
+        (F.col("u") * 2654435761 + F.col("v") * 40503) % 29 == 0
+    )
+    return GR.label_propagation(edges, rounds=4)
+
+
+def _label_propagation_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA SQL replay over the sparsified
+    co-purchase edges (same e0 construction as the k_core oracle)."""
+    parts = ["""
+WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 64),
+kk AS MATERIALIZED (SELECT m.g, m.i FROM m JOIN sz USING (g)),
+e0 AS MATERIALIZED (SELECT DISTINCT a.i AS u, b.i AS v
+  FROM kk a JOIN kk b ON a.g = b.g AND a.i < b.i
+  WHERE (a.i * 2654435761 + b.i * 40503) % 29 = 0),
+adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e0
+  UNION ALL SELECT v AS node, u AS nbr FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+c{r} AS (SELECT a.node, l.lbl, count(*) AS cnt
+  FROM adj a JOIN l{r - 1} l ON l.node = a.nbr
+  GROUP BY 1, 2),
+l{r} AS MATERIALIZED (SELECT node, lbl FROM (
+  SELECT node, lbl,
+         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+  FROM c{r}) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT node, lbl AS community FROM l{rounds}""")
+    return "".join(parts)
+
+
+_ORACLE_LABEL_PROP = _label_propagation_oracle()
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-integer PageRank (operators.pagerank, 5 iterations,
     damping 85%) over the symmetrized co-purchase graph: all mass in
@@ -5735,6 +5782,71 @@ FROM j
 """
 
 
+def q_gap_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Resample the irregular event stream onto the dense per-user
+    hourly grid with LINEAR INTERPOLATION between bracketing
+    observations (operators.timeseries.gap_fill_interpolate) — the
+    numeric twin of gap_fill_ffill.  The interpolation is pure per-row
+    IEEE754 arithmetic with the same operand bits and op order on both
+    engines (no reduction), so flooring to micro-units is exact —
+    observed buckets are copies, never arithmetic."""
+    from platform_etl_literature_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    g = gap_fill_interpolate(_t(spark, sf, "events"), bucket_seconds=3600)
+    return g.select(
+        "user_id",
+        "bucket_id",
+        F.floor(F.col("value_interp") * 1000000)
+        .cast("long")
+        .alias("value_interp_micro"),
+        "is_observed",
+    )
+
+
+_ORACLE_GAP_INTERP = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS _b,
+         ts, event_id, value
+  FROM events),
+obs AS (
+  SELECT user_id, _b, value FROM (
+    SELECT user_id, _b, value,
+           row_number() OVER (PARTITION BY user_id, _b
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM b) WHERE rn = 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(min(_b), max(_b))) AS _b
+  FROM b GROUP BY user_id),
+j AS (
+  SELECT g.user_id, g._b, o.value
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g._b = o._b),
+w AS (
+  SELECT user_id, _b, value,
+    last_value(value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY _b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN value IS NOT NULL THEN _b END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY _b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+    first_value(value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY _b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN value IS NOT NULL THEN _b END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY _b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j)
+SELECT user_id, _b AS bucket_id,
+  CAST(floor((CASE WHEN _b = pb THEN pv
+        ELSE pv + (nv - pv) * CAST(_b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+        END) * 1000000) AS BIGINT) AS value_interp_micro,
+  CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS INT) AS is_observed
+FROM w
+"""
+
+
 def q_asof_enrich(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (operators.asof.asof_join): each purchase event is
     enriched with the user's most recent click at-or-before it — the
@@ -6377,6 +6489,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "ivm_from_diff": QuerySpec(
         q_ivm_from_diff, _ORACLE_IVM_DIFF, "ivm-cdc-loop-closed"
     ),
+    "gap_fill_interpolate": QuerySpec(
+        q_gap_fill_interpolate, _ORACLE_GAP_INTERP,
+        "timeseries-resample-linear-interp"
+    ),
     "gap_fill_ffill": QuerySpec(
         q_gap_fill_ffill, _ORACLE_GAP_FILL, "timeseries-resample-ffill"
     ),
@@ -6435,6 +6551,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "multimodal_resize": QuerySpec(
         q_multimodal_resize, _ORACLE_MM_RESIZE, "multimodal-real-resize"
+    ),
+    "label_propagation": QuerySpec(
+        q_label_propagation, _ORACLE_LABEL_PROP, "graph-lpa-communities"
     ),
     "k_core": QuerySpec(
         q_k_core, _ORACLE_K_CORE, "graph-k-core-peel"

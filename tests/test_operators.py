@@ -2020,6 +2020,74 @@ def test_k_core_known_and_random_graphs(spark):
     ) == before
 
 
+def _lpa_ref(edge_list, rounds):
+    """Python reference synchronous LPA with min-label tie-break:
+    returns {node: community} after `rounds` simultaneous updates."""
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            new[n] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_known_and_random_graphs(spark):
+    """Two cliques joined by one bridge edge resolve to two
+    communities labeled by each clique's min node; random graphs match
+    the python reference label-for-label at several round counts
+    (synchronous + min-tie is a pure function of (edges, rounds))."""
+    import itertools as _it
+    import random as _r
+
+    from platform_etl_literature_spark.operators import graph as GR
+
+    def lpa(edge_list, rounds):
+        df = spark.createDataFrame(edge_list, "u long, v long")
+        return {
+            r["node"]: r["community"]
+            for r in GR.label_propagation(df, rounds).collect()
+        }
+
+    # two K4s {0..3} and {10..13} bridged by 3-10: after 2+ rounds each
+    # clique agrees on its min label; the bridge does not merge them
+    c1 = [(a, b) for a, b in _it.combinations(range(4), 2)]
+    c2 = [(a, b) for a, b in _it.combinations(range(10, 14), 2)]
+    got = lpa(c1 + c2 + [(3, 10)], 3)
+    assert got == _lpa_ref(c1 + c2 + [(3, 10)], 3)
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+    rng = _r.Random(7)
+    for rounds in (1, 2, 4):
+        rand = [
+            (a, b)
+            for a, b in _it.combinations(range(40), 2)
+            if rng.random() < 0.08
+        ]
+        assert lpa(rand, rounds) == _lpa_ref(rand, rounds)
+
+    # loop-scoped shuffle confs must restore on success AND on raise
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    with pytest.raises(ValueError, match=">= 1"):
+        lpa(c1, 0)
+    assert (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    ) == before
+
+
 def test_pair_edges_dedup_and_group_valve(spark):
     """Duplicate group memberships collapse; a group over the valve is
     excluded entirely (its exclusive pairs vanish, shared pairs survive
@@ -2622,6 +2690,44 @@ def test_gap_fill_ffill_micro(spark):
     (k20,) = [k for k in rows if k[0] == 20]
     assert rows[k20] == (9.0, 0)
     assert base > 0  # silence unused; origin asserted via relative offsets
+
+
+def test_gap_fill_interpolate_micro(spark):
+    """Hand-built stream: user 10 observes 1.0 at bucket 0 and 4.0 at
+    bucket 3 — the two empty buckets interpolate to 2.0 and 3.0; two
+    obs in one bucket -> the later wins before interpolation; a
+    single-observation user yields exactly its one observed bucket."""
+    import datetime as dt
+
+    from platform_etl_literature_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 10, 1.0),
+            (2, t(3, 10), 10, 2.5),
+            (3, t(3, 40), 10, 4.0),  # later in same bucket -> wins
+            (4, t(5), 20, 9.0),
+        ],
+        ["event_id", "ts", "user_id", "value"],
+    )
+    out = gap_fill_interpolate(df, bucket_seconds=3600)
+    rows = {
+        (r["user_id"], r["bucket_id"]): (r["value_interp"], r["is_observed"])
+        for r in out.collect()
+    }
+    b0 = min(b for (u, b) in rows if u == 10)
+    assert len([k for k in rows if k[0] == 10]) == 4  # buckets 0..3
+    assert rows[(10, b0)] == (1.0, 1)
+    assert rows[(10, b0 + 1)] == (2.0, 0)  # 1 + (4-1)*1/3
+    assert rows[(10, b0 + 2)] == (3.0, 0)  # 1 + (4-1)*2/3
+    assert rows[(10, b0 + 3)] == (4.0, 1)  # in-bucket last obs wins
+    (k20,) = [k for k in rows if k[0] == 20]
+    assert rows[k20] == (9.0, 1)
 
 
 def test_asof_join_semantics_micro(spark):

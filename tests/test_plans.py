@@ -618,6 +618,17 @@ def test_record_linkage_no_cartesian_anywhere(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
 
 
+def test_label_propagation_all_equijoins(spark, sf_dir):
+    """The LPA vote loop composes the neighbor-label broadcast join +
+    the two vote aggregations as plain equijoins on a checkpointed
+    adjacency list: no cartesian, no nested-loop join, no
+    single-partition funnel; the node-sized label frame broadcasts."""
+    plan = _simple_plan(SUITE["label_propagation"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
 def test_k_core_peel_all_equijoins(spark, sf_dir):
     """The k-core peel composes degree aggregation + survivor
     semi-joins as plain equijoins on a checkpointed edge set: no
