@@ -138,3 +138,82 @@ def retention_cohorts(
             ).alias("retention_pct"),
         )
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_seconds: int = 172_800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First/last-touch marketing attribution: every conversion event
+    is credited to the earliest and the latest touch event (any of
+    ``touch_types``) by the same user inside the lookback window
+    ending at the conversion — the standard multi-touch attribution
+    primitives, computed in ONE window pass.
+
+    Semantics (deterministic, engine-replayable):
+    * the window is ``[conv_ts − lookback, conv_ts]`` INCLUSIVE on
+      both ends (a touch stamped exactly at the conversion counts);
+    * last touch = max (ts, id) among in-window touches, first touch
+      = min (ts, id) — ids break equal-timestamp ties, so the answer
+      is a pure function of the table;
+    * conversions with no in-window touch survive with NULL touch
+      columns and ``n_touches = 0`` (they are the unattributable
+      share — dropping them would silently inflate measured reach).
+
+    Plan: one shuffle on the user key, then a single RANGE-framed
+    window over microsecond event time computes all three statistics
+    (``max(struct)``, ``min(struct)`` — struct extrema skip the NULL
+    non-touch rows, exactly the ignore-nulls carry the as-of join
+    uses — and a ``sum`` for the touch count); the conversion filter
+    prunes afterwards.  No join, no per-user array: state per row is
+    O(1), and the range frame is watermark-shaped (bounded past), so
+    the same expression graph lifts onto a stream.
+
+    At 100 TB: the window partitions by user — the usual whale
+    hazard — but the frame carries three scalar accumulators, not the
+    event history, so a celebrity user costs one task's SORT of its
+    own events only (the asof.py segmented remedy applies unchanged
+    if that sort itself is the bottleneck).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    is_touch = F.col(type_col).isin(*touch_types)
+    touch = F.when(
+        is_touch,
+        F.struct(
+            us.alias("t_us"),
+            F.col(id_col).alias("t_id"),
+            F.col(type_col).alias("t_type"),
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    fr = (
+        Window.partitionBy(user_col)
+        .orderBy(us)
+        .rangeBetween(-lookback_seconds * 1_000_000, 0)
+    )
+    enriched = events.select(
+        F.col(user_col),
+        F.col(id_col),
+        F.col(type_col),
+        us.alias("_us"),
+        F.max(touch).over(fr).alias("_last"),
+        F.min(touch).over(fr).alias("_first"),
+        F.sum(is_touch.cast("long")).over(fr).alias("n_touches"),
+    )
+    return enriched.filter(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col),
+        F.col("_us").alias("conversion_us"),
+        F.col("_last.t_id").alias("last_touch_id"),
+        F.col("_last.t_type").alias("last_touch_type"),
+        F.col("_first.t_id").alias("first_touch_id"),
+        F.col("_first.t_type").alias("first_touch_type"),
+        F.col("n_touches"),
+    )

@@ -2444,6 +2444,44 @@ FROM g
 """
 
 
+def q_cube_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) carrying ``grouping_id()`` —
+    the companion to ``cube_rollup`` (which coalesces NULL group cells
+    to a sentinel and so cannot DISTINGUISH a rolled-up NULL from a
+    data NULL; gid is the lossless marker).  Catalyst plans the 2^2
+    lattice as one Expand + hash aggregate — one shuffle, not four
+    scans.  Sums are exact integer cents; ``gid`` pins the
+    grouping-set identity bit-for-bit across engines (both Spark's
+    grouping_id() and DuckDB's GROUPING() put the FIRST grouping
+    column in the most significant bit — verified empirically, not
+    assumed)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_cents("l_extendedprice")).alias("sum_price_cents"),
+            F.sum(_cents("l_quantity", 1)).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid",
+            "sum_price_cents", "sum_qty", "n_rows",
+        )
+    )
+
+
+_ORACLE_CUBE_GID = """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+  count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_pivot_event_types(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot (training-pipeline extension; the reference has none —
     SURVEY §2.4 note): per-user event-type counts as columns."""
@@ -5455,6 +5493,59 @@ SELECT o_orderpriority, 'n_custs', n_custs FROM wide
 """
 
 
+def q_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """First/last-touch attribution of purchases to click/view touches
+    inside a 48 h lookback (operators.funnel.touch_attribution): one
+    RANGE-framed window pass computes max(struct), min(struct) and the
+    touch count; unattributable conversions survive with NULLs.  The
+    oracle replays the frame with plain max/min-over-RANGE on the
+    timestamp and resolves the (ts → id) tie-break by joining back at
+    the winning timestamp (max/min event_id) — equivalent to the
+    struct extrema because (us, id) is unique."""
+    from platform_etl_literature_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    return touch_attribution(read_events(spark, sf))
+
+
+_ORACLE_TOUCH_ATTR = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+w AS (
+  SELECT user_id, event_id, event_type, us,
+    max(CASE WHEN event_type IN ('click','view') THEN us END) OVER fr AS l_us,
+    min(CASE WHEN event_type IN ('click','view') THEN us END) OVER fr AS f_us,
+    sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) OVER fr AS n_t
+  FROM e
+  WINDOW fr AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)),
+p AS (
+  SELECT user_id, event_id AS conversion_id, us AS conversion_us,
+         l_us, f_us, n_t
+  FROM w WHERE event_type = 'purchase'),
+lt AS (
+  SELECT p.conversion_id, max(t.event_id) AS last_touch_id
+  FROM p JOIN e t ON t.user_id = p.user_id AND t.us = p.l_us
+    AND t.event_type IN ('click','view')
+  GROUP BY 1),
+ft AS (
+  SELECT p.conversion_id, min(t.event_id) AS first_touch_id
+  FROM p JOIN e t ON t.user_id = p.user_id AND t.us = p.f_us
+    AND t.event_type IN ('click','view')
+  GROUP BY 1)
+SELECT p.conversion_id, p.user_id, p.conversion_us,
+  lt.last_touch_id, el.event_type AS last_touch_type,
+  ft.first_touch_id, ef.event_type AS first_touch_type,
+  CAST(p.n_t AS BIGINT) AS n_touches
+FROM p
+LEFT JOIN lt ON lt.conversion_id = p.conversion_id
+LEFT JOIN ft ON ft.conversion_id = p.conversion_id
+LEFT JOIN e el ON el.event_id = lt.last_touch_id
+LEFT JOIN e ef ON ef.event_id = ft.first_touch_id
+"""
+
+
 def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel view → click → purchase over the events table
     (operators.funnel.funnel_conversion): per-user chained
@@ -6479,6 +6570,13 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "unpivot_metrics": QuerySpec(
         q_unpivot_metrics, _ORACLE_UNPIVOT, "reshape-unpivot-melt"
+    ),
+    "cube_summary": QuerySpec(
+        q_cube_summary, _ORACLE_CUBE_GID, "relational-cube-grouping-id"
+    ),
+    "touch_attribution": QuerySpec(
+        q_touch_attribution, _ORACLE_TOUCH_ATTR,
+        "events-multitouch-attribution"
     ),
     "funnel_steps": QuerySpec(
         q_funnel_steps, _ORACLE_FUNNEL, "events-ordered-funnel"

@@ -2623,6 +2623,62 @@ def test_funnel_strict_order_and_ties(spark):
     assert got2 == {1: 3, 2: 0}
 
 
+def test_touch_attribution_micro(spark):
+    """Hand-built stream: purchase credits the latest in-window touch
+    (last) and the earliest (first); a touch OUTSIDE the lookback is
+    ignored; a touch stamped exactly at the conversion counts
+    (inclusive edge); equal-ts touches resolve by max/min event_id;
+    a touchless conversion survives with NULLs and n_touches=0."""
+    import datetime as dt
+
+    from platform_etl_literature_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    def t(d, h=0, m=0):
+        return dt.datetime(2024, 1, d, h, m)
+
+    rows = [
+        # user 1: click(d1) too old for 48h lookback from d4; view(d3),
+        # click(d4 exactly at purchase ts) in window; two touches at the
+        # SAME ts (ids 4,5) -> max id wins last, min id wins first-at-ts
+        (1, t(1), 1, "click"),
+        (2, t(3), 1, "view"),
+        (4, t(3, 12), 1, "click"),
+        (5, t(3, 12), 1, "view"),
+        (6, t(4), 1, "click"),      # exactly at purchase ts
+        (7, t(4), 1, "purchase"),
+        # user 2: purchase with no touch at all
+        (8, t(2), 2, "signup"),
+        (9, t(2, 1), 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, ty, 0.0) for (i, ts, u, ty) in rows],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = {
+        r["conversion_id"]: r.asDict()
+        for r in touch_attribution(df, lookback_seconds=48 * 3600).collect()
+    }
+    a = out[7]
+    assert a["last_touch_id"] == 6 and a["last_touch_type"] == "click"
+    assert a["first_touch_id"] == 2 and a["first_touch_type"] == "view"
+    assert a["n_touches"] == 4  # ids 2,4,5,6 — id 1 is outside 48 h
+    b = out[9]
+    assert b["last_touch_id"] is None and b["first_touch_id"] is None
+    assert b["n_touches"] == 0
+
+    # equal-ts tie inside the window: drop id-6 so the last touch is
+    # decided between ids 4 and 5 at the same timestamp -> max id (5)
+    df2 = df.filter("event_id != 6")
+    out2 = {
+        r["conversion_id"]: r.asDict()
+        for r in touch_attribution(df2, lookback_seconds=48 * 3600).collect()
+    }
+    assert out2[7]["last_touch_id"] == 5
+    assert out2[7]["last_touch_type"] == "view"
+
+
 def test_retention_cohorts_micro(spark):
     """Crafted cohorts: two users starting in different weeks, one
     returning in period 1, period buckets calendar-exact."""
