@@ -115,6 +115,17 @@ HEADLINE = [
     "scd2_temporal_join",
     "ohlc_bars",
     "record_linkage",
+    # round-7 session-7 families: linear-interpolation resample,
+    # multi-touch attribution, grouping-id cube — measured before
+    # promotion (spark/duck at sf0.1: interp 1.61/1.18 — after fixing
+    # the O(grid²) unbounded-following frame to a reversed running
+    # frame, 10.3 -> 1.6 s; attribution 0.51/0.14; cube 0.94/0.10).
+    # label_propagation stays OUT of the headline (iterative peel
+    # paying ~4x the per-job floor, the k_core rule); its scale story
+    # lives in SCALE.md.
+    "gap_fill_interpolate",
+    "touch_attribution",
+    "cube_summary",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

@@ -315,17 +315,24 @@ def gap_fill_interpolate(
         .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
         .select("_u", F.explode(F.sequence("_lo", "_hi")).alias("_b"))
     )
+    # both brackets as RUNNING frames (unbounded-preceding..current):
+    # Spark evaluates those incrementally in O(rows); the naive
+    # [current, unboundedFollowing] frame re-scans to the partition
+    # end for EVERY row — O(grid²) per key, measured 10.3 s vs 0.9 s
+    # at sf0.1.  The forward bracket is the same running carry over
+    # the REVERSED bucket order (one extra in-partition sort, no
+    # extra exchange).
     wb = Window.partitionBy("_u").orderBy("_b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wf = Window.partitionBy("_u").orderBy("_b").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    wfd = Window.partitionBy("_u").orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     j = grid.join(obs, ["_u", "_b"], "left")
     prev_v = F.last("_v", ignorenulls=True).over(wb)
     prev_b = F.last(F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True).over(wb)
-    next_v = F.first("_v", ignorenulls=True).over(wf)
-    next_b = F.first(F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True).over(wf)
+    next_v = F.last("_v", ignorenulls=True).over(wfd)
+    next_b = F.last(F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True).over(wfd)
     interp = F.when(F.col("_b") == prev_b, prev_v).otherwise(
         prev_v
         + (next_v - prev_v)

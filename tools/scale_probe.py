@@ -481,6 +481,22 @@ def _ev_ohlc(ev):
     return ohlc_bars(ev, ["event_type"], width_seconds=6 * 3600)
 
 
+def _ev_gap_interp(ev):
+    from platform_etl_literature_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    return gap_fill_interpolate(ev, bucket_seconds=3600)
+
+
+def _ev_attribution(ev):
+    from platform_etl_literature_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    return touch_attribution(ev)
+
+
 EVENTS_OPS = {
     "sessionize": _ev_sessionize,
     "ohlc_bars": _ev_ohlc,
@@ -488,6 +504,8 @@ EVENTS_OPS = {
     "funnel_steps": _ev_funnel,
     "retention_cohorts": _ev_retention,
     "gap_fill_ffill": _ev_gap_fill,
+    "gap_fill_interpolate": _ev_gap_interp,
+    "touch_attribution": _ev_attribution,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
@@ -510,6 +528,13 @@ GRAPH_OPS = {
             (F.col("u") * 2654435761 + F.col("v") * 40503) % 29 == 0
         ),
         k=3,
+    ),
+    # mirrors suite q_label_propagation (same sparsified slice)
+    "label_prop_4r": lambda li: GR.label_propagation(
+        GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64).where(
+            (F.col("u") * 2654435761 + F.col("v") * 40503) % 29 == 0
+        ),
+        rounds=4,
     ),
 }
 
