@@ -88,6 +88,99 @@ def zorder_bins(
     return out.drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
 
 
+def _hilbert_sql(xb: str, yb: str, bits: int) -> str:
+    """One SQL expression for the Hilbert d-index of 2-D bin columns —
+    the ``aggregate`` HOF folding the classic xy→d loop (Hilbert 1891;
+    the iterative quadrant-rotate formulation) over the bit levels
+    MSB-first.  A fold keeps the expression O(bits) — a textual unroll
+    would blow up exponentially because each level's (x, y) feed the
+    next twice.  Pure integer arithmetic (the quadrant digit
+    ``(3·rx) XOR ry`` is computed as ``3rx + ry − 2·rx·ry`` to avoid
+    engine-specific XOR syntax), so a DuckDB ``list_reduce`` replays
+    the identical fold bit-for-bit.  The reflection complements
+    against the FULL width (2^bits − 1): bits at or above the current
+    level are never read again, so full-width and level-width
+    complements yield the same d (bijectivity + unit-step adjacency
+    are pytest-pinned against the python reference)."""
+    m = (1 << bits) - 1
+    return f"""aggregate(
+  sequence({bits - 1}, 0, -1),
+  named_struct('x', CAST({xb} AS BIGINT), 'y', CAST({yb} AS BIGINT),
+               'd', CAST(0 AS BIGINT)),
+  (a, lv) -> named_struct(
+    'x', CASE WHEN (shiftright(a.y, lv) & 1) = 0
+              THEN (CASE WHEN (shiftright(a.x, lv) & 1) = 1
+                         THEN {m} - a.y ELSE a.y END)
+              ELSE a.x END,
+    'y', CASE WHEN (shiftright(a.y, lv) & 1) = 0
+              THEN (CASE WHEN (shiftright(a.x, lv) & 1) = 1
+                         THEN {m} - a.x ELSE a.x END)
+              ELSE a.y END,
+    'd', a.d + shiftleft(CAST(1 AS BIGINT), 2 * lv) * (
+          3 * (shiftright(a.x, lv) & 1) + (shiftright(a.y, lv) & 1)
+          - 2 * (shiftright(a.x, lv) & 1) * (shiftright(a.y, lv) & 1))),
+  a -> a.d)"""
+
+
+def hilbert_duckdb_ctes(
+    src: str, xb: str, yb: str, bits: int, carry: list[str]
+) -> tuple[str, str]:
+    """The DuckDB replay of :func:`_hilbert_sql` as UNROLLED chained
+    CTEs (``h1..h<bits>`` folding (hx, hy, hd) one bit level per
+    stage), NOT as a ``list_reduce`` lambda.  The lambda formulation is
+    arithmetic-identical and passes on small inputs, but DuckDB
+    1.0.0's vectorized list_reduce returns WRONG accumulators once the
+    input chunk is large enough (measured: correct on <= 16 rows,
+    16/64 cells wrong on a 64-row grid, value-dependent) — an
+    engine-hazard documented in DESIGN.md; per-stage scalar CTEs stay
+    on the ordinary expression path both engines execute exactly.
+
+    Returns ``(ctes_sql, final_name)``: append ``ctes_sql`` after a
+    ``WITH`` chain containing ``src`` (which must expose ``carry``
+    columns plus ``{xb}``/``{yb}``); read ``hd`` from ``final_name``.
+    Kept next to the Spark expression so the two bodies are reviewed
+    together — they must stay arithmetic-identical."""
+    m = (1 << bits) - 1
+    cols = ", ".join(carry)
+    parts = [
+        f"h0 AS (SELECT {cols}, CAST({xb} AS BIGINT) AS hx, "
+        f"CAST({yb} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    for k in range(1, bits + 1):
+        lv = bits - k
+        rx = f"((hx >> {lv}) & 1)"
+        ry = f"((hy >> {lv}) & 1)"
+        parts.append(
+            f"""h{k} AS (SELECT {cols},
+  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {m} - hy ELSE hy END)
+       ELSE hx END AS hx,
+  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {m} - hx ELSE hx END)
+       ELSE hy END AS hy,
+  hd + ((CAST(1 AS BIGINT) << (2 * {lv})) * (3 * {rx} + {ry} - 2 * {rx} * {ry})) AS hd
+FROM h{k - 1})"""
+        )
+    return ",\n".join(parts), f"h{bits}"
+
+
+def hilbert_bins(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Add ``_bin_<col>`` range bins (same exact integer arithmetic as
+    :func:`zorder_bins`) and the Hilbert d-index ``_h`` for exactly
+    TWO columns.  Hilbert ordering dominates Morton for file skipping
+    because consecutive d-values are ALWAYS grid neighbors (no Morton
+    "seams" where the curve jumps across the key space), so equal-size
+    file cuts cover tighter rectangles — ``zonemap_skip_stats(curve=
+    'hilbert')`` measures that claim instead of asserting it."""
+    if len(cols) != 2:
+        raise ValueError(
+            "hilbert_bins indexes exactly 2 columns (the 2-D curve); "
+            f"got {cols!r}"
+        )
+    binned = zorder_bins(df, cols, bits=bits).drop("_z")
+    return binned.withColumn(
+        "_h", F.expr(_hilbert_sql(f"_bin_{cols[0]}", f"_bin_{cols[1]}", bits))
+    )
+
+
 def optimize_layout(
     df: DataFrame, cols: list[str], n_files: int, bits: int = 8
 ) -> DataFrame:
@@ -112,6 +205,7 @@ def zonemap_skip_stats(
     n_files: int = 64,
     bits: int = 8,
     band: tuple[int, int] = (45, 55),
+    curve: str = "zorder",
 ) -> DataFrame:
     """Zone-map skipping accountability — the layout family's analog of
     ANN recall: MEASURE how many simulated files a range predicate must
@@ -135,7 +229,12 @@ def zonemap_skip_stats(
     """
     if not zcols:
         raise ValueError("zonemap_skip_stats needs at least one z column")
-    z = zorder_bins(df, zcols, bits=bits)
+    if curve == "zorder":
+        z = zorder_bins(df, zcols, bits=bits)
+    elif curve == "hilbert":
+        z = hilbert_bins(df, zcols, bits=bits).withColumnRenamed("_h", "_z")
+    else:
+        raise ValueError(f"unknown curve {curve!r} (zorder|hilbert)")
     stats = z.agg(
         F.min("_z").alias("_mnz"),
         F.max("_z").alias("_mxz"),
@@ -157,7 +256,7 @@ def zonemap_skip_stats(
     )
     lo, hi = band
     out = None
-    for layout, fcol in (("zorder", "_fz"), ("natural", "_fn")):
+    for layout, fcol in ((curve, "_fz"), ("natural", "_fn")):
         zone = proj.groupBy(F.col(fcol).alias("_file")).agg(
             *[F.min(c).alias(f"_fmn_{c}") for c in zcols],
             *[F.max(c).alias(f"_fmx_{c}") for c in zcols],

@@ -5355,6 +5355,100 @@ zone_fn AS (
 """
 
 
+def q_hilbert_skip(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert-curve layout accountability (operators.layout.
+    hilbert_bins via zonemap_skip_stats(curve='hilbert')): the same
+    measured file-skip harness as zonemap_skip but clustering by the
+    Hilbert d-index — consecutive d-values are always grid neighbors
+    (no Morton seams), so equal-size file cuts cover tighter
+    rectangles.  The d-index is an aggregate-HOF fold of the classic
+    xy→d quadrant-rotate loop, pure integer arithmetic; the oracle
+    replays the identical fold via list_reduce plus the file buckets
+    and the footer overlap rule."""
+    from platform_etl_literature_spark.operators.layout import (
+        zonemap_skip_stats,
+    )
+
+    return zonemap_skip_stats(
+        _t(spark, sf, "orders"),
+        ["o_custkey", "o_orderkey"],
+        "o_orderkey",
+        n_files=64,
+        bits=8,
+        curve="hilbert",
+    )
+
+
+def _hilbert_oracle(
+    n_files: int = 64, bits: int = 8, lo: int = 45, hi: int = 55
+) -> str:
+    """DuckDB oracle for q_hilbert_skip: replays the range bins, the
+    Hilbert fold (layout.hilbert_duckdb_ctes — the UNROLLED stage
+    chain, kept arithmetic-identical to the Spark HOF expression;
+    list_reduce is avoided per the DuckDB 1.0.0 vectorization hazard
+    in its docstring), equi-width file buckets, per-file zone maps and
+    the overlap counts — all integer-exact."""
+    from platform_etl_literature_spark.operators.layout import (
+        hilbert_duckdb_ctes,
+    )
+
+    width = 1 << bits
+    hctes, hfinal = hilbert_duckdb_ctes(
+        "b", "bc", "bo", bits, ["o_custkey", "o_orderkey"]
+    )
+    legs = []
+    for layout, fcol in (("hilbert", "fz"), ("natural", "fn")):
+        for c, mnc, mxc in (
+            ("o_custkey", "mn_c", "mx_c"),
+            ("o_orderkey", "mn_o", "mx_o"),
+        ):
+            plo = f"({mnc} + ({mxc} - {mnc}) * {lo} // 100)"
+            phi = f"({mnc} + ({mxc} - {mnc}) * {hi} // 100)"
+            legs.append(
+                f"SELECT '{layout}' AS layout, '{c}' AS pred_col,\n"
+                f"  count(*) AS n_files_total,\n"
+                f"  CAST(sum(CASE WHEN NOT (fmx_{c} < {plo} OR fmn_{c} > {phi})\n"
+                f"       THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,\n"
+                f"  round(CAST(sum(CASE WHEN NOT (fmx_{c} < {plo} OR fmn_{c} > {phi})\n"
+                f"       THEN 1 ELSE 0 END) AS BIGINT)\n"
+                f"      / CAST(count(*) AS DOUBLE) * 100, 2) AS scan_pct\n"
+                f"FROM zone_{fcol} CROSS JOIN stats"
+            )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH stats AS (
+  SELECT CAST(min(o_custkey) AS BIGINT) AS mn_c, CAST(max(o_custkey) AS BIGINT) AS mx_c,
+         CAST(min(o_orderkey) AS BIGINT) AS mn_o, CAST(max(o_orderkey) AS BIGINT) AS mx_o
+  FROM orders),
+b AS (
+  SELECT o_custkey, o_orderkey,
+    (CAST(o_custkey AS BIGINT) - mn_c) * {width} // (mx_c - mn_c + 1) AS bc,
+    (CAST(o_orderkey AS BIGINT) - mn_o) * {width} // (mx_o - mn_o + 1) AS bo
+  FROM orders CROSS JOIN stats),
+{hctes},
+z AS (
+  SELECT o_custkey, o_orderkey, hd AS zv
+  FROM {hfinal}),
+zstats AS (SELECT min(zv) AS mnz, max(zv) AS mxz FROM z),
+f AS (
+  SELECT o_custkey, o_orderkey,
+    (zv - mnz) * {n_files} // (mxz - mnz + 1) AS fz,
+    (CAST(o_orderkey AS BIGINT) - mn_o) * {n_files} // (mx_o - mn_o + 1) AS fn
+  FROM z CROSS JOIN zstats CROSS JOIN stats),
+zone_fz AS (
+  SELECT fz AS file,
+         min(o_custkey) AS fmn_o_custkey, max(o_custkey) AS fmx_o_custkey,
+         min(o_orderkey) AS fmn_o_orderkey, max(o_orderkey) AS fmx_o_orderkey
+  FROM f GROUP BY 1),
+zone_fn AS (
+  SELECT fn AS file,
+         min(o_custkey) AS fmn_o_custkey, max(o_custkey) AS fmx_o_custkey,
+         min(o_orderkey) AS fmn_o_orderkey, max(o_orderkey) AS fmx_o_orderkey
+  FROM f GROUP BY 1)
+{union}
+"""
+
+
 def q_quality_thresholds(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-family composition — the CCNet-style per-language quality
     cut computed end to end inside the engine: exact integer micro-nat
@@ -6559,6 +6653,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "bloom_join_prune": QuerySpec(
         q_bloom_join_prune, _ORACLE_BLOOM_JOIN, "join-bloom-runtime-filter"
+    ),
+    "hilbert_skip": QuerySpec(
+        q_hilbert_skip, _hilbert_oracle(), "layout-hilbert-accountability"
     ),
     "zonemap_skip": QuerySpec(
         q_zonemap_skip, _zonemap_oracle(), "layout-zonemap-accountability"

@@ -2563,6 +2563,106 @@ def test_zonemap_skip_zorder_beats_natural_on_nonclustered(spark, sf_dir):
     assert all(v[1] >= 1 for v in rows.values())
 
 
+def _hilbert_ref(x, y, bits):
+    """Python reference xy→d: the classic iterative quadrant-rotate
+    loop, full-width complement (same as the Spark/SQL expressions)."""
+    M = (1 << bits) - 1
+    d = 0
+    for lv in range(bits - 1, -1, -1):
+        rx = (x >> lv) & 1
+        ry = (y >> lv) & 1
+        d += (1 << (2 * lv)) * (3 * rx + ry - 2 * rx * ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = M - x, M - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_reference_is_a_hilbert_curve():
+    """The reference is a true Hilbert curve: a bijection onto
+    [0, 4^bits) whose CONSECUTIVE d-values are always grid neighbors
+    (manhattan distance exactly 1) — the locality property Morton
+    order lacks and the reason hilbert_bins exists."""
+    for bits in (1, 2, 3, 4):
+        n = 1 << bits
+        inv = {}
+        for x in range(n):
+            for y in range(n):
+                d = _hilbert_ref(x, y, bits)
+                assert 0 <= d < n * n
+                assert d not in inv, ("collision", x, y, d)
+                inv[d] = (x, y)
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, (bits, d)
+
+
+def test_hilbert_spark_expr_matches_reference(spark):
+    """The aggregate-HOF fold computes the reference d for EVERY cell
+    of the full bits=4 grid (256 cells) — the same exhaustive pin the
+    Morton interleave test uses.  (The DuckDB side is pinned by the
+    hilbert_skip oracle; its list_reduce formulation is BANNED per the
+    DuckDB 1.0.0 vectorization hazard — see hilbert_duckdb_ctes.)"""
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators.layout import _hilbert_sql
+
+    bits = 4
+    n = 1 << bits
+    cells = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(cells, "bx long, by long")
+    got = {
+        (r["bx"], r["by"]): r["d"]
+        for r in df.select(
+            "bx", "by", F.expr(_hilbert_sql("bx", "by", bits)).alias("d")
+        ).collect()
+    }
+    for x, y in cells:
+        assert got[(x, y)] == _hilbert_ref(x, y, bits), (x, y)
+
+
+def test_hilbert_bins_validation_and_skip_quality(spark, sf_dir):
+    """hilbert_bins rejects non-2-D column lists; on the orders table
+    the Hilbert layout scans at most as many files as z-order for BOTH
+    banded predicates (the no-Morton-seams claim, measured) and beats
+    natural order on the non-clustered column."""
+    import pytest as _pytest
+
+    from platform_etl_literature_spark.operators.layout import (
+        hilbert_bins,
+        zonemap_skip_stats,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with _pytest.raises(ValueError, match="exactly 2"):
+        hilbert_bins(orders, ["o_custkey"])
+    with _pytest.raises(ValueError, match="exactly 2"):
+        hilbert_bins(orders, ["o_custkey", "o_orderkey", "o_shippriority"])
+    with _pytest.raises(ValueError, match="zorder|hilbert"):
+        zonemap_skip_stats(
+            orders, ["o_custkey", "o_orderkey"], "o_orderkey", curve="peano"
+        )
+
+    def scans(curve):
+        return {
+            (r["layout"], r["pred_col"]): (r["n_files_total"], r["n_scanned"])
+            for r in zonemap_skip_stats(
+                orders, ["o_custkey", "o_orderkey"], "o_orderkey",
+                n_files=64, bits=8, curve=curve,
+            ).collect()
+        }
+
+    h = scans("hilbert")
+    z = scans("zorder")
+    assert h[("natural", "o_custkey")] == z[("natural", "o_custkey")]
+    for c in ("o_custkey", "o_orderkey"):
+        assert h[("hilbert", c)][1] <= z[("zorder", c)][1], (c, h, z)
+    nat = h[("natural", "o_custkey")]
+    assert nat[1] == nat[0]  # natural: full scan on non-clustered col
+    assert h[("hilbert", "o_custkey")][1] <= nat[0] // 2
+
+
 def test_lm_neg_micro_nats_matches_avg_metric(spark, sf_dir):
     """The integer totals and the averaged metric must describe the
     same scores: avg_logp == -neg_lp_micro / 1e6 / n_bigrams to the
