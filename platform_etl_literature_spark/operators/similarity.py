@@ -72,6 +72,64 @@ def cosine_topk(
     )
 
 
+def jl_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for the Johnson-Lindenstrauss
+    random projection (Achlioptas 2003, "Database-friendly random
+    projections": ±1 entries satisfy the JL lemma — no Gaussians
+    needed).  Entry (j, i) is the parity of the first hex digit of
+    md5("jl:j:i") — computed DRIVER-SIDE once and shipped as
+    literals, the `_hyperplane` rule: per-row work must not re-derive
+    constants with per-element hash expressions."""
+    import hashlib
+
+    return [
+        [
+            -1
+            if int(
+                hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0], 16
+            ) % 2
+            else 1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: append
+    ``out_col`` = the ±1-projected vector (array<double>, length
+    ``out_dim``).  Cosine structure survives with distortion
+    O(sqrt(log n / out_dim)) — the cheap front half of a
+    compress-then-refine ANN route (project → exact top-m in reduced
+    space → :func:`refine_topk` re-ranks with true vectors).
+
+    Each output component is a GENERATED left-associated ±chain
+    (``e[1] - e[2] + e[3] …``): sign flips are exact in IEEE754, so
+    the only float operation is addition in a FIXED order — any
+    engine replaying the same chain produces bit-identical doubles
+    (the float-parity policy's safe case; the suite oracle replays
+    the chain textually).  The per-row cost is in_dim × out_dim adds
+    inside whole-stage codegen; no shuffle, no UDF, no driver state
+    beyond the sign literals."""
+    signs = jl_signs(out_dim, in_dim)
+    comps = []
+    for j in range(out_dim):
+        # anchored at +0.0 so an all-negative chain can never emit
+        # -0.0 (which would format differently across engines)
+        terms = ["0.0D"]
+        for i in range(in_dim):
+            op = "-" if signs[j][i] < 0 else "+"
+            terms.append(f"{op} CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)")
+        comps.append(F.expr(" ".join(terms)))
+    return df.withColumn(out_col, F.array(*comps))
+
+
 def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane, components in [-1, 1).
 

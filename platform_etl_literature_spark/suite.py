@@ -1236,6 +1236,55 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_rp_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss route (operators.similarity.jl_project):
+    ±1-project 64-dim embeddings to 16 dims (Achlioptas '03 signs,
+    md5-derived literals), then EXACT cosine top-5 in the projected
+    space — the compress-then-search member of the ANN family (pair
+    with refine_topk for the re-ranked answer).  The projection is a
+    fixed-order ±chain (sign flips exact, additions in one order), so
+    the oracle replays it textually and every projected coordinate is
+    bit-identical; the top-k stage is then the proven exact-cosine
+    oracle shape on the projected lists."""
+    emb = _t(spark, sf, "embeddings")
+    p = SIM.jl_project(emb, in_dim=64, out_dim=16).select(
+        "vec_id", F.col("rp").alias("embedding")
+    )
+    return SIM.cosine_topk(p, p.filter(F.col("vec_id") < 10), k=5)
+
+
+def _rp_ann_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
+    signs = SIM.jl_signs(out_dim, in_dim)
+    comps = []
+    for j in range(out_dim):
+        terms = ["0.0"]
+        for i in range(in_dim):
+            op = "-" if signs[j][i] < 0 else "+"
+            terms.append(f"{op} CAST(embedding[{i + 1}] AS DOUBLE)")
+        comps.append(" ".join(terms))
+    pv = "list_value(" + ", ".join(comps) + ")"
+    return f"""
+WITH p AS (SELECT vec_id, {pv} AS pv FROM embeddings),
+q AS (SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, pv AS cv FROM p),
+s AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS sim_exact
+  FROM q, c WHERE query_id != neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim_exact,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_exact DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim
+FROM r WHERE rank <= 5
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label per-dimension centroid via posexplode (§2.8 explode +
     agg; the array<float> multimodal/embedding column path)."""
@@ -6457,6 +6506,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
         q_scrub_dup_passages, _ORACLE_SCRUB_PASSAGES, "dedup-substring-action"
     ),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, _ORACLE_ANN, "similarity F1"),
+    "rp_ann_topk": QuerySpec(
+        q_rp_ann_topk, _rp_ann_oracle(), "similarity-jl-projection"
+    ),
     "ann_topk_blocked": QuerySpec(
         q_ann_topk_blocked, _ORACLE_ANN, "similarity-vectorized-scale-path"
     ),

@@ -210,3 +210,53 @@ def test_refine_recovers_ivfpq_recall(spark, sf_dir):
     assert hits(ref) > hits(raw), (hits(ref), hits(raw))
     for qid, s in ref.items():
         assert s <= cand[qid]
+
+
+def test_jl_project_deterministic_and_exact_signs(spark):
+    """jl_project is a pure ±chain: each projected coordinate equals
+    the python-side signed sum exactly (sign flips are exact, adds in
+    one fixed order), and the md5-derived sign matrix is reproducible
+    call to call."""
+    import math
+
+    s1 = SIM.jl_signs(4, 8)
+    s2 = SIM.jl_signs(4, 8)
+    assert s1 == s2
+    assert all(v in (-1, 1) for row in s1 for v in row)
+    assert any(v == -1 for row in s1 for v in row)
+    assert any(v == 1 for row in s1 for v in row)
+
+    vecs = [(1, [0.5, -1.25, 2.0, 0.125, -3.5, 4.0, 0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = SIM.jl_project(df, in_dim=8, out_dim=4).collect()[0]["rp"]
+    for j in range(4):
+        want = 0.0
+        for i, v in enumerate(vecs[0][1]):
+            want = want + v if s1[j][i] > 0 else want - v
+        assert out[j] == want and not math.isnan(out[j]), (j, out[j], want)
+
+
+def test_jl_refine_recall_monotone_in_shortlist(spark, sf_dir):
+    """The compress-then-refine route: exact re-rank of a WIDER
+    projected-space shortlist never loses recall, and refining the
+    full corpus as shortlist reproduces the exact answer (the JL
+    route's dial is monotone to exact)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(SIM.cosine_topk(emb, q, k=3))
+    p = SIM.jl_project(emb, in_dim=64, out_dim=16).select(
+        "vec_id", F.col("rp").alias("embedding")
+    )
+    pq = p.filter(F.col("vec_id") < 5)
+    hits = lambda a: sum(  # noqa: E731
+        len(exact[qid] & a.get(qid, set())) for qid in exact
+    )
+    n = emb.count()
+    prev = -1
+    for m in (5, 15, n - 1):
+        short = SIM.cosine_topk(p, pq, k=m)
+        ref = _topk_sets(SIM.refine_topk(emb, q, short, k=3))
+        h = hits(ref)
+        assert h >= prev, (m, h, prev)
+        prev = h
+    assert prev == sum(len(v) for v in exact.values())  # full = exact
