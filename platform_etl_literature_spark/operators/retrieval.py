@@ -223,3 +223,123 @@ def rrf_fuse(
         F.count(F.lit(1)).alias("n_lists"),
         F.round(F.sum("_c") / 1000000000.0, 9).alias("rrf_score"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's exact top-``m`` cosine shortlist,
+    greedily select ``k`` results maximizing
+
+        lam · rel(c)  −  (1 − lam) · max_{s ∈ selected} sim(c, s)
+
+    — the standard relevance-vs-redundancy dial for retrieval feeding
+    a context window (near-duplicate passages waste tokens; MMR keeps
+    the list diverse).  Returns (query_id, neighbor_id, pick_order,
+    score), pick_order 1..k in selection order.
+
+    Determinism contract: rel and the candidate-pair sims are the
+    6dp-rounded cosines (the proven cross-engine-identical values from
+    the exact-cosine family); with the default ``lam=0.5`` the scores
+    are exact IEEE halvings of those, so the greedy argmax (ties by
+    neighbor_id) replays identically on any engine — a non-dyadic lam
+    works too but the oracle must inline python's ``repr(lam)`` /
+    ``repr(1-lam)`` so both engines fold the same literals.
+
+    Plan shape: the shortlist costs one cosine_topk; candidate-pair
+    sims are ONE self-equijoin of the shortlist on query_id (≤ m² rows
+    per query, m is small by contract — the bounded-candidates rule);
+    each of the k greedy steps is a broadcast-scale join + one
+    per-query window over ≤ m rows.  Everything is keyed by query_id,
+    so a million queries parallelize; nothing is ever corpus-sized
+    after the shortlist stage.
+    """
+    if not 1 <= k <= m:
+        raise ValueError(f"need 1 <= k <= m, got k={k} m={m}")
+    from pyspark.sql.window import Window
+
+    from platform_etl_literature_spark.functions.vectors import array_cosine
+    from platform_etl_literature_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    short = cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=m)
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    sc = (
+        short.join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", F.col("sim").alias("rel"), "cv")
+        .localCheckpoint(eager=True)
+    )
+    a = sc.select(
+        "query_id", F.col("neighbor_id").alias("n1"), F.col("cv").alias("v1")
+    )
+    b = sc.select(
+        "query_id", F.col("neighbor_id").alias("n2"), F.col("cv").alias("v2")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("n1") != F.col("n2"))
+        .select(
+            "query_id",
+            "n1",
+            "n2",
+            F.round(array_cosine("v1", "v2"), 6).alias("psim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam_c = 1.0 - lam  # python-side: the oracle inlines repr() of BOTH
+    sel = None
+    remaining = sc.select("query_id", "neighbor_id", "rel")
+    for step in range(1, k + 1):
+        if sel is None:
+            scored = remaining.withColumn("_ms", F.lit(0.0))
+        else:
+            ms = (
+                pairs.join(
+                    sel.select(
+                        "query_id", F.col("neighbor_id").alias("n2")
+                    ),
+                    ["query_id", "n2"],
+                )
+                .groupBy("query_id", F.col("n1").alias("neighbor_id"))
+                .agg(F.max("psim").alias("_ms"))
+            )
+            scored = remaining.join(
+                ms, ["query_id", "neighbor_id"], "left"
+            ).na.fill({"_ms": 0.0})
+        scored = scored.withColumn(
+            "score",
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(lam_c) * F.col("_ms"), 6
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(step).alias("pick_order"),
+                "score",
+            )
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return sel

@@ -1285,6 +1285,83 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversified re-rank (operators.retrieval.mmr_rerank,
+    Carbonell & Goldstein SIGIR'98): greedy top-5 from each query's
+    exact top-20 cosine shortlist, score = 0.5·rel − 0.5·max-sim-to-
+    selected.  lam=0.5 makes every score an exact IEEE halving of the
+    6dp-rounded cosines, so the greedy argmax (ties by neighbor_id)
+    replays bit-for-bit; the oracle unrolls all 5 selection steps as
+    chained CTEs over the same shortlist + pair-sim tables."""
+    emb = _t(spark, sf, "embeddings")
+    return RET.mmr_rerank(emb, emb.filter(F.col("vec_id") < 10), k=5, m=20)
+
+
+def _mmr_oracle(k: int = 5, m: int = 20, lam: float = 0.5) -> str:
+    lam_c = 1.0 - lam
+    cos = (
+        "CASE WHEN sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
+        "ELSE list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))) END"
+    )
+    parts = [f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, {cos.format(a='qv', b='cv')} AS sim_exact
+  FROM q, c WHERE query_id != neighbor_id),
+short AS MATERIALIZED (
+  SELECT query_id, neighbor_id, round(sim_exact, 6) AS rel FROM (
+    SELECT query_id, neighbor_id, sim_exact,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim_exact DESC, neighbor_id) AS rank
+    FROM s) WHERE rank <= {m}),
+sc0 AS (SELECT sh.query_id, sh.neighbor_id, sh.rel, c.cv
+        FROM short sh JOIN c USING (neighbor_id)),
+pairs AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS n1, b.neighbor_id AS n2,
+         round({cos.format(a='a.cv', b='b.cv')}, 6) AS psim
+  FROM sc0 a JOIN sc0 b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id),
+w1 AS (SELECT query_id, neighbor_id,
+              round({lam!r} * rel - {lam_c!r} * 0.0, 6) AS score
+       FROM short),
+sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, 1 AS pick_order, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rn
+    FROM w1) WHERE rn = 1),
+acc1 AS (SELECT * FROM sel1)"""]
+    for st in range(2, k + 1):
+        parts.append(f""",
+rem{st} AS (
+  SELECT sh.* FROM short sh
+  LEFT JOIN acc{st - 1} z
+    ON z.query_id = sh.query_id AND z.neighbor_id = sh.neighbor_id
+  WHERE z.neighbor_id IS NULL),
+ms{st} AS (
+  SELECT p.query_id, p.n1 AS neighbor_id, max(p.psim) AS maxsim
+  FROM pairs p JOIN acc{st - 1} z
+    ON z.query_id = p.query_id AND z.neighbor_id = p.n2
+  GROUP BY 1, 2),
+w{st} AS (
+  SELECT r.query_id, r.neighbor_id,
+         round({lam!r} * r.rel - {lam_c!r} * coalesce(mm.maxsim, 0.0), 6) AS score
+  FROM rem{st} r LEFT JOIN ms{st} mm
+    ON mm.query_id = r.query_id AND mm.neighbor_id = r.neighbor_id),
+sel{st} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, {st} AS pick_order, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rn
+    FROM w{st}) WHERE rn = 1),
+acc{st} AS (SELECT * FROM acc{st - 1} UNION ALL SELECT * FROM sel{st})""")
+    parts.append(f"""
+SELECT query_id, neighbor_id, pick_order, score FROM acc{k}""")
+    return "".join(parts)
+
+
 def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label per-dimension centroid via posexplode (§2.8 explode +
     agg; the array<float> multimodal/embedding column path)."""
@@ -6508,6 +6585,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, _ORACLE_ANN, "similarity F1"),
     "rp_ann_topk": QuerySpec(
         q_rp_ann_topk, _rp_ann_oracle(), "similarity-jl-projection"
+    ),
+    "mmr_rerank": QuerySpec(
+        q_mmr_rerank, _mmr_oracle(), "retrieval-mmr-diversification"
     ),
     "ann_topk_blocked": QuerySpec(
         q_ann_topk_blocked, _ORACLE_ANN, "similarity-vectorized-scale-path"

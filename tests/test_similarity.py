@@ -260,3 +260,78 @@ def test_jl_refine_recall_monotone_in_shortlist(spark, sf_dir):
         assert h >= prev, (m, h, prev)
         prev = h
     assert prev == sum(len(v) for v in exact.values())  # full = exact
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    """MMR greedy selection matches a python reference step-for-step
+    on deterministic pseudo-random vectors (same 6dp-rounded rel/pair
+    sims, lam=0.5 exact halvings, ties by id); pick 1 is the pure-
+    relevance winner; picks are distinct members of the shortlist;
+    k > m is rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from platform_etl_literature_spark.operators.retrieval import mmr_rerank
+
+    def vec(i):
+        # deterministic, irrational-ish components: no accidental ties
+        return [
+            math.sin(1.0 + 0.7 * i + 0.31 * d) for d in range(8)
+        ]
+
+    rows = [(i, vec(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    k, m, lam = 4, 8, 0.5
+
+    got = sorted(
+        (
+            (r["query_id"], r["pick_order"], r["neighbor_id"], r["score"])
+            for r in mmr_rerank(df, q, k=k, m=m, lam=lam).collect()
+        ),
+        key=lambda t: t[1],
+    )
+
+    # python reference with the SAME rounding contract
+    def cos(a, b):
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+            na += x * x
+            nb += y * y
+        den = math.sqrt(na) * math.sqrt(nb)
+        return 0.0 if den == 0 else num / den
+
+    qv = rows[0][1]
+    sims = sorted(
+        ((cos(qv, v), i) for i, v in rows if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:m]
+    shortlist = {i: round(s, 6) for s, i in sims}
+    cand_vecs = {i: dict(rows)[i] for i in shortlist}
+    selected, ref = [], []
+    while len(ref) < k:
+        best = None
+        for i, rel in shortlist.items():
+            if i in selected:
+                continue
+            ms = max(
+                (round(cos(cand_vecs[i], cand_vecs[j]), 6) for j in selected),
+                default=0.0,
+            )
+            score = round(lam * rel - (1.0 - lam) * ms, 6)
+            cand = (-score, i)
+            if best is None or cand < best:
+                best = cand
+        selected.append(best[1])
+        ref.append((0, len(ref) + 1, best[1], -best[0]))
+
+    assert got == ref
+    assert got[0][2] == sims[0][1]  # pick 1 = max relevance
+    assert len({t[2] for t in got}) == k
+    assert {t[2] for t in got} <= set(shortlist)
+    with _pytest.raises(ValueError, match="k <= m"):
+        mmr_rerank(df, q, k=9, m=8)
