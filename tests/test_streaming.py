@@ -1349,3 +1349,105 @@ def test_streaming_ohlc_bars_match_batch_and_flat_operator(spark, batch_events):
     ).withColumnRenamed("bucket_start", "bucket_start")
     assert g == canon(flat)
     assert len(g) > 0
+
+
+def test_streaming_attribution_randomized_equals_batch(spark, tmp_path):
+    """Property: for seeded random touch/conversion events scattered
+    across micro-batches (heavy out-of-order), the streaming
+    attribution equals the batch touch_attribution row-for-row on
+    every conversion the final watermark resolves — including the
+    NULL-touch (unattributable) rows."""
+    import os
+    import random
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from platform_etl_literature_spark.operators.funnel import (
+        touch_attribution,
+    )
+    from platform_etl_literature_spark.streaming import run_to_memory
+    from platform_etl_literature_spark.streaming.attribution import (
+        touch_attribution_stream,
+    )
+
+    rng = random.Random(20260816)
+    types = ["click", "view", "purchase", "purchase"]
+    rows = [
+        (i, rng.randrange(4), rng.randrange(100, 1000), rng.choice(types))
+        for i in range(120)
+    ]
+    # equal-ts collisions on purpose: clones at the same (user, ts)
+    rows += [
+        (200 + j, u, s, ty)
+        for j, (i, u, s, ty) in enumerate(rows[:10])
+    ]
+    flush = (9999, 99, 1_000_000, "click")
+
+    n_batches = 4
+    batches = [[] for _ in range(n_batches)]
+    for r in rows:
+        batches[rng.randrange(n_batches)].append(r)
+    batches[n_batches - 1].append(flush)
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    now = time.time()
+    for i, rs in enumerate(batches):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rs], pa.int64()),
+                "user_id": pa.array([r[1] for r in rs], pa.int64()),
+                "ts": pa.array(
+                    [r[2] * 1_000_000 for r in rs], pa.timestamp("us")
+                ),
+                "event_type": pa.array([r[3] for r in rs], pa.string()),
+            }
+        )
+        p = str(d / f"b{i}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    es = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = touch_attribution_stream(
+        es, lookback_seconds=300, delay="1000 seconds"
+    )
+    q = run_to_memory(out, "attr_rand_t", output_mode="append")
+    q.awaitTermination(240)
+    q.stop()
+    got = {
+        r["conversion_id"]: (
+            r["user_id"], r["conversion_us"],
+            r["last_touch_id"], r["last_touch_type"],
+            r["first_touch_id"], r["first_touch_type"], r["n_touches"],
+        )
+        for r in spark.table("attr_rand_t").collect()
+    }
+
+    allr = rows + [flush]
+    bdf = spark.createDataFrame(
+        allr, "event_id long, user_id long, s long, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("s").alias("ts"), "event_type",
+    )
+    want = {
+        r["conversion_id"]: (
+            r["user_id"], r["conversion_us"],
+            r["last_touch_id"], r["last_touch_type"],
+            r["first_touch_id"], r["first_touch_type"], r["n_touches"],
+        )
+        for r in touch_attribution(bdf, lookback_seconds=300).collect()
+    }
+    # final watermark ~999000 s strictly passes every real conversion
+    assert set(got) == set(want)
+    for cid in got:
+        assert got[cid] == want[cid], (cid, got[cid], want[cid])

@@ -388,6 +388,40 @@ SHOWCASE: dict[str, str] = {
         "itself; at rest the predicate pushes to the parquet footer and "
         "skips closed-history files."
     ),
+    "touch_attribution": (
+        "The whole attribution — last touch, first touch, touch count — "
+        "is ONE Window exec over one (user_id) exchange: three "
+        "accumulators on a RANGE frame over microsecond event time; "
+        "the conversion filter prunes AFTER the frame so the window "
+        "sees every touch, and no join appears anywhere in the plan."
+    ),
+    "gap_fill_interpolate": (
+        "Both interpolation brackets are RUNNING frames on the same "
+        "(user) partitioning — the forward one over the reversed "
+        "bucket order, so the plan shows two in-partition Sorts but "
+        "only the grid-join exchanges; the naive unbounded-following "
+        "frame would re-scan to partition end per row (O(grid²), "
+        "measured 10.3 s vs 1.6 s at sf0.1)."
+    ),
+    "hilbert_skip": (
+        "The Hilbert d-index is a single `aggregate(sequence(...))` "
+        "fold in the projection — O(bits) expression, no join, no "
+        "Python; everything downstream of the corpus projection is "
+        "file-count-sized aggregates of the simulated zone maps."
+    ),
+    "rp_ann_topk": (
+        "The 16 projected coordinates are pure ±chains inside one "
+        "codegen projection (no multiplies — sign flips are exact); "
+        "the top-k stage is the standard broadcast-queries cosine "
+        "plan over 4× fewer dimensions."
+    ),
+    "mmr_rerank": (
+        "All five greedy steps compile into one DAG over the "
+        "checkpointed shortlist and pair-sim frames (each ≤ m rows/m² "
+        "rows per query by contract): per step a broadcast-scale hash "
+        "join + a per-query window; nothing corpus-sized appears after "
+        "the shortlist's own top-k."
+    ),
 }
 
 
