@@ -438,3 +438,134 @@ def execute_compaction(
         "n_groups": int(n_groups),
         "n_rows": spark.read.parquet(dest_dir).count(),
     }
+
+
+def bloom_index_skip_stats(
+    df: DataFrame,
+    probe_col: str,
+    natural_col: str,
+    n_files: int = 64,
+    m_bits: int = 4096,
+    k: int = 3,
+    probe_mod: int = 47,
+) -> DataFrame:
+    """File-skipping accountability for EQUALITY predicates — the
+    point-lookup twin of :func:`zonemap_skip_stats`.  Zone maps skip
+    RANGE predicates but are useless for point lookups on a
+    high-cardinality column scattered across files (every file's
+    [min, max] covers every probe); a per-file BLOOM index skips
+    exactly the files whose filter misses — the technique behind
+    parquet's bloom_filter column option and Iceberg/Delta file-level
+    bloom indexes.  This MEASURES that claim instead of asserting it.
+
+    Simulation (all integer/md5-exact, the zonemap rule): files are
+    equi-width buckets of ``natural_col``; per file, the zone map is
+    (min, max) of ``probe_col`` and the bloom index is the file's set
+    of Kirsch-Mitzenmacher bit positions (``dedup.bloom_positions_sql``
+    — the replayable double-hash the decontamination family already
+    pins) over its DISTINCT probe values.  Probes are the data-derived
+    deterministic set ``probe_col % probe_mod == 0``.  One row per
+    index kind:
+
+      (kind, n_probes, n_files_total, n_scanned, scan_pct)
+
+    * ``exact``  — files truly containing the probe (ground truth);
+    * ``bloom``  — files whose index passes all k positions: always
+      ⊇ exact (no false negatives — a theorem, pytest-pinned), the
+      surplus is the realized false-positive cost of m_bits/k;
+    * ``zonemap`` — files whose [min, max] covers the probe: ~100 %
+      on a scattered column, the number that motivates the index.
+
+    Scale shape: after the corpus projection everything is sized by
+    files × probes (zone/bloom joins are position-keyed equijoins; the
+    probe set broadcasts); per-file bloom state is ≤ distinct-values×k
+    positions, a function of the INDEX, not the corpus.
+    """
+    from platform_etl_literature_spark.operators.dedup import (
+        bloom_positions_sql,
+    )
+
+    if n_files < 1 or m_bits < 64 or k < 1:
+        raise ValueError("need n_files >= 1, m_bits >= 64, k >= 1")
+    stats = df.agg(
+        F.min(F.col(natural_col).cast("long")).alias("_mnn"),
+        F.max(F.col(natural_col).cast("long")).alias("_mxn"),
+    )
+    proj = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(
+                f"(CAST({natural_col} AS BIGINT) - _mnn) * {n_files}"
+                " div (_mxn - _mnn + 1)"
+            ).alias("_file"),
+            F.col(probe_col).cast("long").alias("_v"),
+        )
+    )
+    probes = (
+        proj.select("_v")
+        .distinct()
+        .filter(F.col("_v") % probe_mod == 0)
+        .select(F.col("_v").alias("_pv"))
+    )
+    n_probe_row = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+
+    zone = proj.groupBy("_file").agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    )
+    exact_pairs = (
+        proj.join(F.broadcast(probes), proj["_v"] == probes["_pv"])
+        .select("_file", "_pv")
+        .distinct()
+    )
+    z_pairs = zone.join(
+        F.broadcast(probes),
+        (F.col("_mn") <= F.col("_pv")) & (F.col("_pv") <= F.col("_mx")),
+    ).select("_file", "_pv")
+
+    pos = bloom_positions_sql("CAST(_v AS STRING)", m_bits, k)
+    fpos = (
+        proj.select("_file", "_v")
+        .distinct()
+        .selectExpr("_file", f"explode(array({', '.join(pos)})) AS _p")
+        .distinct()
+    )
+    ppos = F.broadcast(
+        probes.selectExpr(
+            "_pv",
+            "posexplode(array("
+            + ", ".join(bloom_positions_sql("CAST(_pv AS STRING)", m_bits, k))
+            + ")) AS (_i, _p)",
+        )
+    )
+    b_pairs = (
+        fpos.join(ppos, "_p")
+        .groupBy("_file", "_pv")
+        .agg(F.count_distinct("_i").alias("_nhit"))
+        .filter(F.col("_nhit") == k)
+        .select("_file", "_pv")
+    )
+
+    out = None
+    for kind, pairs in (
+        ("exact", exact_pairs),
+        ("bloom", b_pairs),
+        ("zonemap", z_pairs),
+    ):
+        row = (
+            pairs.agg(F.count(F.lit(1)).alias("n_scanned"))
+            .crossJoin(F.broadcast(n_probe_row))
+            .select(
+                F.lit(kind).alias("kind"),
+                "n_probes",
+                F.lit(n_files).cast("long").alias("n_files_total"),
+                "n_scanned",
+                F.round(
+                    F.col("n_scanned")
+                    / (F.col("n_probes") * F.lit(n_files)).cast("double")
+                    * 100,
+                    2,
+                ).alias("scan_pct"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -326,6 +326,11 @@ def mmr_rerank(
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("neighbor_id").asc()
         )
+        # eager-checkpoint each pick (≤ n_queries rows): the step's
+        # scoring tree references the previous selection twice (max-sim
+        # join + anti-join), so without truncation the logical plan
+        # DOUBLES per step — ~2^k nodes, measured 10k plan lines at
+        # k=5; checkpointed picks make growth linear in k
         pick = (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -335,6 +340,7 @@ def mmr_rerank(
                 F.lit(step).alias("pick_order"),
                 "score",
             )
+            .localCheckpoint(eager=True)
         )
         sel = pick if sel is None else sel.unionByName(pick)
         remaining = remaining.join(

@@ -3542,3 +3542,69 @@ def test_ohlc_bars_null_ticks_skipped_consistently(spark):
         for r in TSO.ohlc_bars(ev, ["k"], width_seconds=100).collect()
     }
     assert got == {("A", 0): (9.0, 9.0, 9.0, 9.0, 1, 9.0)}
+
+
+def test_bloom_index_skip_python_replay(spark):
+    """The whole bloom-index harness replays in python exactly — file
+    assignment, zone maps, and every Kirsch-Mitzenmacher position (so
+    each false positive is deterministic, not probabilistic): counts
+    for all three kinds must match the python reference, bloom ⊇ exact
+    (no false negatives), zonemap ⊇ exact."""
+    import hashlib
+
+    from platform_etl_literature_spark.operators.layout import (
+        bloom_index_skip_stats,
+    )
+
+    n_files, m_bits, k, probe_mod = 8, 512, 3, 7
+    rows = [(i, (i * 37) % 101) for i in range(200)]  # (natural, value)
+    df = spark.createDataFrame(rows, "nat long, val long")
+    got = {
+        r["kind"]: (r["n_probes"], r["n_scanned"])
+        for r in bloom_index_skip_stats(
+            df, "val", "nat", n_files=n_files, m_bits=m_bits, k=k,
+            probe_mod=probe_mod,
+        ).collect()
+    }
+
+    mnn, mxn = 0, 199
+    fmap = {}
+    for nat, val in rows:
+        f = (nat - mnn) * n_files // (mxn - mnn + 1)
+        fmap.setdefault(f, set()).add(val)
+    probes = sorted(
+        {v for _, v in rows if v % probe_mod == 0}
+    )
+
+    def positions(v):
+        h1 = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        h2 = int(hashlib.md5(f"b2:{v}".encode()).hexdigest()[:8], 16)
+        return {(h1 + i * h2) % m_bits for i in range(k)}
+
+    exact = sum(1 for f, vs in fmap.items() for p in probes if p in vs)
+    zonemap = sum(
+        1
+        for f, vs in fmap.items()
+        for p in probes
+        if min(vs) <= p <= max(vs)
+    )
+    fbits = {
+        f: set().union(*(positions(v) for v in vs))
+        for f, vs in fmap.items()
+    }
+    bloom = sum(
+        1
+        for f, bits in fbits.items()
+        for p in probes
+        if positions(p) <= bits
+    )
+    assert got["exact"] == (len(probes), exact)
+    assert got["bloom"] == (len(probes), bloom)
+    assert got["zonemap"] == (len(probes), zonemap)
+    assert exact <= bloom  # no false negatives, ever
+    assert exact <= zonemap
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_index_skip_stats(df, "val", "nat", m_bits=32)
