@@ -569,3 +569,117 @@ def bloom_index_skip_stats(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def equidepth_thresholds(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """Exact nearest-rank equi-depth bin thresholds for an integral
+    column: (j, t_j) for j = 1..n_bins−1, where t_j is the value at
+    ascending rank ceil(j·n / n_bins) — i.e. the smallest v whose
+    cumulative row count reaches the rank.  Computed from the
+    per-distinct-value cumulative counts over the DISTRIBUTED rank
+    (ranking.ordered_global_index — range exchange + broadcast
+    offsets, no single-partition sort), so the threshold build scales
+    with distinct values, not rows.  Pure integer/rank arithmetic —
+    an oracle replays every threshold exactly (no percentile_approx,
+    whose sketch internals are engine-specific)."""
+    from platform_etl_literature_spark.operators.ranking import (
+        ordered_global_index,
+    )
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    vals = df.select(F.col(col).cast("long").alias("_v")).where(
+        F.col(col).isNotNull()
+    )
+    cnt = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    cum = ordered_global_index(
+        cnt,
+        [F.col("_v").asc()],
+        running_sum_col="_c",
+        running_sum_out="_cum",
+    )
+    n_row = vals.agg(F.count(F.lit(1)).alias("_n"))
+    spark = df.sparkSession
+    ranks = (
+        spark.range(1, n_bins)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "j",
+            F.ceil(F.col("j") * F.col("_n") / F.lit(n_bins))
+            .cast("long")
+            .alias("_rk"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(ranks))
+        .where(F.col("_cum") >= F.col("_rk"))
+        .groupBy("j")
+        .agg(F.min("_v").alias("t"))
+    )
+
+
+def binning_balance_stats(df: DataFrame, col: str, bits: int = 6) -> DataFrame:
+    """Bin-balance accountability — WHY a skewed column needs
+    equi-depth bins before Z-order/Hilbert interleaving: equi-width
+    range bins ((v−min)·B div range, what ``zorder_bins`` uses)
+    collapse under a skewed distribution (most rows land in a few
+    bins, so most "files" cover the same dense value range and
+    skipping dies), while exact nearest-rank equi-depth bins hold
+    max-bin occupancy at ~n/B by construction.  This MEASURES the
+    collapse instead of asserting it: one row per method —
+
+      (method, n_bins_total, n_bins_nonempty, max_bin_rows, imbalance)
+
+    with ``imbalance = max_bin_rows · B / n`` (perfectly balanced =
+    1.0).  Everything is rank/integer arithmetic over the per-value
+    count frame (rows touch the plan once, in the groupBy(v) count),
+    so the oracle replays both histograms value-for-value.
+    """
+    B = 1 << bits
+    vals = df.select(F.col(col).cast("long").alias("_v")).where(
+        F.col(col).isNotNull()
+    )
+    cnt = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    stats = vals.agg(
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    ew_bins = (
+        cnt.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"(_v - _mn) * {B} div (_mx - _mn + 1)").alias("_b"),
+            "_c",
+        )
+        .groupBy("_b")
+        .agg(F.sum("_c").alias("_rows"))
+    )
+    th = equidepth_thresholds(df, col, B)
+    ed_bins = (
+        cnt.join(F.broadcast(th), cnt["_v"] > th["t"], "left")
+        .groupBy("_v", "_c")
+        .agg(F.count(th["t"]).alias("_b"))
+        .groupBy("_b")
+        .agg(F.sum("_c").alias("_rows"))
+    )
+    out = None
+    for method, bins in (("equiwidth", ew_bins), ("equidepth", ed_bins)):
+        row = (
+            bins.agg(
+                F.count(F.lit(1)).alias("n_bins_nonempty"),
+                F.max("_rows").alias("max_bin_rows"),
+            )
+            .crossJoin(F.broadcast(stats.select("_n")))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(B).cast("long").alias("n_bins_total"),
+                "n_bins_nonempty",
+                "max_bin_rows",
+                F.round(
+                    F.col("max_bin_rows") * B / F.col("_n").cast("double"), 2
+                ).alias("imbalance"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

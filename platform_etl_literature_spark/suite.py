@@ -5651,6 +5651,63 @@ b_p AS MATERIALIZED (
 """
 
 
+def q_binning_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Bin-balance accountability (operators.layout.
+    binning_balance_stats): on a skewed column (squared order-total
+    cents — a deterministic monotone transform that concentrates mass
+    in the low range, the power-law shape real measurement columns
+    have) equi-width range bins collapse (measured imbalance 7.84× at
+    sf0.01) while exact nearest-rank equi-depth bins hold max-bin
+    occupancy at n/B (imbalance 1.0) — the reason a skewed column
+    needs quantile bins before Z-order/Hilbert interleaving.  The
+    thresholds are exact rank selections (no percentile_approx), so
+    the oracle replays both histograms value-for-value."""
+    from platform_etl_literature_spark.operators.layout import (
+        binning_balance_stats,
+    )
+
+    orders = _t(spark, sf, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    sk = orders.select((c * c).alias("skewed"))
+    return binning_balance_stats(sk, "skewed", bits=6)
+
+
+_ORACLE_BIN_BALANCE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         * CAST(round(o_totalprice * 100, 0) AS BIGINT) AS _v
+  FROM orders),
+cnt AS MATERIALIZED (SELECT _v, count(*) AS _c FROM v GROUP BY 1),
+st AS (SELECT min(_v) AS mn, max(_v) AS mx, count(*) AS n FROM v),
+ew AS MATERIALIZED (
+  SELECT (_v - mn) * 64 // (mx - mn + 1) AS b, sum(_c) AS rows_
+  FROM cnt CROSS JOIN st GROUP BY 1),
+cum AS (SELECT _v, _c, sum(_c) OVER (ORDER BY _v) AS cum FROM cnt),
+ranks AS (
+  SELECT j, CAST(ceil(j * n / 64) AS BIGINT) AS rk
+  FROM (SELECT unnest(generate_series(1, 63)) AS j) CROSS JOIN st),
+th AS MATERIALIZED (
+  SELECT j, min(_v) AS t FROM cum CROSS JOIN ranks
+  WHERE cum >= rk GROUP BY 1),
+ed AS MATERIALIZED (
+  SELECT b, sum(_c) AS rows_ FROM (
+    SELECT c._v, c._c, count(t.t) AS b
+    FROM cnt c LEFT JOIN th t ON c._v > t.t GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT 'equiwidth' AS method, CAST(64 AS BIGINT) AS n_bins_total,
+  (SELECT count(*) FROM ew) AS n_bins_nonempty,
+  (SELECT CAST(max(rows_) AS BIGINT) FROM ew) AS max_bin_rows,
+  round((SELECT max(rows_) FROM ew) * 64 / CAST(n AS DOUBLE), 2) AS imbalance
+FROM st
+UNION ALL
+SELECT 'equidepth', CAST(64 AS BIGINT),
+  (SELECT count(*) FROM ed),
+  (SELECT CAST(max(rows_) AS BIGINT) FROM ed),
+  round((SELECT max(rows_) FROM ed) * 64 / CAST(n AS DOUBLE), 2)
+FROM st
+"""
+
+
 def q_quality_thresholds(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-family composition — the CCNet-style per-language quality
     cut computed end to end inside the engine: exact integer micro-nat
@@ -6868,6 +6925,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "bloomindex_skip": QuerySpec(
         q_bloomindex_skip, _bloomindex_oracle(),
         "layout-bloom-index-accountability"
+    ),
+    "binning_balance": QuerySpec(
+        q_binning_balance, _ORACLE_BIN_BALANCE,
+        "layout-equidepth-balance"
     ),
     "zonemap_skip": QuerySpec(
         q_zonemap_skip, _zonemap_oracle(), "layout-zonemap-accountability"

@@ -3608,3 +3608,56 @@ def test_bloom_index_skip_python_replay(spark):
 
     with _pytest.raises(ValueError, match="m_bits"):
         bloom_index_skip_stats(df, "val", "nat", m_bits=32)
+
+
+def test_equidepth_thresholds_and_balance_python_replay(spark):
+    """Exact nearest-rank thresholds and both balance histograms match
+    a python replay on a skewed multiset (heavy duplicates included);
+    equi-depth max-bin occupancy is within one duplicate-run of n/B
+    while equi-width collapses."""
+    from platform_etl_literature_spark.operators.layout import (
+        binning_balance_stats,
+        equidepth_thresholds,
+    )
+
+    # skewed: value i**3 repeated (i % 5 + 1) times, plus a heavy run
+    vals = []
+    for i in range(60):
+        vals += [i ** 3] * (i % 5 + 1)
+    vals += [7] * 40
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    B = 8
+    got_th = {
+        r["j"]: r["t"] for r in equidepth_thresholds(df, "x", B).collect()
+    }
+    sv = sorted(vals)
+    n = len(sv)
+    import math
+
+    want_th = {
+        j: sv[math.ceil(j * n / B) - 1] for j in range(1, B)
+    }
+    assert got_th == want_th
+
+    got = {
+        r["method"]: (r["n_bins_nonempty"], r["max_bin_rows"], r["imbalance"])
+        for r in binning_balance_stats(df, "x", bits=3).collect()
+    }
+    # python replay of both histograms
+    mn, mx = sv[0], sv[-1]
+    ew = {}
+    for v in sv:
+        ew[(v - mn) * B // (mx - mn + 1)] = ew.get((v - mn) * B // (mx - mn + 1), 0) + 1
+    ed = {}
+    for v in sv:
+        b = sum(1 for j in range(1, B) if v > want_th[j])
+        ed[b] = ed.get(b, 0) + 1
+    assert got["equiwidth"] == (
+        len(ew), max(ew.values()), round(max(ew.values()) * B / n, 2)
+    )
+    assert got["equidepth"] == (
+        len(ed), max(ed.values()), round(max(ed.values()) * B / n, 2)
+    )
+    # the point: cubes collapse equi-width; equi-depth stays balanced
+    assert max(ew.values()) > 2 * (n // B)
+    assert got["equidepth"][2] < got["equiwidth"][2]
