@@ -7112,6 +7112,23 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 #     stats are half of corpus_curation's composed verdict; the
 #     distributed suffix-array LCP dedup is the strongest text-dedup
 #     construction in the repo and was never driver-hashed).
+#
+# Round-7 session-7 rotation, same rules — the layout family had ZERO
+# driver rows despite three measured accountability flagships, and the
+# session's richest composition deserves the independent hash:
+#   multimodal_img_stats→hilbert_skip (multimodal keeps
+#     multimodal_frames, the strictly-stronger RIFF/AVI pixel-level
+#     round trip, plus the parity-gated img_near_dup BMP decode→embed
+#     composition; the layout family gains its first driver row — the
+#     Hilbert fold + measured hilbert≤zorder skip numbers),
+#   simhash_near_pairs→bloomindex_skip (the near-dup pair family keeps
+#     minhash_pairs + ngram_jaccard in the window and simhash stays
+#     value-gated in the parity suite; the bloom file-index row hashes
+#     every deterministic false positive alongside ground truth),
+#   rrf_hybrid→mmr_rerank (retrieval keeps a driver row that EMBEDS
+#     the exact cosine ranking inside the 5-step greedy — strictly
+#     more of the family than rank fusion alone; rrf_hybrid stays
+#     value-gated in the parity suite).
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -7120,10 +7137,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "date_parts", "case_when_buckets", "grouped_json",
     "evidence_cooc_analog", "dedup_exact", "edit_distance_join",
     "ngram_jaccard",
-    "minhash_pairs", "funnel_steps", "simhash_near_pairs",
-    "user_ewma_segmented", "dedup_embedding_cosine", "rrf_hybrid", "pagerank",
+    "minhash_pairs", "funnel_steps", "bloomindex_skip",
+    "user_ewma_segmented", "dedup_embedding_cosine", "mmr_rerank", "pagerank",
     "embedding_centroids", "vectors_norm_category", "doc_profile",
-    "incremental_agg", "multimodal_img_stats", "sessionize", "lm_doc_logprob",
+    "incremental_agg", "hilbert_skip", "sessionize", "lm_doc_logprob",
     "kmv_distinct_users", "multimodal_frames", "cluster_split",
     "bloom_join_prune", "token_packing", "hdr_quantile_sketch",
     "suffix_dedup",
