@@ -213,6 +213,21 @@ def test_optimize_layout_tightens_file_stats(spark, sf_dir, tmp_path):
     a_base, a_opt = summed_area(base), summed_area(opt)
     assert a_opt * 3 < a_base, (a_base, a_opt)
 
+    # hilbert variant: same action path, same physical narrowing —
+    # footer area must also drop several-fold vs the hash layout (and
+    # stay in the z-order ballpark; exact ordering between the two
+    # curves is the measured hilbert_skip/zonemap_skip story)
+    hop = str(tmp_path / "hop")
+    optimize_layout(
+        li, ["l_partkey", "l_suppkey"], n_files=8, curve="hilbert"
+    ).write.parquet(hop)
+    a_h = summed_area(hop)
+    assert a_h * 3 < a_base, (a_base, a_h)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zorder|hilbert"):
+        optimize_layout(li, ["l_partkey", "l_suppkey"], 8, curve="peano")
+
 
 def test_execute_compaction_invariants_and_zonemap(spark, sf_dir, tmp_path):
     """execute_compaction's contract: rows preserved value-for-value,
