@@ -84,6 +84,23 @@ def main() -> None:
         print(
             json.dumps({"method": "ivfpq_rerank", "m": m, "recall": r})
         )
+    # JL random projection: raw projected-space recall per out_dim,
+    # then the compress-then-refine dial at out_dim=16 — monotone in
+    # m and exact at m = corpus (pytest-pinned).
+    for out_dim in (8, 16, 32):
+        p = SIM.jl_project(emb, in_dim=64, out_dim=out_dim).select(
+            "vec_id", F.col("rp").alias("embedding")
+        )
+        r = recall(SIM.cosine_topk(p, p.filter(F.col("vec_id") < 10), k=5))
+        print(json.dumps({"method": "rp_raw", "out_dim": out_dim, "recall": r}))
+    p16 = SIM.jl_project(emb, in_dim=64, out_dim=16).select(
+        "vec_id", F.col("rp").alias("embedding")
+    )
+    pq16 = p16.filter(F.col("vec_id") < 10)
+    for m in (20, 50, 100):
+        short = SIM.cosine_topk(p16, pq16, k=m)
+        r = recall(SIM.refine_topk(emb, q, short, k=5))
+        print(json.dumps({"method": "rp_rerank", "m": m, "recall": r}))
 
 
 if __name__ == "__main__":
