@@ -185,3 +185,76 @@ def lm_doc_logprob_against(
         F.round(avg_raw, 6).alias("avg_logp"),
         F.round(F.exp(-avg_raw), 4).alias("ppl"),
     )
+
+
+def kn_doc_neg_micro_nats(
+    docs: DataFrame, id_col: str, text_col: str, discount: float = 0.5
+) -> DataFrame:
+    """Per-document total negative log-likelihood under an
+    INTERPOLATED KNESER-NEY bigram model (Kneser & Ney, ICASSP'95;
+    the Chen & Goodman '98 interpolated form) trained on the corpus
+    itself — the standard upgrade over add-k smoothing: instead of
+    shaving probability mass uniformly, KN backs off to the
+    CONTINUATION probability (how many distinct contexts a word
+    completes), which scores boilerplate tokens that appear in one
+    fixed collocation far lower than genuinely productive words:
+
+        P(w2|w1) = (c(w1 w2) − D)/c(w1·)
+                   + (D · N1+(w1 ·)/c(w1·)) · (N1+(· w2)/T)
+
+    with D = ``discount``, c(w1·) the prefix's bigram-instance count,
+    N1+(w1 ·)/N1+(· w2) the distinct-follower/-predecessor type
+    counts, and T the total distinct bigram types.  Scoring the
+    training corpus itself means every instance has c ≥ 1 > D, so the
+    max(·, 0) clamp never binds and P > 0 always.
+
+    Returns (id, n_bigrams, neg_lp_micro) — the exact-integer
+    micro-nat contract of :func:`lm_doc_neg_micro_nats` (per-instance
+    ln(P) rounded to micro-nats, summed as integers; the default
+    D = 0.5 is a dyadic literal so both engines fold identical
+    operand bits in identical order).
+
+    Scale shape, same as the add-k scorer: the model is never
+    broadcast — the persisted instance table feeds four
+    map-side-combined count aggregations (prefix totals, bigram
+    counts, distinct-follower and distinct-predecessor type counts)
+    whose rows are (token, long) pairs, and scoring joins them back
+    co-partitioned on the gram key; T is the one scalar, attached via
+    a single-row broadcast."""
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    inst = _materialize_once(bigram_instances(docs, id_col, text_col))
+
+    cp = inst.groupBy("pre").agg(F.count(F.lit(1)).alias("np"))
+    c2 = inst.groupBy("big").agg(F.count(F.lit(1)).alias("n2"))
+    types = _materialize_once(inst.select("big").distinct())
+    nf = (
+        types.select(F.substring_index("big", " ", 1).alias("pre"))
+        .groupBy("pre")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    nc = (
+        types.select(F.substring_index("big", " ", -1).alias("suf"))
+        .groupBy("suf")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    t_row = types.agg(F.count(F.lit(1)).alias("t"))
+
+    p = (F.col("n2") - F.lit(discount)) / F.col("np") + (
+        F.lit(discount) * F.col("nf") / F.col("np")
+    ) * (F.col("nc") / F.col("t"))
+    scored = (
+        inst.join(c2, "big")
+        .join(cp, "pre")
+        .join(nf, "pre")
+        .join(nc, F.substring_index(F.col("big"), " ", -1) == F.col("suf"))
+        .crossJoin(F.broadcast(t_row))
+        .select(
+            "id",
+            F.round(F.log(p) * 1000000.0, 0).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("lp_micro")).alias("neg_lp_micro"),
+    )

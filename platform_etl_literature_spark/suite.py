@@ -757,6 +757,58 @@ FROM sc GROUP BY id
 """
 
 
+def q_kn_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators.lm.
+    kn_doc_neg_micro_nats, Kneser & Ney '95 / Chen & Goodman '98) —
+    the continuation-probability upgrade over the add-k scorer:
+    exact-integer micro-nat totals per document, D = 0.5 (a dyadic
+    literal, so both engines fold identical bits in identical order);
+    the oracle replays all four count tables (prefix totals, bigram
+    counts, distinct-follower/-predecessor types) and the per-instance
+    ln(P) rounding."""
+    return LM.kn_doc_neg_micro_nats(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    )
+
+
+_ORACLE_KN_LM = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+inst AS MATERIALIZED (
+  SELECT doc_id AS id,
+         unnest(toks[1:len(toks)-1]) AS pre,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS big
+  FROM w WHERE len(toks) >= 2),
+cp AS (SELECT pre, count(*) AS np FROM inst GROUP BY pre),
+c2 AS (SELECT big, count(*) AS n2 FROM inst GROUP BY big),
+types AS MATERIALIZED (SELECT DISTINCT big FROM inst),
+nf AS (
+  SELECT string_split(big, ' ')[1] AS pre, count(*) AS nf
+  FROM types GROUP BY 1),
+nc AS (
+  SELECT string_split(big, ' ')[-1] AS suf, count(*) AS nc
+  FROM types GROUP BY 1),
+tt AS (SELECT count(*) AS t FROM types),
+sc AS (
+  SELECT id,
+    CAST(round(ln((CAST(n2 AS DOUBLE) - 0.5) / np
+                  + (0.5 * CAST(nf AS DOUBLE) / np)
+                    * (CAST(nc AS DOUBLE) / t))
+               * 1000000.0, 0) AS BIGINT) AS lp
+  FROM inst
+  JOIN c2 USING (big)
+  JOIN cp USING (pre)
+  JOIN nf USING (pre)
+  JOIN nc ON nc.suf = string_split(inst.big, ' ')[-1]
+  CROSS JOIN tt)
+SELECT id, count(*) AS n_bigrams,
+       CAST(-sum(lp) AS BIGINT) AS neg_lp_micro
+FROM sc GROUP BY id
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4) — the vector-space
     member of the dedup family.  0.4 yields a non-trivial pair set on
@@ -6669,6 +6721,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "lm_doc_logprob": QuerySpec(
         q_lm_doc_logprob, _ORACLE_LM_LOGPROB, "quality-ngram-lm"
+    ),
+    "kn_lm_score": QuerySpec(
+        q_kn_lm_score, _ORACLE_KN_LM, "quality-kneser-ney-lm"
     ),
     "prefix_jaccard": QuerySpec(
         q_prefix_jaccard, _ORACLE_PREFIX_JACCARD, "dedup-prefix-filter-join"

@@ -3661,3 +3661,65 @@ def test_equidepth_thresholds_and_balance_python_replay(spark):
     # the point: cubes collapse equi-width; equi-depth stays balanced
     assert max(ew.values()) > 2 * (n // B)
     assert got["equidepth"][2] < got["equiwidth"][2]
+
+
+def test_kneser_ney_python_replay_and_normalization(spark):
+    """KN micro-nat totals match an exact python replay on a tiny
+    corpus, and the interpolated-KN axiom holds: for every seen
+    prefix, summing P(w2|w1) over the FULL vocabulary of continuation
+    types is 1 (the discount mass exactly funds the continuation
+    distribution) — the property add-k only meets with its own
+    denominator."""
+    import math
+
+    from platform_etl_literature_spark.operators.lm import (
+        kn_doc_neg_micro_nats,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "a dog sat on a log"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_bigrams"], r["neg_lp_micro"])
+        for r in kn_doc_neg_micro_nats(df, "doc_id", "text").collect()
+    }
+
+    # python replay with identical count definitions
+    insts = {}
+    for i, t in docs:
+        w = t.split()
+        insts[i] = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+    allb = [b for v in insts.values() for b in v]
+    c2, cp, types = {}, {}, set(allb)
+    for b in allb:
+        c2[b] = c2.get(b, 0) + 1
+        cp[b[0]] = cp.get(b[0], 0) + 1
+    nf, nc = {}, {}
+    for w1, w2 in types:
+        nf[w1] = nf.get(w1, 0) + 1
+        nc[w2] = nc.get(w2, 0) + 1
+    T = len(types)
+    D = 0.5
+
+    def p(b):
+        return (c2[b] - D) / cp[b[0]] + (D * nf[b[0]] / cp[b[0]]) * (
+            nc[b[1]] / T
+        )
+
+    for i, _ in docs:
+        lps = [round(math.log(p(b)) * 1e6) for b in insts[i]]
+        assert got[i] == (len(insts[i]), -sum(lps)), i
+
+    # normalization: sum over all continuation TYPES w2 of P(w2|w1)
+    # equals 1 for every prefix (within float tolerance)
+    vocab2 = set(nc)
+    for w1 in cp:
+        s = sum(
+            (max(c2.get((w1, w2), 0) - D, 0.0)) / cp[w1]
+            + (D * nf[w1] / cp[w1]) * (nc[w2] / T)
+            for w2 in vocab2
+        )
+        assert abs(s - 1.0) < 1e-9, (w1, s)
