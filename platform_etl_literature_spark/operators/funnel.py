@@ -217,3 +217,84 @@ def touch_attribution(
         F.col("_first.t_type").alias("first_touch_type"),
         F.col("n_touches"),
     )
+
+
+def funnel_conversion_windowed(
+    events: DataFrame,
+    steps: list[str],
+    max_step_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel with a PER-STEP conversion window: step i+1 must
+    happen strictly after step i and within ``max_step_seconds`` of it
+    — the product-analytics "convert within an hour" question.
+
+    Correctness note (why this is NOT the chained-min of
+    :func:`funnel_conversion` plus a bound): greedy earliest
+    frontiers UNDERCOUNT under windows — a user whose earliest step-1
+    is too early for any step-2 can still convert through a LATER
+    step-1, so the exact semantics carries the full FEASIBLE-TIME SET
+    per step: f₁ = all step-1 times; fᵢ = step-i times t with some
+    prev ∈ fᵢ₋₁ satisfying prev < t ≤ prev + window.  Reach at step i
+    = users with fᵢ nonempty.  Sets, not picks ⇒ deterministic, no
+    tie rules, exact (pinned against brute-force chain search).
+
+    Plan shape: per step one user-keyed EQUIJOIN with the range
+    predicate as a residual condition + a distinct — candidate volume
+    per user is (step-i events × feasible prev times), bounded by the
+    per-user event counts exactly like the pair-edges valve; at
+    100 TB the steps list is small and each join shrinks with the
+    surviving user set.  Timestamps compare as integer microseconds
+    (engine-exact)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if max_step_seconds <= 0:
+        raise ValueError("max_step_seconds must be positive")
+    win_us = max_step_seconds * 1_000_000
+    e = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_s"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+    )
+    feas = (
+        e.where(F.col("_s") == steps[0]).select("_u", "_us").distinct()
+    )
+    outs = [
+        feas.select("_u")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.lit(steps[0]).alias("step"),
+            F.lit(1).alias("step_idx"),
+            "n_users",
+        )
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        nxt = e.where(F.col("_s") == st).select(
+            "_u", F.col("_us").alias("_t")
+        )
+        feas = (
+            nxt.join(feas, "_u")
+            .where(
+                (F.col("_t") > F.col("_us"))
+                & (F.col("_t") <= F.col("_us") + F.lit(win_us))
+            )
+            .select("_u", F.col("_t").alias("_us"))
+            .distinct()
+        )
+        outs.append(
+            feas.select("_u")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select(
+                F.lit(st).alias("step"),
+                F.lit(i).alias("step_idx"),
+                "n_users",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -5951,6 +5951,45 @@ LEFT JOIN e ef ON ef.event_id = ft.first_touch_id
 """
 
 
+def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view → click → purchase with a 6-hour per-step
+    conversion window (operators.funnel.funnel_conversion_windowed):
+    exact feasible-time-SET semantics — greedy earliest frontiers
+    would undercount under windows, so each step carries every
+    reachable timestamp and reach = users with a nonempty set.  The
+    oracle replays the same set chain with per-step range joins over
+    integer microseconds."""
+    from platform_etl_literature_spark.operators.funnel import (
+        funnel_conversion_windowed,
+    )
+
+    return funnel_conversion_windowed(
+        read_events(spark, sf),
+        ["view", "click", "purchase"],
+        max_step_seconds=21_600,
+    )
+
+
+_ORACLE_FUNNEL_WINDOWED = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS s, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+f1 AS MATERIALIZED (SELECT DISTINCT u, us FROM e WHERE s = 'view'),
+f2 AS MATERIALIZED (
+  SELECT DISTINCT n.u, n.us FROM e n JOIN f1 p ON n.u = p.u
+  WHERE n.s = 'click' AND n.us > p.us AND n.us <= p.us + 21600000000),
+f3 AS MATERIALIZED (
+  SELECT DISTINCT n.u, n.us FROM e n JOIN f2 p ON n.u = p.u
+  WHERE n.s = 'purchase' AND n.us > p.us AND n.us <= p.us + 21600000000)
+SELECT 'view' AS step, 1 AS step_idx,
+       (SELECT count(DISTINCT u) FROM f1) AS n_users
+UNION ALL
+SELECT 'click', 2, (SELECT count(DISTINCT u) FROM f2)
+UNION ALL
+SELECT 'purchase', 3, (SELECT count(DISTINCT u) FROM f3)
+"""
+
+
 def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel view → click → purchase over the events table
     (operators.funnel.funnel_conversion): per-user chained
@@ -7002,6 +7041,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "touch_attribution": QuerySpec(
         q_touch_attribution, _ORACLE_TOUCH_ATTR,
         "events-multitouch-attribution"
+    ),
+    "funnel_windowed": QuerySpec(
+        q_funnel_windowed, _ORACLE_FUNNEL_WINDOWED,
+        "events-windowed-funnel"
     ),
     "funnel_steps": QuerySpec(
         q_funnel_steps, _ORACLE_FUNNEL, "events-ordered-funnel"

@@ -3723,3 +3723,84 @@ def test_kneser_ney_python_replay_and_normalization(spark):
             for w2 in vocab2
         )
         assert abs(s - 1.0) < 1e-9, (w1, s)
+
+
+def test_funnel_windowed_feasible_sets_vs_bruteforce(spark):
+    """The crafted case greedy-chained-min gets WRONG: user 1's
+    earliest view is too old for any click window, but a later view
+    converts — feasible-set semantics counts them; random streams
+    match a python brute-force chain search at every step."""
+    import datetime as dt
+    import itertools as _it
+    import random as _r
+
+    from platform_etl_literature_spark.operators.funnel import (
+        funnel_conversion_windowed,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+
+    W = 600  # 10-minute window
+    crafted = [
+        # user 1: view@0 (too early), view@30, click@35, purchase@40
+        (1, "view", t(0)), (1, "view", t(30)),
+        (1, "click", t(35)), (1, "purchase", t(40)),
+        # user 2: view@0, click@5, purchase@30 — purchase outside 10m
+        (2, "view", t(0)), (2, "click", t(5)), (2, "purchase", t(30)),
+        # user 3: click before any view — never reaches step 2
+        (3, "click", t(0)), (3, "view", t(5)), (3, "purchase", t(6)),
+    ]
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        return {
+            r["step_idx"]: r["n_users"]
+            for r in funnel_conversion_windowed(
+                df, ["view", "click", "purchase"], max_step_seconds=W
+            ).collect()
+        }
+
+    def brute(rows):
+        per_user = {}
+        for u, s, ts in rows:
+            per_user.setdefault(u, []).append((s, ts.timestamp()))
+        reach = {1: 0, 2: 0, 3: 0}
+        steps = ["view", "click", "purchase"]
+        for u, evs in per_user.items():
+            best = 0
+            for k in (3, 2, 1):
+                found = False
+                for chain in _it.permutations(
+                    [e for e in evs if e[0] in steps], k
+                ):
+                    if all(chain[i][0] == steps[i] for i in range(k)) and all(
+                        chain[i][1] < chain[i + 1][1]
+                        and chain[i + 1][1] <= chain[i][1] + W
+                        for i in range(k - 1)
+                    ):
+                        found = True
+                        break
+                if found:
+                    best = k
+                    break
+            for k in range(1, best + 1):
+                reach[k] += 1
+        return reach
+
+    assert run(crafted) == brute(crafted) == {1: 3, 2: 2, 3: 1}
+
+    rng = _r.Random(13)
+    types = ["view", "click", "purchase", "signup"]
+    for trial in range(3):
+        rows = [
+            (
+                rng.randrange(4),
+                rng.choice(types),
+                t(rng.randrange(0, 120)),
+            )
+            for _ in range(60)
+        ]
+        assert run(rows) == brute(rows), trial
