@@ -135,3 +135,59 @@ def robust_outliers(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmed",
+) -> DataFrame:
+    """Exact per-group WEIGHTED (lower) median: the smallest value v
+    whose cumulative weight in value order reaches half the group's
+    total — the estimator aggregation pipelines want when rows carry
+    multiplicities (a document row weighted by its token count, a
+    file row by its bytes) and replicating rows weight-many times is
+    not an option at scale.
+
+    Weights must be POSITIVE INTEGERS (longs) by contract — the
+    half-total comparison is then the exact integer test
+    ``2·cum ≥ W`` with no division, so the selection is
+    engine-portable bit-for-bit (fixed-point scale fractional weights
+    first, the repo-wide float policy).  Rows with NULL or < 1
+    weights raise rather than silently skewing the estimate.
+
+    Same scale shape as :func:`grouped_median`: values collapse to
+    (keys, value) → weight-sum cells map-side, the window pass runs
+    over DISTINCT values per group, and exactly one row per group
+    survives the rank test (the lower median needs no two-value
+    averaging, so the output type is the VALUE's own type,
+    undisturbed)."""
+    bad = f"`{weight_col}` IS NULL OR `{weight_col}` < 1"
+    guarded = df.withColumn(
+        "_wv",
+        F.expr(
+            f"CASE WHEN {bad} THEN CAST(raise_error('weighted_median: "
+            f"weights must be positive integers') AS BIGINT) "
+            f"ELSE CAST(`{weight_col}` AS BIGINT) END"
+        ),
+    )
+    g = (
+        guarded.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, value_col)
+        .agg(F.sum("_wv").alias("_w"))
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    cum = F.sum("_w").over(w_cum)
+    tot = F.sum("_w").over(w_all)
+    sel = g.withColumn("_hit", (2 * cum >= tot) & (2 * (cum - F.col("_w")) < tot))
+    return (
+        sel.filter("_hit")
+        .select(*key_cols, F.col(value_col).alias(out_col))
+    )

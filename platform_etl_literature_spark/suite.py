@@ -757,6 +757,48 @@ FROM sc GROUP BY id
 """
 
 
+def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-language WEIGHTED lower median of document length,
+    weighted by token count (operators.robust.weighted_median):
+    integer-weight contract makes the half-total test the exact
+    ``2·cum ≥ W`` — no division, engine-portable bit-for-bit; the
+    oracle replays the distinct-value cumulative selection."""
+    from platform_etl_literature_spark.operators.robust import (
+        weighted_median,
+    )
+    from platform_etl_literature_spark.operators.dedup import tokens
+
+    d = (
+        _t(spark, sf, "documents")
+        .select(
+            "lang",
+            "n_chars",
+            F.size(tokens(F.col("text"))).cast("long").alias("w"),
+        )
+        .where(F.col("w") >= 1)
+    )
+    return weighted_median(d, ["lang"], "n_chars", "w")
+
+
+_ORACLE_WEIGHTED_MEDIAN = """
+WITH d AS (
+  SELECT lang, n_chars AS v,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS w
+  FROM documents),
+g AS (
+  SELECT lang, v, CAST(sum(w) AS BIGINT) AS w
+  FROM d WHERE w >= 1 GROUP BY 1, 2),
+c AS (
+  SELECT lang, v, w,
+         CAST(sum(w) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+  FROM g)
+SELECT lang, v AS wmed FROM c
+WHERE 2 * cum >= tot AND 2 * (cum - w) < tot
+"""
+
+
 def q_kn_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (operators.lm.
     kn_doc_neg_micro_nats, Kneser & Ney '95 / Chen & Goodman '98) —
@@ -6763,6 +6805,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "kn_lm_score": QuerySpec(
         q_kn_lm_score, _ORACLE_KN_LM, "quality-kneser-ney-lm"
+    ),
+    "weighted_median": QuerySpec(
+        q_weighted_median, _ORACLE_WEIGHTED_MEDIAN, "robust-weighted-median"
     ),
     "prefix_jaccard": QuerySpec(
         q_prefix_jaccard, _ORACLE_PREFIX_JACCARD, "dedup-prefix-filter-join"

@@ -3804,3 +3804,59 @@ def test_funnel_windowed_feasible_sets_vs_bruteforce(spark):
             for _ in range(60)
         ]
         assert run(rows) == brute(rows), trial
+
+
+def test_weighted_median_python_replay_and_contract(spark):
+    """Weighted lower median matches a python replay on crafted and
+    random multisets (incl. duplicate values whose weights pool);
+    weight 1 everywhere degrades to the plain lower median; zero/NULL
+    weights raise."""
+    import random as _r
+
+    from platform_etl_literature_spark.operators.robust import (
+        weighted_median,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "k string, v long, w long")
+        return {
+            r["k"]: r["wmed"]
+            for r in weighted_median(df, ["k"], "v", "w").collect()
+        }
+
+    def ref(rows):
+        groups = {}
+        for k, v, w in rows:
+            groups.setdefault(k, {})
+            groups[k][v] = groups[k].get(v, 0) + w
+        out = {}
+        for k, m in groups.items():
+            tot = sum(m.values())
+            cum = 0
+            for v in sorted(m):
+                cum += m[v]
+                if 2 * cum >= tot:
+                    out[k] = v
+                    break
+        return out
+
+    crafted = [
+        ("a", 1, 1), ("a", 2, 1), ("a", 100, 7),   # weight drags it high
+        ("b", 5, 3), ("b", 7, 3),                  # even split -> lower
+        ("c", 9, 1), ("c", 9, 4), ("c", 10, 4),    # duplicate values pool
+    ]
+    got = run(crafted)
+    assert got == ref(crafted)
+    assert got["a"] == 100 and got["b"] == 5 and got["c"] == 9
+
+    rng = _r.Random(99)
+    rand = [
+        (str(rng.randrange(3)), rng.randrange(20), rng.randrange(1, 9))
+        for _ in range(200)
+    ]
+    assert run(rand) == ref(rand)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="positive integers"):
+        run([("a", 1, 0)])
