@@ -394,13 +394,57 @@ def run_dq(spark: SparkSession, cfg: dict) -> None:
             raise SystemExit("DQ violations: " + "; ".join(bad))
 
 
+def run_layout(spark: SparkSession, cfg: dict) -> None:
+    """Table-maintenance pass: cluster a table for file skipping and/or
+    compact small files into target-sized ones.  Config::
+
+        "layout": {"table": "orders",
+                   "cluster": {"cols": ["o_custkey", "o_orderkey"],
+                               "curve": "zorder",   # or "hilbert"
+                               "n_files": 64, "bits": 8},
+                   "compact": {"src_dir": "...", "dest_dir": "...",
+                               "target_bytes": 134217728,
+                               "cluster_col": "o_custkey"}}
+
+    ``cluster`` writes the curve-ordered copy to the ``layout_out``
+    output (one tight curve range per file — zone-map skipping per the
+    measured hilbert_skip/zonemap_skip rows); ``compact`` runs
+    :func:`operators.layout.execute_compaction` (_SUCCESS-gated,
+    idempotent).  Either sub-step may be omitted."""
+    from platform_etl_literature_spark.operators import layout as LAY
+
+    lcfg = cfg.get("layout", {})
+    ccfg = lcfg.get("cluster")
+    if ccfg:
+        inputs = read_from(spark, _io_configs(cfg["inputs"]))
+        df = inputs[lcfg.get("table", "documents")].data
+        out = LAY.optimize_layout(
+            df,
+            ccfg["cols"],
+            n_files=ccfg.get("n_files", 64),
+            bits=ccfg.get("bits", 8),
+            curve=ccfg.get("curve", "zorder"),
+        )
+        write_to(_out(cfg, "layout_out", out))
+    kcfg = lcfg.get("compact")
+    if kcfg:
+        res = LAY.execute_compaction(
+            spark,
+            kcfg["src_dir"],
+            kcfg["dest_dir"],
+            kcfg["target_bytes"],
+            cluster_col=kcfg.get("cluster_col"),
+        )
+        print(f"layout.compact: {res}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="platform-etl-literature-spark",
         description=(
             "PySpark literature ETL: processing | embedding | vectors | "
             "evidence | all; plus the training-data steps: curate, cluster, "
-            "scrub, search, split, score, dq"
+            "scrub, search, split, score, dq, layout"
         ),
     )
     p.add_argument(
@@ -408,7 +452,7 @@ def main(argv: list[str] | None = None) -> None:
         nargs="+",
         choices=STEPS
         + ["all", "curate", "cluster", "scrub", "search", "split", "score",
-           "dq"],
+           "dq", "layout"],
     )
     p.add_argument("--config", required=True, help="JSON config file")
     p.add_argument("--master", default=None)
@@ -431,6 +475,8 @@ def main(argv: list[str] | None = None) -> None:
         run_score(spark, cfg)
     if "dq" in args.steps:
         run_dq(spark, cfg)
+    if "layout" in args.steps:
+        run_layout(spark, cfg)
     steps = STEPS if "all" in args.steps else [s for s in STEPS if s in args.steps]
     if steps:
         run_all(spark, cfg, steps)

@@ -360,3 +360,80 @@ def test_cli_dq_null_metric_trips_the_gate(spark, tmp_path):
         cli_main(["dq", "--config", str(cfg_path)])
     rows = spark.read.parquet(f"{out}/dq_report").collect()
     assert any(r["passed"] is None for r in rows), rows
+
+
+def test_cli_layout_step(spark, tmp_path, sf_dir):
+    """The layout step writes a curve-clustered copy (footer ranges
+    narrow several-fold vs the hash layout — the optimize_layout bar)
+    and executes compaction into one file per plan group,
+    _SUCCESS-gated idempotent."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.main import main as cli_main
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    src = str(tmp_path / "orders_src")
+    # many small files -> something for compaction to do
+    orders.repartition(16).write.parquet(src)
+    out = str(tmp_path / "out")
+    dest = str(tmp_path / "compacted")
+    cfg = {
+        "inputs": {"orders": {"format": "parquet", "path": src}},
+        "output": {"format": "parquet", "dir": out},
+        "layout": {
+            "table": "orders",
+            "cluster": {
+                "cols": ["o_custkey", "o_orderkey"],
+                "curve": "hilbert",
+                "n_files": 8,
+            },
+            "compact": {
+                "src_dir": src,
+                "dest_dir": dest,
+                "target_bytes": 1 << 20,
+                "cluster_col": "o_orderkey",
+            },
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cli_main(["layout", "--config", str(cfg_path)])
+
+    clustered = spark.read.parquet(f"{out}/layout_out")
+    assert clustered.count() == orders.count()
+    # per-file o_custkey span sums far below the hash layout's
+    def span_sum(path):
+        tot = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mn = min(
+                md.row_group(g).column(1).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(1).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            tot += mx - mn + 1
+        return tot
+
+    def n_files(path):
+        return len(glob.glob(f"{path}/*.parquet"))
+
+    # average per-file custkey span under the curve layout must be a
+    # fraction of the hash layout's (every hash file spans ~the full
+    # key range; curve files cover tight rectangles)
+    avg_src = span_sum(src) / n_files(src)
+    avg_opt = span_sum(f"{out}/layout_out") / n_files(f"{out}/layout_out")
+    assert avg_opt * 2 < avg_src, (avg_src, avg_opt)
+
+    compacted = spark.read.parquet(dest)
+    assert compacted.count() == orders.count()
+    # idempotent: second run skips (dest _SUCCESS present), same rows
+    cli_main(["layout", "--config", str(cfg_path)])
+    assert spark.read.parquet(dest).count() == orders.count()

@@ -403,6 +403,33 @@ SHOWCASE: dict[str, str] = {
         "frame would re-scan to partition end per row (O(grid²), "
         "measured 10.3 s vs 1.6 s at sf0.1)."
     ),
+    "kn_lm_score": (
+        "The KN model is never broadcast by construction: the four "
+        "count tables (prefix totals, bigram counts, follower/"
+        "predecessor types) join back onto the persisted instance "
+        "frame co-partitioned on the gram key — AQE picks broadcast "
+        "at test scale, but nothing in the plan hard-codes it; T is "
+        "the one scalar, attached via a single-row broadcast."
+    ),
+    "funnel_windowed": (
+        "Each funnel step is a user-keyed hash EQUIJOIN with the "
+        "window bound riding as a residual range condition — no "
+        "nested-loop join anywhere; the distinct after each step "
+        "keeps the feasible-time set, and every stage shrinks with "
+        "the surviving user set."
+    ),
+    "weighted_median": (
+        "Rows collapse to (key, value) weight cells in the map-side "
+        "partial aggregate; the window pass runs over DISTINCT values "
+        "per group and the 2·cum ≥ W test selects exactly one row — "
+        "a hot value costs one cell, never its multiplicity."
+    ),
+    "binning_balance": (
+        "Rows touch the plan once, in the groupBy(value) count; both "
+        "histograms (equi-width arithmetic bins, equi-depth rank "
+        "thresholds off the range-exchange global index) and the "
+        "threshold build itself are per-distinct-value frames."
+    ),
     "bloomindex_skip": (
         "After the single corpus projection every frame is files × "
         "probes sized: the probe set and its positions BROADCAST into "
