@@ -219,6 +219,7 @@ def zonemap_skip_stats(
     bits: int = 8,
     band: tuple[int, int] = (45, 55),
     curve: str = "zorder",
+    bins: str = "equiwidth",
 ) -> DataFrame:
     """Zone-map skipping accountability — the layout family's analog of
     ANN recall: MEASURE how many simulated files a range predicate must
@@ -242,7 +243,14 @@ def zonemap_skip_stats(
     """
     if not zcols:
         raise ValueError("zonemap_skip_stats needs at least one z column")
-    if curve == "zorder":
+    if bins not in ("equiwidth", "equidepth"):
+        raise ValueError(f"unknown bins {bins!r} (equiwidth|equidepth)")
+    if bins == "equidepth":
+        if curve != "zorder":
+            raise ValueError("equidepth bins are wired for curve='zorder'")
+        z = equidepth_bins(df, zcols, bits=bits)
+        curve = "zorder-eqdepth"  # the layout label in the output
+    elif curve == "zorder":
         z = zorder_bins(df, zcols, bits=bits)
     elif curve == "hilbert":
         z = hilbert_bins(df, zcols, bits=bits).withColumnRenamed("_h", "_z")
@@ -696,3 +704,43 @@ def binning_balance_stats(df: DataFrame, col: str, bits: int = 6) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def equidepth_bins(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Equi-depth twin of :func:`zorder_bins`: ``_bin_<col>`` =
+    NUMBER OF EXACT NEAREST-RANK THRESHOLDS STRICTLY BELOW the value
+    (:func:`equidepth_thresholds`), plus the interleaved ``_z``.
+    On a skewed column the equi-width bins collapse
+    (:func:`binning_balance_stats` measures it) and zone-map skipping
+    dies with them; quantile bins keep every bin ~n/B rows so the
+    curve's file cuts stay informative — ``zonemap_skip_stats(bins=
+    'equidepth')`` measures that consequence.
+
+    Plan shape per column: the threshold build (distinct-value
+    cumulative counts over the range-exchange global index), one
+    broadcast join of the (B−1)-row threshold frame against the
+    DISTINCT values, and one value-keyed join mapping rows to bins —
+    rows are never multiplied by B.  All comparisons are integer."""
+    if not cols:
+        raise ValueError("equidepth_bins needs at least one column")
+    B = 1 << bits
+    out = df
+    bin_names = []
+    for c in cols:
+        th = equidepth_thresholds(df, c, B)
+        vals = (
+            df.select(F.col(c).cast("long").alias("_v"))
+            .where(F.col(c).isNotNull())
+            .distinct()
+        )
+        bname = f"_bin_{c}"
+        bin_names.append(bname)
+        vmap = (
+            vals.join(F.broadcast(th), vals["_v"] > th["t"], "left")
+            .groupBy("_v")
+            .agg(F.count(th["t"]).alias(bname))
+        )
+        out = out.join(
+            vmap, out[c].cast("long") == vmap["_v"]
+        ).drop("_v")
+    return out.withColumn("_z", F.expr(_interleave_sql(bin_names, bits)))

@@ -5802,6 +5802,103 @@ FROM st
 """
 
 
+def q_zonemap_skip_skewed(spark: SparkSession, sf: str) -> DataFrame:
+    """The consequence of bin collapse (operators.layout.
+    equidepth_bins via zonemap_skip_stats(bins='equidepth')): on the
+    SKEWED column (squared order-total cents) equi-width z-order
+    scans 17/64 files for the mid-range band while exact nearest-rank
+    equi-depth bins scan 8/64 — skipping SURVIVES skew — with the
+    companion column comparable (17 vs 18).  The oracle replays the
+    thresholds, value→bin maps, interleave, file buckets and zone
+    maps end to end."""
+    from platform_etl_literature_spark.operators.layout import (
+        zonemap_skip_stats,
+    )
+
+    orders = _t(spark, sf, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    sk = orders.select((c * c).alias("skewed"), "o_orderkey")
+    return zonemap_skip_stats(
+        sk, ["skewed", "o_orderkey"], "o_orderkey",
+        n_files=64, bits=8, bins="equidepth",
+    )
+
+
+def _zonemap_skewed_oracle(
+    n_files: int = 64, bits: int = 8, lo: int = 45, hi: int = 55
+) -> str:
+    B = 1 << bits
+    inter = " + ".join(
+        f"(((b{n} >> {b}) & 1) << {b * 2 + (1 - i)})"
+        for b in range(bits - 1, -1, -1)
+        for i, n in enumerate(("a", "o"))
+    )
+    col_ctes = []
+    for tag, vcol in (("a", "sk"), ("o", "ok")):
+        col_ctes.append(f"""
+cnt_{tag} AS (SELECT {vcol} AS v, count(*) AS c FROM d GROUP BY 1),
+cum_{tag} AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM cnt_{tag}),
+th_{tag} AS MATERIALIZED (
+  SELECT j, min(v) AS t FROM cum_{tag} CROSS JOIN rk
+  WHERE cum >= rk GROUP BY 1),
+map_{tag} AS MATERIALIZED (
+  SELECT c.v, count(t.t) AS b FROM cnt_{tag} c
+  LEFT JOIN th_{tag} t ON c.v > t.t GROUP BY 1)""")
+    legs = []
+    for layout, fcol in (("zorder-eqdepth", "fz"), ("natural", "fn")):
+        for c, mnc, mxc in (("skewed", "mn_a", "mx_a"),
+                            ("o_orderkey", "mn_o", "mx_o")):
+            plo = f"({mnc} + ({mxc} - {mnc}) * {lo} // 100)"
+            phi = f"({mnc} + ({mxc} - {mnc}) * {hi} // 100)"
+            legs.append(
+                f"SELECT '{layout}' AS layout, '{c}' AS pred_col,\n"
+                f"  count(*) AS n_files_total,\n"
+                f"  CAST(sum(CASE WHEN NOT (fmx_{c} < {plo} OR fmn_{c} > {phi})\n"
+                f"       THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,\n"
+                f"  round(CAST(sum(CASE WHEN NOT (fmx_{c} < {plo} OR fmn_{c} > {phi})\n"
+                f"       THEN 1 ELSE 0 END) AS BIGINT)\n"
+                f"      / CAST(count(*) AS DOUBLE) * 100, 2) AS scan_pct\n"
+                f"FROM zone_{fcol} CROSS JOIN stats"
+            )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         * CAST(round(o_totalprice * 100, 0) AS BIGINT) AS sk,
+         CAST(o_orderkey AS BIGINT) AS ok
+  FROM orders),
+nn AS (SELECT count(*) AS n FROM d),
+rk AS (SELECT j, CAST(ceil(j * n / {B}) AS BIGINT) AS rk
+       FROM (SELECT unnest(generate_series(1, {B - 1})) AS j) CROSS JOIN nn),
+{",".join(col_ctes)},
+b AS MATERIALIZED (
+  SELECT d.sk, d.ok, ma.b AS ba, mo.b AS bo
+  FROM d JOIN map_a ma ON ma.v = d.sk JOIN map_o mo ON mo.v = d.ok),
+z AS (SELECT sk, ok, {inter} AS zv FROM b),
+stats AS (
+  SELECT min(zv) AS mnz, max(zv) AS mxz,
+         min(sk) AS mn_a, max(sk) AS mx_a,
+         min(ok) AS mn_o, max(ok) AS mx_o
+  FROM z),
+f AS (
+  SELECT sk, ok,
+    (zv - mnz) * {n_files} // (mxz - mnz + 1) AS fz,
+    (ok - mn_o) * {n_files} // (mx_o - mn_o + 1) AS fn
+  FROM z CROSS JOIN stats),
+zone_fz AS (
+  SELECT fz AS file,
+         min(sk) AS fmn_skewed, max(sk) AS fmx_skewed,
+         min(ok) AS fmn_o_orderkey, max(ok) AS fmx_o_orderkey
+  FROM f GROUP BY 1),
+zone_fn AS (
+  SELECT fn AS file,
+         min(sk) AS fmn_skewed, max(sk) AS fmx_skewed,
+         min(ok) AS fmn_o_orderkey, max(ok) AS fmx_o_orderkey
+  FROM f GROUP BY 1)
+{union}
+"""
+
+
 def q_quality_thresholds(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-family composition — the CCNet-style per-language quality
     cut computed end to end inside the engine: exact integer micro-nat
@@ -7068,6 +7165,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "binning_balance": QuerySpec(
         q_binning_balance, _ORACLE_BIN_BALANCE,
         "layout-equidepth-balance"
+    ),
+    "zonemap_skip_skewed": QuerySpec(
+        q_zonemap_skip_skewed, _zonemap_skewed_oracle(),
+        "layout-equidepth-skip-under-skew"
     ),
     "zonemap_skip": QuerySpec(
         q_zonemap_skip, _zonemap_oracle(), "layout-zonemap-accountability"

@@ -3860,3 +3860,56 @@ def test_weighted_median_python_replay_and_contract(spark):
 
     with _pytest.raises(Exception, match="positive integers"):
         run([("a", 1, 0)])
+
+
+def test_equidepth_bins_and_skew_skip(spark):
+    """equidepth_bins assigns each value the count of thresholds
+    strictly below it (python replay); on a skewed (cubed) column the
+    equi-depth layout scans no more files than the equi-width one for
+    the mid-range band — skipping survives skew."""
+    from platform_etl_literature_spark.operators.layout import (
+        equidepth_bins,
+        equidepth_thresholds,
+        zonemap_skip_stats,
+    )
+
+    rows = [(i, i ** 3, i * 7 % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "nat long, skew long, other long")
+    bits = 4
+    B = 1 << bits
+    th = sorted(
+        r["t"] for r in equidepth_thresholds(df, "skew", B).collect()
+    )
+    got = {
+        (r["nat"]): (r["_bin_skew"], r["_bin_other"])
+        for r in equidepth_bins(df, ["skew", "other"], bits=bits).collect()
+    }
+    th_o = sorted(
+        r["t"] for r in equidepth_thresholds(df, "other", B).collect()
+    )
+    for nat, skew, other in rows:
+        want = sum(1 for t in th if skew > t)
+        want_o = sum(1 for t in th_o if other > t)
+        assert got[nat] == (want, want_o), nat
+
+    def scans(bins):
+        return {
+            (r["layout"], r["pred_col"]): r["n_scanned"]
+            for r in zonemap_skip_stats(
+                df, ["skew", "other"], "nat",
+                n_files=16, bits=bits, bins=bins,
+            ).collect()
+        }
+
+    ew = scans("equiwidth")
+    ed = scans("equidepth")
+    assert ed[("zorder-eqdepth", "skew")] <= ew[("zorder", "skew")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="equiwidth|equidepth"):
+        zonemap_skip_stats(df, ["skew"], "nat", bins="quantile")
+    with _pytest.raises(ValueError, match="zorder"):
+        zonemap_skip_stats(
+            df, ["skew", "other"], "nat", curve="hilbert", bins="equidepth"
+        )
