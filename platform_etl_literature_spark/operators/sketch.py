@@ -342,3 +342,64 @@ def hdr_quantiles(
         "n",
         F.round((lo + hi) / F.lit(2.0), 6).alias("est_q"),
     )
+
+
+def psi_drift(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Population Stability Index between two HDR histograms built
+    with the same ``m`` — the standard drift monitor for a training-
+    data pipeline (did this week's value distribution shift against
+    the reference window?): PSI = Σᵢ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over the
+    aligned buckets, with the usual rule of thumb <0.1 stable /
+    0.1–0.25 drifting / >0.25 shifted.
+
+    Works ON THE SKETCHES, not the data: drift between any two
+    persisted windows costs a bucket-aligned FULL OUTER join of two
+    ≤ ~63·m-row frames per key — never a rescan of either corpus (the
+    persist-fine/compare-later contract the whole sketch family
+    exists for).  Buckets are Laplace-smoothed (+1 per aligned
+    bucket, totals + K) so one-sided buckets contribute finite terms.
+
+    Exactness: each bucket's term is rounded to integer NANO-units
+    and SUMMED AS INTEGERS (the LM micro-nat pattern — a float sum
+    across buckets would be accumulation-order-dependent across
+    engines); ``psi`` is derived from that integer once.  Returns
+    (*keys, n_a, n_b, n_buckets, psi_nano, psi)."""
+    keys = list(keys or [])
+    a = sketch_a.select(
+        *keys, "b", F.col("cnt").alias("_ca")
+    )
+    bb = sketch_b.select(
+        *keys, "b", F.col("cnt").alias("_cb")
+    )
+    j = a.join(bb, [*keys, "b"], "full").select(
+        *keys,
+        "b",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    tot = j.groupBy(*keys).agg(
+        F.sum("_ca").alias("_A"),
+        F.sum("_cb").alias("_B"),
+        F.count(F.lit(1)).alias("_K"),
+    )
+    t = j.join(F.broadcast(tot), keys) if keys else j.crossJoin(
+        F.broadcast(tot)
+    )
+    p = (F.col("_ca") + 1) / (F.col("_A") + F.col("_K"))
+    q = (F.col("_cb") + 1) / (F.col("_B") + F.col("_K"))
+    nano = F.round((p - q) * F.log(p / q) * 1000000000.0, 0).cast("long")
+    return (
+        t.select(*keys, "_A", "_B", "_K", nano.alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.first("_A").alias("n_a"),
+            F.first("_B").alias("n_b"),
+            F.first("_K").alias("n_buckets"),
+            F.sum("_t").alias("psi_nano"),
+        )
+        .withColumn("psi", F.round(F.col("psi_nano") / 1000000000.0, 6))
+    )

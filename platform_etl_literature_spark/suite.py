@@ -5745,6 +5745,71 @@ b_p AS MATERIALIZED (
 """
 
 
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift monitoring on sketches (operators.sketch.
+    psi_drift): PSI between the first and second half-month of event
+    values (integer cents, HDR m=8 buckets), per event type — the
+    persisted-window comparison a 100 TB pipeline runs WITHOUT
+    rescanning either window.  Per-bucket terms round to integer
+    nano-units and sum as integers (the micro-nat pattern), so the
+    oracle replays bucket ids, Laplace smoothing and the fold
+    bit-for-bit."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    src = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v"),
+        (F.dayofmonth("ts") <= 15).alias("_first"),
+    ).where(F.col("v") >= 1)
+    m = 8
+    sa = SK.hdr_build(src.where("_first").drop("_first"), "v", m=m, keys=["g"])
+    sb = SK.hdr_build(
+        src.where("NOT _first").drop("_first"), "v", m=m, keys=["g"]
+    )
+    return SK.psi_drift(sa, sb, keys=["g"])
+
+
+_ORACLE_PSI = """
+WITH src AS (
+  SELECT event_type AS g,
+         CAST(round(value * 100, 0) AS BIGINT) AS v,
+         (CAST(date_part('day', ts) AS INTEGER) <= 15) AS firsth
+  FROM events
+  WHERE value IS NOT NULL AND CAST(round(value * 100, 0) AS BIGINT) >= 1),
+bk AS (
+  SELECT g, firsth,
+         (length(bin(v)) - 1) * 8 +
+           ((v - CAST(pow(2, length(bin(v)) - 1) AS BIGINT)) * 8)
+             // CAST(pow(2, length(bin(v)) - 1) AS BIGINT) AS b,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2, 3),
+a AS (SELECT g, b, cnt AS ca FROM bk WHERE firsth),
+bb AS (SELECT g, b, cnt AS cb FROM bk WHERE NOT firsth),
+j AS (
+  SELECT COALESCE(a.g, bb.g) AS g, COALESCE(a.b, bb.b) AS b,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM a FULL JOIN bb ON a.g = bb.g AND a.b = bb.b),
+tot AS (
+  SELECT g, CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+         count(*) AS tk
+  FROM j GROUP BY 1),
+t AS (
+  SELECT j.g,
+    CAST(round(((ca + 1) / CAST(ta + tk AS DOUBLE)
+                - (cb + 1) / CAST(tb + tk AS DOUBLE))
+               * ln(((ca + 1) / CAST(ta + tk AS DOUBLE))
+                    / ((cb + 1) / CAST(tb + tk AS DOUBLE)))
+               * 1000000000.0, 0) AS BIGINT) AS nano,
+    ta, tb, tk
+  FROM j JOIN tot ON tot.g = j.g)
+SELECT g, ta AS n_a, tb AS n_b, tk AS n_buckets,
+       CAST(sum(nano) AS BIGINT) AS psi_nano,
+       round(CAST(sum(nano) AS BIGINT) / 1000000000.0, 6) AS psi
+FROM t GROUP BY g, ta, tb, tk
+"""
+
+
 def q_binning_balance(spark: SparkSession, sf: str) -> DataFrame:
     """Bin-balance accountability (operators.layout.
     binning_balance_stats): on a skewed column (squared order-total
@@ -7169,6 +7234,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "zonemap_skip_skewed": QuerySpec(
         q_zonemap_skip_skewed, _zonemap_skewed_oracle(),
         "layout-equidepth-skip-under-skew"
+    ),
+    "psi_drift": QuerySpec(
+        q_psi_drift, _ORACLE_PSI, "sketch-psi-drift-monitor"
     ),
     "zonemap_skip": QuerySpec(
         q_zonemap_skip, _zonemap_oracle(), "layout-zonemap-accountability"

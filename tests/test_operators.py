@@ -3913,3 +3913,34 @@ def test_equidepth_bins_and_skew_skip(spark):
         zonemap_skip_stats(
             df, ["skew", "other"], "nat", curve="hilbert", bins="equidepth"
         )
+
+
+def test_psi_drift_properties(spark):
+    """PSI on sketches: identical windows give exactly 0 (integer
+    nano fold, no float residue); a swapped comparison gives the SAME
+    value (the term is symmetric under p<->q); a genuinely shifted
+    window crosses the 0.25 rule-of-thumb while a resampled same
+    distribution stays tiny."""
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    def build(vals, g="x"):
+        df = spark.createDataFrame([(g, v) for v in vals], "g string, v long")
+        return SK.hdr_build(df, "v", m=8, keys=["g"])
+
+    base = [int(1 + (i * 37) % 400) for i in range(500)]
+    same = [int(1 + (i * 53) % 400) for i in range(400)]  # same range
+    shifted = [v * 64 for v in base]                      # 6 octaves up
+
+    a = build(base)
+    assert SK.psi_drift(a, build(base), keys=["g"]).collect()[0][
+        "psi_nano"
+    ] == 0
+
+    ab = SK.psi_drift(a, build(shifted), keys=["g"]).collect()[0]
+    ba = SK.psi_drift(build(shifted), a, keys=["g"]).collect()[0]
+    assert ab["psi"] > 0.25          # shifted: flags as drifted
+    assert ab["psi_nano"] == ba["psi_nano"]  # symmetric
+
+    near = SK.psi_drift(a, build(same), keys=["g"]).collect()[0]
+    assert near["psi"] < 0.1, near["psi"]   # same family: stable
+    assert ab["n_buckets"] >= near["n_buckets"]
