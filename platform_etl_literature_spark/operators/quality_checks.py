@@ -182,3 +182,71 @@ def referential_integrity(
             "referential", column, metric, min_ratio, metric >= min_ratio
         ).alias("_r")
     ).select("_r.*")
+
+
+def metric_drift(
+    history: DataFrame,
+    current: DataFrame,
+    cutoff: float = 3.5,
+    min_history: int = 5,
+) -> DataFrame:
+    """Deequ-style metric ANOMALY gate: flag a run's metrics against
+    the robust envelope of their own history — the temporal layer on
+    top of :func:`verify`'s static thresholds (a completeness of 0.97
+    can pass the static bound yet be a six-sigma collapse for THIS
+    table).  ``history`` holds past report rows (check, target,
+    metric) across runs; ``current`` holds one run's rows.
+
+    Per (check, target): median + MAD over the history metrics (the
+    Iglewicz-Hoaglin 0.6745 z, operators.robust's exact rank-selection
+    medians — no sketch, engine-replayable), then
+
+      passed = |0.6745·(metric − med)/mad| ≤ cutoff
+      mad == 0  →  passed = (metric == med)   (degenerate history)
+      fewer than ``min_history`` points → passed NULL = UNKNOWN
+      (the run_dq gate coalesces NULL to failed — new metrics must
+      earn their history before the gate trusts them).
+
+    Returns (check, target, metric, med, mad, z, n_history, passed).
+    Everything is metric-table-sized — the history frame is one slim
+    row per (run × check), never data-sized."""
+    from platform_etl_literature_spark.operators.robust import (
+        grouped_median,
+    )
+
+    keys = ["check", "target"]
+    h = history.select(*keys, F.col("metric").cast("double").alias("_x"))
+    med = grouped_median(h, keys, "_x", out_col="_med")
+    dev = h.join(med, keys).select(
+        *keys, F.abs(F.col("_x") - F.col("_med")).alias("_d")
+    )
+    mad = grouped_median(dev, keys, "_d", out_col="_mad")
+    nh = h.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_history"))
+    cur = current.select(
+        *keys, F.col("metric").cast("double").alias("metric")
+    )
+    j = (
+        cur.join(F.broadcast(med), keys, "left")
+        .join(F.broadcast(mad), keys, "left")
+        .join(F.broadcast(nh), keys, "left")
+    )
+    z = F.round(
+        0.6745 * (F.col("metric") - F.col("_med")) / F.col("_mad"), 6
+    )
+    passed = (
+        F.when(
+            F.coalesce(F.col("n_history"), F.lit(0)) < min_history,
+            F.lit(None).cast("boolean"),
+        )
+        .when(F.col("_mad") == 0.0, F.col("metric") == F.col("_med"))
+        .otherwise(F.abs(z) <= cutoff)
+    )
+    return j.select(
+        *keys,
+        F.round("metric", 6).alias("metric"),
+        F.round("_med", 6).alias("med"),
+        F.round("_mad", 6).alias("mad"),
+        F.when(F.col("_mad") != 0.0, z).alias("z"),
+        F.coalesce(F.col("n_history"), F.lit(0)).alias("n_history"),
+        passed.alias("passed"),
+    )

@@ -5745,6 +5745,103 @@ b_p AS MATERIALIZED (
 """
 
 
+def q_metric_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style metric ANOMALY gate (operators.quality_checks.
+    metric_drift): day-30 per-type average event value judged against
+    the robust median±MAD envelope of days 1-29 — the temporal layer
+    static thresholds can't express.  Medians are the exact
+    rank-selection kind (operators.robust), z is rounded before the
+    cutoff compare, and degenerate/short histories degrade to
+    unknown = NULL passed (the run_dq gate treats unknown as failed);
+    the oracle replays daily metrics, both rank selections, and the
+    gate."""
+    from platform_etl_literature_spark.operators import (
+        quality_checks as QCX,
+    )
+
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("_d")
+    ).agg(
+        (
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+            / F.count(F.lit(1))
+        ).alias("metric")
+    )
+    hist = daily.where(F.col("_d") <= 29).select(
+        F.lit("daily_avg_cents").alias("check"),
+        F.col("event_type").alias("target"),
+        "metric",
+    )
+    cur = daily.where(F.col("_d") == 30).select(
+        F.lit("daily_avg_cents").alias("check"),
+        F.col("event_type").alias("target"),
+        "metric",
+    )
+    return QCX.metric_drift(hist, cur, cutoff=2.5)
+
+
+_ORACLE_METRIC_DRIFT = """
+WITH daily AS (
+  SELECT event_type AS target,
+         CAST(date_part('day', ts) AS INTEGER) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           / CAST(count(*) AS DOUBLE) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+h AS (SELECT target, m FROM daily WHERE d <= 29),
+g AS (SELECT target, m, count(*) AS cnt FROM h GROUP BY 1, 2),
+c AS (
+  SELECT target, m, cnt,
+    sum(cnt) OVER (PARTITION BY target ORDER BY m
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY target) AS n
+  FROM g),
+med AS (
+  SELECT target,
+    sum(m * (
+      (CASE WHEN cum - cnt + 1 <= (n + 1) // 2 AND (n + 1) // 2 <= cum
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN cum - cnt + 1 <= (n + 2) // 2 AND (n + 2) // 2 <= cum
+            THEN 1 ELSE 0 END))) / 2.0 AS med
+  FROM c GROUP BY 1),
+dv AS (
+  SELECT h.target, abs(h.m - med.med) AS dev
+  FROM h JOIN med USING (target)),
+dg AS (SELECT target, dev, count(*) AS cnt FROM dv GROUP BY 1, 2),
+dc AS (
+  SELECT target, dev, cnt,
+    sum(cnt) OVER (PARTITION BY target ORDER BY dev
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY target) AS n
+  FROM dg),
+mad AS (
+  SELECT target,
+    sum(dev * (
+      (CASE WHEN cum - cnt + 1 <= (n + 1) // 2 AND (n + 1) // 2 <= cum
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN cum - cnt + 1 <= (n + 2) // 2 AND (n + 2) // 2 <= cum
+            THEN 1 ELSE 0 END))) / 2.0 AS mad
+  FROM dc GROUP BY 1),
+nh AS (SELECT target, count(*) AS n_history FROM h GROUP BY 1),
+cur AS (SELECT target, m FROM daily WHERE d = 30)
+SELECT 'daily_avg_cents' AS check, cur.target,
+  round(cur.m, 6) AS metric,
+  round(med.med, 6) AS med,
+  round(mad.mad, 6) AS mad,
+  CASE WHEN mad.mad != 0
+       THEN round(0.6745 * (cur.m - med.med) / mad.mad, 6) END AS z,
+  COALESCE(nh.n_history, 0) AS n_history,
+  CASE WHEN COALESCE(nh.n_history, 0) < 5 THEN NULL
+       WHEN mad.mad = 0 THEN cur.m = med.med
+       ELSE abs(round(0.6745 * (cur.m - med.med) / mad.mad, 6)) <= 2.5
+  END AS passed
+FROM cur
+LEFT JOIN med USING (target)
+LEFT JOIN mad USING (target)
+LEFT JOIN nh USING (target)
+"""
+
+
 def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-drift monitoring on sketches (operators.sketch.
     psi_drift): PSI between the first and second half-month of event
@@ -7237,6 +7334,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "psi_drift": QuerySpec(
         q_psi_drift, _ORACLE_PSI, "sketch-psi-drift-monitor"
+    ),
+    "metric_drift": QuerySpec(
+        q_metric_drift, _ORACLE_METRIC_DRIFT, "dq-metric-anomaly-gate"
     ),
     "zonemap_skip": QuerySpec(
         q_zonemap_skip, _zonemap_oracle(), "layout-zonemap-accountability"

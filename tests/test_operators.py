@@ -3944,3 +3944,52 @@ def test_psi_drift_properties(spark):
     near = SK.psi_drift(a, build(same), keys=["g"]).collect()[0]
     assert near["psi"] < 0.1, near["psi"]   # same family: stable
     assert ab["n_buckets"] >= near["n_buckets"]
+
+
+def test_metric_drift_gate_semantics(spark):
+    """The anomaly gate: a stable metric passes; a collapse that
+    still clears a static threshold fails here; short history gives
+    UNKNOWN (NULL passed — the gate's coalesce treats it as failed);
+    a zero-MAD (constant) history passes only an exactly-equal
+    current value."""
+    from platform_etl_literature_spark.operators.quality_checks import (
+        metric_drift,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "check string, target string, metric double"
+        )
+
+    hist = frame(
+        # completeness of col_a: tight history around 0.99
+        [("comp", "a", 0.99 + 0.001 * (i % 3 - 1)) for i in range(10)]
+        # col_b: constant history (MAD = 0)
+        + [("comp", "b", 1.0) for _ in range(10)]
+        # col_c: too little history
+        + [("comp", "c", 0.5) for _ in range(3)]
+    )
+    cur = frame(
+        [
+            ("comp", "a", 0.989),  # inside the envelope
+            ("comp", "b", 1.0),    # equals the constant -> pass
+            ("comp", "c", 0.5),    # short history -> unknown
+            ("comp", "d", 0.9),    # NO history at all -> unknown
+        ]
+    )
+    got = {
+        r["target"]: (r["passed"], r["n_history"])
+        for r in metric_drift(hist, cur).collect()
+    }
+    assert got["a"] == (True, 10)
+    assert got["b"] == (True, 10)
+    assert got["c"] == (None, 3)
+    assert got["d"] == (None, 0)
+
+    # the collapse: 0.97 clears a 0.95 static bound but is ~13 MAD out
+    cur2 = frame([("comp", "a", 0.97), ("comp", "b", 0.999)])
+    got2 = {
+        r["target"]: r["passed"] for r in metric_drift(hist, cur2).collect()
+    }
+    assert got2["a"] is False
+    assert got2["b"] is False  # zero-MAD history: only equality passes
