@@ -766,6 +766,21 @@ def test_hdr_stream_maintenance_merges_exactly(spark, tmp_path):
         exact = sv[max(1, math.ceil(qq * len(sv))) - 1]
         assert abs(got[qq] - exact) / exact <= 1.0 / 8, (qq, got[qq], exact)
 
+    # drift composes on the maintained state: PSI(stream-merged,
+    # reference) == PSI(direct-built, reference) EXACTLY (merge ==
+    # direct is cell-identical, and the PSI fold is an integer sum)
+    from platform_etl_literature_spark.operators.sketch import psi_drift
+
+    ref = hdr_build(
+        spark.createDataFrame([(v * 3,) for v in b1], "v long"), "v", m=8
+    )
+    via_stream = psi_drift(
+        hdr_read_merged(spark, hist).select("b", "cnt"), ref
+    ).collect()[0]
+    via_direct = psi_drift(hdr_build(everything, "v", m=8), ref).collect()[0]
+    assert via_stream["psi_nano"] == via_direct["psi_nano"]
+    assert via_stream["psi"] > 0.0
+
 
 def test_ivm_stream_matches_direct_build(spark, tmp_path):
     """Streaming aggregate maintenance: CDC files (inserts + deletes,
