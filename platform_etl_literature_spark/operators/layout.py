@@ -256,6 +256,16 @@ def zonemap_skip_stats(
         z = hilbert_bins(df, zcols, bits=bits).withColumnRenamed("_h", "_z")
     else:
         raise ValueError(f"unknown curve {curve!r} (zorder|hilbert)")
+    # the harness reads the keyed projection from MANY aggregate
+    # subtrees (the stats row, both layouts' zone maps, every
+    # predicate leg): materialize the slim (natural, zcols, _z) frame
+    # once so the bin pipeline — which for equidepth/hilbert includes
+    # threshold builds or the HOF fold — doesn't re-execute per leg
+    # (measured: zonemap_skip_skewed 7.9 s → this checkpoint is the
+    # fix; the frame is diagnostics-sized columns over the corpus,
+    # the price every accountability pass pays once)
+    slim_cols = list(dict.fromkeys([natural_col, *zcols]))  # dedup, keep order
+    z = z.select(*slim_cols, "_z").localCheckpoint(eager=True)
     stats = z.agg(
         F.min("_z").alias("_mnz"),
         F.max("_z").alias("_mxz"),
@@ -620,23 +630,36 @@ def equidepth_thresholds(df: DataFrame, col: str, n_bins: int) -> DataFrame:
         running_sum_out="_cum",
     )
     n_row = vals.agg(F.count(F.lit(1)).alias("_n"))
-    spark = df.sparkSession
-    ranks = (
-        spark.range(1, n_bins)
-        .select(F.col("id").alias("j"))
-        .crossJoin(F.broadcast(n_row))
-        .select(
-            "j",
-            F.ceil(F.col("j") * F.col("_n") / F.lit(n_bins))
-            .cast("long")
-            .alias("_rk"),
-        )
-    )
+    # closed-form rank→row assignment: value row (prev, cum] is the
+    # threshold for exactly the ranks rk_j = ceil(j·n/B) it covers,
+    # i.e. j ∈ [prev·B div n + 1, cum·B div n] clamped to [1, B−1] —
+    # ceil(j·n/B) ≤ c ⟺ j·n ≤ c·B for integers, so the bounds are
+    # exact integer divisions.  A first cut cross-joined every
+    # distinct value with every rank (distinct × (B−1) intermediate —
+    # 380M rows on a unique-per-row sf0.1 column); this emits exactly
+    # B−1 rows total with no join at all.
+    B = n_bins
     return (
-        cum.crossJoin(F.broadcast(ranks))
-        .where(F.col("_cum") >= F.col("_rk"))
-        .groupBy("j")
-        .agg(F.min("_v").alias("t"))
+        cum.crossJoin(F.broadcast(n_row))
+        .withColumn("_prev", F.col("_cum") - F.col("_c"))
+        .withColumn(
+            "_jlo",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"_prev * {B} div _n") + 1,
+            ),
+        )
+        .withColumn(
+            "_jhi",
+            F.least(
+                F.lit(B - 1).cast("long"), F.expr(f"_cum * {B} div _n")
+            ),
+        )
+        .where(F.col("_jlo") <= F.col("_jhi"))
+        .select(
+            F.explode(F.sequence("_jlo", "_jhi")).alias("j"),
+            F.col("_v").alias("t"),
+        )
     )
 
 
@@ -717,30 +740,31 @@ def equidepth_bins(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     'equidepth')`` measures that consequence.
 
     Plan shape per column: the threshold build (distinct-value
-    cumulative counts over the range-exchange global index), one
-    broadcast join of the (B−1)-row threshold frame against the
-    DISTINCT values, and one value-keyed join mapping rows to bins —
-    rows are never multiplied by B.  All comparisons are integer."""
+    cumulative counts over the range-exchange global index) collapses
+    to a ONE-ROW (B−1)-element array that broadcasts into the row
+    projection; the bin is then ``size(filter(thresholds, t -> v >
+    t))`` — B−1 integer comparisons inside whole-stage codegen, NO
+    row-side join at all (the first cut mapped values through a
+    per-column shuffle join and measured 3× slower on a
+    unique-per-row column).  All comparisons are integer."""
     if not cols:
         raise ValueError("equidepth_bins needs at least one column")
     B = 1 << bits
     out = df
     bin_names = []
     for c in cols:
-        th = equidepth_thresholds(df, c, B)
-        vals = (
-            df.select(F.col(c).cast("long").alias("_v"))
-            .where(F.col(c).isNotNull())
-            .distinct()
+        th_arr = equidepth_thresholds(df, c, B).agg(
+            F.sort_array(F.collect_list("t")).alias("_ths")
         )
         bname = f"_bin_{c}"
         bin_names.append(bname)
-        vmap = (
-            vals.join(F.broadcast(th), vals["_v"] > th["t"], "left")
-            .groupBy("_v")
-            .agg(F.count(th["t"]).alias(bname))
+        v = F.col(c).cast("long")
+        out = (
+            out.crossJoin(F.broadcast(th_arr))
+            .withColumn(
+                bname,
+                F.size(F.filter(F.col("_ths"), lambda t: v > t)),
+            )
+            .drop("_ths")
         )
-        out = out.join(
-            vmap, out[c].cast("long") == vmap["_v"]
-        ).drop("_v")
     return out.withColumn("_z", F.expr(_interleave_sql(bin_names, bits)))
