@@ -126,6 +126,19 @@ HEADLINE = [
     "gap_fill_interpolate",
     "touch_attribution",
     "cube_summary",
+    # round-7 session-7 second batch: KN LM scoring, the drift family,
+    # weighted median, windowed funnel — measured before promotion
+    # (spark/duck at sf0.1: kn 1.47/0.25, psi 0.74/0.04, metric-drift
+    # 0.96/0.04, wmedian 0.49/0.04, funnel_w 0.78/0.03).  The layout
+    # accountability harnesses (hilbert/bloomindex/skewed-skip/
+    # binning_balance) and mmr/rp stay OUT: diagnostics-shaped rows
+    # paying multi-job floors against millisecond DuckDB times — the
+    # ann_recall_at_k rule; all parity-gated.
+    "kn_lm_score",
+    "psi_drift",
+    "metric_drift",
+    "weighted_median",
+    "funnel_windowed",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs
