@@ -178,6 +178,9 @@ OPS = {
         D.winnow_fingerprints(df, "doc_id", "text", k=3, window=4), min_shared=2
     ),
     "lm_logprob": lambda df: LM.lm_doc_logprob(df, "doc_id", "text"),
+    "kn_lm_score": lambda df: LM.kn_doc_neg_micro_nats(
+        df, "doc_id", "text"
+    ),
     # 4 merges (not the suite's 8): the probe measures how the per-round
     # distributed aggregates scale with corpus size, not round count
     "bpe_merges": lambda df: B.bpe_merges_df(df, "text", n_merges=4),
@@ -497,6 +500,31 @@ def _ev_attribution(ev):
     return touch_attribution(ev)
 
 
+def _ev_funnel_windowed(ev):
+    from platform_etl_literature_spark.operators.funnel import (
+        funnel_conversion_windowed,
+    )
+
+    return funnel_conversion_windowed(
+        ev, ["view", "click", "purchase"], max_step_seconds=21_600
+    )
+
+
+def _ev_psi_drift(ev):
+    from platform_etl_literature_spark.operators import sketch as SK
+
+    src = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v"),
+        (F.dayofmonth("ts") <= 15).alias("_first"),
+    ).where(F.col("v") >= 1)
+    sa = SK.hdr_build(src.where("_first").drop("_first"), "v", m=8, keys=["g"])
+    sb = SK.hdr_build(
+        src.where("NOT _first").drop("_first"), "v", m=8, keys=["g"]
+    )
+    return SK.psi_drift(sa, sb, keys=["g"])
+
+
 EVENTS_OPS = {
     "sessionize": _ev_sessionize,
     "ohlc_bars": _ev_ohlc,
@@ -506,6 +534,8 @@ EVENTS_OPS = {
     "gap_fill_ffill": _ev_gap_fill,
     "gap_fill_interpolate": _ev_gap_interp,
     "touch_attribution": _ev_attribution,
+    "funnel_windowed": _ev_funnel_windowed,
+    "psi_drift": _ev_psi_drift,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
