@@ -7540,14 +7540,19 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 #   rrf_hybrid→mmr_rerank (retrieval keeps a driver row that EMBEDS
 #     the exact cosine ranking inside the 5-step greedy — strictly
 #     more of the family than rank fusion alone; rrf_hybrid stays
-#     value-gated in the parity suite).
+#     value-gated in the parity suite),
+#   dedup_exact→psi_drift (the composed corpus_curation driver row
+#     EMBEDS exact_dedup — its survivors gate the whole verdict — so
+#     the standalone row is within-family redundant; the drift
+#     monitor gives the new family an independently hashed row whose
+#     integer nano-unit fold is the engine-portability claim).
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
     "harmonic_relevance", "running_collect", "window_distinct_count",
     "two_level_window_min", "union_by_name", "string_funcs",
     "date_parts", "case_when_buckets", "grouped_json",
-    "evidence_cooc_analog", "dedup_exact", "edit_distance_join",
+    "evidence_cooc_analog", "psi_drift", "edit_distance_join",
     "ngram_jaccard",
     "minhash_pairs", "funnel_steps", "bloomindex_skip",
     "user_ewma_segmented", "dedup_embedding_cosine", "mmr_rerank", "pagerank",
