@@ -103,6 +103,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = SCALE,
     broadcast_ranks: bool = True,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Exact-integer PageRank over directed (src, dst) edges.
 
@@ -115,9 +116,24 @@ def pagerank(
     ``broadcast_ranks=False`` switches the contrib join to a shuffled
     join for node frames too large to broadcast (see module
     docstring, rule 2).
+
+    ``seeds`` switches to PERSONALIZED PageRank (Page et al. §6;
+    the random surfer restarts at the seed set instead of uniformly):
+    teleport mass — and redistributed dangling mass — lands only on
+    the seeds, each getting ``((100-dp)·scale) // (100·|S∩V|)`` per
+    iteration, and the initial mass sits entirely on the seeds.  The
+    recurrence stays pure integer arithmetic, so the seeded variant
+    is exactly as oracle-replayable as the uniform one; ranks decay
+    with graph distance from the seeds — the "related to THESE
+    entities" relevance propagation.  ``seeds`` is a small python
+    list by contract (the filter-words/BPE-top-pairs bounded-collect
+    rule); seeds absent from the graph are ignored (mass conserves
+    over the present ones) and an entirely-absent seed set raises.
     """
     if not (0 <= damping_pct <= 100):
         raise ValueError(f"damping_pct must be 0..100, got {damping_pct}")
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be a non-empty list (or None)")
     spark = edges.sparkSession
 
     # ---- setup: edge-sized work, session-scale shuffle settings ----
@@ -144,6 +160,8 @@ def pagerank(
     nodes = node_stats.select(
         "node", (F.col("outdeg") == 0).alias("is_dangling")
     )
+    if seeds is not None:
+        nodes = nodes.withColumn("is_seed", F.col("node").isin(list(seeds)))
     outdeg = node_stats.filter(F.col("outdeg") > 0).select(
         F.col("node").alias("src"), "outdeg"
     )
@@ -154,9 +172,21 @@ def pagerank(
     st = nodes.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_dangling").cast("long")).alias("nd"),
+        *(
+            [F.sum(F.col("is_seed").cast("long")).alias("ns")]
+            if seeds is not None
+            else []
+        ),
     ).collect()[0]
     n, n_dangling = st["n"], int(st["nd"] or 0)
-    tp = ((100 - damping_pct) * scale) // (100 * n)
+    if seeds is None:
+        ns = None
+        tp = ((100 - damping_pct) * scale) // (100 * n)
+    else:
+        ns = int(st["ns"] or 0)
+        if ns == 0:
+            raise ValueError("no seed is present in the graph")
+        tp = ((100 - damping_pct) * scale) // (100 * ns)
 
     # ---- loop: node-sized work, loop-scoped shuffle settings ----
     loop_parts = max(8, n // _NODES_PER_LOOP_PARTITION)
@@ -165,9 +195,21 @@ def pagerank(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        base = nodes if n_dangling else nodes.select("node")
+        keep_static = ["node"]
+        if n_dangling:
+            keep_static.append("is_dangling")
+        if seeds is not None:
+            keep_static.append("is_seed")
+        base = nodes.select(*keep_static)
+        init = (
+            F.lit(scale // n)
+            if seeds is None
+            else F.when(F.col("is_seed"), F.lit(scale // ns)).otherwise(
+                F.lit(0)
+            )
+        )
         ranks = base.withColumn(
-            "rank", F.lit(scale // n).cast("long")
+            "rank", init.cast("long")
         ).localCheckpoint(eager=True)
 
         for _ in range(n_iter):
@@ -193,19 +235,29 @@ def pagerank(
                     F.coalesce(F.sum("rank"), F.lit(0)).alias("_d")
                 )
                 joined = (
-                    ranks.select("node", "is_dangling")
+                    ranks.select(*keep_static)
                     .join(contrib, "node", "left")
                     .crossJoin(F.broadcast(dangling))
                 )
-                new_rank_mass = new_rank_mass + _idiv(F.col("_d"), F.lit(n))
-                keep = ["node", "is_dangling"]
+                redist = _idiv(F.col("_d"), F.lit(n if ns is None else ns))
+                if seeds is not None:
+                    redist = F.when(F.col("is_seed"), redist).otherwise(
+                        F.lit(0)
+                    )
+                new_rank_mass = new_rank_mass + redist
             else:
-                joined = ranks.select("node").join(contrib, "node", "left")
-                keep = ["node"]
+                joined = ranks.select(*keep_static).join(
+                    contrib, "node", "left"
+                )
+            tp_term = (
+                F.lit(tp)
+                if seeds is None
+                else F.when(F.col("is_seed"), F.lit(tp)).otherwise(F.lit(0))
+            )
             ranks = joined.select(
-                *keep,
+                *keep_static,
                 (
-                    F.lit(tp)
+                    tp_term
                     + _idiv(F.lit(damping_pct) * new_rank_mass, F.lit(100))
                 ).alias("rank"),
             ).localCheckpoint(eager=True)

@@ -5123,6 +5123,81 @@ FROM r{n_iter}""")
     return "".join(sql)
 
 
+def q_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank (operators.pagerank.pagerank(seeds=…)):
+    the random surfer restarts at parts {1, 2, 3} instead of
+    uniformly, so rank decays with co-purchase distance from the seed
+    set — seeded relevance propagation, still pure integer nano-unit
+    arithmetic, so the oracle replays all 5 iterations with the
+    seed-conditional teleport and matches rank-for-rank EXACTLY."""
+    li = _t(spark, sf, "lineitem")
+    edges = GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    return PR.pagerank(
+        PR.symmetrize(edges), n_iter=5, damping_pct=85, seeds=[1, 2, 3]
+    )
+
+
+def _ppr_oracle(
+    seeds: tuple = (1, 2, 3),
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> str:
+    """Unrolled-iteration replay of the SEEDED recurrence — the
+    pagerank oracle with the teleport (and dangling redistribution)
+    conditional on seed membership."""
+    dp = damping_pct
+    inlist = ", ".join(str(s) for s in seeds)
+    sql = [f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 64),
+k AS (SELECT m.g, m.i FROM m JOIN sz USING (g)),
+eu AS (SELECT DISTINCT a.i AS u, b.i AS v
+       FROM k a JOIN k b ON a.g = b.g AND a.i < b.i),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM eu
+  UNION ALL SELECT v AS src, u AS dst FROM eu),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+sd AS MATERIALIZED (
+  SELECT count(*) AS ns FROM nodes WHERE node IN ({inlist})),
+od AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node IN ({inlist})
+              THEN CAST({scale} // sd.ns AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS rank
+  FROM nodes, sd)"""]
+    for it in range(1, n_iter + 1):
+        p = it - 1
+        sql.append(f""",
+c{it} AS (
+  SELECT e.dst AS node, sum(r.rank // od.outdeg) AS contrib
+  FROM e JOIN r{p} r ON e.src = r.node JOIN od ON e.src = od.src
+  GROUP BY 1),
+d{it} AS (
+  SELECT coalesce(sum(r.rank), 0) AS d
+  FROM r{p} r LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL),
+r{it} AS MATERIALIZED (
+  SELECT n.node, CAST(
+    CASE WHEN n.node IN ({inlist})
+         THEN (CAST(100 - {dp} AS BIGINT) * {scale}) // (100 * sd.ns)
+         ELSE 0 END
+    + ({dp} * (coalesce(c.contrib, 0)
+               + CASE WHEN n.node IN ({inlist})
+                      THEN d{it}.d // sd.ns ELSE 0 END)) // 100
+    AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{it} c ON n.node = c.node, d{it}, sd)""")
+    sql.append(f"""
+SELECT node, rank AS rank_nano,
+       round(rank / {scale}.0, 6) AS rank
+FROM r{n_iter}""")
+    return "".join(sql)
+
+
 def q_cms_join_size(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-based join cardinality estimation
     (operators.sketch.cms_join_size): |orders ⋈ customer| judged from
@@ -7298,6 +7373,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "pagerank": QuerySpec(
         q_pagerank, _pagerank_oracle(), "graph-exact-integer-pagerank"
+    ),
+    "personalized_pagerank": QuerySpec(
+        q_personalized_pagerank, _ppr_oracle(), "graph-seeded-pagerank"
     ),
     "cms_join_size": QuerySpec(
         q_cms_join_size, _ORACLE_CMS_JOIN_SIZE, "sketch-join-cardinality"

@@ -3993,3 +3993,63 @@ def test_metric_drift_gate_semantics(spark):
     }
     assert got2["a"] is False
     assert got2["b"] is False  # zero-MAD history: only equality passes
+
+
+def test_personalized_pagerank_python_replay_and_locality(spark):
+    """Seeded PageRank matches an exact python replay of the integer
+    recurrence on a path graph (nano-for-nano); rank decays with
+    distance from the seed; absent seeds are ignored and an
+    entirely-absent seed set raises."""
+    from platform_etl_literature_spark.operators import pagerank as PR
+
+    edges = [(i, i + 1) for i in range(8)]  # path 0-1-...-8
+    df = spark.createDataFrame(edges, "u long, v long")
+    sym = PR.symmetrize(df)
+    got = {
+        r["node"]: r["rank_nano"]
+        for r in PR.pagerank(sym, n_iter=4, seeds=[0]).collect()
+    }
+
+    # python replay (identical integer semantics; no dangling nodes
+    # on a symmetrized graph)
+    scale, dp = 10**9, 85
+    adj = {}
+    out = {}
+    for u, v in edges:
+        adj.setdefault(v, []).append(u)
+        adj.setdefault(u, []).append(v)
+        out[u] = out.get(u, 0) + 1
+        out[v] = out.get(v, 0) + 1
+    ns = 1
+    tp = ((100 - dp) * scale) // (100 * ns)
+    rank = {n: (scale // ns if n == 0 else 0) for n in adj}
+    for _ in range(4):
+        contrib = {
+            n: sum(rank[m] // out[m] for m in adj[n]) for n in adj
+        }
+        rank = {
+            n: (tp if n == 0 else 0) + (dp * contrib[n]) // 100
+            for n in adj
+        }
+    assert got == rank
+
+    # locality theorems (mass moves one hop per iteration, so decay
+    # along a path is WAVE-shaped, not monotone): the seed keeps the
+    # max rank, anything farther than n_iter hops has EXACTLY zero,
+    # and the frontier node at distance n_iter is reachable
+    assert got[0] == max(got.values())
+    assert got[5] == got[6] == got[7] == got[8] == 0  # > 4 hops away
+    assert got[4] > 0                                  # == 4 hops
+
+    # absent seeds ignored; all-absent raises
+    got2 = {
+        r["node"]: r["rank_nano"]
+        for r in PR.pagerank(sym, n_iter=4, seeds=[0, 999]).collect()
+    }
+    assert got2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no seed"):
+        PR.pagerank(sym, n_iter=1, seeds=[999])
+    with _pytest.raises(ValueError, match="non-empty"):
+        PR.pagerank(sym, n_iter=1, seeds=[])
