@@ -1535,3 +1535,68 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT join — the partial-duplication
+    detector symmetric Jaccard misses (Broder 1997, "On the
+    resemblance and containment of documents", §2 defines both).
+
+    containment(A in B) = |grams(A) ∩ grams(B)| / |grams(A)| over
+    DISTINCT word n-grams.  An excerpt, quote block, or boilerplate
+    wrapper that fully embeds a short document in a long one scores
+    jaccard ≈ |A|/|B| (arbitrarily small) but containment(A in B) = 1 —
+    exactly the asymmetry a training-data curation pass needs to find
+    "doc A is a chunk of doc B" without also flagging every long pair.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: the corpus is
+    tokenized ONCE into a persisted compact (id, n_sh, _grams) table of
+    xxhash64 shingle longs, both inverted-index sides re-explode from
+    it, the overlap count comes from one shingle equijoin with the two
+    per-doc sizes carried on the pair, and both directed containments
+    are derived from the single undirected overlap — no second join.
+    ``max_bucket_size`` is the stop-shingle valve (each hot bucket of m
+    docs emits m(m-1)/2 candidate pairs); in capped mode per-doc sizes
+    are RECOMPUTED over surviving shingles so reported containments
+    stay exact over the retained shingle universe (the
+    ngram_jaccard_pairs capped-mode contract).
+
+    Returns (id_a, id_b, n_inter, cont_a_in_b, cont_b_in_a,
+    containment) with id_a < id_b and containment = max(directions)
+    ≥ ``threshold``.
+    """
+    compact = _materialize_once(
+        staged_gram_arrays(df, id_col, text_col, shingle_n, hashed=True).select(
+            "id", F.size("_grams").alias("n_sh"), "_grams"
+        )
+    )
+    sh = compact.select("id", "n_sh", F.explode("_grams").alias("s"))
+    if max_bucket_size is not None:
+        sh = _drop_hot_buckets(sh.drop("n_sh"), ["s"], max_bucket_size)
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sh = sh.join(sizes, "id")
+    a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
+    cab = F.round(F.col("n_inter") / F.col("n_a").cast("double"), 6)
+    cba = F.round(F.col("n_inter") / F.col("n_b").cast("double"), 6)
+    return (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .withColumn("cont_a_in_b", cab)
+        .withColumn("cont_b_in_a", cba)
+        .withColumn("containment", F.greatest("cont_a_in_b", "cont_b_in_a"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", "n_inter",
+            "cont_a_in_b", "cont_b_in_a", "containment",
+        )
+    )

@@ -367,3 +367,111 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    max_center_degree: int = 64,
+    broadcast_degrees: bool = True,
+) -> DataFrame:
+    """Common-neighbor link prediction over undirected (u, v) edges:
+    score every NON-edge pair at distance 2 by neighborhood overlap —
+    the classical local similarity indices of Liben-Nowell & Kleinberg
+    ("The link-prediction problem for social networks", CIKM'03) and
+    Adamic & Adar ("Friends and neighbors on the web", 2003).
+
+    Returns (u, v, cn, deg_u, deg_v, jaccard, aa_micro) with u < v:
+
+    * ``cn`` — common-neighbor count |Γ(u) ∩ Γ(v)|;
+    * ``jaccard`` — cn / |Γ(u) ∪ Γ(v)| (round 6; one division over
+      exact integers — the engine-portable float contract);
+    * ``aa_micro`` — Adamic-Adar in exact integer micro-units:
+      Σ_w round(10^6 / ln(deg(w))) over the common neighbors w.  Each
+      term is rounded to an integer BEFORE the sum (the lm.py
+      micro-nat precedent), so the reduction is order-free and an SQL
+      oracle replays it bit for bit; every wedge center has deg ≥ 2,
+      so ln(deg) > 0 always.
+
+    Scale shape: common-neighbor counting needs wedges from the FULL
+    neighbor list of each center (unlike the triangle census, whose
+    degree orientation works because each triangle is counted at
+    exactly one node — a wedge has no such canonical representative),
+    so the candidate volume is Σ C(deg(w), 2).  The declared-semantics
+    valve is ``max_center_degree``: wedge CENTERS above the cap are
+    excluded before the neighbor self-join (the pair_edges max_group
+    rule — a celebrity hub connects everything to everything and
+    carries no pairwise signal; at the default 64 a center emits at
+    most ~2k candidates).  Endpoint DEGREES are computed on the full
+    uncapped graph, so reported jaccard/aa use true degrees; the cap
+    only bounds which centers may witness a pair.  The existing-edge
+    subtraction is a left_anti equijoin on (u, v) — shuffled, since
+    the edge set is corpus-scale.  The degree frame is NODE-sized, so
+    with ``broadcast_degrees`` (default) its three appearances (the
+    center cap and both endpoint-degree attachments) broadcast
+    instead of shuffling — the pagerank ``broadcast_ranks`` rule; set
+    it False on a graph whose node set alone exceeds broadcast room.
+    """
+    if max_center_degree < 2:
+        raise ValueError(
+            f"max_center_degree must be >= 2, got {max_center_degree}"
+        )
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = degrees(e).persist()
+
+    # bidirectional (center x, neighbor y); drop over-cap centers
+    nbrs = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    keep = deg.filter(F.col("deg") <= max_center_degree).select(
+        F.col("node").alias("x"), F.col("deg").alias("_dx")
+    )
+    if broadcast_degrees:
+        keep = F.broadcast(keep)
+    nbrs = nbrs.join(keep, "x")
+    # per-wedge Adamic-Adar term: a pure function of the CENTER's
+    # degree, attached before the self-join so the pair aggregation
+    # sums ready-made integers (deg ≥ 2 inside a wedge by definition)
+    nbrs = nbrs.select(
+        "x", "y",
+        F.round(F.lit(1000000.0) / F.log(F.col("_dx")), 0)
+        .cast("long")
+        .alias("_aa"),
+    )
+    n1 = nbrs.select("x", F.col("y").alias("u"), "_aa")
+    n2 = nbrs.select("x", F.col("y").alias("v"), "_aa")
+    cand = (
+        n1.join(n2.drop("_aa"), "x")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("_aa").alias("aa_micro"),
+        )
+        .join(e, ["u", "v"], "left_anti")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "cn", "deg_u", "deg_v",
+            F.round(
+                F.col("cn")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            "aa_micro",
+        )
+    )

@@ -258,3 +258,132 @@ def kn_doc_neg_micro_nats(
         F.count(F.lit(1)).alias("n_bigrams"),
         (-F.sum("lp_micro")).alias("neg_lp_micro"),
     )
+
+
+def moore_lewis_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.1,
+) -> DataFrame:
+    """Cross-entropy-difference importance weights (Moore & Lewis,
+    "Intelligent Selection of Language Model Training Data", ACL 2010;
+    the same contrast DSIR resamples from — Xie et al., NeurIPS 2023):
+    score every document by
+
+        w(x) = log P_target(x) − log P_self(x)
+
+    under two add-k bigram LMs — one trained on a small in-domain
+    TARGET corpus, one on the general corpus being scored.  High w =
+    looks like the target domain relative to the corpus background;
+    this is THE classic data-selection score for domain-matched
+    training corpora.
+
+    Returns (id, n_bigrams, w_micro): ``w_micro`` is the exact integer
+    micro-nat total difference (each bigram's two log-probs rounded to
+    micro-nats BEFORE the order-free integer sum — the lm.py
+    float-parity contract), so an SQL oracle replays it bit for bit.
+
+    Scale shape: the corpus is tokenized ONCE into the persisted
+    bigram-instance table; BOTH models score it in a single join
+    pipeline (self-model counts join inner — every gram of the corpus
+    is in its own model by construction; target-model counts join LEFT
+    with zero-coalesce, unseen-in-target transitions being exactly
+    what add-k smoothing penalizes).  Count tables shuffle as
+    (gram, long) pairs; the two vocabulary scalars ride one broadcast
+    single-row frame.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    inst = _materialize_once(bigram_instances(docs, id_col, text_col))
+
+    # self (background) model — trained on the scored corpus itself
+    c1s = _materialize_once(
+        docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n1s"))
+    )
+    c2s = inst.groupBy("big").agg(F.count(F.lit(1)).alias("n2s"))
+
+    # target (in-domain) model
+    c1t = _materialize_once(
+        target_docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n1t"))
+    )
+    c2t = bigram_instances(target_docs, id_col, text_col).groupBy("big").agg(
+        F.count(F.lit(1)).alias("n2t")
+    )
+    scal = c1s.agg(F.count(F.lit(1)).alias("vs")).crossJoin(
+        c1t.agg(F.count(F.lit(1)).alias("vt"))
+    )
+
+    lp_self = F.log(
+        (F.col("n2s") + add_k) / (F.col("n1s") + add_k * F.col("vs"))
+    )
+    lp_tgt = F.log(
+        (F.coalesce(F.col("n2t"), F.lit(0)) + add_k)
+        / (F.coalesce(F.col("n1t"), F.lit(0)) + add_k * F.col("vt"))
+    )
+    micro = lambda c: F.round(c * 1000000.0, 0).cast("long")  # noqa: E731
+    scored = (
+        inst.join(c2s, "big")
+        .join(c1s.withColumnRenamed("t", "pre"), "pre")
+        .join(c2t, "big", "left")
+        .join(c1t.withColumnRenamed("t", "pre"), "pre", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            (micro(lp_tgt) - micro(lp_self)).alias("_w"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_w").alias("w_micro"),
+    )
+
+
+def moore_lewis_select(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    keep_frac: float = 0.25,
+    add_k: float = 0.1,
+) -> DataFrame:
+    """Deterministic top-fraction Moore-Lewis selection: rank every
+    document inside its shard (source, language, dump, …) by
+    descending :func:`moore_lewis_weights` score — id ascending as the
+    total-order tiebreak — and keep the top ``ceil(keep_frac · n)`` of
+    each shard.  Per-shard quotas (rather than one global cutoff)
+    preserve the corpus mixture while upgrading its quality — the
+    standard curation shape; the hard top-k variant (vs DSIR's
+    sampled resampling) keeps the operator a pure function of its
+    inputs, so the oracle replays it row for row.
+
+    Returns (id, shard, n_bigrams, w_micro, rk, selected); documents
+    with no bigrams are unscoreable and are absent (the LM-family
+    contract).  The ranking window partitions by shard — shard counts
+    ride the same window, no second scan.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from pyspark.sql.window import Window
+
+    w = moore_lewis_weights(docs, target_docs, id_col, text_col, add_k)
+    labeled = w.join(
+        docs.select(F.col(id_col).alias("id"), F.col(shard_col).alias("shard")),
+        "id",
+    )
+    win = Window.partitionBy("shard")
+    rk = F.row_number().over(
+        win.orderBy(F.col("w_micro").desc(), F.col("id").asc())
+    )
+    quota = F.ceil(F.count(F.lit(1)).over(win) * keep_frac)
+    return labeled.select(
+        "id", "shard", "n_bigrams", "w_micro",
+        rk.alias("rk"),
+        (rk <= quota).alias("selected"),
+    )

@@ -414,3 +414,68 @@ def ohlc_bars(
             money(F.col("_sum")).alias("sum_value"),
         )
     )
+
+
+def seasonal_profile(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "hour",
+    cents: int = 1000000,
+) -> DataFrame:
+    """Per-key seasonal profile: decompose event values by calendar
+    phase (hour-of-day or day-of-month) into the per-phase mean, its
+    offset from the key's grand mean, and the phase's volume share —
+    the additive-seasonality view (classical decomposition, e.g.
+    Cleveland et al. STL, JOS 1990, whose seasonal component for a
+    fixed period is exactly the per-phase mean of the detrended
+    series; with no trend term this IS the seasonal estimate).  The
+    profile is how a metrics pipeline answers "is this hourly dip
+    seasonal or an incident" and feeds seasonally-adjusted anomaly
+    cuts (robust.py twins).
+
+    ONE map-side-combined aggregation keyed by (keys, phase) — the
+    phase grid is tiny (≤ 31 rows per key), so the grand totals ride a
+    per-key WINDOW over the aggregated grid, not a second scan.  Value
+    sums are micro-scaled BIGINT inside the aggregate (float-parity
+    policy: integer sums are order-free); each output is one exact
+    division (or one subtraction of two such quotients) rounded at 6 —
+    deterministic IEEE ops on identical operands in any engine.
+
+    Returns (*keys, phase, n, mean_value, seasonal_offset,
+    volume_share): ``seasonal_offset`` = phase mean − grand mean;
+    ``volume_share`` = phase row share of the key's rows.  NULL values
+    are skipped (the ohlc_bars resampler contract).
+
+    ``period``: "hour" (0-23 hour of day) or "dom" (1-31 day of
+    month) — both replay as ANSI ``extract``.
+    """
+    from pyspark.sql.window import Window
+
+    if period == "hour":
+        phase = F.hour(F.col(ts_col))
+    elif period == "dom":
+        phase = F.dayofmonth(F.col(ts_col))
+    else:
+        raise ValueError(f"period must be 'hour' or 'dom', got {period!r}")
+    vc = F.round(F.col(value_col) * cents, 0).cast("long")
+    grid = (
+        events.where(F.col(value_col).isNotNull())
+        .select(*keys, phase.alias("phase"), vc.alias("_vc"))
+        .groupBy(*keys, "phase")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_vc").alias("_sum"))
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    tot_n = F.sum("n").over(w)
+    tot_sum = F.sum("_sum").over(w)
+    mean = F.col("_sum") / F.col("n") / cents
+    grand = tot_sum / tot_n / cents
+    return grid.select(
+        *keys,
+        "phase",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(mean - grand, 6).alias("seasonal_offset"),
+        F.round(F.col("n") / tot_n.cast("double"), 6).alias("volume_share"),
+    )

@@ -7101,6 +7101,198 @@ FROM d GROUP BY event_type, decile
 """
 
 
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph
+    (operators.graph.link_prediction_scores): every distance-2
+    NON-edge pair scored by common-neighbor count, exact-fraction
+    Jaccard, and integer micro-unit Adamic-Adar (per-wedge terms
+    rounded before the order-free sum — the lm.py micro-nat
+    contract).  Wedge centers above degree 64 are excluded by
+    declared semantics (the pair_edges max_group valve shape); the
+    cn ≥ 2 cut keeps the reported ranking to multi-witness pairs.
+    The oracle replays edges → degrees → capped wedge self-join →
+    existing-edge subtraction value for value."""
+    li = _t(spark, sf, "lineitem")
+    edges = GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    return GR.link_prediction_scores(edges, max_center_degree=64).filter(
+        F.col("cn") >= 2
+    )
+
+
+_ORACLE_LINK_PRED = """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 64),
+k AS (SELECT m.g, m.i FROM m JOIN sz USING (g)),
+e AS (SELECT DISTINCT a.i AS u, b.i AS v
+      FROM k a JOIN k b ON a.g = b.g AND a.i < b.i),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1),
+nb AS (
+  SELECT n.x, n.y,
+         CAST(round(1000000.0 / ln(deg), 0) AS BIGINT) AS aa
+  FROM (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) n
+  JOIN deg ON deg.node = n.x
+  WHERE deg <= 64),
+cand AS (
+  SELECT a.y AS u, b.y AS v, count(*) AS cn,
+         CAST(sum(a.aa) AS BIGINT) AS aa_micro
+  FROM nb a JOIN nb b ON a.x = b.x AND a.y < b.y
+  GROUP BY 1, 2),
+ne AS (
+  SELECT * FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.u AND e.v = cand.v))
+SELECT ne.u, ne.v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+  round(cn / CAST(du.deg + dv.deg - cn AS DOUBLE), 6) AS jaccard,
+  aa_micro
+FROM ne
+JOIN deg du ON du.node = ne.u
+JOIN deg dv ON dv.node = ne.v
+WHERE cn >= 2
+"""
+
+
+def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type
+    (operators.timeseries.seasonal_profile): per-phase exact mean,
+    offset from the type's grand mean, and volume share — all from
+    integer micro-unit sums with one division (or one subtraction of
+    two quotients) at the boundary, so the oracle replays every float
+    bit for bit."""
+    ev = read_events(spark, sf)
+    return TSO.seasonal_profile(ev, ["event_type"], period="hour")
+
+
+_ORACLE_SEASONAL = """
+WITH g AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS phase,
+         count(*) AS n,
+         sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT event_type, sum(n) AS tn, sum(s) AS tsum FROM g GROUP BY 1)
+SELECT g.event_type, phase, n,
+  round(s / n / 1000000, 6) AS mean_value,
+  round(s / n / 1000000 - tsum / tn / 1000000, 6) AS seasonal_offset,
+  round(n / CAST(tn AS DOUBLE), 6) AS volume_share
+FROM g JOIN t USING (event_type)
+"""
+
+
+def q_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric trigram CONTAINMENT pairs — the partial-duplication
+    (excerpt / wrapper) detector (operators.dedup
+    .ngram_containment_pairs, Broder 1997 containment): both directed
+    containments derived from one inverted-index overlap count, pairs
+    kept where max(directions) ≥ 0.2."""
+    return D.ngram_containment_pairs(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=0.2,
+    )
+
+
+_ORACLE_CONTAINMENT = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS s
+  FROM w WHERE len(toks) >= 3),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_inter,
+  round(n_inter / CAST(sa.n_sh AS DOUBLE), 6) AS cont_a_in_b,
+  round(n_inter / CAST(sb.n_sh AS DOUBLE), 6) AS cont_b_in_a,
+  greatest(round(n_inter / CAST(sa.n_sh AS DOUBLE), 6),
+           round(n_inter / CAST(sb.n_sh AS DOUBLE), 6)) AS containment
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE greatest(round(n_inter / CAST(sa.n_sh AS DOUBLE), 6),
+               round(n_inter / CAST(sb.n_sh AS DOUBLE), 6)) >= 0.2
+"""
+
+
+def q_moore_lewis_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection
+    (operators.lm.moore_lewis_select): every document weighted by
+    log P_target − log P_self under two add-k bigram LMs (target =
+    the English subcorpus, self = the full corpus), then the top 25%
+    of each SOURCE shard kept — domain-matched curation that
+    preserves the source mixture.  Weights are exact integer
+    micro-nat sums; the ranking is a total order (w_micro desc, id
+    asc), so the oracle replays selection row for row."""
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = LM.moore_lewis_select(
+        docs, target, "doc_id", "text", "source", keep_frac=0.25
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+_ORACLE_MOORE_LEWIS = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+inst AS (
+  SELECT doc_id AS id,
+         unnest(toks[1:len(toks)-1]) AS pre,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS big
+  FROM w WHERE len(toks) >= 2),
+uni AS (SELECT unnest(toks) AS t FROM w),
+c1s AS (SELECT t, count(*) AS n1s FROM uni GROUP BY t),
+c2s AS (SELECT big, count(*) AS n2s FROM inst GROUP BY big),
+tw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents WHERE lang = 'en'),
+tinst AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS big
+  FROM tw WHERE len(toks) >= 2),
+tuni AS (SELECT unnest(toks) AS t FROM tw),
+c1t AS (SELECT t, count(*) AS n1t FROM tuni GROUP BY t),
+c2t AS (SELECT big, count(*) AS n2t FROM tinst GROUP BY big),
+scal AS (SELECT (SELECT count(*) FROM c1s) AS vs,
+                (SELECT count(*) FROM c1t) AS vt),
+sc AS (
+  SELECT id,
+    CAST(round(ln((coalesce(n2t, 0) + 0.1) / (coalesce(n1t, 0) + 0.1 * vt))
+               * 1000000.0, 0) AS BIGINT)
+    - CAST(round(ln((n2s + 0.1) / (n1s + 0.1 * vs))
+                 * 1000000.0, 0) AS BIGINT) AS wd
+  FROM inst
+  JOIN c2s USING (big)
+  JOIN c1s ON c1s.t = inst.pre
+  LEFT JOIN c2t USING (big)
+  LEFT JOIN c1t ON c1t.t = inst.pre
+  CROSS JOIN scal),
+agg AS (SELECT id, count(*) AS n_bigrams,
+               CAST(sum(wd) AS BIGINT) AS w_micro
+        FROM sc GROUP BY id),
+lab AS (SELECT agg.*, d.source AS shard
+        FROM agg JOIN documents d ON d.doc_id = agg.id),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY shard
+                       ORDER BY w_micro DESC, id ASC) AS rk,
+    count(*) OVER (PARTITION BY shard) AS cnt
+  FROM lab)
+SELECT id, shard, n_bigrams, w_micro, CAST(rk AS BIGINT) AS rk,
+       rk <= ceil(cnt * 0.25) AS selected
+FROM r
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -7515,6 +7707,18 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "k_core": QuerySpec(
         q_k_core, _ORACLE_K_CORE, "graph-k-core-peel"
+    ),
+    "link_prediction": QuerySpec(
+        q_link_prediction, _ORACLE_LINK_PRED, "graph-link-prediction"
+    ),
+    "seasonal_profile": QuerySpec(
+        q_seasonal_profile, _ORACLE_SEASONAL, "timeseries-seasonal-profile"
+    ),
+    "ngram_containment": QuerySpec(
+        q_ngram_containment, _ORACLE_CONTAINMENT, "dedup-containment-join"
+    ),
+    "moore_lewis_select": QuerySpec(
+        q_moore_lewis_select, _ORACLE_MOORE_LEWIS, "quality-moore-lewis-select"
     ),
 }
 

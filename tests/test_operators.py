@@ -4053,3 +4053,187 @@ def test_personalized_pagerank_python_replay_and_locality(spark):
         PR.pagerank(sym, n_iter=1, seeds=[999])
     with _pytest.raises(ValueError, match="non-empty"):
         PR.pagerank(sym, n_iter=1, seeds=[])
+
+
+# ---------------------------------------------------------------------------
+# link prediction (operators.graph.link_prediction_scores)
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_square_with_diagonal(spark):
+    """Square 1-2, 2-4, 4-3, 3-1 plus diagonal 2-3: the only
+    distance-2 non-edge is (1, 4), witnessed by BOTH centers 2 and 3
+    — cn, true degrees, exact-fraction jaccard, and the integer
+    Adamic-Adar sum all checkable by hand."""
+    import math
+
+    from platform_etl_literature_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], ["u", "v"]
+    )
+    rows = link_prediction_scores(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    aa_term = round(1000000.0 / math.log(3))
+    assert (r["u"], r["v"], r["cn"]) == (1, 4, 2)
+    assert (r["deg_u"], r["deg_v"]) == (2, 2)
+    assert r["jaccard"] == 1.0  # 2 / (2 + 2 - 2)
+    assert r["aa_micro"] == 2 * aa_term
+
+
+def test_link_prediction_center_cap_and_validation(spark):
+    """Centers above max_center_degree stop witnessing pairs (declared
+    valve semantics); endpoint degrees stay the TRUE degrees."""
+    from platform_etl_literature_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    # star: hub 0 connected to 1..4 — every leaf pair is distance 2
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], ["u", "v"])
+    full = link_prediction_scores(edges, max_center_degree=64).collect()
+    assert len(full) == 6  # C(4,2) leaf pairs, all witnessed by the hub
+    assert all(r["cn"] == 1 and r["deg_u"] == 1 for r in full)
+    capped = link_prediction_scores(edges, max_center_degree=3).collect()
+    assert capped == []  # hub deg 4 > cap: nothing may witness
+    with pytest.raises(ValueError, match="max_center_degree"):
+        link_prediction_scores(edges, max_center_degree=1)
+
+
+# ---------------------------------------------------------------------------
+# seasonal profile (operators.timeseries.seasonal_profile)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_profile_exact_decomposition(spark):
+    """Hand-checkable hourly profile: phase means, offsets vs the
+    grand mean, and volume shares are exact; NULL values are skipped;
+    a bad period raises."""
+    import datetime as dt
+
+    from platform_etl_literature_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1 + m, h, 30)  # noqa: E731
+    rows = [
+        ("a", t(9), 10.0), ("a", t(9, 1), 20.0),   # phase 9: mean 15
+        ("a", t(17), 40.0),                         # phase 17: mean 40
+        ("a", t(17, 1), None),                      # skipped
+        ("b", t(3), 7.5),
+    ]
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        (r["event_type"], r["phase"]): r
+        for r in seasonal_profile(ev, ["event_type"]).collect()
+    }
+    assert set(out) == {("a", 9), ("a", 17), ("b", 3)}
+    a9 = out[("a", 9)]
+    # grand mean over a: (10+20+40)/3 = 23.333333
+    assert (a9["n"], a9["mean_value"]) == (2, 15.0)
+    assert a9["seasonal_offset"] == round(15.0 - 70.0 / 3 / 1, 6)
+    assert a9["volume_share"] == round(2 / 3, 6)
+    a17 = out[("a", 17)]
+    assert (a17["n"], a17["mean_value"]) == (1, 40.0)
+    b3 = out[("b", 3)]
+    assert (b3["seasonal_offset"], b3["volume_share"]) == (0.0, 1.0)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_profile(ev, ["event_type"], period="weekly")
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (operators.dedup.ngram_containment_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_containment_detects_embedded_excerpt(spark):
+    """A short doc fully embedded in a long one: containment(A in B)
+    = 1.0 while jaccard is small — the asymmetry the operator exists
+    for.  Directions are exact fractions; disjoint docs emit no
+    pair."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),                       # 3 trigrams
+            (2, "x y a b c d e f g h i j"),         # 10 trigrams, embeds 1
+            (3, "p q r s t u"),                     # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    rows = D.ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["n_inter"]) == (1, 2, 3)
+    assert r["cont_a_in_b"] == 1.0
+    assert r["cont_b_in_a"] == 0.3
+    assert r["containment"] == 1.0
+
+
+def test_ngram_containment_threshold_filters(spark):
+    """Pairs below the max-direction threshold are dropped."""
+    docs = spark.createDataFrame(
+        [(1, "a b c x1 x2 x3 x4 x5"), (2, "a b c y1 y2 y3 y4 y5")],
+        ["doc_id", "text"],
+    )
+    # 6 trigrams each, 1 shared ("a b c"): containment 1/6 each way
+    assert (
+        D.ngram_containment_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).count()
+        == 0
+    )
+    rows = D.ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.1
+    ).collect()
+    assert len(rows) == 1 and rows[0]["containment"] == round(1 / 6, 6)
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis selection (operators.lm)
+# ---------------------------------------------------------------------------
+
+
+def test_moore_lewis_ranks_target_like_docs_first(spark):
+    """A doc built from target-corpus bigrams outscores one sharing
+    nothing with the target; per-shard quotas are exact ceil(frac·n)
+    and the ranking is the declared total order."""
+    from platform_etl_literature_spark.operators.lm import (
+        moore_lewis_select,
+        moore_lewis_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "s1"),
+            (2, "zz qq ww ee rr tt", "s1"),
+            (3, "the dog sat on the rug", "s1"),
+            (4, "aa bb cc dd ee ff", "s1"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    w = {
+        r["id"]: r["w_micro"]
+        for r in moore_lewis_weights(docs, target, "doc_id", "text").collect()
+    }
+    assert w[1] > w[2] and w[3] > w[4]
+
+    sel = moore_lewis_select(
+        docs, target, "doc_id", "text", "source", keep_frac=0.25
+    ).collect()
+    assert len(sel) == 4
+    chosen = [r["id"] for r in sel if r["selected"]]
+    assert len(chosen) == 1  # ceil(0.25 * 4)
+    assert chosen[0] in (1, 3)  # the target-like docs
+    ranks = sorted((r["rk"], r["id"]) for r in sel)
+    assert [rk for rk, _ in ranks] == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="keep_frac"):
+        moore_lewis_select(
+            docs, target, "doc_id", "text", "source", keep_frac=0.0
+        )
