@@ -139,6 +139,16 @@ HEADLINE = [
     "metric_drift",
     "weighted_median",
     "funnel_windowed",
+    # round-7 session-8 third batch: graph link prediction, seasonal
+    # decomposition, containment join, Moore-Lewis selection — measured
+    # before promotion (spark/duck at sf0.1, min of 3: link_pred
+    # 2.40/2.09 — near-parity on the identical capped-wedge algorithm,
+    # seasonal 0.30/0.02 (floor row), containment 1.86/1.37,
+    # moore_lewis 1.46/0.21 — two bigram LMs in one scoring pass).
+    "link_prediction",
+    "seasonal_profile",
+    "ngram_containment",
+    "moore_lewis_select",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

@@ -637,3 +637,54 @@ def test_k_core_peel_all_equijoins(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
+def test_link_prediction_capped_wedges_broadcast_degrees(spark, sf_dir):
+    """The wedge self-join and existing-edge subtraction compose as
+    plain equijoins (no cartesian, no nested-loop); the node-sized
+    degree frame attaches by broadcast-hash (the pagerank
+    broadcast_ranks rule), and the subtraction is a LeftAnti."""
+    plan = _simple_plan(SUITE["link_prediction"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_seasonal_profile_one_agg_partitioned_window(spark, sf_dir):
+    """One map-side-combined aggregation on (keys, phase) + one
+    PARTITIONED window over the tiny per-key grid — no join, no
+    single-partition funnel, everything JVM-side."""
+    plan = _simple_plan(SUITE["seasonal_profile"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    assert plan.count("HashAggregate") == 2, plan[:3000]  # partial+final
+
+
+def test_ngram_containment_single_tokenize_no_cartesian(spark, sf_dir):
+    """The containment join re-explodes both inverted-index sides from
+    the ONE materialized compact gram table (single tokenize pass) and
+    composes as a pure equijoin."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(SUITE["ngram_containment"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+    D.release_cached()
+
+
+def test_moore_lewis_scalar_broadcast_jvm_side(spark, sf_dir):
+    """Both LMs score the one materialized bigram-instance table; the
+    two vocabulary scalars ride one-row broadcasts (two nested-loop
+    joins: vs x vt assembly, then the attach) and the whole pipeline
+    stays JVM-side."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(SUITE["moore_lewis_select"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+    D.release_cached()

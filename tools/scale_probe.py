@@ -245,6 +245,21 @@ OPS = {
             {"check": "uniqueness", "column": "doc_id", "min_ratio": 1.0},
         ],
     ),
+    # round-7 third batch: the containment join stresses the same
+    # inverted-index axis as ngram_jaccard (shared-shingle volume);
+    # Moore-Lewis scores the growing corpus against the growing
+    # English subcorpus — both LM count tables scale with the factor.
+    "ngram_containment": lambda df: D.ngram_containment_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.2
+    ),
+    "moore_lewis": lambda df: LM.moore_lewis_select(
+        df,
+        df.filter(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        "source",
+        keep_frac=0.25,
+    ),
 }
 
 # the suite's frozen 8-merge tokenizer (suite.BPE_FROZEN_MERGES
@@ -525,8 +540,17 @@ def _ev_psi_drift(ev):
     return SK.psi_drift(sa, sb, keys=["g"])
 
 
+def _ev_seasonal(ev):
+    from platform_etl_literature_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    return seasonal_profile(ev, ["event_type"], period="hour")
+
+
 EVENTS_OPS = {
     "sessionize": _ev_sessionize,
+    "seasonal_profile": _ev_seasonal,
     "ohlc_bars": _ev_ohlc,
     "user_ewma_segmented": _ev_ewma,
     "funnel_steps": _ev_funnel,
@@ -566,6 +590,11 @@ GRAPH_OPS = {
         ),
         rounds=4,
     ),
+    # mirrors suite q_link_prediction: capped wedge centers bound the
+    # candidate volume as density grows with the factor
+    "link_prediction": lambda li: GR.link_prediction_scores(
+        GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    ).filter(F.col("cn") >= 2),
 }
 
 
