@@ -7828,6 +7828,14 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 #     the standalone row is within-family redundant; the drift
 #     monitor gives the new family an independently hashed row whose
 #     integer nano-unit fold is the engine-portability claim).
+#
+# Round-7 session-8 rotation: lm_doc_logprob→moore_lewis_select — the
+# selection row EMBEDS the add-k bigram LM (it scores the corpus under
+# TWO of them: self + target, LEFT-join smoothing for unseen grams)
+# and adds the per-shard quota ranking on top, so it is strictly more
+# of the quality family than the single self-trained LM score;
+# lm_doc_logprob stays value-gated in the parity suite and the LM
+# family keeps kn_lm_score's Kneser-Ney variant there too.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -7839,7 +7847,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "minhash_pairs", "funnel_steps", "bloomindex_skip",
     "user_ewma_segmented", "dedup_embedding_cosine", "mmr_rerank", "pagerank",
     "embedding_centroids", "vectors_norm_category", "doc_profile",
-    "incremental_agg", "hilbert_skip", "sessionize", "lm_doc_logprob",
+    "incremental_agg", "hilbert_skip", "sessionize", "moore_lewis_select",
     "kmv_distinct_users", "multimodal_frames", "cluster_split",
     "bloom_join_prune", "token_packing", "hdr_quantile_sketch",
     "suffix_dedup",
