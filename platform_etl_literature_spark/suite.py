@@ -30,6 +30,7 @@ from platform_etl_literature_spark.functions.harmonic import (
 from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import edjoin as EJ
+from platform_etl_literature_spark.operators import evalmetrics as EV
 from platform_etl_literature_spark.operators import graph as GR
 from platform_etl_literature_spark.operators import pagerank as PR
 from platform_etl_literature_spark.operators import quality_checks as QC
@@ -7293,6 +7294,153 @@ FROM r
 """
 
 
+def q_ranking_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-query ranking metrics (operators.evalmetrics
+    .ranking_metrics): recall@10 / MRR@10 / binary nDCG@10 over a
+    deterministic ranking (per-language docs by n_chars desc, doc_id
+    tiebreak) with pseudo-qrels (doc_id % 7 == 0).  nDCG gains are
+    integer micro-units rounded per rank before the order-free sum;
+    the iDCG rides k precomputed partial sums — no second pass, no
+    sequence explode."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        F.col("lang").alias("query_id"),
+        F.row_number().over(w).alias("rank"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("relevant"),
+    )
+    return EV.ranking_metrics(ranked, k=10)
+
+
+_ORACLE_RANKING_EVAL = """
+WITH ranked AS (
+  SELECT lang AS query_id,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank,
+    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS relevant
+  FROM documents),
+gains AS (
+  SELECT r, CAST(round(1000000.0 / log2(r + 1), 0) AS BIGINT) AS g
+  FROM generate_series(1, 10) t(r)),
+ig AS (SELECT r, CAST(sum(g) OVER (ORDER BY r) AS BIGINT) AS cum FROM gains),
+agg AS (
+  SELECT query_id,
+    CAST(sum(relevant) AS BIGINT) AS n_rel,
+    CAST(sum(CASE WHEN rank <= 10 AND relevant = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_rel_at_k,
+    min(CASE WHEN rank <= 10 AND relevant = 1 THEN rank END) AS first_rel,
+    CAST(sum(CASE WHEN rank <= 10 AND relevant = 1
+             THEN CAST(round(1000000.0 / log2(rank + 1), 0) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS dcg_micro
+  FROM ranked GROUP BY 1),
+wi AS (
+  SELECT agg.*, CAST(coalesce(ig.cum, 0) AS BIGINT) AS idcg_micro
+  FROM agg LEFT JOIN ig ON ig.r = least(agg.n_rel, 10))
+SELECT query_id, n_rel, n_rel_at_k,
+  CASE WHEN n_rel > 0 THEN round(n_rel_at_k / n_rel, 6)
+       ELSE 0.0 END AS recall_at_k,
+  CASE WHEN first_rel IS NOT NULL THEN round(1.0 / first_rel, 6)
+       ELSE 0.0 END AS mrr_at_k,
+  dcg_micro, idcg_micro,
+  CASE WHEN idcg_micro > 0 THEN round(dcg_micro / idcg_micro, 6)
+       ELSE 0.0 END AS ndcg_at_k
+FROM wi
+"""
+
+
+# shared SQL fragment: replay textstats.lang_id over documents —
+# identical to the _ORACLE_LANG_EVAL prediction logic
+_LANG_PRED_CTES = """
+w AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+s AS (
+  SELECT lang,
+    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(['el','la','y','es','un'], t))) AS h_es,
+    len(list_filter(toks, t -> list_contains(['le','la','et','est','un'], t))) AS h_fr
+  FROM w),
+pv AS (
+  SELECT lang AS label,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr' END AS pred
+  FROM s)
+"""
+
+
+def _lang_pred(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        F.col("lang").alias("label"), TS.lang_id(F.col("text")).alias("pred")
+    )
+
+
+def q_lang_id_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the language-ID heuristic
+    against the labeled lang column (operators.evalmetrics
+    .classification_report) — exact contingency counts, one grid
+    aggregation, zero-division conventions pinned."""
+    return EV.classification_report(_lang_pred(spark, sf))
+
+
+_ORACLE_LANG_REPORT = f"""
+WITH {_LANG_PRED_CTES},
+by_true AS (
+  SELECT label, count(*) AS n_true,
+    CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM pv GROUP BY 1),
+by_pred AS (SELECT pred AS label, count(*) AS n_pred FROM pv GROUP BY 1),
+j AS (
+  SELECT coalesce(t.label, p.label) AS label,
+         coalesce(n_true, 0) AS n_true,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(tp, 0) AS tp
+  FROM by_true t FULL OUTER JOIN by_pred p ON t.label = p.label)
+SELECT label, n_true, n_pred, tp,
+  CASE WHEN n_pred > 0 THEN round(tp / n_pred, 6) ELSE 0.0 END AS precision,
+  CASE WHEN n_true > 0 THEN round(tp / n_true, 6) ELSE 0.0 END AS recall,
+  CASE WHEN (n_true + n_pred) > 0
+       THEN round(2.0 * tp / (n_true + n_pred), 6)
+       ELSE 0.0 END AS f1
+FROM j
+"""
+
+
+def q_lang_id_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa of the language-ID heuristic vs ground truth
+    (operators.evalmetrics.cohens_kappa): one row, chance-corrected
+    agreement from exact marginal products."""
+    return EV.cohens_kappa(_lang_pred(spark, sf))
+
+
+_ORACLE_LANG_KAPPA = f"""
+WITH {_LANG_PRED_CTES},
+tot AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM pv),
+r AS (SELECT label, count(*) AS n_row FROM pv GROUP BY 1),
+c AS (SELECT pred AS label, count(*) AS n_col FROM pv GROUP BY 1),
+m AS (
+  SELECT CAST(coalesce(sum(n_row * n_col), 0) AS BIGINT) AS marg
+  FROM r JOIN c USING (label))
+SELECT n, n_agree,
+  round(n_agree / n, 6) AS po,
+  round(marg / (n * n), 6) AS pe,
+  CASE WHEN marg / (n * n) < 1.0
+       THEN round((n_agree / n - marg / (n * n))
+                  / (1.0 - marg / (n * n)), 6)
+       ELSE 0.0 END AS kappa
+FROM tot CROSS JOIN m
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -7719,6 +7867,15 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "moore_lewis_select": QuerySpec(
         q_moore_lewis_select, _ORACLE_MOORE_LEWIS, "quality-moore-lewis-select"
+    ),
+    "ranking_eval": QuerySpec(
+        q_ranking_eval, _ORACLE_RANKING_EVAL, "eval-ranking-metrics"
+    ),
+    "lang_id_report": QuerySpec(
+        q_lang_id_report, _ORACLE_LANG_REPORT, "eval-classification-report"
+    ),
+    "lang_id_kappa": QuerySpec(
+        q_lang_id_kappa, _ORACLE_LANG_KAPPA, "eval-cohens-kappa"
     ),
 }
 

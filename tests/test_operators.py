@@ -4237,3 +4237,77 @@ def test_moore_lewis_ranks_target_like_docs_first(spark):
         moore_lewis_select(
             docs, target, "doc_id", "text", "source", keep_frac=0.0
         )
+
+
+# ---------------------------------------------------------------------------
+# evaluation metrics (operators.evalmetrics)
+# ---------------------------------------------------------------------------
+
+
+def test_ranking_metrics_hand_checked(spark):
+    """recall@k / MRR@k / nDCG@k against hand-computed values,
+    including the zero-relevant query (trec_eval zero conventions)."""
+    import math
+
+    from platform_etl_literature_spark.operators.evalmetrics import (
+        ranking_metrics,
+    )
+
+    rows = [
+        ("q1", 1, 0), ("q1", 2, 1), ("q1", 3, 1), ("q1", 4, 1),
+        ("q2", 1, 0), ("q2", 2, 0),
+    ]
+    ranked = spark.createDataFrame(rows, ["query_id", "rank", "relevant"])
+    out = {r["query_id"]: r for r in ranking_metrics(ranked, k=3).collect()}
+
+    g = lambda r: round(1000000.0 / math.log2(r + 1))  # noqa: E731
+    q1 = out["q1"]
+    assert (q1["n_rel"], q1["n_rel_at_k"]) == (3, 2)
+    assert q1["recall_at_k"] == round(2 / 3, 6)
+    assert q1["mrr_at_k"] == 0.5
+    assert q1["dcg_micro"] == g(2) + g(3)
+    assert q1["idcg_micro"] == g(1) + g(2) + g(3)  # min(n_rel, k) = 3
+    assert q1["ndcg_at_k"] == round((g(2) + g(3)) / (g(1) + g(2) + g(3)), 6)
+    q2 = out["q2"]
+    assert (q2["n_rel"], q2["recall_at_k"], q2["mrr_at_k"]) == (0, 0.0, 0.0)
+    assert (q2["idcg_micro"], q2["ndcg_at_k"]) == (0, 0.0)
+    with pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(ranked, k=0)
+
+
+def test_classification_report_and_kappa_hand_checked(spark):
+    """Per-class precision/recall/F1 and Cohen's kappa from one
+    contingency table, zero-division conventions included."""
+    from platform_etl_literature_spark.operators.evalmetrics import (
+        classification_report,
+        cohens_kappa,
+    )
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "b")]
+    labeled = spark.createDataFrame(rows, ["label", "pred"])
+    rep = {r["label"]: r for r in classification_report(labeled).collect()}
+    assert (rep["a"]["precision"], rep["a"]["recall"]) == (1.0, 0.5)
+    assert rep["a"]["f1"] == round(2 / 3, 6)
+    assert (rep["b"]["precision"], rep["b"]["recall"]) == (0.5, 1.0)
+    assert (rep["c"]["n_pred"], rep["c"]["precision"], rep["c"]["f1"]) == (
+        0, 0.0, 0.0,
+    )
+
+    k = cohens_kappa(labeled).collect()[0]
+    # n=5, agree=3, marginal product = 2*1 + 2*4 = 10 -> pe = 0.4
+    assert (k["n"], k["n_agree"], k["po"], k["pe"]) == (5, 3, 0.6, 0.4)
+    assert k["kappa"] == round((0.6 - 0.4) / 0.6, 6)
+
+
+def test_cohens_kappa_degenerate_total_agreement(spark):
+    """A single-class table has pe = 1; kappa reports 0.0 by
+    convention instead of 0/0."""
+    from platform_etl_literature_spark.operators.evalmetrics import (
+        cohens_kappa,
+    )
+
+    labeled = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], ["label", "pred"]
+    )
+    k = cohens_kappa(labeled).collect()[0]
+    assert (k["po"], k["pe"], k["kappa"]) == (1.0, 1.0, 0.0)
