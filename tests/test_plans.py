@@ -688,3 +688,26 @@ def test_moore_lewis_scalar_broadcast_jvm_side(spark, sf_dir):
     assert "EvalPython" not in plan, plan[:3000]
     assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
     D.release_cached()
+
+
+def test_ranking_eval_single_agg_no_explode(spark, sf_dir):
+    """The three ranking metrics reduce in ONE aggregation pair over
+    the ranked input; the iDCG rides the precomputed partial-sum array
+    (no Explode/Generate node, no join), and the only window is the
+    partitioned ranking itself."""
+    plan = _simple_plan(SUITE["ranking_eval"].fn(spark, sf_dir))
+    assert "Generate" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert plan.count("HashAggregate") == 2, plan[:3000]
+
+
+def test_lang_id_kappa_grid_sized_joins(spark, sf_dir):
+    """Kappa folds the label-pair grid: after the first aggregation
+    nothing corpus-shaped remains, the marginal product joins two
+    label-vocabulary-sized frames, and the scalar attach is the one
+    sanctioned one-row broadcast."""
+    plan = _simple_plan(SUITE["lang_id_kappa"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]

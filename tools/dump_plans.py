@@ -459,6 +459,35 @@ SHOWCASE: dict[str, str] = {
         "linear in k; nothing corpus-sized appears after the "
         "shortlist's own top-k."
     ),
+    "link_prediction": (
+        "The capped wedge self-join is a plain shuffled equijoin on "
+        "the center key; the node-sized degree frame broadcasts at "
+        "all three attachment points (`BroadcastHashJoin`), and the "
+        "existing-edge subtraction is a LeftAnti hash join — no "
+        "cartesian, no nested loop anywhere."
+    ),
+    "seasonal_profile": (
+        "Join-free: one map-side-combined HashAggregate pair to the "
+        "(event_type, hour) grid, then a PARTITIONED window over the "
+        "≤24-row per-key grid for the grand totals — no "
+        "SinglePartition exchange, no Python eval node."
+    ),
+    "ngram_containment": (
+        "Both inverted-index sides re-explode from the ONE "
+        "InMemoryTableScan of the compact (id, n_sh, grams) table — "
+        "single tokenize pass; the overlap count is a shuffled "
+        "equijoin on the 8-byte shingle hash with map-side-combined "
+        "pair aggregation; both directed containments derive from "
+        "the same overlap column in one projection."
+    ),
+    "moore_lewis_select": (
+        "Both bigram LMs score the one materialized instance table "
+        "in a single join pipeline: self counts attach inner, target "
+        "counts LEFT with zero-coalesce, and the two vocabulary "
+        "scalars ride one-row BroadcastNestedLoopJoins; the "
+        "selection window partitions by shard — nothing here is "
+        "corpus-shaped except the instance scan itself."
+    ),
 }
 
 

@@ -68,6 +68,22 @@ def scaled_docs(spark, factor: int) -> str:
     return path
 
 
+def _ranking_eval(df):
+    from pyspark.sql.window import Window
+
+    from platform_etl_literature_spark.operators import evalmetrics as EVM
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = df.select(
+        F.col("lang").alias("query_id"),
+        F.row_number().over(w).alias("rank"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("relevant"),
+    )
+    return EVM.ranking_metrics(ranked, k=10)
+
+
 def _record_linkage(df):
     """Mirror of suite q_record_linkage: vocab -> FastSS d=2 pairs ->
     connected components -> canonical label per word."""
@@ -260,6 +276,9 @@ OPS = {
         "source",
         keep_frac=0.25,
     ),
+    # evaluation metrics: the ranked input grows with the corpus, the
+    # metric reduction is one (query-keyed) aggregation
+    "ranking_eval": _ranking_eval,
 }
 
 # the suite's frozen 8-merge tokenizer (suite.BPE_FROZEN_MERGES
