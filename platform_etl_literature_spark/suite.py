@@ -7441,6 +7441,76 @@ FROM tot CROSS JOIN m
 """
 
 
+def q_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-generation accountability for the near-dup family —
+    the dedup analog of ann_recall_at_k: measure the banded-MinHash
+    LSH stage (band_size 2: collision prob j² per band) against the
+    EXACT bigram-Jaccard ground truth at threshold 0.3, in one
+    hash-checked row (n_truth, n_cand, n_hit, recall, precision).
+    Recall is the S-curve's miss rate made visible (a pair at j=0.3
+    collides in ≥1 of 4 bands with prob 1−(1−j²)⁴ ≈ 31%); precision
+    is the verify stage's workload efficiency.  Both engines replay
+    candidates AND truth from the same engine-portable md5 token
+    hashes, so the row is a measurement, not an estimate."""
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", 2)
+    cand = D.minhash_banded_pairs(sigs, band_size=2).select("id_a", "id_b")
+    truth = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=2, threshold=0.3
+    ).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_cand"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hit") / F.col("n_truth"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(F.col("n_hit") / F.col("n_cand"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+        )
+    )
+
+
+_ORACLE_DEDUP_RECALL = f"""
+WITH {_BANDED_PAIRS_CTES},
+cand AS (SELECT id_a, id_b FROM bpairs),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+        >= 0.3),
+hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand),
+c AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM hit) AS n_hit)
+SELECT n_truth, n_cand, n_hit,
+  CASE WHEN n_truth > 0 THEN round(n_hit / n_truth, 6)
+       ELSE 0.0 END AS recall,
+  CASE WHEN n_cand > 0 THEN round(n_hit / n_cand, 6)
+       ELSE 0.0 END AS precision
+FROM c
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -7876,6 +7946,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "lang_id_kappa": QuerySpec(
         q_lang_id_kappa, _ORACLE_LANG_KAPPA, "eval-cohens-kappa"
+    ),
+    "dedup_recall": QuerySpec(
+        q_dedup_recall, _ORACLE_DEDUP_RECALL, "dedup-lsh-recall-accounting"
     ),
 }
 
