@@ -7454,10 +7454,18 @@ def q_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
     hashes, so the row is a measurement, not an estimate."""
     docs = _t(spark, sf, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", 2)
-    cand = D.minhash_banded_pairs(sigs, band_size=2).select("id_a", "id_b")
-    truth = D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=2, threshold=0.3
-    ).select("id_a", "id_b")
+    # both pair sets are read twice (their own count + the
+    # intersection), and each is an expensive candidate chain — the
+    # dedup.py persist-for-DAG-reuse rule (measured 17 s → 9 s at
+    # sf0.1 without it: the bigram inverted-index join ran twice)
+    cand = D._materialize_once(
+        D.minhash_banded_pairs(sigs, band_size=2).select("id_a", "id_b")
+    )
+    truth = D._materialize_once(
+        D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.3
+        ).select("id_a", "id_b")
+    )
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))
