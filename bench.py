@@ -149,6 +149,17 @@ HEADLINE = [
     "seasonal_profile",
     "ngram_containment",
     "moore_lewis_select",
+    # round-7 session-8 fourth batch: evaluation metrics — measured
+    # before promotion (spark/duck at sf0.1, min of 3: ranking_eval
+    # 0.66/0.02 — floor row, one agg + one window; lang_id_report
+    # 3.28/1.94 — the HOF language-ID replay dominates both engines).
+    # lang_id_kappa stays OUT (it re-pays the same lang_id cost for a
+    # 1-row fold — within-family redundant with the report's grid);
+    # dedup_recall stays OUT by the accountability-row rule
+    # (ann_recall_at_k precedent) — its exact bigram-Jaccard truth side
+    # is a deliberate Σdf² measurement, not a race.
+    "ranking_eval",
+    "lang_id_report",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs
