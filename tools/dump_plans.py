@@ -510,6 +510,13 @@ def main() -> None:
         plan = df._jdf.queryExecution().explainString(mode)
         # strip the volatile per-run expression ids (#123) for a stable diff
         plan = re.sub(r"#\d+L?", "#_", plan)
+        # escape raw control bytes plan constants can embed (e.g. the
+        # exact_dedup \x01 concat_ws separator) — keep the file text
+        plan = re.sub(
+            r"[\x00-\x08\x0b-\x1f]",
+            lambda m: f"\\x{ord(m.group()):02x}",
+            plan,
+        )
         out.append(f"## {name}")
         out.append("")
         out.append(note)
