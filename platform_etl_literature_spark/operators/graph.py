@@ -475,3 +475,88 @@ def link_prediction_scores(
             "aa_micro",
         )
     )
+
+
+# hops the last bfs_distances call actually expanded — read by tests
+# and the suite-oracle unroll bound (the last_peel_rounds pattern)
+last_bfs_hops: int = 0
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Hop distance from the nearest SEED node over an undirected
+    graph, exact, bounded at ``max_hops`` — multi-source breadth-first
+    search, the landmark-distance primitive (how far is every node
+    from the curated trust set?) that complements the census
+    (triangles), the peel (k_core) and the flow (pagerank) members of
+    the graph family.
+
+    ``seeds`` is a one-column frame ``(node)``.  Returns
+    ``(node, dist)`` for every node within ``max_hops`` of a seed
+    (seeds themselves at dist 0).  Unreached nodes are absent — the
+    caller left-joins and fills if it wants sentinel distances.
+
+    Level-synchronous frontier expansion, all DataFrame equijoins:
+    each hop joins the frontier against the symmetrized edge list,
+    anti-joins the already-settled set (BFS settles a node at its
+    FIRST discovery — that hop count IS the minimum distance), and
+    checkpoints the new frontier (the components.py rule: checkpoint
+    for iteration, lineage must not grow with hop count).  With
+    ``broadcast_frontier`` (default) the frontier and settled frames
+    broadcast into the expansion joins, so no per-hop shuffle of the
+    edge list happens at all — right for landmark queries whose
+    reached set stays node-sized; set it False when the frontier
+    itself outgrows broadcast room (the k_core ``broadcast_keep``
+    rule; edges then hash-shuffle per hop).
+
+    The per-hop fixpoint test (empty frontier → stop early) is one
+    count on the hop's OWN checkpoint — no extra job.  Sets
+    :data:`last_bfs_hops` to the number of expansion hops that found
+    at least one new node, so the suite oracle's recursive-CTE unroll
+    bound is checkable against the measured depth.
+    """
+    global last_bfs_hops
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled.select("node")
+    last_bfs_hops = 0
+    for hop in range(1, max_hops + 1):
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
+        st = (
+            F.broadcast(settled.select("node"))
+            if broadcast_frontier
+            else settled.select("node")
+        )
+        nxt = (
+            sym.join(fr.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(st, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        last_bfs_hops = hop
+        settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return settled

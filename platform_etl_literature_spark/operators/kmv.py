@@ -173,3 +173,113 @@ def kmv_intersect_estimate(
             .alias("est_intersection"),
         )
     )
+
+
+def kmv_pairwise_jaccard(
+    sketch: DataFrame, k: int, group_col: str
+) -> DataFrame:
+    """All-pairs cross-group overlap matrix from ONE grouped KMV
+    sketch — the operator that answers "how much do my corpus sources
+    duplicate each other?" at 100 TB WITHOUT any data-sized pairwise
+    join: each source is reduced to its bottom-k sketch (one pass,
+    map-side combinable), and every pair estimate is computed on the
+    k-row sketches alone.
+
+    ``sketch`` is :func:`kmv_sketch` output ``(group_col, h, pos)``.
+    For a pair (a, b) with thresholds theta_a, theta_b (the group's
+    k-th hash, or the hash-space top when the group kept everything):
+
+    * ``theta = min(theta_a, theta_b)`` — below it BOTH sketches hold
+      ALL their group's hashes, a uniform sample of each set at rate
+      theta/2^60 (Bar-Yossef et al., RANDOM'02; the theta-sketch
+      set-operation model);
+    * ``n_common`` / ``n_union`` = distinct hashes below theta in
+      both / either sketch — exact integers;
+    * ``jaccard = n_common / n_union`` (one division, rounded 6) and
+      ``est_intersection = n_common · 2^60 / theta`` — an unbiased
+      estimate of |A∩B|.
+
+    Returns ``(g_a, g_b, theta_h, n_common, n_union, jaccard,
+    est_intersection)`` for g_a < g_b.  Everything downstream of the
+    sketch build is sketch-sized (n_groups · k rows); the pair frame
+    is broadcast into the hash-equijoin that finds commons — no
+    cartesian over data.
+    """
+    g = F.col(group_col)
+    # ONE materialization of the sketch: every downstream frame (stats,
+    # both below-counts, the common equijoin) re-references it, and
+    # without the checkpoint each reference would replay the full
+    # data-sized sketch build — the one pass that actually costs at
+    # 100 TB.  Sketch size is n_groups · k rows; the checkpoint is free.
+    sketch = sketch.select(group_col, "h", "pos").localCheckpoint(
+        eager=True
+    )
+    stats = sketch.groupBy(group_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("pos") == k, F.col("h"))),
+            F.lit(16**15).cast("long"),
+        ).alias("_t")
+    )
+    pa = stats.select(g.alias("g_a"), F.col("_t").alias("_ta"))
+    pb = stats.select(g.alias("g_b"), F.col("_t").alias("_tb"))
+    pairs = (
+        pa.join(pb, F.col("g_a") < F.col("g_b"))
+        .select("g_a", "g_b", F.least("_ta", "_tb").alias("theta_h"))
+        .localCheckpoint(eager=True)
+    )
+    sa = sketch.select(g.alias("g_a"), "h")
+    sb = sketch.select(g.alias("g_b"), "h")
+    # hashes below the pair's theta on each side
+    below_a = (
+        sa.join(F.broadcast(pairs), "g_a")
+        .filter(F.col("h") < F.col("theta_h"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("_ka"))
+    )
+    below_b = (
+        sb.join(F.broadcast(pairs), "g_b")
+        .filter(F.col("h") < F.col("theta_h"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("_kb"))
+    )
+    common = (
+        sa.join(sb, "h")
+        .join(
+            F.broadcast(pairs.select("g_a", "g_b", "theta_h")),
+            ["g_a", "g_b"],
+        )
+        .filter(F.col("h") < F.col("theta_h"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("_kc"))
+    )
+    out = (
+        pairs.join(F.broadcast(below_a), ["g_a", "g_b"], "left")
+        .join(F.broadcast(below_b), ["g_a", "g_b"], "left")
+        .join(F.broadcast(common), ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            "theta_h",
+            F.coalesce("_kc", F.lit(0)).alias("n_common"),
+            (
+                F.coalesce("_ka", F.lit(0))
+                + F.coalesce("_kb", F.lit(0))
+                - F.coalesce("_kc", F.lit(0))
+            ).alias("n_union"),
+        )
+    )
+    jac = F.when(
+        F.col("n_union") > 0,
+        F.round(F.col("n_common") / F.col("n_union"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "g_a",
+        "g_b",
+        "theta_h",
+        "n_common",
+        "n_union",
+        jac.alias("jaccard"),
+        F.round(F.col("n_common") * F.lit(HASH_SPACE) / F.col("theta_h"), 0)
+        .cast("long")
+        .alias("est_intersection"),
+    )

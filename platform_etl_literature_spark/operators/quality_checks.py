@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 REPORT_FIELDS = ("check", "target", "metric", "threshold", "passed")
 
@@ -249,4 +250,80 @@ def metric_drift(
         F.when(F.col("_mad") != 0.0, z).alias("z"),
         F.coalesce(F.col("n_history"), F.lit(0)).alias("n_history"),
         passed.alias("passed"),
+    )
+
+
+def chi2_drift(
+    df: DataFrame,
+    cat_col: str,
+    side_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample chi-squared homogeneity test per key group over a
+    CATEGORICAL column — the drift member for discrete distributions
+    (language mix, source mix, label mix), completing the drift
+    family: PSI (sketch-space, binned), KS (continuous, exact),
+    chi-squared (categorical, exact counts).
+
+    ``side_col`` is boolean: True rows are sample A, False sample B.
+    Per category c with counts (a_c, b_c) and side totals (N_a, N_b),
+    the expected counts under homogeneity are
+    ``e_a = (a_c + b_c) * N_a / N``, ``e_b = (a_c + b_c) * N_b / N``
+    and the statistic sums ``(a_c − e_a)²/e_a + (b_c − e_b)²/e_b``
+    over categories.
+
+    Exactness contract (the psi_drift pattern): every per-category
+    term is per-row fixed-order double arithmetic on exact BIGINT
+    counts — bit-identical cross-engine — then rounded to integer
+    NANO-units; the cross-category reduction is an INTEGER sum, so
+    accumulation order cannot perturb the result.  Returns
+    ``(*key_cols, n_a, n_b, n_cats, dof, chi2_nano, chi2)``.
+
+    Scale shape: one hash aggregate to (keys, category) count cells
+    (map-side combine), one window for side totals, one hash
+    aggregate for the fold — no sort, no join.
+    """
+    keys = list(key_cols or [])
+    cells = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(*keys, cat_col)
+        .agg(
+            F.sum(F.when(F.col(side_col), 1).otherwise(0)).alias("_a"),
+            F.sum(F.when(F.col(side_col), 0).otherwise(1)).alias("_b"),
+        )
+    )
+    w_all = Window.partitionBy(*keys)
+    t = cells.select(
+        *keys,
+        "_a",
+        "_b",
+        F.sum("_a").over(w_all).alias("_na"),
+        F.sum("_b").over(w_all).alias("_nb"),
+    )
+    n = (F.col("_na") + F.col("_nb")).cast("double")
+    rowt = (F.col("_a") + F.col("_b")).cast("double")
+    ea = rowt * F.col("_na").cast("double") / n
+    eb = rowt * F.col("_nb").cast("double") / n
+    da = F.col("_a").cast("double") - ea
+    db = F.col("_b").cast("double") - eb
+    term = da * da / ea + db * db / eb
+    nano = F.round(term * 1000000000.0, 0).cast("long")
+    return (
+        t.select(*keys, "_na", "_nb", nano.alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.first("_na").alias("n_a"),
+            F.first("_nb").alias("n_b"),
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum("_t").alias("chi2_nano"),
+        )
+        .select(
+            *keys,
+            "n_a",
+            "n_b",
+            "n_cats",
+            (F.col("n_cats") - 1).alias("dof"),
+            "chi2_nano",
+            F.round(F.col("chi2_nano") / 1000000000.0, 6).alias("chi2"),
+        )
     )

@@ -191,3 +191,152 @@ def weighted_median(
         sel.filter("_hit")
         .select(*key_cols, F.col(value_col).alias(out_col))
     )
+
+
+def ks_2samp(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance per key group —
+    the distribution-free drift test over RAW values that complements
+    the sketch-space PSI monitor (operators.sketch.psi_drift): KS
+    needs no binning choice and is sensitive to any distributional
+    change, at the cost of touching the data instead of a persisted
+    sketch.
+
+    ``side_col`` is a boolean column: True rows form sample A, False
+    rows sample B.  Returns one row per key group:
+    ``(*key_cols, n_a, n_b, d_num, ks_d, ks_lambda)`` where
+
+    * ``d_num = max over values |cum_a * n_b - cum_b * n_a|`` — the
+      KS supremum in EXACT integer cross-multiplied form (the ECDF
+      difference ``cum_a/n_a - cum_b/n_b`` over the common
+      denominator ``n_a * n_b``), so the statistic itself is
+      engine-portable bit-for-bit with NO float accumulation;
+    * ``ks_d = d_num / (n_a * n_b)`` rounded at 6 — one division on
+      identical integer operands;
+    * ``ks_lambda = sqrt(n_a*n_b/(n_a+n_b)) * ks_d_unrounded`` — the
+      scaled statistic compared against Kolmogorov-distribution
+      critical values (1.358 for alpha=0.05); sqrt and one multiply
+      are IEEE-correctly-rounded on identical operands.
+
+    Scale shape: values collapse to ``(keys, value) → (count_a,
+    count_b)`` cells by one hash aggregate (map-side combine — hot
+    values cost one cell), the window pass sorts DISTINCT values per
+    group, and the final max is another hash aggregate.  Overflow
+    bound: ``cum * n`` products need ``n_a * n_b < 2^63`` — holds to
+    ~3e9 rows per side per group; beyond that, pre-collapse or
+    sample.
+    """
+    keys = list(key_cols or [])
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(
+            F.sum(F.when(F.col(side_col), 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col(side_col), 0).otherwise(1)).alias("_cb"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    stepped = cells.select(
+        *keys,
+        F.sum("_ca").over(w_cum).alias("_cuma"),
+        F.sum("_cb").over(w_cum).alias("_cumb"),
+        F.sum("_ca").over(w_all).alias("n_a"),
+        F.sum("_cb").over(w_all).alias("n_b"),
+    )
+    agg = stepped.groupBy(*keys).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a")
+            )
+        ).alias("d_num"),
+    )
+    d_raw = F.col("d_num") / (F.col("n_a") * F.col("n_b"))
+    lam = F.sqrt(
+        (F.col("n_a") * F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    ) * d_raw
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "d_num",
+        F.round(d_raw, 6).alias("ks_d"),
+        F.round(lam, 6).alias("ks_lambda"),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit ``y = intercept +
+    slope * x`` from EXACT INTEGER sufficient statistics — the trend
+    detector a metrics pipeline runs per entity (is this source's
+    daily volume drifting up?) without any per-group sort or collect:
+    one hash aggregate computes ``(n, Σx, Σy, Σxy, Σx², Σy²)`` with
+    map-side partial combine, and the closed-form estimates are
+    per-row arithmetic on the exact integers.
+
+    ``x_col`` and ``y_col`` must be INTEGRAL columns by contract
+    (longs; fixed-point scale doubles first — the repo-wide float
+    policy), which makes every sufficient statistic an exact BIGINT:
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is ONE double division of
+    exact integers, r² squares the covariance AFTER casting the exact
+    integer to double (the integer square would overflow first).
+    Overflow bound: ``n·Σ|xy| < 2^63`` — with day-index x ≤ 31 and
+    cent-scaled y this holds to ~10^14 cent-units per group; document
+    or rescale beyond.
+
+    Returns ``(*key_cols, n, slope, intercept, r2)``; slope/r2 NULL
+    for degenerate groups (zero x-variance; r2 additionally NULL for
+    zero y-variance), rounded at 6.
+    """
+    keys = list(key_cols or [])
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * y).alias("_sxy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(y * y).alias("_syy"),
+        )
+    )
+    cov_n = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx_n = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary_n = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(
+        varx_n != 0, cov_n.cast("double") / varx_n.cast("double")
+    )
+    intercept = (F.col("_sy").cast("double") - slope * F.col("_sx")) / F.col(
+        "n"
+    )
+    r2 = F.when(
+        (varx_n != 0) & (vary_n != 0),
+        (cov_n.cast("double") * cov_n.cast("double"))
+        / (varx_n.cast("double") * vary_n.cast("double")),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -7519,6 +7519,325 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Batch-5 operator families (round 7 session 9): exact drift tests,
+# grouped trend fitting, sketch-space source overlap, landmark BFS
+# ---------------------------------------------------------------------------
+
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test
+    (operators.robust.ks_2samp): per event type, the value
+    distribution of the first half-month vs the second — the
+    distribution-free companion to psi_drift (which compares persisted
+    HDR sketches; KS reads raw values, needs no binning, and detects
+    ANY distributional change).  The statistic's supremum is the
+    EXACT integer ``max |cum_a·n_b − cum_b·n_a|`` (cross-multiplied
+    ECDF difference — no float accumulation anywhere), so the oracle
+    replays it integer-for-integer; the rounded ks_d/ks_lambda are
+    one division / one sqrt·multiply on identical operands."""
+    from platform_etl_literature_spark.operators import robust as RB
+
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    src = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v"),
+        (F.dayofmonth("ts") <= 15).alias("s"),
+    )
+    return RB.ks_2samp(src, "v", "s", key_cols=["g"]).orderBy("g")
+
+
+_ORACLE_KS = """
+WITH src AS (
+  SELECT event_type AS g,
+         CAST(round(value * 100, 0) AS BIGINT) AS v,
+         (CAST(date_part('day', ts) AS INTEGER) <= 15) AS s
+  FROM events WHERE value IS NOT NULL),
+cells AS (
+  SELECT g, v,
+         CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM src GROUP BY 1, 2),
+st AS (
+  SELECT g,
+    CAST(sum(ca) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+    CAST(sum(cb) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+    CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+    CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+  FROM cells),
+agg AS (
+  SELECT g, max(na) AS n_a, max(nb) AS n_b,
+         max(abs(cuma * nb - cumb * na)) AS d_num
+  FROM st GROUP BY 1)
+SELECT g, n_a, n_b, d_num,
+  round(d_num / (n_a * n_b), 6) AS ks_d,
+  round(sqrt((n_a * n_b) / CAST(n_a + n_b AS DOUBLE))
+        * (d_num / (n_a * n_b)), 6) AS ks_lambda
+FROM agg ORDER BY g
+"""
+
+
+def q_chi2_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample chi-squared homogeneity drift
+    (operators.quality_checks.chi2_drift): per weekday, is the
+    event-TYPE mix of the first half-month the same as the second?
+    The categorical member of the drift family (PSI = binned sketch
+    space, KS = continuous raw values, chi2 = discrete categories).
+    Per-category terms are fixed-order double arithmetic on exact
+    BIGINT counts rounded to integer nano-units; the cross-category
+    reduction is an INTEGER sum (the psi_drift/micro-nat pattern), so
+    the statistic is engine-portable bit-for-bit."""
+    from platform_etl_literature_spark.operators import (
+        quality_checks as QCX,
+    )
+
+    ev = read_events(spark, sf)
+    src = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.col("event_type").alias("cat"),
+        (F.dayofmonth("ts") <= 15).alias("s"),
+    )
+    return QCX.chi2_drift(src, "cat", "s", key_cols=["dow"]).orderBy("dow")
+
+
+_ORACLE_CHI2 = """
+WITH src AS (
+  SELECT CAST(date_part('dow', ts) AS INTEGER) + 1 AS dow,
+         event_type AS cat,
+         (CAST(date_part('day', ts) AS INTEGER) <= 15) AS s
+  FROM events),
+cells AS (
+  SELECT dow, cat,
+         CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM src GROUP BY 1, 2),
+t AS (
+  SELECT dow, a, b,
+    CAST(sum(a) OVER (PARTITION BY dow) AS BIGINT) AS na,
+    CAST(sum(b) OVER (PARTITION BY dow) AS BIGINT) AS nb
+  FROM cells),
+terms AS (
+  SELECT dow, na, nb,
+    CAST(round((
+        (CAST(a AS DOUBLE)
+           - (CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE)
+              / CAST(na + nb AS DOUBLE)))
+        * (CAST(a AS DOUBLE)
+           - (CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE)
+              / CAST(na + nb AS DOUBLE)))
+        / (CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE)
+           / CAST(na + nb AS DOUBLE))
+      + (CAST(b AS DOUBLE)
+           - (CAST(a + b AS DOUBLE) * CAST(nb AS DOUBLE)
+              / CAST(na + nb AS DOUBLE)))
+        * (CAST(b AS DOUBLE)
+           - (CAST(a + b AS DOUBLE) * CAST(nb AS DOUBLE)
+              / CAST(na + nb AS DOUBLE)))
+        / (CAST(a + b AS DOUBLE) * CAST(nb AS DOUBLE)
+           / CAST(na + nb AS DOUBLE))
+      ) * 1000000000.0, 0) AS BIGINT) AS tn
+  FROM t)
+SELECT dow, max(na) AS n_a, max(nb) AS n_b,
+  CAST(count(*) AS BIGINT) AS n_cats,
+  CAST(count(*) - 1 AS BIGINT) AS dof,
+  CAST(sum(tn) AS BIGINT) AS chi2_nano,
+  round(CAST(sum(tn) AS BIGINT) / 1000000000.0, 6) AS chi2
+FROM terms GROUP BY dow ORDER BY dow
+"""
+
+
+def q_grouped_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS trend fit (operators.robust.grouped_ols): per
+    event type, the linear trend of daily volume (sum of integer
+    cents) over the day-of-month axis — slope/intercept/r² from EXACT
+    BIGINT sufficient statistics computed in one map-side-combinable
+    hash aggregate, closed-form estimates as per-row arithmetic.  The
+    oracle replays the identical sufficient statistics and the
+    identical operand order (covariance cast to double BEFORE
+    squaring — the integer square would overflow first), so the
+    rounded estimates match bit-for-bit."""
+    from platform_etl_literature_spark.operators import robust as RB
+
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("x"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("y")
+    )
+    return RB.grouped_ols(daily, "x", "y", key_cols=["g"]).orderBy("g")
+
+
+_ORACLE_OLS = """
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(date_part('day', ts) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+s AS (
+  SELECT g,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1),
+e AS (
+  SELECT g, n,
+    n * sxy - sx * sy AS covn,
+    n * sxx - sx * sx AS varxn,
+    n * syy - sy * sy AS varyn,
+    sx, sy
+  FROM s)
+SELECT g, n,
+  round(CASE WHEN varxn != 0
+             THEN CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE) END,
+        6) AS slope,
+  round((CAST(sy AS DOUBLE)
+         - (CASE WHEN varxn != 0
+                 THEN CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE) END)
+           * sx) / n, 6) AS intercept,
+  round(CASE WHEN varxn != 0 AND varyn != 0
+             THEN (CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE))
+                  / (CAST(varxn AS DOUBLE) * CAST(varyn AS DOUBLE)) END,
+        6) AS r2
+FROM e ORDER BY g
+"""
+
+
+def q_kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source vocabulary-overlap matrix from grouped KMV
+    sketches (operators.kmv.kmv_pairwise_jaccard): every source's
+    distinct-token set reduces to a bottom-k sketch in ONE pass, and
+    all C(n_sources, 2) Jaccard/intersection estimates are computed
+    on the k-row sketches alone — the "how much do my corpus sources
+    duplicate each other" answer that at 100 TB CANNOT be a pairwise
+    data join.  The md5-based hash is engine-replayable, so the
+    oracle rebuilds the identical sketches in SQL and every integer
+    (theta, common, union counts) must agree exactly; jaccard and the
+    theta-model intersection estimate are one division each."""
+    from platform_etl_literature_spark.operators import dedup as DD
+    from platform_etl_literature_spark.operators import kmv as KMV
+
+    k = 128
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.col("source"),
+        F.explode(DD.tokens(F.col("text"))).alias("t"),
+    )
+    sk = KMV.kmv_sketch(toks, "t", k, key_cols=["source"])
+    return (
+        KMV.kmv_pairwise_jaccard(sk, k, "source")
+        .orderBy("g_a", "g_b")
+    )
+
+
+_ORACLE_KMV_OVERLAP = """
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM documents),
+h AS (
+  SELECT DISTINCT g,
+    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+  FROM tok),
+r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS pos
+  FROM h),
+sk AS (SELECT g, h, pos FROM r WHERE pos <= 128),
+st AS (
+  SELECT g,
+    COALESCE(max(CASE WHEN pos = 128 THEN h END),
+             1152921504606846976) AS t
+  FROM sk GROUP BY 1),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b, least(a.t, b.t) AS theta_h
+  FROM st a JOIN st b ON a.g < b.g),
+ka AS (
+  SELECT p.g_a, p.g_b, CAST(count(*) AS BIGINT) AS ka
+  FROM sk s JOIN pairs p ON s.g = p.g_a AND s.h < p.theta_h
+  GROUP BY 1, 2),
+kb AS (
+  SELECT p.g_a, p.g_b, CAST(count(*) AS BIGINT) AS kb
+  FROM sk s JOIN pairs p ON s.g = p.g_b AND s.h < p.theta_h
+  GROUP BY 1, 2),
+kc AS (
+  SELECT p.g_a, p.g_b, CAST(count(*) AS BIGINT) AS kc
+  FROM sk x JOIN sk y ON x.h = y.h
+  JOIN pairs p ON x.g = p.g_a AND y.g = p.g_b AND x.h < p.theta_h
+  GROUP BY 1, 2),
+o AS (
+  SELECT p.g_a, p.g_b, p.theta_h,
+    COALESCE(kc.kc, 0) AS n_common,
+    COALESCE(ka.ka, 0) + COALESCE(kb.kb, 0) - COALESCE(kc.kc, 0)
+      AS n_union
+  FROM pairs p
+  LEFT JOIN ka ON ka.g_a = p.g_a AND ka.g_b = p.g_b
+  LEFT JOIN kb ON kb.g_a = p.g_a AND kb.g_b = p.g_b
+  LEFT JOIN kc ON kc.g_a = p.g_a AND kc.g_b = p.g_b)
+SELECT g_a, g_b, theta_h, n_common, n_union,
+  CASE WHEN n_union > 0 THEN round(n_common / CAST(n_union AS DOUBLE), 6)
+       ELSE 0.0 END AS jaccard,
+  CAST(round(n_common * 1152921504606846976.0 / theta_h, 0) AS BIGINT)
+    AS est_intersection
+FROM o ORDER BY g_a, g_b
+"""
+
+
+def q_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS landmark distances (operators.graph.
+    bfs_distances): hop distance from the 4 smallest part-key nodes of
+    the co-purchase graph (parts sharing an order, the
+    graph_triangles edge derivation), bounded at 3 hops — the
+    "distance from the trust set" primitive.  Level-synchronous
+    frontier expansion with broadcast frontiers (no per-hop edge
+    shuffle) and per-hop checkpoints; the oracle replays the exact
+    edges and a recursive-CTE BFS whose min-hop group-by equals
+    first-discovery distance."""
+    from platform_etl_literature_spark.operators import graph as GRX
+    from platform_etl_literature_spark.operators.retrieval import (
+        ranked_topk,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    edges = GRX.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seeds = ranked_topk(nodes, [F.col("node").asc()], 4).select("node")
+    out = GRX.bfs_distances(edges, seeds, max_hops=3)
+    return out.orderBy("node")
+
+
+_ORACLE_BFS = """
+WITH RECURSIVE
+m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 64),
+k AS (SELECT m.g, m.i FROM m JOIN sz USING (g)),
+e AS (SELECT DISTINCT a.i AS u, b.i AS v
+      FROM k a JOIN k b ON a.g = b.g AND a.i < b.i),
+sym AS (SELECT u AS src, v AS dst FROM e
+        UNION SELECT v AS src, u AS dst FROM e),
+seeds AS (
+  SELECT node FROM (SELECT DISTINCT src AS node FROM sym)
+  ORDER BY node LIMIT 4),
+bfs(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT s.dst, b.d + 1
+  FROM bfs b JOIN sym s ON s.src = b.node
+  WHERE b.d < 3)
+SELECT node, CAST(min(d) AS INTEGER) AS dist
+FROM bfs GROUP BY node ORDER BY node
+"""
+
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -7957,6 +8276,18 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "dedup_recall": QuerySpec(
         q_dedup_recall, _ORACLE_DEDUP_RECALL, "dedup-lsh-recall-accounting"
+    ),
+    "ks_drift": QuerySpec(q_ks_drift, _ORACLE_KS, "drift-ks-exact"),
+    "chi2_drift": QuerySpec(
+        q_chi2_drift, _ORACLE_CHI2, "drift-chi2-categorical"
+    ),
+    "grouped_ols": QuerySpec(q_grouped_ols, _ORACLE_OLS, "trend-grouped-ols"),
+    "kmv_source_overlap": QuerySpec(
+        q_kmv_source_overlap, _ORACLE_KMV_OVERLAP,
+        "sketch-kmv-pairwise-overlap"
+    ),
+    "bfs_distances": QuerySpec(
+        q_bfs_distances, _ORACLE_BFS, "graph-bfs-landmark"
     ),
 }
 

@@ -4311,3 +4311,202 @@ def test_cohens_kappa_degenerate_total_agreement(spark):
     )
     k = cohens_kappa(labeled).collect()[0]
     assert (k["po"], k["pe"], k["kappa"]) == (1.0, 1.0, 0.0)
+
+
+# --------------------------------------------------------------------------
+# batch-5: exact drift tests, grouped OLS, KMV overlap, landmark BFS
+# --------------------------------------------------------------------------
+
+
+def test_ks_2samp_matches_reference(spark):
+    """KS distance on a crafted pair vs the hand-computed supremum."""
+    from platform_etl_literature_spark.operators import robust as RB
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: ECDFs diverge most at v=2
+    # (F_A=0.5, F_B=0) and v=4 (F_A=1, F_B=0.5): D = 0.5
+    rows = [(v, True) for v in (1, 2, 3, 4)] + [
+        (v, False) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, ["v", "s"])
+    out = RB.ks_2samp(df, "v", "s").collect()[0]
+    assert out["n_a"] == 4 and out["n_b"] == 4
+    assert out["d_num"] == 8  # |2*4 - 0*4| at v=2
+    assert out["ks_d"] == 0.5
+
+
+def test_ks_2samp_identical_samples_zero(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = [(k, v, s) for k in ("a", "b") for v in (1, 2, 3)
+            for s in (True, False)]
+    df = spark.createDataFrame(rows, ["k", "v", "s"])
+    for r in RB.ks_2samp(df, "v", "s", key_cols=["k"]).collect():
+        assert r["d_num"] == 0 and r["ks_d"] == 0.0
+
+
+def test_ks_2samp_duplicates_collapse_to_cells(spark):
+    """A million-copy hot value must cost one cell; verify the counts
+    path with duplicate-heavy data gives the same D as the expanded
+    computation."""
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = [(1, True)] * 50 + [(2, True)] * 50 + [(2, False)] * 100
+    df = spark.createDataFrame(rows, ["v", "s"])
+    out = RB.ks_2samp(df, "v", "s").collect()[0]
+    # F_A(1)=0.5 F_B(1)=0 -> |50*100 - 0*100| = 5000
+    assert out["d_num"] == 5000 and out["ks_d"] == 0.5
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+
+    from platform_etl_literature_spark.operators import robust as RB
+
+    pts = {
+        "g1": [(1, 10), (2, 12), (3, 15), (4, 19), (5, 20)],
+        "g2": [(1, 100), (2, 80), (3, 60)],
+    }
+    rows = [(g, x, y) for g, ps in pts.items() for x, y in ps]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in RB.grouped_ols(df, "x", "y", ["g"]).collect()}
+    for g, ps in pts.items():
+        xs = np.array([p[0] for p in ps], dtype=float)
+        ys = np.array([p[1] for p in ps], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert abs(out[g]["slope"] - slope) < 1e-6
+        assert abs(out[g]["intercept"] - intercept) < 1e-6
+        assert abs(out[g]["r2"] - r * r) < 1e-6
+
+
+def test_grouped_ols_degenerate_groups(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = [
+        ("flatx", 2, 5), ("flatx", 2, 9),        # zero x-variance
+        ("flaty", 1, 7), ("flaty", 2, 7),         # zero y-variance
+        ("single", 3, 4),                          # one point
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in RB.grouped_ols(df, "x", "y", ["g"]).collect()}
+    assert out["flatx"]["slope"] is None and out["flatx"]["r2"] is None
+    assert out["flaty"]["slope"] == 0.0 and out["flaty"]["r2"] is None
+    assert out["single"]["slope"] is None
+
+
+def test_chi2_drift_identical_mix_is_zero(spark):
+    from platform_etl_literature_spark.operators import quality_checks as QC
+
+    rows = [(c, s) for c in ("x", "y", "z") for s in (True, False)
+            for _ in range(10)]
+    df = spark.createDataFrame(rows, ["cat", "s"])
+    out = QC.chi2_drift(df, "cat", "s").collect()[0]
+    assert out["chi2_nano"] == 0 and out["dof"] == 2
+
+
+def test_chi2_drift_matches_reference_value(spark):
+    """2x2 crafted table vs the textbook chi-squared statistic."""
+    from platform_etl_literature_spark.operators import quality_checks as QC
+
+    # A: 30 x, 10 y; B: 10 x, 30 y -> chi2 = 20.0 exactly
+    rows = ([("x", True)] * 30 + [("y", True)] * 10
+            + [("x", False)] * 10 + [("y", False)] * 30)
+    df = spark.createDataFrame(rows, ["cat", "s"])
+    out = QC.chi2_drift(df, "cat", "s").collect()[0]
+    assert out["n_a"] == 40 and out["n_b"] == 40
+    assert abs(out["chi2"] - 20.0) < 1e-6
+
+
+def test_kmv_pairwise_jaccard_exact_small_sets(spark):
+    """With k larger than every set, the sketches are exact and the
+    'estimates' must equal the true Jaccard/intersection."""
+    from platform_etl_literature_spark.operators import kmv as KMV
+
+    sets = {
+        "a": ["p", "q", "r", "s"],
+        "b": ["r", "s", "t", "u"],   # |a∩b|=2 |a∪b|=6
+        "c": ["zz1", "zz2"],          # disjoint from both
+    }
+    rows = [(g, t) for g, ts in sets.items() for t in ts]
+    df = spark.createDataFrame(rows, ["g", "t"])
+    sk = KMV.kmv_sketch(df, "t", 64, key_cols=["g"])
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in KMV.kmv_pairwise_jaccard(sk, 64, "g").collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_common"] == 2 and ab["n_union"] == 6
+    assert abs(ab["jaccard"] - round(2 / 6, 6)) < 1e-9
+    assert out[("a", "c")]["n_common"] == 0
+    assert out[("b", "c")]["jaccard"] == 0.0 or out[("b", "c")]["n_common"] == 0
+
+
+def test_kmv_pairwise_jaccard_theta_truncation(spark):
+    """When one side's sketch is full, only hashes below the smaller
+    theta may count — n_common/n_union never exceed k."""
+    from platform_etl_literature_spark.operators import kmv as KMV
+
+    k = 8
+    rows = [("big", f"tok{i}") for i in range(100)] + [
+        ("small", f"tok{i}") for i in range(50, 55)
+    ]
+    df = spark.createDataFrame(rows, ["g", "t"])
+    sk = KMV.kmv_sketch(df, "t", k, key_cols=["g"])
+    r = KMV.kmv_pairwise_jaccard(sk, k, "g").collect()[0]
+    assert r["n_union"] <= 2 * k
+    assert 0 <= r["n_common"] <= k
+    assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_bfs_distances_path_graph(spark):
+    from platform_etl_literature_spark.operators import graph as GR
+
+    # path 1-2-3-4-5, seed {1}: dist = hops along the path
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r["dist"]
+           for r in GR.bfs_distances(edges, seeds, max_hops=10).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    assert GR.last_bfs_hops == 4
+
+
+def test_bfs_distances_multi_seed_min(spark):
+    from platform_etl_literature_spark.operators import graph as GR
+
+    # path 1-2-3-4-5 with seeds {1,5}: node 3 is 2 from both
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    out = {r["node"]: r["dist"]
+           for r in GR.bfs_distances(edges, seeds, max_hops=10).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_distances_hop_bound_and_unreached(spark):
+    from platform_etl_literature_spark.operators import graph as GR
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r["dist"]
+           for r in GR.bfs_distances(edges, seeds, max_hops=2).collect()}
+    # bounded at 2 hops; disconnected component absent entirely
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_distances_shuffle_path_matches_broadcast(spark):
+    from platform_etl_literature_spark.operators import graph as GR
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (4, 5), (5, 3)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(3,)], ["node"])
+    a = {r["node"]: r["dist"]
+         for r in GR.bfs_distances(edges, seeds, 5, True).collect()}
+    b = {r["node"]: r["dist"]
+         for r in GR.bfs_distances(edges, seeds, 5, False).collect()}
+    assert a == b == {3: 0, 2: 1, 5: 1, 1: 2, 4: 2}

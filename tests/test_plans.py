@@ -711,3 +711,64 @@ def test_lang_id_kappa_grid_sized_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_ks_drift_cell_collapse_no_join(spark, sf_dir):
+    """KS folds to (key, value) count cells in ONE map-side-combined
+    aggregation, one partitioned window pass over distinct values, and
+    a final hash aggregate — no join anywhere, no single-partition
+    window, everything JVM-side."""
+    plan = _simple_plan(SUITE["ks_drift"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_chi2_drift_cell_collapse_no_join(spark, sf_dir):
+    """Chi-squared reduces to (key, category) cells map-side; side
+    totals ride a partitioned window over the category-sized cells and
+    the nano-unit fold is one aggregate pair — no join, no
+    single-partition exchange."""
+    plan = _simple_plan(SUITE["chi2_drift"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_grouped_ols_single_agg_pair_no_window(spark, sf_dir):
+    """All six sufficient statistics come from the one hash-aggregate
+    pair over the daily frame (plus the daily rollup's own pair) —
+    no join, no window, no single-partition funnel."""
+    plan = _simple_plan(SUITE["grouped_ols"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert plan.count("HashAggregate") == 4, plan[:3000]
+
+
+def test_kmv_overlap_sketch_sized_pairs_broadcast(spark, sf_dir):
+    """The data-sized sketch build runs EXACTLY ONCE (checkpointed —
+    the final plan reads the k·n_sources-row checkpoint, not the
+    parquet); the stats-pair assembly (the one sanctioned nested loop)
+    is folded into the checkpointed pair frame, and every remaining
+    join is a broadcast hash equijoin over sketch-sized frames."""
+    plan = _simple_plan(SUITE["kmv_source_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "parquet" not in plan, plan[:3000]  # checkpoint, not rescan
+    assert "BroadcastExchange" in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_bfs_distances_broadcast_frontier_no_edge_shuffle(spark, sf_dir):
+    """Every expansion hop joins the checkpointed edge list against a
+    BROADCAST frontier and anti-joins a BROADCAST settled set — the
+    edge list is never hash-shuffled per hop, and nothing funnels to a
+    single partition."""
+    plan = _simple_plan(SUITE["bfs_distances"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # final frame is a union of per-hop checkpoints; the plan must not
+    # contain any sort-merge join (broadcast hash + anti only)
+    assert "SortMergeJoin" not in plan, plan[:3000]
