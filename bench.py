@@ -160,6 +160,21 @@ HEADLINE = [
     # is a deliberate Σdf² measurement, not a race.
     "ranking_eval",
     "lang_id_report",
+    # round-7 session-9 fifth batch: the exact drift family (KS +
+    # chi-squared joining PSI), grouped OLS trend fitting, and the KMV
+    # source-overlap matrix — measured before promotion (spark/duck at
+    # sf0.1, min of 3: ks_drift 1.50/0.06, chi2_drift 0.93/0.02,
+    # grouped_ols 1.01/0.03 — floor rows, cell-collapse plans with no
+    # join; kmv_overlap 2.44/0.65 — one data-sized sketch pass, then
+    # 190 pair estimates on k-row sketches).  bfs_distances stays OUT
+    # of the headline by the k_core/label_propagation rule (iterative
+    # superstep op paying ~8 per-job floors; min-of-reps ~4.5 s but
+    # checkpoint-accumulation GC makes rep tails unstable); it is
+    # parity-gated and carries SCALE.md cells.
+    "ks_drift",
+    "chi2_drift",
+    "grouped_ols",
+    "kmv_source_overlap",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

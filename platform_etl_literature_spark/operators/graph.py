@@ -487,6 +487,7 @@ def bfs_distances(
     seeds: DataFrame,
     max_hops: int,
     broadcast_frontier: bool = True,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Hop distance from the nearest SEED node over an undirected
     graph, exact, bounded at ``max_hops`` — multi-source breadth-first
@@ -522,13 +523,27 @@ def bfs_distances(
     global last_bfs_hops
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    sym = (
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(
-            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    # canonicalize + dedup the UNDIRECTED edge once; the symmetrized
+    # union of two column-swapped projections of a deduped u<v list
+    # cannot collide, so NO post-union distinct (a full edge shuffle)
+    # is ever needed.  Callers whose edge list is ALREADY distinct
+    # with u < v (pair_edges output) pass ``edges_distinct=True`` and
+    # skip the canonicalization shuffle too — duplicate edges would
+    # only multiply join output, never change distances, so this is a
+    # performance contract, not a correctness one.
+    e = edges.select("u", "v")
+    if not edges_distinct:
+        e = (
+            e.select(
+                F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
     settled = (
@@ -557,6 +572,10 @@ def bfs_distances(
         if nxt.isEmpty():
             break
         last_bfs_hops = hop
-        settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+        # settled is a UNION of already-checkpointed per-hop frames —
+        # the plan grows by one branch per hop (bounded by max_hops),
+        # every branch is materialized, so NO re-checkpoint is needed
+        # (3 fewer eager jobs than checkpointing the growing union).
+        settled = settled.unionAll(nxt)
         frontier = nxt.select("node")
     return settled

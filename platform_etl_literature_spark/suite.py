@@ -7803,14 +7803,19 @@ def q_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     li = _t(spark, sf, "lineitem")
-    edges = GRX.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    # ONE materialization of the edge list: the seed ranking AND the
+    # BFS's symmetrization both consume it — without the checkpoint
+    # the data-sized pair self-join would run twice.
+    edges = GRX.pair_edges(
+        li, "l_orderkey", "l_partkey", max_group=64
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .distinct()
     )
     seeds = ranked_topk(nodes, [F.col("node").asc()], 4).select("node")
-    out = GRX.bfs_distances(edges, seeds, max_hops=3)
+    out = GRX.bfs_distances(edges, seeds, max_hops=3, edges_distinct=True)
     return out.orderBy("node")
 
 
@@ -8405,6 +8410,22 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 # of the quality family than the single self-trained LM score;
 # lm_doc_logprob stays value-gated in the parity suite and the LM
 # family keeps kn_lm_score's Kneser-Ney variant there too.
+#
+# Round-7 session-9 rotation (two swaps, displaced rows stay
+# parity-gated):
+#   ngram_jaccard→ks_drift — the dedup family keeps FIVE hashed rows
+#     (minhash_pairs, suffix_dedup, dedup_components, corpus_curation
+#     which embeds exact_dedup, dedup_embedding_cosine), so the exact
+#     bigram-Jaccard verify row is within-family redundant; KS gives
+#     the drift family its exact-integer-supremum proof row alongside
+#     psi_drift's sketch-space fold (different engines' float paths,
+#     one family, two independent hashes).
+#   retention_cohorts→kmv_source_overlap — the event-funnel family
+#     keeps funnel_steps hashed; the overlap matrix is a NEW claim
+#     shape (theta-sketch set operations where every integer is
+#     engine-replayed) the window otherwise lacks — kmv_distinct_users
+#     covers build+merge+estimate, the overlap row covers
+#     build+theta+pairwise set ops.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -8412,7 +8433,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "two_level_window_min", "union_by_name", "string_funcs",
     "date_parts", "case_when_buckets", "grouped_json",
     "evidence_cooc_analog", "psi_drift", "edit_distance_join",
-    "ngram_jaccard",
+    "ks_drift",
     "minhash_pairs", "funnel_steps", "bloomindex_skip",
     "user_ewma_segmented", "dedup_embedding_cosine", "mmr_rerank", "pagerank",
     "embedding_centroids", "vectors_norm_category", "doc_profile",
@@ -8421,7 +8442,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "bloom_join_prune", "token_packing", "hdr_quantile_sketch",
     "suffix_dedup",
     "corpus_curation", "dedup_components", "ann_recall_at_k",
-    "retention_cohorts", "scan_provenance", "graph_triangles",
+    "kmv_source_overlap", "scan_provenance", "graph_triangles",
     "agg_first_deterministic", "pivot_event_types", "interval_overlap",
     "asof_join",
 )

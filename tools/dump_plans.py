@@ -488,6 +488,32 @@ SHOWCASE: dict[str, str] = {
         "selection window partitions by shard — nothing here is "
         "corpus-shaped except the instance scan itself."
     ),
+    "ks_drift": (
+        "Cell collapse first: ONE map-side-combined HashAggregate to "
+        "(key, value) cells with both side-counts, then a window over "
+        "DISTINCT values per key and a final aggregate for the integer "
+        "supremum — NO join node anywhere; the exchange volume is "
+        "cells, not rows (a hot value costs one cell)."
+    ),
+    "grouped_ols": (
+        "Two HashAggregate pairs total (the daily rollup + the six "
+        "sufficient statistics), no window, no join, no "
+        "SinglePartition; the closed-form slope/intercept/r2 are "
+        "per-row projections over exact BIGINTs."
+    ),
+    "kmv_source_overlap": (
+        "The final plan reads the CHECKPOINTED k-row sketch (no "
+        "parquet rescan — the data-sized build ran exactly once); "
+        "pair thetas, below-theta counts and the common-hash equijoin "
+        "are all broadcast hash joins over sketch-sized frames."
+    ),
+    "bfs_distances": (
+        "The result is a union of per-hop checkpoints: each expansion "
+        "hop joined the checkpointed symmetrized edge list against a "
+        "BROADCAST frontier and anti-joined a BROADCAST settled set — "
+        "no SortMergeJoin, no per-hop edge shuffle, no "
+        "SinglePartition."
+    ),
 }
 
 

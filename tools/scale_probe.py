@@ -30,6 +30,7 @@ from platform_etl_literature_spark.operators import components as CC
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import edjoin as EJ
 from platform_etl_literature_spark.operators import graph as GR
+from platform_etl_literature_spark.operators import kmv as KMV
 from platform_etl_literature_spark.operators import pagerank as PGR
 from platform_etl_literature_spark.operators import quality_checks as QC
 from platform_etl_literature_spark.operators import robust as RB
@@ -279,6 +280,22 @@ OPS = {
     # evaluation metrics: the ranked input grows with the corpus, the
     # metric reduction is one (query-keyed) aggregation
     "ranking_eval": _ranking_eval,
+    # source-overlap matrix: the data-sized pass is ONE grouped sketch
+    # build; pair estimates run on k-row sketches however large the
+    # corpus grows (xi-suffixed copies keep cross-copy vocab disjoint,
+    # so overlap structure does not densify with the factor)
+    "kmv_source_overlap": lambda df: KMV.kmv_pairwise_jaccard(
+        KMV.kmv_sketch(
+            df.select(
+                "source", F.explode(D.tokens(F.col("text"))).alias("t")
+            ),
+            "t",
+            128,
+            key_cols=["source"],
+        ),
+        128,
+        "source",
+    ),
 }
 
 # the suite's frozen 8-merge tokenizer (suite.BPE_FROZEN_MERGES
@@ -559,6 +576,42 @@ def _ev_psi_drift(ev):
     return SK.psi_drift(sa, sb, keys=["g"])
 
 
+def _ev_ks_drift(ev):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    src = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v"),
+        (F.dayofmonth("ts") <= 15).alias("s"),
+    )
+    return RB.ks_2samp(src, "v", "s", key_cols=["g"])
+
+
+def _ev_chi2_drift(ev):
+    from platform_etl_literature_spark.operators import (
+        quality_checks as QCX,
+    )
+
+    src = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.col("event_type").alias("cat"),
+        (F.dayofmonth("ts") <= 15).alias("s"),
+    )
+    return QCX.chi2_drift(src, "cat", "s", key_cols=["dow"])
+
+
+def _ev_grouped_ols(ev):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    daily = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("x"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("y")
+    )
+    return RB.grouped_ols(daily, "x", "y", key_cols=["g"])
+
+
 def _ev_seasonal(ev):
     from platform_etl_literature_spark.operators.timeseries import (
         seasonal_profile,
@@ -579,9 +632,27 @@ EVENTS_OPS = {
     "touch_attribution": _ev_attribution,
     "funnel_windowed": _ev_funnel_windowed,
     "psi_drift": _ev_psi_drift,
+    # exact-drift family: all three collapse to cells map-side, so the
+    # shuffled volume is (key x distinct-value) cells, not rows
+    "ks_drift": _ev_ks_drift,
+    "chi2_drift": _ev_chi2_drift,
+    "grouped_ols": _ev_grouped_ols,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
+
+
+def _li_bfs(li):
+    edges = GR.pair_edges(
+        li, "l_orderkey", "l_partkey", max_group=64
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 4999 == 0)
+    return GR.bfs_distances(edges, seeds, max_hops=3, edges_distinct=True)
 
 
 GRAPH_OPS = {
@@ -614,6 +685,10 @@ GRAPH_OPS = {
     "link_prediction": lambda li: GR.link_prediction_scores(
         GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
     ).filter(F.col("cn") >= 2),
+    # landmark BFS: seeds spread by hash (min-id seeds would all land
+    # in copy 0 of the disjoint scaled subgraphs), seed count grows
+    # with the graph so the reached set scales with the factor
+    "bfs_3hop": _li_bfs,
 }
 
 
