@@ -292,6 +292,47 @@ def chi2_drift(
             F.sum(F.when(F.col(side_col), 0).otherwise(1)).alias("_b"),
         )
     )
+    return _chi2_fold(cells, keys)
+
+
+def chi2_from_counts(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    cat_col: str,
+    count_col: str = "cnt",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """:func:`chi2_drift` on PRE-AGGREGATED per-category counts — the
+    composition entry point for stream-maintained state (per-batch
+    (keys, cat, cnt) grids merge bucket-wise into EXACTLY the direct
+    counts, so the integer nano-unit chi2 fold on merged state equals
+    the raw-stream statistic bit-for-bit).  Categories absent on one
+    side count zero there."""
+    keys = list(key_cols or [])
+    a = cells_a.select(
+        *keys,
+        cat_col,
+        F.col(count_col).cast("long").alias("_a"),
+        F.lit(0).cast("long").alias("_b"),
+    )
+    b = cells_b.select(
+        *keys,
+        cat_col,
+        F.lit(0).cast("long").alias("_a"),
+        F.col(count_col).cast("long").alias("_b"),
+    )
+    cells = (
+        a.unionByName(b)
+        .groupBy(*keys, cat_col)
+        .agg(F.sum("_a").alias("_a"), F.sum("_b").alias("_b"))
+    )
+    return _chi2_fold(cells, keys)
+
+
+def _chi2_fold(cells: DataFrame, keys: list[str]) -> DataFrame:
+    """The shared chi-squared fold over (keys, cat, _a, _b) cells:
+    exact expected counts per row, nano-unit term rounding, INTEGER
+    cross-category sum."""
     w_all = Window.partitionBy(*keys)
     t = cells.select(
         *keys,

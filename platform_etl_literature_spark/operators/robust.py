@@ -239,6 +239,51 @@ def ks_2samp(
             F.sum(F.when(F.col(side_col), 0).otherwise(1)).alias("_cb"),
         )
     )
+    return _ks_fold(cells, value_col, keys)
+
+
+def ks_from_counts(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    value_col: str,
+    count_col: str = "cnt",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """:func:`ks_2samp` on PRE-AGGREGATED per-value counts — the
+    composition entry point for stream-maintained state
+    (streaming.sketches.cell_counts_maintain_writer lands per-batch
+    (keys, value, cnt) grids; their bucket-wise merge is EXACTLY the
+    direct build, so KS on the merged state equals KS on the raw
+    stream bit-for-bit).  Each side is a (keys, value, cnt) frame;
+    overlapping values align through the union-fold, absent values
+    count zero on the missing side."""
+    keys = list(key_cols or [])
+    a = cells_a.select(
+        *keys,
+        value_col,
+        F.col(count_col).cast("long").alias("_ca"),
+        F.lit(0).cast("long").alias("_cb"),
+    )
+    b = cells_b.select(
+        *keys,
+        value_col,
+        F.lit(0).cast("long").alias("_ca"),
+        F.col(count_col).cast("long").alias("_cb"),
+    )
+    cells = (
+        a.unionByName(b)
+        .groupBy(*keys, value_col)
+        .agg(F.sum("_ca").alias("_ca"), F.sum("_cb").alias("_cb"))
+    )
+    return _ks_fold(cells, value_col, keys)
+
+
+def _ks_fold(
+    cells: DataFrame, value_col: str, keys: list[str]
+) -> DataFrame:
+    """The shared KS supremum fold over (keys, value, _ca, _cb)
+    cells: window cumsums, exact integer cross-multiplied max, one
+    rounded division + sqrt at the boundary."""
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy(value_col)

@@ -227,3 +227,45 @@ def bloom_stream_probe(
             F.expr(" AND ".join(f"({t})" for t in tests)).alias("maybe_seen"),
         )
     )
+
+
+def cell_counts_maintain_writer(
+    stream: DataFrame,
+    group_cols: list[str],
+    cells_path: str,
+) -> DataStreamWriter:
+    """Streaming maintenance of EXACT per-group count cells — the
+    state the exact drift tests compose on (robust.ks_from_counts
+    needs (keys, value, cnt), quality_checks.chi2_from_counts needs
+    (keys, cat, cnt); both are just group-by counts, which collapse
+    map-side and merge bucket-wise like every sketch here).
+
+    Same overwrite-per-batch-directory contract as
+    :func:`cms_maintain_writer`: counters are not replay-idempotent,
+    per-batch grids are — batch N's cells land at
+    ``cells_path/batch=<id>`` and a replay overwrites identical
+    cells, so the merged view stays exactly-once."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        batch.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).write.mode("overwrite").parquet(f"{cells_path}/batch={batch_id}")
+
+    return stream.writeStream.foreachBatch(_step).outputMode("update")
+
+
+def cell_counts_read_merged(
+    spark: SparkSession, cells_path: str, group_cols: list[str]
+) -> DataFrame:
+    """The merged cell frame across every landed batch: group-wise
+    counter sum — IDENTICAL cells to a direct batch count over
+    everything the stream has delivered (the same exact-merge theorem
+    as hdr_read_merged; pinned by test).  Feed straight into
+    ks_from_counts / chi2_from_counts: the drift statistic on merged
+    state equals the raw-stream statistic bit-for-bit, because the
+    merge is cell-exact and both folds are integer-deterministic."""
+    return (
+        spark.read.parquet(cells_path)
+        .groupBy(*group_cols)
+        .agg(F.sum("cnt").alias("cnt"))
+    )

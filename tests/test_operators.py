@@ -4510,3 +4510,40 @@ def test_bfs_distances_shuffle_path_matches_broadcast(spark):
     b = {r["node"]: r["dist"]
          for r in GR.bfs_distances(edges, seeds, 5, False).collect()}
     assert a == b == {3: 0, 2: 1, 5: 1, 1: 2, 4: 2}
+
+
+def test_ks_and_chi2_from_counts_match_raw(spark):
+    """The counts-based entry points (the stream-state composition
+    path) must equal the raw-row twins exactly, including when a value
+    is absent on one side."""
+    from platform_etl_literature_spark.operators.quality_checks import (
+        chi2_drift,
+        chi2_from_counts,
+    )
+    from platform_etl_literature_spark.operators.robust import (
+        ks_2samp,
+        ks_from_counts,
+    )
+
+    a_vals = [1, 1, 2, 3, 3, 3, 7]
+    b_vals = [2, 2, 3, 9]
+    raw = spark.createDataFrame(
+        [(v, True) for v in a_vals] + [(v, False) for v in b_vals],
+        ["v", "s"],
+    )
+    ca = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3), (7, 1)], ["v", "cnt"]
+    )
+    cb = spark.createDataFrame([(2, 2), (3, 1), (9, 1)], ["v", "cnt"])
+
+    k_raw = ks_2samp(raw, "v", "s").collect()[0]
+    k_cnt = ks_from_counts(ca, cb, "v").collect()[0]
+    assert (k_raw["d_num"], k_raw["n_a"], k_raw["n_b"]) == (
+        k_cnt["d_num"], k_cnt["n_a"], k_cnt["n_b"],
+    )
+    assert k_raw["ks_lambda"] == k_cnt["ks_lambda"]
+
+    c_raw = chi2_drift(raw, "v", "s").collect()[0]
+    c_cnt = chi2_from_counts(ca, cb, "v").collect()[0]
+    assert c_raw["chi2_nano"] == c_cnt["chi2_nano"]
+    assert c_raw["n_cats"] == c_cnt["n_cats"] == 5

@@ -1466,3 +1466,81 @@ def test_streaming_attribution_randomized_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     for cid in got:
         assert got[cid] == want[cid], (cid, got[cid], want[cid])
+
+
+def test_cell_counts_stream_maintenance_and_exact_drift(spark, tmp_path):
+    """Streaming exact-cell maintenance: per-batch (value) count grids
+    land under batch=<id>; the merged cells are IDENTICAL to a direct
+    batch count, and BOTH exact drift tests composed on the merged
+    state equal their raw-data twins bit-for-bit (integer supremum /
+    integer nano-fold — no float path to diverge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.quality_checks import (
+        chi2_drift,
+        chi2_from_counts,
+    )
+    from platform_etl_literature_spark.operators.robust import (
+        ks_2samp,
+        ks_from_counts,
+    )
+    from platform_etl_literature_spark.streaming.sketches import (
+        cell_counts_maintain_writer,
+        cell_counts_read_merged,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    b1 = [1, 2, 2, 3, 5, 8, 8, 8]
+    b2 = [2, 3, 3, 13, 21, 21]
+    pq.write_table(
+        pa.table({"v": pa.array(b1, pa.int64())}), str(land / "f1.parquet")
+    )
+    pq.write_table(
+        pa.table({"v": pa.array(b2, pa.int64())}), str(land / "f2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    cells = str(tmp_path / "cells")
+    q = (
+        cell_counts_maintain_writer(stream, ["v"], cells)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    everything = spark.createDataFrame([(v,) for v in b1 + b2], "v long")
+    direct = {
+        (r["v"],): r["cnt"]
+        for r in everything.groupBy("v").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    merged_df = cell_counts_read_merged(spark, cells, ["v"])
+    merged = {(r["v"],): r["cnt"] for r in merged_df.collect()}
+    assert merged == direct
+
+    # drift vs a shifted reference window: composed-on-state == raw
+    ref_vals = [v + 2 for v in b1]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "v long")
+    ref_cells = ref.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    via_state = ks_from_counts(merged_df, ref_cells, "v").collect()[0]
+    raw = everything.withColumn("s", F.lit(True)).unionByName(
+        ref.withColumn("s", F.lit(False))
+    )
+    via_raw = ks_2samp(raw, "v", "s").collect()[0]
+    assert via_state["d_num"] == via_raw["d_num"]
+    assert via_state["ks_d"] == via_raw["ks_d"]
+    assert via_state["d_num"] > 0
+
+    # categorical twin on the same state (values as categories)
+    via_state_c = chi2_from_counts(merged_df, ref_cells, "v").collect()[0]
+    via_raw_c = chi2_drift(raw, "v", "s").collect()[0]
+    assert via_state_c["chi2_nano"] == via_raw_c["chi2_nano"]
+    assert via_state_c["n_cats"] == via_raw_c["n_cats"]
