@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def user_value_ewma(
@@ -478,4 +479,170 @@ def seasonal_profile(
         F.round(mean, 6).alias("mean_value"),
         F.round(mean - grand, 6).alias("seasonal_offset"),
         F.round(F.col("n") / tot_n.cast("double"), 6).alias("volume_share"),
+    )
+
+
+def ts_shape_signature(
+    series: DataFrame,
+    id_col: str,
+    pos_col: str,
+    value_col: str,
+    length: int,
+    n_segments: int,
+) -> DataFrame:
+    """Deterministic integer SHAPE signature of fixed-length integer
+    series — the PAA/SAX idea (Keogh et al., "Dimensionality Reduction
+    for Fast Similarity Search in Large Time Series Databases",
+    KAIS'01) made engine-portable: instead of z-normalized Gaussian
+    breakpoints (float, engine-fragile), each of ``n_segments`` equal
+    segments contributes one bit — is the segment's mean above the
+    series mean?  In exact integers: ``seg_sum · n_segments >
+    total_sum`` (both sides integral, no division).  The signature is
+    the bit pattern plus the series' activity octave
+    (``floor(log2(total+1))``, via the bin-string length of the
+    BIGINT), so series only bucket together when BOTH shape and
+    volume scale agree.
+
+    ``series`` holds one row per (id, pos) with integral positions
+    ``0..length-1`` (missing positions count 0 — sums, not means, so
+    absence IS signal) and NON-NEGATIVE integral values (the octave is
+    a bin-string length; fixed-point-shift signed series first).
+    ``length`` must be divisible by ``n_segments``.  Returns
+    (id, sig, total) — one row per id.
+    """
+    if length % n_segments != 0:
+        raise ValueError(
+            f"length {length} not divisible by n_segments {n_segments}"
+        )
+    if n_segments > 30:
+        raise ValueError("n_segments must be <= 30 (bit-packed int)")
+    seg_len = length // n_segments
+    pos = F.col(pos_col).cast("long")
+    v = F.col(value_col).cast("long")
+    segs = (
+        series.filter((pos >= 0) & (pos < length))
+        .groupBy(F.col(id_col).alias("id"), (pos / seg_len).cast("int").alias("_s"))
+        .agg(F.sum(v).alias("_ss"))
+    )
+    w_all = Window.partitionBy("id")
+    bits = segs.select(
+        "id",
+        F.sum("_ss").over(w_all).alias("_tot"),
+        F.when(
+            F.col("_ss") * n_segments > F.sum("_ss").over(w_all),
+            F.expr("shiftleft(1, _s)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_bit"),
+    )
+    return bits.groupBy("id").agg(
+        (
+            F.sum("_bit")
+            + F.shiftleft(
+                F.length(F.conv(F.first("_tot") + 1, 10, 2)).cast("int"),
+                n_segments,
+            )
+        ).alias("sig"),
+        F.first("_tot").alias("total"),
+    )
+
+
+def ts_similar_pairs(
+    series: DataFrame,
+    id_col: str,
+    pos_col: str,
+    value_col: str,
+    length: int,
+    n_segments: int = 7,
+    min_r: float = 0.9,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Time-series similarity join: pairs of ids whose fixed-length
+    integer series have Pearson correlation ≥ ``min_r`` — found by the
+    house candidate-generation shape (REPOSE ICDE'21 / distributed
+    series search EDBT'19 family, re-expressed): NEVER all-pairs.
+
+    1. Each series reduces to its :func:`ts_shape_signature` (one
+       hash aggregate + one tiny window — data crosses the wire once).
+    2. Candidates are a bucket EQUIJOIN on the signature (same shape
+       bits + same activity octave), with the dedup-family hot-bucket
+       valve (a flat/viral shape is a stop gram; ``None`` = exact).
+    3. Candidate pairs verify by EXACT Pearson r from integral
+       sufficient statistics over the aligned positions — one
+       equijoin of the (id, pos, value) cells against the candidate
+       list, one hash aggregate per pair, the grouped_ols operand
+       discipline (covariance cast to double before squaring).
+
+    Missing positions are genuine zeros on both sides (aligned-join
+    semantics would silently drop them): the pair stats derive from n
+    = ``length`` with Σ over PRESENT cells only — exact, because
+    absent cells contribute 0 to every sum.
+
+    Returns (id_a, id_b, r) with id_a < id_b, r rounded at 6.  The
+    signature filter is a RECALL filter (near-identical shapes can
+    straddle a bit boundary) — like every banded candidate generator
+    here; pair it with a truth sweep when recall must be measured.
+    """
+    from platform_etl_literature_spark.operators.dedup import (
+        _drop_hot_buckets,
+        _materialize_once,
+    )
+
+    # ONE materialization of the (id, pos, value) cell frame: the
+    # signature build AND both pair-verify sides re-reference it — the
+    # upstream series derivation (often a data-sized aggregation)
+    # must not replay three times
+    pos = F.col(pos_col).cast("long")
+    cells = _materialize_once(
+        series.filter((pos >= 0) & (pos < length)).select(
+            F.col(id_col).alias("_id"),
+            pos.alias("_p"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    )
+    sig = ts_shape_signature(cells, "_id", "_p", "_v", length, n_segments)
+    sig = _drop_hot_buckets(_materialize_once(sig), ["sig"], max_bucket_size)
+    cand = (
+        sig.select(F.col("id").alias("id_a"), "sig")
+        .join(sig.select(F.col("id").alias("id_b"), "sig"), "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    a = cells.select(
+        F.col("_id").alias("id_a"), F.col("_p"), F.col("_v").alias("_va")
+    )
+    b = cells.select(
+        F.col("_id").alias("id_b"), F.col("_p"), F.col("_v").alias("_vb")
+    )
+    # per-pair aligned products: join each side's cells to the
+    # candidate list (candidate-sized), then OUTER-join the two cell
+    # streams per (pair, pos) so a position present on one side only
+    # still contributes its one-sided sums
+    pa = a.join(cand, "id_a").select("id_a", "id_b", "_p", "_va")
+    pb = b.join(cand, "id_b").select("id_a", "id_b", "_p", "_vb")
+    j = pa.join(pb, ["id_a", "id_b", "_p"], "full_outer").select(
+        "id_a",
+        "id_b",
+        F.coalesce("_va", F.lit(0)).alias("_va"),
+        F.coalesce("_vb", F.lit(0)).alias("_vb"),
+    )
+    st = j.groupBy("id_a", "id_b").agg(
+        F.sum("_va").alias("_sa"),
+        F.sum("_vb").alias("_sb"),
+        F.sum(F.col("_va") * F.col("_vb")).alias("_sab"),
+        F.sum(F.col("_va") * F.col("_va")).alias("_saa"),
+        F.sum(F.col("_vb") * F.col("_vb")).alias("_sbb"),
+    )
+    n = F.lit(length).cast("long")
+    cov_n = n * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    vara_n = n * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    varb_n = n * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    r = F.when(
+        (vara_n > 0) & (varb_n > 0),
+        cov_n.cast("double")
+        / F.sqrt(vara_n.cast("double") * varb_n.cast("double")),
+    )
+    return (
+        st.select("id_a", "id_b", F.round(r, 6).alias("r"))
+        .filter(F.col("r") >= min_r)
     )

@@ -7843,6 +7843,87 @@ FROM bfs GROUP BY node ORDER BY node
 
 
 
+def q_ts_similar(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series similarity join (operators.timeseries.
+    ts_similar_pairs): user pairs whose 28-day activity series
+    (daily event counts) correlate at Pearson r >= 0.3 — the
+    distributed-series-search family (REPOSE ICDE'21, EDBT'19) in the
+    house candidate-generation shape: a deterministic integer SHAPE
+    signature (PAA segment-vs-series-mean bits + activity octave,
+    engine-portable — no z-normalized Gaussian breakpoints) buckets
+    the series, candidates are a signature EQUIJOIN with the
+    hot-bucket valve, and every candidate verifies by EXACT Pearson r
+    from integral sufficient statistics (the grouped_ols operand
+    discipline).  The oracle replays signature, valve, candidates and
+    verification integer-for-integer."""
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    ev = read_events(spark, sf).where(F.col("user_id").isNotNull())
+    cells = (
+        ev.where(F.dayofmonth("ts") <= 28)
+        .groupBy(
+            F.col("user_id").alias("id"),
+            (F.dayofmonth("ts") - 1).cast("long").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return TSX.ts_similar_pairs(
+        cells, "id", "p", "v", length=28, n_segments=7, min_r=0.3,
+        max_bucket_size=256,
+    ).orderBy("id_a", "id_b")
+
+
+_ORACLE_TS_SIMILAR = """
+WITH cells AS (
+  SELECT user_id AS id, CAST(date_part('day', ts) AS BIGINT) - 1 AS p,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND CAST(date_part('day', ts) AS BIGINT) <= 28
+  GROUP BY 1, 2),
+segs AS (
+  SELECT id, CAST(p // 4 AS INTEGER) AS s, CAST(sum(v) AS BIGINT) AS ss
+  FROM cells GROUP BY 1, 2),
+tot AS (SELECT id, CAST(sum(ss) AS BIGINT) AS tot FROM segs GROUP BY 1),
+bits AS (
+  SELECT s.id,
+    CAST(sum(CASE WHEN s.ss * 7 > t.tot THEN (1 << s.s) ELSE 0 END)
+      + (CAST(length(bin(t.tot + 1)) AS BIGINT) << 7) AS BIGINT) AS sig
+  FROM segs s JOIN tot t USING (id) GROUP BY s.id, t.tot),
+okb AS (SELECT sig FROM bits GROUP BY sig HAVING count(*) <= 256),
+sg AS (SELECT b.id, b.sig FROM bits b JOIN okb USING (sig)),
+cand AS (SELECT a.id AS id_a, b.id AS id_b
+         FROM sg a JOIN sg b ON a.sig = b.sig AND a.id < b.id),
+pa AS (SELECT c.id_a, c.id_b, l.p, l.v AS va
+       FROM cells l JOIN cand c ON l.id = c.id_a),
+pb AS (SELECT c.id_a, c.id_b, l.p, l.v AS vb
+       FROM cells l JOIN cand c ON l.id = c.id_b),
+jj AS (
+  SELECT COALESCE(pa.id_a, pb.id_a) AS id_a,
+         COALESCE(pa.id_b, pb.id_b) AS id_b,
+         COALESCE(va, 0) AS va, COALESCE(vb, 0) AS vb
+  FROM pa FULL OUTER JOIN pb
+    ON pa.id_a = pb.id_a AND pa.id_b = pb.id_b AND pa.p = pb.p),
+st AS (
+  SELECT id_a, id_b,
+    CAST(sum(va) AS BIGINT) AS sa, CAST(sum(vb) AS BIGINT) AS sb,
+    CAST(sum(va * vb) AS BIGINT) AS sab,
+    CAST(sum(va * va) AS BIGINT) AS saa,
+    CAST(sum(vb * vb) AS BIGINT) AS sbb
+  FROM jj GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(CAST(28 * sab - sa * sb AS DOUBLE)
+        / sqrt(CAST(28 * saa - sa * sa AS DOUBLE)
+               * CAST(28 * sbb - sb * sb AS DOUBLE)), 6) AS r
+FROM st
+WHERE (28 * saa - sa * sa) > 0 AND (28 * sbb - sb * sb) > 0
+  AND round(CAST(28 * sab - sa * sb AS DOUBLE)
+        / sqrt(CAST(28 * saa - sa * sa AS DOUBLE)
+               * CAST(28 * sbb - sb * sb AS DOUBLE)), 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -8293,6 +8374,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "bfs_distances": QuerySpec(
         q_bfs_distances, _ORACLE_BFS, "graph-bfs-landmark"
+    ),
+    "ts_similar": QuerySpec(
+        q_ts_similar, _ORACLE_TS_SIMILAR, "timeseries-similarity-join"
     ),
 }
 

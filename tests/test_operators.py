@@ -4547,3 +4547,79 @@ def test_ks_and_chi2_from_counts_match_raw(spark):
     c_cnt = chi2_from_counts(ca, cb, "v").collect()[0]
     assert c_raw["chi2_nano"] == c_cnt["chi2_nano"]
     assert c_raw["n_cats"] == c_cnt["n_cats"] == 5
+
+
+def test_ts_shape_signature_bits_and_octave(spark):
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    # 8 positions, 4 segments of 2: values chosen so segments 1 and 3
+    # are above the series mean (total=80, mean=10/pos, seg mean over
+    # 2 pos vs series mean: seg sums are 4, 36, 4, 36)
+    rows = [(1, 0, 2), (1, 1, 2), (1, 2, 16), (1, 3, 20),
+            (1, 4, 2), (1, 5, 2), (1, 6, 18), (1, 7, 18)]
+    df = spark.createDataFrame(rows, ["id", "p", "v"])
+    sig = TSO.ts_shape_signature(df, "id", "p", "v", 8, 4).collect()[0]
+    # bits: seg1 (36*4=144>80) and seg3 -> 0b1010 = 10; octave =
+    # length(bin(81)) = 7, shifted by 4 -> 112; sig = 122
+    assert sig["total"] == 80
+    assert sig["sig"] == 10 + (7 << 4)
+
+
+def test_ts_similar_pairs_exact_correlation(spark):
+    import numpy as np
+
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    # ids 1,2: same shape bits AND same activity octave (equal totals)
+    # -> candidates; their exact r comes from numpy.  id 4 is far away
+    # in octave (never a candidate); a doubled copy of id 1 (id 5)
+    # shares shape bits but NOT the octave -> correctly not paired
+    # with id 1 despite r=1 (the volume-scale guard is the point).
+    v1 = [1, 2, 3, 4, 1, 2, 3, 4]
+    v2 = [1, 2, 4, 4, 1, 2, 3, 3]  # total 20 == id 1's
+    rows = []
+    for p in range(8):
+        rows += [(1, p, v1[p]), (2, p, v2[p]),
+                 (4, p, 1000 + p), (5, p, 2 * v1[p])]
+    df = spark.createDataFrame(rows, ["id", "p", "v"])
+    out = TSO.ts_similar_pairs(
+        df, "id", "p", "v", length=8, n_segments=4, min_r=0.5,
+        max_bucket_size=None,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["r"] for r in out}
+    want = round(float(np.corrcoef(
+        np.array(v1, dtype=float), np.array(v2, dtype=float))[0, 1]), 6)
+    assert set(pairs) == {(1, 2)}
+    assert abs(pairs[(1, 2)] - want) < 1e-9
+
+
+def test_ts_similar_pairs_missing_positions_are_zeros(spark):
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    # id 1 has positions {0,1}, id 2 has {1,2}: with zero-fill over
+    # length 4 the exact r is computable by hand
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 3), (2, 1, 5), (2, 2, 3)], ["id", "p", "v"]
+    )
+    out = TSO.ts_similar_pairs(
+        df, "id", "p", "v", length=4, n_segments=2, min_r=-1.0,
+        max_bucket_size=None,
+    ).collect()
+    # both series sig: front-loaded bit + total 8 -> same bucket
+    assert len(out) == 1
+    a = np.array([5, 3, 0, 0], dtype=float)
+    b = np.array([0, 5, 3, 0], dtype=float)
+    want = round(float(np.corrcoef(a, b)[0, 1]), 6)
+    assert abs(out[0]["r"] - want) < 1e-9
+
+
+def test_ts_shape_signature_validation(spark):
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    df = spark.createDataFrame([(1, 0, 1)], ["id", "p", "v"])
+    with pytest.raises(ValueError):
+        TSO.ts_shape_signature(df, "id", "p", "v", 10, 4)
+    with pytest.raises(ValueError):
+        TSO.ts_shape_signature(df, "id", "p", "v", 62, 31)

@@ -772,3 +772,18 @@ def test_bfs_distances_broadcast_frontier_no_edge_shuffle(spark, sf_dir):
     # final frame is a union of per-hop checkpoints; the plan must not
     # contain any sort-merge join (broadcast hash + anti only)
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_ts_similar_single_cell_pass_no_cartesian(spark, sf_dir):
+    """The (id, pos, value) cell frame materializes ONCE (signature
+    build + both verify sides read the cache — the upstream series
+    aggregation must not replay three times); candidates are a pure
+    signature equijoin, never a cartesian/nested-loop pair join."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(SUITE["ts_similar"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert plan.count("InMemoryTableScan") >= 3, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    D.release_cached()
