@@ -612,6 +612,25 @@ def _ev_grouped_ols(ev):
     return RB.grouped_ols(daily, "x", "y", key_cols=["g"])
 
 
+def _ev_ts_similar(ev):
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    cells = (
+        ev.where(
+            F.col("user_id").isNotNull() & (F.dayofmonth("ts") <= 28)
+        )
+        .groupBy(
+            F.col("user_id").alias("id"),
+            (F.dayofmonth("ts") - 1).cast("long").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return TSX.ts_similar_pairs(
+        cells, "id", "p", "v", length=28, n_segments=7, min_r=0.3,
+        max_bucket_size=256,
+    )
+
+
 def _ev_seasonal(ev):
     from platform_etl_literature_spark.operators.timeseries import (
         seasonal_profile,
@@ -637,6 +656,10 @@ EVENTS_OPS = {
     "ks_drift": _ev_ks_drift,
     "chi2_drift": _ev_chi2_drift,
     "grouped_ols": _ev_grouped_ols,
+    # series-similarity: per-user 28-day count series; signature
+    # buckets absorb population growth (disjoint copies share shape
+    # vocabularies, so bucket COUNT grows, not bucket size)
+    "ts_similar": _ev_ts_similar,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
