@@ -556,6 +556,7 @@ def ts_similar_pairs(
     n_segments: int = 7,
     min_r: float = 0.9,
     max_bucket_size: int | None = 256,
+    signature_buckets: bool = True,
 ) -> DataFrame:
     """Time-series similarity join: pairs of ids whose fixed-length
     integer series have Pearson correlation ≥ ``min_r`` — found by the
@@ -578,10 +579,22 @@ def ts_similar_pairs(
     = ``length`` with Σ over PRESENT cells only — exact, because
     absent cells contribute 0 to every sum.
 
-    Returns (id_a, id_b, r) with id_a < id_b, r rounded at 6.  The
-    signature filter is a RECALL filter (near-identical shapes can
-    straddle a bit boundary) — like every banded candidate generator
-    here; pair it with a truth sweep when recall must be measured.
+    Returns (id_a, id_b, r) with id_a < id_b, r rounded at 6.
+
+    REGIME (measured, see the ts_recall suite row): the exact-match
+    signature finds NEAR-IDENTICAL series — pairs whose segment
+    profile agrees bit-for-bit (duplicated telemetry, bot cohorts,
+    mirrored streams; recall 1.0 on planted near-duplicates, pinned
+    by test).  It is NOT a low-threshold correlation join: when the
+    target is the dense r ≥ 0.3 tail of unstructured series, truth
+    is a constant fraction of ALL pairs and no sparse bucketing can
+    recall it (sf0.01 events: 668/11,175 pairs are "truth", exact
+    shape+octave candidates recall ~1% — the ts_recall row publishes
+    exactly this number).  For that regime use
+    ``signature_buckets=False``: the deliberate all-pairs mode
+    (quadratic by construction) that doubles as the accountability
+    row's ground truth — or mean-center the series and go through the
+    ANN family (r == cosine of centered vectors).
     """
     from platform_etl_literature_spark.operators.dedup import (
         _drop_hot_buckets,
@@ -600,14 +613,26 @@ def ts_similar_pairs(
             F.col(value_col).cast("long").alias("_v"),
         )
     )
-    sig = ts_shape_signature(cells, "_id", "_p", "_v", length, n_segments)
-    sig = _drop_hot_buckets(_materialize_once(sig), ["sig"], max_bucket_size)
-    cand = (
-        sig.select(F.col("id").alias("id_a"), "sig")
-        .join(sig.select(F.col("id").alias("id_b"), "sig"), "sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
+    if signature_buckets:
+        sig = ts_shape_signature(
+            cells, "_id", "_p", "_v", length, n_segments
+        )
+        sig = _drop_hot_buckets(
+            _materialize_once(sig), ["sig"], max_bucket_size
+        )
+        cand = (
+            sig.select(F.col("id").alias("id_a"), "sig")
+            .join(sig.select(F.col("id").alias("id_b"), "sig"), "sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    else:
+        ids = cells.select(F.col("_id").alias("id")).distinct()
+        cand = (
+            ids.select(F.col("id").alias("id_a"))
+            .join(ids.select(F.col("id").alias("id_b")),
+                  F.col("id_a") < F.col("id_b"))
+        )
     a = cells.select(
         F.col("_id").alias("id_a"), F.col("_p"), F.col("_v").alias("_va")
     )

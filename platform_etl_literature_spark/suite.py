@@ -7924,6 +7924,130 @@ ORDER BY id_a, id_b
 
 
 
+def q_ts_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-generation recall accountability for the series-
+    similarity join (the dedup_recall / ann_recall_at_k pattern):
+    signature-bucketed candidates vs BRUTE-FORCE ground truth at
+    r >= 0.3 on the same 28-day user series.  n_cand = signature
+    pairs with a defined r (the verify workload), n_truth = all-pairs
+    truth (deliberately quadratic — a measurement, not a race),
+    n_hit = signature pairs that clear the threshold (verification is
+    exact, so every hit IS a truth pair).  Zero-variance series are
+    excluded everywhere (r undefined).
+
+    This row is a MEASURED NEGATIVE RESULT, kept on purpose: the
+    events corpus plants no near-identical series, so "truth" at
+    r >= 0.3 is the dense noise tail (~6% of ALL pairs) and the
+    exact-match signature recalls ~1% of it — the quantified
+    demonstration that low-threshold correlation joins have no sparse
+    candidate filter and must take the all-pairs/centered-cosine
+    path (ts_similar_pairs documents the regime split; its planted
+    near-duplicate recall-1.0 regime is pytest-pinned).  Stays out of
+    the bench headline by the accountability-row rule."""
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    ev = read_events(spark, sf).where(F.col("user_id").isNotNull())
+    cells = (
+        ev.where(F.dayofmonth("ts") <= 28)
+        .groupBy(
+            F.col("user_id").alias("id"),
+            (F.dayofmonth("ts") - 1).cast("long").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    kw = dict(length=28, n_segments=7, max_bucket_size=256)
+    cand = TSX.ts_similar_pairs(cells, "id", "p", "v", min_r=-1.0, **kw)
+    hit = TSX.ts_similar_pairs(cells, "id", "p", "v", min_r=0.3, **kw)
+    truth = TSX.ts_similar_pairs(
+        cells, "id", "p", "v", min_r=0.3, signature_buckets=False, **kw
+    )
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hit") / F.col("n_truth"), 6),
+        ).otherwise(F.lit(0.0)).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("n_hit") / F.col("n_cand"), 6),
+        ).otherwise(F.lit(0.0)).alias("precision"),
+    )
+
+
+_TS_CELLS_CTES = """
+cells AS (
+  SELECT user_id AS id, CAST(date_part('day', ts) AS BIGINT) - 1 AS p,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND CAST(date_part('day', ts) AS BIGINT) <= 28
+  GROUP BY 1, 2),
+segs AS (
+  SELECT id, CAST(p // 4 AS INTEGER) AS s, CAST(sum(v) AS BIGINT) AS ss
+  FROM cells GROUP BY 1, 2),
+tot AS (SELECT id, CAST(sum(ss) AS BIGINT) AS tot FROM segs GROUP BY 1),
+bits AS (
+  SELECT s.id,
+    CAST(sum(CASE WHEN s.ss * 7 > t.tot THEN (1 << s.s) ELSE 0 END)
+      + (CAST(length(bin(t.tot + 1)) AS BIGINT) << 7) AS BIGINT) AS sig
+  FROM segs s JOIN tot t USING (id) GROUP BY s.id, t.tot),
+okb AS (SELECT sig FROM bits GROUP BY sig HAVING count(*) <= 256),
+sg AS (SELECT b.id, b.sig FROM bits b JOIN okb USING (sig))"""
+
+
+_ORACLE_TS_RECALL = f"""
+WITH {_TS_CELLS_CTES},
+scand AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM sg a JOIN sg b ON a.sig = b.sig AND a.id < b.id),
+ids AS (SELECT DISTINCT id FROM cells),
+allp AS (SELECT a.id AS id_a, b.id AS id_b
+         FROM ids a JOIN ids b ON a.id < b.id),
+pa AS (SELECT c.id_a, c.id_b, l.p, l.v AS va
+       FROM cells l JOIN allp c ON l.id = c.id_a),
+pb AS (SELECT c.id_a, c.id_b, l.p, l.v AS vb
+       FROM cells l JOIN allp c ON l.id = c.id_b),
+jj AS (
+  SELECT COALESCE(pa.id_a, pb.id_a) AS id_a,
+         COALESCE(pa.id_b, pb.id_b) AS id_b,
+         COALESCE(va, 0) AS va, COALESCE(vb, 0) AS vb
+  FROM pa FULL OUTER JOIN pb
+    ON pa.id_a = pb.id_a AND pa.id_b = pb.id_b AND pa.p = pb.p),
+st AS (
+  SELECT id_a, id_b,
+    CAST(sum(va) AS BIGINT) AS sa, CAST(sum(vb) AS BIGINT) AS sb,
+    CAST(sum(va * vb) AS BIGINT) AS sab,
+    CAST(sum(va * va) AS BIGINT) AS saa,
+    CAST(sum(vb * vb) AS BIGINT) AS sbb
+  FROM jj GROUP BY 1, 2),
+rr AS (
+  SELECT id_a, id_b,
+    round(CAST(28 * sab - sa * sb AS DOUBLE)
+          / sqrt(CAST(28 * saa - sa * sa AS DOUBLE)
+                 * CAST(28 * sbb - sb * sb AS DOUBLE)), 6) AS r
+  FROM st
+  WHERE (28 * saa - sa * sa) > 0 AND (28 * sbb - sb * sb) > 0),
+candr AS (SELECT rr.* FROM rr JOIN scand
+          ON rr.id_a = scand.id_a AND rr.id_b = scand.id_b),
+c AS (
+  SELECT (SELECT count(*) FROM rr WHERE r >= 0.3) AS n_truth,
+         (SELECT count(*) FROM candr) AS n_cand,
+         (SELECT count(*) FROM candr WHERE r >= 0.3) AS n_hit)
+SELECT n_truth, n_cand, n_hit,
+  CASE WHEN n_truth > 0 THEN round(n_hit / CAST(n_truth AS DOUBLE), 6)
+       ELSE 0.0 END AS recall,
+  CASE WHEN n_cand > 0 THEN round(n_hit / CAST(n_cand AS DOUBLE), 6)
+       ELSE 0.0 END AS precision
+FROM c
+"""
+
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -8377,6 +8501,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "ts_similar": QuerySpec(
         q_ts_similar, _ORACLE_TS_SIMILAR, "timeseries-similarity-join"
+    ),
+    "ts_recall": QuerySpec(
+        q_ts_recall, _ORACLE_TS_RECALL,
+        "timeseries-similarity-recall-accounting"
     ),
 }
 

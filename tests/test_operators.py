@@ -4623,3 +4623,52 @@ def test_ts_shape_signature_validation(spark):
         TSO.ts_shape_signature(df, "id", "p", "v", 10, 4)
     with pytest.raises(ValueError):
         TSO.ts_shape_signature(df, "id", "p", "v", 62, 31)
+
+
+def test_ts_similar_planted_near_duplicates_full_recall(spark):
+    """The signature's design regime: planted near-identical series
+    (same totals, same segment profile, tiny within-segment jitter)
+    ALWAYS bucket together — recall 1.0 over the planted pairs — while
+    the unrelated decoys contribute no false candidates at the pair
+    threshold."""
+    import numpy as np
+
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    rng = np.random.RandomState(7)
+    rows = []
+    planted = []
+    base_id = 0
+    for dup in range(6):
+        base = rng.randint(5, 40, size=8)
+        # jitter INSIDE segments (swap mass between the two positions
+        # of one segment) keeps every segment sum — and the signature
+        # — identical while the series differ pointwise
+        twin = base.copy()
+        for s in range(4):
+            j = min(twin[2 * s], 2)
+            twin[2 * s] -= j
+            twin[2 * s + 1] += j
+        a, b = base_id, base_id + 1
+        base_id += 2
+        planted.append((a, b))
+        for p in range(8):
+            rows += [(a, p, int(base[p])), (b, p, int(twin[p]))]
+    # decoys: distinct octaves, far from everything
+    for d in range(5):
+        for p in range(8):
+            rows.append((1000 + d, p, int(10 ** (d % 3 + 2) + p)))
+    df = spark.createDataFrame(rows, ["id", "p", "v"])
+    out = TSO.ts_similar_pairs(
+        df, "id", "p", "v", length=8, n_segments=4, min_r=0.8,
+        max_bucket_size=None,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    for pair in planted:
+        # exact same segment sums -> same bits AND same octave: the
+        # planted twin is always a candidate; high r clears the verify
+        a, b = pair
+        va = np.array([v for i, p, v in rows if i == a], dtype=float)
+        vb = np.array([v for i, p, v in rows if i == b], dtype=float)
+        if np.corrcoef(va, vb)[0, 1] >= 0.8:
+            assert pair in got, (pair, got)
