@@ -429,18 +429,29 @@ def link_prediction_scores(
     nbrs = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         e.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
-    keep = deg.filter(F.col("deg") <= max_center_degree).select(
-        F.col("node").alias("x"), F.col("deg").alias("_dx")
-    )
+    # degree-1 centers are dropped HERE, not just implied by the wedge
+    # join: they witness no pair anyway (one neighbor), and their
+    # Adamic-Adar term would be 1/log(1) — a division by zero that
+    # ANSI mode turns into a runtime error whenever the physical plan
+    # evaluates the projection before the (join-implied) elimination;
+    # observed order-dependently in CI before this guard.
+    keep = deg.filter(
+        (F.col("deg") <= max_center_degree) & (F.col("deg") >= 2)
+    ).select(F.col("node").alias("x"), F.col("deg").alias("_dx"))
     if broadcast_degrees:
         keep = F.broadcast(keep)
     nbrs = nbrs.join(keep, "x")
     # per-wedge Adamic-Adar term: a pure function of the CENTER's
     # degree, attached before the self-join so the pair aggregation
-    # sums ready-made integers (deg ≥ 2 inside a wedge by definition)
+    # sums ready-made integers; the when() keeps the expression total
+    # (NULL for a sub-2 degree) even if a future caller re-plans the
+    # filter away
     nbrs = nbrs.select(
         "x", "y",
-        F.round(F.lit(1000000.0) / F.log(F.col("_dx")), 0)
+        F.when(
+            F.col("_dx") >= 2,
+            F.round(F.lit(1000000.0) / F.log(F.col("_dx")), 0),
+        )
         .cast("long")
         .alias("_aa"),
     )

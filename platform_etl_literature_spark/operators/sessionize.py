@@ -59,3 +59,43 @@ def session_stats(
         F.max("n_events").alias("max_session_events"),
         F.round(F.avg("n_events"), 6).alias("avg_session_events"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: counts of (prev_type → next_type) steps in exact
+    (ts, event_id) order, with the row-normalized transition
+    probability — the behavioral fingerprint a funnel can't express
+    (funnels fix the step order; the matrix measures EVERY observed
+    step).
+
+    One lag window per key (high-cardinality partition key — no hot
+    reducer), one map-side-combined count aggregation; the
+    probability is one exact two-BIGINT division rounded at 6.
+    Returns (prev_type, next_type, n_steps, p) — type-vocabulary² at
+    most, never data-sized output.
+    """
+    w = Window.partitionBy(key_col).orderBy("ts", "event_id")
+    steps = (
+        events.select(key_col, "ts", "event_id", type_col)
+        .withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("_prev").alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).agg(F.count(F.lit(1)).alias("n_steps"))
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_steps",
+        F.round(
+            F.col("n_steps") / F.sum("n_steps").over(w_row).cast("double"),
+            6,
+        ).alias("p"),
+    )

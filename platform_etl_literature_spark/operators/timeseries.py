@@ -671,3 +671,81 @@ def ts_similar_pairs(
         st.select("id_a", "id_b", F.round(r, 6).alias("r"))
         .filter(F.col("r") >= min_r)
     )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    id_col: str,
+    pos_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact CUSUM change-point detection per key (Page, Biometrika
+    1954: the cumulative-sum control scheme): for an integral series
+    y_1..y_n, the cumulative deviation from the key's own mean is
+
+        S_d = Σ_{i<=d} (y_i − ȳ)
+
+    and the change-point estimate is the position maximizing |S_d| —
+    the classic single-shift CUSUM estimator.  Computed EXACTLY in
+    scaled integers: ``S_d·n = n·cum_d − d·total`` (both terms
+    BIGINT), so argmax and ties (smallest position wins) are
+    engine-portable with no float anywhere; the reported ``cusum``
+    statistic is the one boundary division ``s_max/(n·n)``-free form
+    ``s_max_scaled / n`` rounded at 6.
+
+    One map-side cell collapse (duplicate positions sum), one
+    partitioned window over the ≤n positions per key, one argmax
+    aggregate via min(struct) — no join, group-parallel.  Returns
+    (*id, n_pos, total, cp_pos, s_max_scaled, cusum).  Overflow
+    bound: ``n·|total| < 2^63``.
+    """
+    pos = F.col(pos_col).cast("long")
+    v = F.col(value_col).cast("long")
+    cells = (
+        series.filter(pos.isNotNull() & v.isNotNull())
+        .groupBy(F.col(id_col).alias("id"), pos.alias("_p"))
+        .agg(F.sum(v).alias("_v"))
+    )
+    w_cum = (
+        Window.partitionBy("id")
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("id")
+    # rank of the position within the key (1-based d) and total
+    stepped = cells.select(
+        "id",
+        "_p",
+        F.row_number().over(Window.partitionBy("id").orderBy("_p")).alias(
+            "_d"
+        ),
+        F.sum("_v").over(w_cum).alias("_cum"),
+        F.sum("_v").over(w_all).alias("_tot"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    s_scaled = F.col("_n") * F.col("_cum") - F.col("_d") * F.col("_tot")
+    scored = stepped.select(
+        "id",
+        "_p",
+        "_n",
+        "_tot",
+        F.abs(s_scaled).alias("_abs"),
+    )
+    # argmax with smallest-position tiebreak: min over (-abs, pos)
+    pick = scored.groupBy("id").agg(
+        F.first("_n").alias("n_pos"),
+        F.first("_tot").alias("total"),
+        F.min(F.struct((-F.col("_abs")).alias("_neg"), F.col("_p"))).alias(
+            "_m"
+        ),
+    )
+    return pick.select(
+        F.col("id"),
+        "n_pos",
+        "total",
+        F.col("_m._p").alias("cp_pos"),
+        (-F.col("_m._neg")).alias("s_max_scaled"),
+        F.round(
+            (-F.col("_m._neg")) / F.col("n_pos").cast("double"), 6
+        ).alias("cusum"),
+    )

@@ -8048,6 +8048,91 @@ FROM c
 
 
 
+def q_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact CUSUM change-point detection (operators.timeseries.
+    cusum_changepoint; Page '54): per event type, the day maximizing
+    the cumulative deviation of daily volume (integer cents) from the
+    month's own mean — computed entirely in scaled BIGINTs
+    (S_d·n = n·cum_d − d·total), so argmax, tiebreak and the
+    statistic replay integer-for-integer; the reported cusum is one
+    boundary division rounded at 6.  Completes the trend family:
+    grouped_ols = direction, cusum = WHERE the level shifted."""
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("y")
+    )
+    return (
+        TSX.cusum_changepoint(daily, "g", "d", "y")
+        .withColumnRenamed("id", "g")
+        .orderBy("g")
+    )
+
+
+_ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(date_part('day', ts) AS BIGINT) AS p,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+st AS (
+  SELECT g, p,
+    row_number() OVER (PARTITION BY g ORDER BY p) AS d,
+    CAST(sum(v) OVER (PARTITION BY g ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(v) OVER (PARTITION BY g) AS BIGINT) AS tot,
+    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM daily),
+sc AS (
+  SELECT g, p, n, tot, abs(n * cum - d * tot) AS ab FROM st),
+pick AS (
+  SELECT g, max(n) AS n_pos, max(tot) AS total,
+         min(struct_pack(neg := -ab, p := p)) AS m
+  FROM sc GROUP BY g)
+SELECT g, n_pos, total,
+  CAST(m.p AS BIGINT) AS cp_pos,
+  CAST(-m.neg AS BIGINT) AS s_max_scaled,
+  round(-m.neg / CAST(n_pos AS DOUBLE), 6) AS cusum
+FROM pick ORDER BY g
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators.sessionize.event_transitions): counts of
+    prev→next steps in exact (ts, event_id) order plus the
+    row-normalized probability — the behavioral-fingerprint operator
+    the funnel family lacks (funnels fix the step order; the matrix
+    measures every observed step).  One lag window on the
+    high-cardinality user key, one map-side count; output is
+    type-vocabulary², never data-sized."""
+    from platform_etl_literature_spark.operators import sessionize as SSX
+
+    ev = read_events(spark, sf)
+    return SSX.event_transitions(ev).orderBy("prev_type", "next_type")
+
+
+_ORACLE_TRANSITIONS = """
+WITH steps AS (
+  SELECT user_id,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_type,
+    event_type AS next_type
+  FROM events),
+counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_steps
+  FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n_steps,
+  round(n_steps / CAST(sum(n_steps) OVER (PARTITION BY prev_type)
+                       AS DOUBLE), 6) AS p
+FROM counts ORDER BY prev_type, next_type
+"""
+
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -8505,6 +8590,13 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "ts_recall": QuerySpec(
         q_ts_recall, _ORACLE_TS_RECALL,
         "timeseries-similarity-recall-accounting"
+    ),
+    "cusum_changepoint": QuerySpec(
+        q_cusum_changepoint, _ORACLE_CUSUM, "trend-cusum-changepoint"
+    ),
+    "event_transitions": QuerySpec(
+        q_event_transitions, _ORACLE_TRANSITIONS,
+        "markov-transition-matrix"
     ),
 }
 

@@ -4672,3 +4672,59 @@ def test_ts_similar_planted_near_duplicates_full_recall(spark):
         vb = np.array([v for i, p, v in rows if i == b], dtype=float)
         if np.corrcoef(va, vb)[0, 1] >= 0.8:
             assert pair in got, (pair, got)
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    # 10 at positions 1..10, then 50 at 11..20: |S_d| peaks at the
+    # shift boundary d=10 (pos 10)
+    rows = [("k", p, 10) for p in range(1, 11)] + [
+        ("k", p, 50) for p in range(11, 21)
+    ]
+    out = TSO.cusum_changepoint(
+        spark.createDataFrame(rows, ["g", "p", "v"]), "g", "p", "v"
+    ).collect()[0]
+    assert out["n_pos"] == 20 and out["total"] == 600
+    assert out["cp_pos"] == 10
+    # S_10 = 100 - 10*600/20 = -200; scaled by n=20 -> 4000
+    assert out["s_max_scaled"] == 4000
+    assert out["cusum"] == 200.0
+
+
+def test_cusum_changepoint_flat_series_and_tiebreak(spark):
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    rows = [("flat", p, 7) for p in range(5)]
+    out = TSO.cusum_changepoint(
+        spark.createDataFrame(rows, ["g", "p", "v"]), "g", "p", "v"
+    ).collect()[0]
+    # every S_d == 0: tie -> smallest position
+    assert out["s_max_scaled"] == 0 and out["cp_pos"] == 0
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime
+
+    from platform_etl_literature_spark.operators import sessionize as SSX
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    # user 1: a -> b -> a -> b ; user 2: b -> b
+    seq = {1: ["a", "b", "a", "b"], 2: ["b", "b"]}
+    eid = 0
+    for u, types in seq.items():
+        for i, ty in enumerate(types):
+            rows.append((eid, t0 + datetime.timedelta(minutes=i), u, ty))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n_steps"], r["p"])
+        for r in SSX.event_transitions(df).collect()
+    }
+    # steps: u1 a->b, b->a, a->b ; u2 b->b
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")][0] == 1 and out[("b", "b")][0] == 1
+    assert out[("b", "a")][1] == 0.5 and out[("b", "b")][1] == 0.5
