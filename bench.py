@@ -175,6 +175,18 @@ HEADLINE = [
     "chi2_drift",
     "grouped_ols",
     "kmv_source_overlap",
+    # round-7 session-9 sixth batch: series-similarity join, CUSUM
+    # change-point, Markov transition matrix — measured before
+    # promotion (spark/duck at sf0.1, clean machine, min of 4:
+    # ts_similar 2.17/0.08 — two cell/signature materializations +
+    # the 5.9k-candidate exact-Pearson verify, multi-job floor vs
+    # DuckDB's in-process run; cusum 0.54/0.02 and transitions
+    # 0.47/0.03 — floor rows, no-join window/agg plans).  ts_recall
+    # stays OUT by the accountability-row rule; bfs_distances stays
+    # OUT by the superstep rule.
+    "ts_similar",
+    "cusum_changepoint",
+    "event_transitions",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

@@ -787,3 +787,22 @@ def test_ts_similar_single_cell_pass_no_cartesian(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 3, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
     D.release_cached()
+
+
+def test_cusum_no_join_group_parallel(spark, sf_dir):
+    """CUSUM is cell-collapse + one partitioned window + one argmax
+    aggregate — no join, no single-partition funnel."""
+    plan = _simple_plan(SUITE["cusum_changepoint"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_event_transitions_one_lag_window_one_agg(spark, sf_dir):
+    """One lag window on the high-cardinality user key, one map-side
+    count pair, one vocabulary-sized normalization window — no join,
+    nothing single-partition."""
+    plan = _simple_plan(SUITE["event_transitions"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert plan.count("Window") == 2, plan[:3000]

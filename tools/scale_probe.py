@@ -631,6 +631,24 @@ def _ev_ts_similar(ev):
     )
 
 
+def _ev_cusum(ev):
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    daily = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("y")
+    )
+    return TSX.cusum_changepoint(daily, "g", "d", "y")
+
+
+def _ev_transitions(ev):
+    from platform_etl_literature_spark.operators import sessionize as SSX
+
+    return SSX.event_transitions(ev)
+
+
 def _ev_seasonal(ev):
     from platform_etl_literature_spark.operators.timeseries import (
         seasonal_profile,
@@ -660,6 +678,9 @@ EVENTS_OPS = {
     # buckets absorb population growth (disjoint copies share shape
     # vocabularies, so bucket COUNT grows, not bucket size)
     "ts_similar": _ev_ts_similar,
+    # trend family: cell-collapse shapes, shuffles carry cells not rows
+    "cusum_changepoint": _ev_cusum,
+    "event_transitions": _ev_transitions,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
