@@ -8133,6 +8133,119 @@ FROM counts ORDER BY prev_type, next_type
 
 
 
+def q_metric_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed metric-health report — the drift/trend family in ONE
+    frame per event type (the corpus_curation pattern applied to
+    metrics): OLS slope + r² of the daily-volume trend
+    (robust.grouped_ols), the CUSUM change-point day and statistic
+    (timeseries.cusum_changepoint), and the first-vs-second-half KS
+    drift (robust.ks_2samp) — three independent exact folds joined on
+    the 5-row type key, so the report inherits each member's
+    integer-exact determinism and the oracle replays all three
+    chains.  This is the dashboard row a 100 TB metrics pipeline
+    materializes nightly: every column is sketch/cell-sized work."""
+    from platform_etl_literature_spark.operators import robust as RB
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(F.sum(cents).alias("y"))
+    ols = RB.grouped_ols(daily, "d", "y", key_cols=["g"]).select(
+        "g", "slope", "r2"
+    )
+    cus = (
+        TSX.cusum_changepoint(daily, "g", "d", "y")
+        .withColumnRenamed("id", "g")
+        .select("g", "cp_pos", "cusum")
+    )
+    ks = RB.ks_2samp(
+        ev.select(
+            F.col("event_type").alias("g"),
+            cents.alias("v"),
+            (F.dayofmonth("ts") <= 15).alias("s"),
+        ),
+        "v",
+        "s",
+        key_cols=["g"],
+    ).select("g", "ks_d", "ks_lambda")
+    return (
+        ols.join(cus, "g").join(ks, "g").orderBy("g")
+    )
+
+
+_ORACLE_METRIC_HEALTH = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(date_part('day', ts) AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+ss AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(d) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(d * y) AS BIGINT) AS sxy, CAST(sum(d * d) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1),
+ols AS (
+  SELECT g,
+    round(CASE WHEN n * sxx - sx * sx != 0
+               THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+    round(CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+               THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE))
+                    / (CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
+  FROM ss),
+st AS (
+  SELECT g, d AS p,
+    row_number() OVER (PARTITION BY g ORDER BY d) AS rk,
+    CAST(sum(y) OVER (PARTITION BY g ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(y) OVER (PARTITION BY g) AS BIGINT) AS tot,
+    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM daily),
+cus AS (
+  SELECT g,
+    CAST(min(struct_pack(neg := -abs(n * cum - rk * tot), p := p)).p
+         AS BIGINT) AS cp_pos,
+    round(-min(struct_pack(neg := -abs(n * cum - rk * tot), p := p)).neg
+          / CAST(max(n) AS DOUBLE), 6) AS cusum
+  FROM st GROUP BY g),
+src AS (
+  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS v,
+         (CAST(date_part('day', ts) AS INTEGER) <= 15) AS s
+  FROM events WHERE value IS NOT NULL),
+cells AS (
+  SELECT g, v,
+         CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM src GROUP BY 1, 2),
+kst AS (
+  SELECT g,
+    CAST(sum(ca) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+    CAST(sum(cb) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+    CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+    CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+  FROM cells),
+ks AS (
+  SELECT g,
+    round(max(abs(cuma * nb - cumb * na)) / (max(na) * max(nb)), 6) AS ks_d,
+    round(sqrt((max(na) * max(nb)) / CAST(max(na) + max(nb) AS DOUBLE))
+          * (max(abs(cuma * nb - cumb * na)) / (max(na) * max(nb))),
+          6) AS ks_lambda
+  FROM kst GROUP BY g)
+SELECT ols.g, ols.slope, ols.r2, cus.cp_pos, cus.cusum, ks.ks_d,
+       ks.ks_lambda
+FROM ols JOIN cus USING (g) JOIN ks USING (g)
+ORDER BY ols.g
+"""
+
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -8597,6 +8710,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "event_transitions": QuerySpec(
         q_event_transitions, _ORACLE_TRANSITIONS,
         "markov-transition-matrix"
+    ),
+    "metric_health": QuerySpec(
+        q_metric_health, _ORACLE_METRIC_HEALTH,
+        "composed-trend-drift-health-report"
     ),
 }
 

@@ -507,6 +507,31 @@ SHOWCASE: dict[str, str] = {
         "pair thetas, below-theta counts and the common-hash equijoin "
         "are all broadcast hash joins over sketch-sized frames."
     ),
+    "ts_similar": (
+        "The (id, pos, value) cell frame materializes ONCE "
+        "(InMemoryTableScan feeds the signature AND both verify "
+        "sides); candidates are a pure signature equijoin with the "
+        "hot-bucket valve; the exact-Pearson verify is a full-outer "
+        "cell align + one hash aggregate per pair — no cartesian, no "
+        "nested loop."
+    ),
+    "cusum_changepoint": (
+        "Cell collapse, one partitioned window over the <=31 "
+        "positions per key, and a min(struct) argmax aggregate — no "
+        "join; the scaled-integer CUSUM keeps every comparison exact."
+    ),
+    "event_transitions": (
+        "One lag window on the high-cardinality user key (no hot "
+        "reducer), one map-side-combined count pair, and a "
+        "vocabulary-sized normalization window — no join anywhere."
+    ),
+    "metric_health": (
+        "Three independent exact folds (OLS sufficient statistics, "
+        "scaled-integer CUSUM, integer-supremum KS) joined on the "
+        "5-row type key: every branch collapses to cells before its "
+        "shuffle, and the final joins are over key-count-sized "
+        "frames."
+    ),
     "bfs_distances": (
         "The result is a union of per-hop checkpoints: each expansion "
         "hop joined the checkpointed symmetrized edge list against a "
