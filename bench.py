@@ -187,6 +187,9 @@ HEADLINE = [
     "ts_similar",
     "cusum_changepoint",
     "event_transitions",
+    # composed health report (measured 1.35/0.04 at sf0.1, min of 4:
+    # three cell-collapse folds + key-count-sized joins)
+    "metric_health",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

@@ -649,6 +649,38 @@ def _ev_transitions(ev):
     return SSX.event_transitions(ev)
 
 
+def _ev_metric_health(ev):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from platform_etl_literature_spark.operators import robust as RB
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    evv = ev.where(F.col("value").isNotNull())
+    daily = evv.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(F.sum(cents).alias("y"))
+    ols = RB.grouped_ols(daily, "d", "y", key_cols=["g"]).select(
+        "g", "slope", "r2"
+    )
+    cus = (
+        TSX.cusum_changepoint(daily, "g", "d", "y")
+        .withColumnRenamed("id", "g")
+        .select("g", "cp_pos", "cusum")
+    )
+    ks = RB.ks_2samp(
+        evv.select(
+            F.col("event_type").alias("g"),
+            cents.alias("v"),
+            (F.dayofmonth("ts") <= 15).alias("s"),
+        ),
+        "v", "s", key_cols=["g"],
+    ).select("g", "ks_d", "ks_lambda")
+    return ols.join(cus, "g").join(ks, "g")
+
+
 def _ev_seasonal(ev):
     from platform_etl_literature_spark.operators.timeseries import (
         seasonal_profile,
@@ -681,6 +713,7 @@ EVENTS_OPS = {
     # trend family: cell-collapse shapes, shuffles carry cells not rows
     "cusum_changepoint": _ev_cusum,
     "event_transitions": _ev_transitions,
+    "metric_health": _ev_metric_health,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
