@@ -190,6 +190,11 @@ HEADLINE = [
     # composed health report (measured 1.35/0.04 at sf0.1, min of 4:
     # three cell-collapse folds + key-count-sized joins)
     "metric_health",
+    # robust trend (measured 1.98/0.04: the declared per-group pair
+    # join + two exact rank-selection medians pay ~8 job floors; the
+    # floor-adjusted subtotal in BENCH_NOTES.md is the structural
+    # read)
+    "theil_sen",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

@@ -385,3 +385,82 @@ def grouped_ols(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def grouped_theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str] | None = None,
+    max_group_points: int = 1024,
+) -> DataFrame:
+    """Per-group Theil-Sen robust slope (Theil '50 / Sen, JASA '68):
+    the MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i), x_i < x_j —
+    the 29.3%-breakdown trend estimator that shrugs off the outlier
+    days that drag :func:`grouped_ols` (whose breakdown is 0%).  The
+    intercept is the median of ``y_i − slope·x_i`` (Sen's standard
+    companion estimator).
+
+    Exactness: each pairwise slope is ONE division of exact integers
+    (``x``/``y`` must be integral by contract — fixed-point scale
+    first) — bit-identical cross-engine — and the median is the exact
+    rank selection of :func:`grouped_median` over those doubles (at
+    most two distinct values averaged, IEEE-exact), so a SQL oracle
+    replaying the same pairs matches bit-for-bit before the final
+    6 dp rounding.
+
+    Scale shape: the pair join is per-group quadratic BY DESIGN
+    (pairwise slopes ARE the estimator) — right for per-entity
+    series of bounded length (days of a month, weeks of a year),
+    guarded by ``max_group_points`` (groups above it are EXCLUDED,
+    loudly countable by comparing output keys; the OLS fit is the
+    escape hatch for unbounded groups).  Duplicate x positions
+    within a group contribute no pair (vertical slope undefined).
+    Returns (*key_cols, n, n_pairs, slope, intercept).
+    """
+    keys = list(key_cols or [])
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(*keys, x.alias("_x"), y.alias("_y"))
+    )
+    sizes = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    kept = base.join(
+        F.broadcast(
+            sizes.filter(F.col("_n") <= max_group_points).select(*keys)
+        ),
+        keys,
+    )
+    a = kept.select(*keys, F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = kept.select(*keys, F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    pairs = a.join(b, keys).filter(F.col("_xa") < F.col("_xb"))
+    slopes = pairs.select(
+        *keys,
+        (
+            (F.col("_yb") - F.col("_ya")).cast("double")
+            / (F.col("_xb") - F.col("_xa")).cast("double")
+        ).alias("_s"),
+    )
+    med = grouped_median(slopes, keys, "_s", out_col="_slope")
+    n_pairs = slopes.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_pairs"))
+    resid = kept.join(F.broadcast(med), keys).select(
+        *keys,
+        (F.col("_y").cast("double") - F.col("_slope") * F.col("_x")).alias(
+            "_r"
+        ),
+    )
+    icpt = grouped_median(resid, keys, "_r", out_col="_icpt")
+    return (
+        sizes.filter(F.col("_n") <= max_group_points)
+        .join(F.broadcast(n_pairs), keys)
+        .join(F.broadcast(med), keys)
+        .join(F.broadcast(icpt), keys)
+        .select(
+            *keys,
+            F.col("_n").alias("n"),
+            "n_pairs",
+            F.round(F.col("_slope"), 6).alias("slope"),
+            F.round(F.col("_icpt"), 6).alias("intercept"),
+        )
+    )

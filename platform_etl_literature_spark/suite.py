@@ -8246,6 +8246,82 @@ ORDER BY ols.g
 
 
 
+def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group trend (operators.robust.grouped_theil_sen;
+    Theil '50 / Sen JASA '68): median-of-pairwise-slopes over each
+    event type's daily volume — the 29.3%-breakdown companion to
+    grouped_ols (one outlier day can move OLS arbitrarily; Theil-Sen
+    shrugs it off).  Each pairwise slope is one exact-integer
+    division; the median is the exact rank selection of
+    grouped_median, so the oracle replays pairs, ranks and the
+    two-value average bit-for-bit."""
+    from platform_etl_literature_spark.operators import robust as RB
+
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("y")
+    )
+    return RB.grouped_theil_sen(daily, "d", "y", key_cols=["g"]).orderBy(
+        "g"
+    )
+
+
+_ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(date_part('day', ts) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+pairs AS (
+  SELECT a.g,
+    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x),
+sg AS (SELECT g, s, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+sc AS (
+  SELECT g, s, cnt,
+    sum(cnt) OVER (PARTITION BY g ORDER BY s
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY g) AS n
+  FROM sg),
+med AS (
+  SELECT g,
+    sum(s * (
+      (CASE WHEN cum - cnt + 1 <= (n + 1) // 2 AND (n + 1) // 2 <= cum
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN cum - cnt + 1 <= (n + 2) // 2 AND (n + 2) // 2 <= cum
+            THEN 1 ELSE 0 END))) / 2.0 AS slope
+  FROM sc GROUP BY 1),
+np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1),
+nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+resid AS (
+  SELECT d.g, CAST(d.y AS DOUBLE) - med.slope * d.x AS r
+  FROM daily d JOIN med USING (g)),
+rg AS (SELECT g, r, count(*) AS cnt FROM resid GROUP BY 1, 2),
+rc AS (
+  SELECT g, r, cnt,
+    sum(cnt) OVER (PARTITION BY g ORDER BY r
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY g) AS n
+  FROM rg),
+icpt AS (
+  SELECT g,
+    sum(r * (
+      (CASE WHEN cum - cnt + 1 <= (n + 1) // 2 AND (n + 1) // 2 <= cum
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN cum - cnt + 1 <= (n + 2) // 2 AND (n + 2) // 2 <= cum
+            THEN 1 ELSE 0 END))) / 2.0 AS intercept
+  FROM rc GROUP BY 1)
+SELECT nd.g, nd.n, np.n_pairs,
+  round(med.slope, 6) AS slope,
+  round(icpt.intercept, 6) AS intercept
+FROM nd JOIN np USING (g) JOIN med USING (g) JOIN icpt USING (g)
+ORDER BY nd.g
+"""
+
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -8714,6 +8790,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "metric_health": QuerySpec(
         q_metric_health, _ORACLE_METRIC_HEALTH,
         "composed-trend-drift-health-report"
+    ),
+    "theil_sen": QuerySpec(
+        q_theil_sen, _ORACLE_THEIL_SEN, "trend-theil-sen-robust-slope"
     ),
 }
 

@@ -4728,3 +4728,43 @@ def test_event_transitions_counts_and_probs(spark):
     assert out[("a", "b")] == (2, 1.0)
     assert out[("b", "a")][0] == 1 and out[("b", "b")][0] == 1
     assert out[("b", "a")][1] == 0.5 and out[("b", "b")][1] == 0.5
+
+
+def test_theil_sen_resists_outlier_ols_does_not(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    # perfect slope-2 line with one wrecked day
+    rows = [("k", x, 2 * x) for x in range(1, 10)] + [("k", 10, 100000)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    ts = RB.grouped_theil_sen(df, "x", "y", ["g"]).collect()[0]
+    ols = RB.grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    assert ts["n"] == 10 and ts["n_pairs"] == 45
+    assert ts["slope"] == 2.0          # the median slope ignores the spike
+    assert ts["intercept"] == 0.0
+    assert ols["slope"] > 1000         # OLS is dragged by the outlier
+
+
+def test_theil_sen_exact_small_case(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    # 3 points -> 3 pairwise slopes: (1,1),(2,3),(3,4): s = 2, 1, 1.5
+    # -> median 1.5; residuals y-1.5x: -0.5, 0, -0.5 -> median -0.5
+    df = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 3), ("k", 3, 4)], ["g", "x", "y"]
+    )
+    out = RB.grouped_theil_sen(df, "x", "y", ["g"]).collect()[0]
+    assert out["slope"] == 1.5 and out["intercept"] == -0.5
+
+
+def test_theil_sen_group_cap_excludes_loudly(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = [("big", x, x) for x in range(20)] + [
+        ("small", x, 3 * x) for x in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in RB.grouped_theil_sen(
+        df, "x", "y", ["g"], max_group_points=10
+    ).collect()}
+    assert set(out) == {"small"}       # over-cap group absent, countable
+    assert out["small"]["slope"] == 3.0

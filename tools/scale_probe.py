@@ -681,6 +681,18 @@ def _ev_metric_health(ev):
     return ols.join(cus, "g").join(ks, "g")
 
 
+def _ev_theil_sen(ev):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    daily = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("y")
+    )
+    return RB.grouped_theil_sen(daily, "d", "y", key_cols=["g"])
+
+
 def _ev_seasonal(ev):
     from platform_etl_literature_spark.operators.timeseries import (
         seasonal_profile,
@@ -714,6 +726,7 @@ EVENTS_OPS = {
     "cusum_changepoint": _ev_cusum,
     "event_transitions": _ev_transitions,
     "metric_health": _ev_metric_health,
+    "theil_sen": _ev_theil_sen,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
