@@ -195,6 +195,14 @@ HEADLINE = [
     # floor-adjusted subtotal in BENCH_NOTES.md is the structural
     # read)
     "theil_sen",
+    # session-10: one row per new family — bigram PMI (measured
+    # 1.04/0.19 at sf0.1, min of 3: data-sized tokenize + vocab-keyed
+    # counts on both engines) and the Welch A/B readout (0.63/0.01:
+    # arm-collapse floor row).  acf_lags / lift_table / woe_iv stay
+    # parity-gated suite rows by the within-family-redundancy rule
+    # (trend and eval families already carry headline rows).
+    "pmi_collocations",
+    "ab_welch",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def ranking_metrics(
@@ -236,4 +237,209 @@ def cohens_kappa(
             .otherwise(F.lit(0.0))
             .alias("kappa"),
         )
+    )
+
+
+def ab_welch(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    control: str,
+) -> DataFrame:
+    """Per-arm A/B experiment readout with Welch's unequal-variance
+    t-test against the named control arm (Welch, Biometrika 1947) —
+    the standard experiment-analysis primitive a curation/analytics
+    engine owes its users.
+
+    Float parity: per-arm sufficient statistics (n, Σv, Σv²) are
+    exact order-free BIGINT sums over an integral (fixed-point)
+    value column; mean, variance, t, and the Welch–Satterthwaite
+    degrees of freedom are a fixed sequence of per-row double ops on
+    those integers — replayed operand-for-operand by the SQL oracle —
+    rounded at 6.  Sample variance uses the exact integer numerator
+    ``n·Σv² − (Σv)²`` over ``n·(n−1)`` (cast AFTER the integer
+    arithmetic; overflow bound ``n·Σv² < 2^63``).
+
+    Scale shape: ONE map-side-combinable hash aggregate collapses the
+    corpus to arm-count rows; the control row attaches via the one
+    sanctioned single-row broadcast — no window, nothing corpus-shaped
+    downstream.  Arms with n < 2 (either side) report NULL t/df.
+
+    Returns (arm, n, mean, var, t, df_welch) for every non-control
+    arm, plus the control arm's own row with NULL t/df.
+    """
+    v = F.col(value_col).cast("long")
+    stats = df.filter(v.isNotNull()).groupBy(
+        F.col(arm_col).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("svv"),
+    )
+    n = F.col("n").cast("long")
+    mean = F.col("sv").cast("double") / n.cast("double")
+    var = F.when(
+        n >= 2,
+        (n * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+        / (n * (n - 1)).cast("double"),
+    )
+    per_arm = stats.select("arm", "n", mean.alias("m"), var.alias("s2"))
+    ctrl = F.broadcast(
+        per_arm.filter(F.col("arm") == control).select(
+            F.col("n").alias("n0"),
+            F.col("m").alias("m0"),
+            F.col("s2").alias("s20"),
+        )
+    )
+    j = per_arm.crossJoin(ctrl)
+    se2_a = F.col("s2") / F.col("n").cast("double")
+    se2_0 = F.col("s20") / F.col("n0").cast("double")
+    se2 = se2_a + se2_0
+    usable = (
+        (F.col("arm") != control)
+        & (F.col("n") >= 2)
+        & (F.col("n0") >= 2)
+        & (se2 > 0)
+    )
+    t = F.when(usable, (F.col("m") - F.col("m0")) / F.sqrt(se2))
+    df_w = F.when(
+        usable,
+        (se2 * se2)
+        / (
+            se2_a * se2_a / (F.col("n") - 1).cast("double")
+            + se2_0 * se2_0 / (F.col("n0") - 1).cast("double")
+        ),
+    )
+    return j.select(
+        "arm",
+        "n",
+        F.round(F.col("m"), 6).alias("mean"),
+        F.round(F.col("s2"), 6).alias("var"),
+        F.round(t, 6).alias("t"),
+        F.round(df_w, 6).alias("df_welch"),
+    )
+
+
+def lift_table(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Decile lift/gains table — the model-quality readout for a
+    scoring stage (quality classifiers, Moore-Lewis selectors):
+    bucket rows by descending score into ``n_buckets`` equal-count
+    bins, report per-bucket and cumulative response rates and the
+    cumulative lift over the group's base rate.
+
+    Determinism: ntile over a NON-UNIQUE order is engine-ambiguous,
+    so the bucket order is (score DESC, id ASC) — total, replayable.
+    All counts are exact integers; rates and lift are per-row double
+    divisions on identical operands, rounded at 6.
+
+    Scale shape: when ``group_cols`` partition the table (per-language
+    / per-source reporting — the intended use), the ntile window and
+    the cumulative window are both group-parallel; a global table
+    (``group_cols=None``) degrades to a single-partition sort and is
+    only for bucket-count-sized outputs.  One window pass + one hash
+    aggregate + one bucket-count-sized cumulative window.
+
+    Returns (*group, bucket, n, n_pos, rate, cum_rate, lift).
+    """
+    g = list(group_cols or [])
+    part = [F.col(c) for c in g]
+    w = Window.partitionBy(*part).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    lbl = F.col(label_col).cast("long")
+    b = scored.select(
+        *g,
+        lbl.alias("_y"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    per = b.groupBy(*g, "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+    )
+    wc = (
+        Window.partitionBy(*part)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*part)
+    cum_n = F.sum("n").over(wc)
+    cum_pos = F.sum("n_pos").over(wc)
+    tot_n = F.sum("n").over(wt)
+    tot_pos = F.sum("n_pos").over(wt)
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    cum_rate = cum_pos.cast("double") / cum_n.cast("double")
+    base = tot_pos.cast("double") / tot_n.cast("double")
+    lift = F.when(tot_pos > 0, cum_rate / base)
+    return per.select(
+        *g,
+        "bucket",
+        "n",
+        "n_pos",
+        F.round(rate, 6).alias("rate"),
+        F.round(cum_rate, 6).alias("cum_rate"),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence / information-value profile of a categorical
+    feature against a binary label (the credit-scorecard standard,
+    Siddiqi 2006) — the engine's feature-vs-label diagnostic: which
+    source/language/bucket values carry signal about a quality label,
+    and how much (IV = Σ per-category terms).
+
+        woe(c) = ln( ((pos_c + s)/tot_pos) / ((neg_c + s)/tot_neg) )
+        iv(c)  = ((pos_c + s)/tot_pos − (neg_c + s)/tot_neg) · woe(c)
+
+    with additive smoothing ``s`` so empty cells stay finite; totals
+    are the UNSMOOTHED exact integer marginals.
+
+    Float parity: category cells are exact BIGINT counts from one
+    map-side-combinable aggregate; woe/iv are a fixed per-row double
+    sequence on those integers, rounded at 6.
+
+    Scale shape: corpus collapses to category-count rows in ONE hash
+    aggregate; the totals row attaches via the one sanctioned
+    single-row broadcast — no window, no join beyond it.
+
+    Returns (category, n, n_pos, n_neg, woe, iv_term).
+    """
+    y = F.col(label_col).cast("long")
+    cells = df.groupBy(F.col(feature_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("n_pos"),
+        F.sum(F.lit(1) - y).alias("n_neg"),
+    )
+    totals = F.broadcast(
+        cells.select(
+            F.sum("n_pos").alias("tot_pos"), F.sum("n_neg").alias("tot_neg")
+        )
+    )
+    j = cells.crossJoin(totals)
+    p = (F.col("n_pos").cast("double") + F.lit(float(smooth))) / F.col(
+        "tot_pos"
+    ).cast("double")
+    q = (F.col("n_neg").cast("double") + F.lit(float(smooth))) / F.col(
+        "tot_neg"
+    ).cast("double")
+    woe = F.log(p / q)
+    return j.select(
+        "category",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((p - q) * woe, 6).alias("iv_term"),
     )

@@ -710,3 +710,84 @@ def training_shuffle(
         (pos % n_shards).cast("int").alias("shard"),
         F.expr(f"(_rnk - 1) div {n_shards}").alias("pos_in_shard"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Bigram collocations ranked by pointwise mutual information
+    (Church & Hanks, CL 1990: "Word Association Norms, Mutual
+    Information, and Lexicography") — the classic corpus-linguistics
+    signal for multi-word expressions, and a standard training-data
+    diagnostic (boilerplate n-grams surface as impossibly-high-PMI
+    pairs).
+
+        pmi(a, b) = ln( p(a,b) / (p(a) · p(b)) )
+
+    with p(a,b) over adjacent-token bigrams and p(a) over unigrams.
+
+    Float parity (suite module docstring policy): every count is an
+    exact order-free BIGINT; the PMI is computed in ONE canonical
+    double expression — ``(n_pair·N1/n_a) · (N1/(n_b·N2))`` folded
+    left-to-right then ln then round 6 — which an SQL oracle replays
+    operand-for-operand.  The BIGINT-squaring trap is avoided by
+    never forming ``N1²`` (corpus token counts square past 2^63 at
+    ~3·10⁹ tokens); every product has a division interleaved.
+
+    Scale shape: bigrams come from zip_with over the per-doc token
+    array (no positional self-join, no window); unigram and bigram
+    counts are map-side-combinable hash aggregates keyed by
+    vocabulary-sized keys; the ``min_pair_count`` filter applies
+    BEFORE the unigram joins, so the join inputs are
+    (filtered-pair-vocabulary × unigram-vocabulary) equijoins — never
+    corpus-shaped.  Corpus totals attach via the one sanctioned
+    single-row broadcast.  Returns (w1, w2, n_pair, pmi).
+    """
+    from platform_etl_literature_spark.operators.dedup import tokens
+
+    toks = docs.select(tokens(F.col(text_col)).alias("_t"))
+    uni = toks.select(F.explode("_t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    bg = toks.filter(F.size("_t") >= 2).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(_t, 1, size(_t) - 1),"
+                " slice(_t, 2, size(_t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("_bg")
+    ).select("_bg.w1", "_bg.w2")
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    # corpus totals: one row each, derived from the SAME exploded
+    # frames the counts came from (order-free integer sums)
+    totals = uni.agg(F.count(F.lit(1)).alias("n1")).crossJoin(
+        F.broadcast(bg.agg(F.count(F.lit(1)).alias("n2")))
+    )
+    j = (
+        bc.join(
+            uc.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
+            "w1",
+        )
+        .join(
+            uc.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ratio = (d("n_pair") * d("n1") / d("n_w1")) * (
+        d("n1") / (d("n_w2") * d("n2"))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.round(F.log(ratio), 6).alias("pmi"),
+    )

@@ -749,3 +749,86 @@ def cusum_changepoint(
             (-F.col("_m._neg")) / F.col("n_pos").cast("double"), 6
         ).alias("cusum"),
     )
+
+
+def acf_lags(
+    series: DataFrame,
+    id_col: str,
+    pos_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key autocorrelation function: for each lag k = 1..max_lag,
+    the EXACT Pearson correlation of the aligned pairs
+    (y_t, y_{t−k}) over the key's observed positions (Box & Jenkins'
+    sample ACF in its paired-Pearson form, which is well-defined on
+    irregular/short series too).
+
+    Float parity: duplicate positions collapse to one integral cell
+    first (order-free BIGINT sums); every sufficient statistic
+    (n, Σx, Σy, Σxy, Σx², Σy² per lag) is an exact conditional BIGINT
+    sum over the lag-aligned rows; the correlation is the shared
+    grouped-OLS closed form — covariance cast to double BEFORE
+    squaring — rounded at 6, so an SQL oracle replays it bit for bit.
+
+    Scale shape: ONE partitioned window pass (ordered by position,
+    ``max_lag`` lag columns ride the same frame — no self-join, no
+    per-lag pass), ONE hash aggregate per key producing all
+    6·max_lag statistics map-side-combinable, then a ``stack`` to
+    (key, lag) rows — group-parallel, nothing corpus-shaped after the
+    cell collapse, no single-partition funnel.  Overflow bound:
+    ``n·Σy² < 2^63`` per key (fixed-point-scale values accordingly).
+
+    Returns (*id, lag, n_pairs, r) — lags with fewer than 2 aligned
+    pairs or zero variance on either side report NULL r.
+    """
+    pos = F.col(pos_col).cast("long")
+    v = F.col(value_col).cast("long")
+    cells = (
+        series.filter(pos.isNotNull() & v.isNotNull())
+        .groupBy(F.col(id_col).alias("id"), pos.alias("_p"))
+        .agg(F.sum(v).alias("_x"))
+    )
+    w = Window.partitionBy("id").orderBy("_p")
+    lagged = cells.select(
+        "id",
+        "_x",
+        *[F.lag("_x", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = []
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        present = lk.isNotNull()
+        aggs += [
+            F.count(lk).alias(f"n_{k}"),
+            F.sum(F.when(present, F.col("_x"))).alias(f"sx_{k}"),
+            F.sum(lk).alias(f"sy_{k}"),
+            F.sum(F.col("_x") * lk).alias(f"sxy_{k}"),
+            F.sum(F.when(present, F.col("_x") * F.col("_x"))).alias(f"sxx_{k}"),
+            F.sum(lk * lk).alias(f"syy_{k}"),
+        ]
+    st = lagged.groupBy("id").agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}, n_{k}, sx_{k}, sy_{k}, sxy_{k}, sxx_{k}, syy_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    long = st.selectExpr(
+        "id",
+        f"stack({max_lag}, {stack_args})"
+        " AS (lag, n_pairs, sx, sy, sxy, sxx, syy)",
+    )
+    n = F.col("n_pairs").cast("long")
+    covn = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varxn = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    varyn = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (n >= 2) & (varxn > 0) & (varyn > 0),
+        covn.cast("double")
+        / F.sqrt(varxn.cast("double") * varyn.cast("double")),
+    )
+    return long.select(
+        F.col("id"),
+        F.col("lag").cast("int").alias("lag"),
+        F.coalesce(n, F.lit(0)).alias("n_pairs"),
+        F.round(r, 6).alias("r"),
+    )

@@ -8321,6 +8321,259 @@ ORDER BY nd.g
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram PMI collocations (operators.textstats.pmi_collocations):
+    adjacent-token pairs of the document corpus with n_pair >= 30,
+    scored by pointwise mutual information.  Counts are exact BIGINTs;
+    the PMI double expression is replayed operand-for-operand by the
+    oracle (see the operator docstring for the no-N1²-overflow form)."""
+    docs = _t(spark, sf, "documents")
+    return TS.pmi_collocations(docs, "doc_id", "text", min_pair_count=30)
+
+
+_ORACLE_PMI = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS l
+  FROM documents),
+uni AS (SELECT unnest(l) AS w FROM toks),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY 1),
+bg AS (
+  SELECT unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM toks WHERE len(l) >= 2),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY 1, 2 HAVING count(*) >= 30),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM bg) AS n2)
+SELECT bc.w1, bc.w2, bc.n_pair,
+  round(ln(
+    (CAST(n_pair AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(a.n_w AS DOUBLE))
+    * (CAST(n1 AS DOUBLE) / (CAST(b.n_w AS DOUBLE) * CAST(n2 AS DOUBLE)))
+  ), 6) AS pmi
+FROM bc
+JOIN uc a ON bc.w1 = a.w
+JOIN uc b ON bc.w2 = b.w
+CROSS JOIN tot
+"""
+
+
+def q_acf_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type autocorrelation function of the daily volume
+    series, lags 1..7 (operators.timeseries.acf_lags): one partitioned
+    window pass carries all seven lag columns, one hash aggregate
+    produces every sufficient statistic, stack() unpivots to
+    (key, lag) rows.  The oracle replays the identical row-lag
+    alignment and the grouped-OLS operand discipline."""
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(F.sum(_cents("value")).alias("y"))
+    return (
+        TSO.acf_lags(daily, "g", "d", "y", max_lag=7)
+        .withColumnRenamed("id", "g")
+        .orderBy("g", "lag")
+    )
+
+
+_ORACLE_ACF = """
+WITH daily AS (
+  SELECT event_type AS id,
+         CAST(date_part('day', ts) AS BIGINT) AS p,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+L AS (
+  SELECT id, x,
+    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+    lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4,
+    lag(x, 5) OVER w AS l5, lag(x, 6) OVER w AS l6,
+    lag(x, 7) OVER w AS l7
+  FROM daily WINDOW w AS (PARTITION BY id ORDER BY p)),
+st AS (
+  SELECT id, 1 AS lag, CAST(count(l1) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS sx,
+    CAST(sum(l1) AS BIGINT) AS sy, CAST(sum(x * l1) AS BIGINT) AS sxy,
+    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x * x END) AS BIGINT) AS sxx,
+    CAST(sum(l1 * l1) AS BIGINT) AS syy FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 2, CAST(count(l2) AS BIGINT),
+    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(l2) AS BIGINT), CAST(sum(x * l2) AS BIGINT),
+    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(l2 * l2) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 3, CAST(count(l3) AS BIGINT),
+    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(l3) AS BIGINT), CAST(sum(x * l3) AS BIGINT),
+    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(l3 * l3) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 4, CAST(count(l4) AS BIGINT),
+    CAST(sum(CASE WHEN l4 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(l4) AS BIGINT), CAST(sum(x * l4) AS BIGINT),
+    CAST(sum(CASE WHEN l4 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(l4 * l4) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 5, CAST(count(l5) AS BIGINT),
+    CAST(sum(CASE WHEN l5 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(l5) AS BIGINT), CAST(sum(x * l5) AS BIGINT),
+    CAST(sum(CASE WHEN l5 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(l5 * l5) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 6, CAST(count(l6) AS BIGINT),
+    CAST(sum(CASE WHEN l6 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(l6) AS BIGINT), CAST(sum(x * l6) AS BIGINT),
+    CAST(sum(CASE WHEN l6 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(l6 * l6) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 7, CAST(count(l7) AS BIGINT),
+    CAST(sum(CASE WHEN l7 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(l7) AS BIGINT), CAST(sum(x * l7) AS BIGINT),
+    CAST(sum(CASE WHEN l7 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(l7 * l7) AS BIGINT) FROM L GROUP BY 1),
+e AS (
+  SELECT id, lag, n,
+    n * sxy - sx * sy AS covn,
+    n * sxx - sx * sx AS varxn,
+    n * syy - sy * sy AS varyn
+  FROM st)
+SELECT id AS g, CAST(lag AS INT) AS lag, n AS n_pairs,
+  round(CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+             THEN CAST(covn AS DOUBLE)
+                  / sqrt(CAST(varxn AS DOUBLE) * CAST(varyn AS DOUBLE))
+        END, 6) AS r
+FROM e ORDER BY g, lag
+"""
+
+
+def q_ab_welch(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B readout with Welch's t vs the 'view' control arm
+    (operators.evalmetrics.ab_welch): arm = event_type, metric =
+    integer cents.  Exact BIGINT sufficient statistics; the t and
+    Welch-Satterthwaite df doubles are replayed operand-for-operand."""
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    arms = ev.select("event_type", _cents("value").alias("v_cents"))
+    return EV.ab_welch(arms, "event_type", "v_cents", control="view").orderBy(
+        "arm"
+    )
+
+
+_ORACLE_AB_WELCH = """
+WITH stats AS (
+  SELECT event_type AS arm,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv,
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+             * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS svv
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+per AS (
+  SELECT arm, n,
+    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+    CASE WHEN n >= 2
+         THEN CAST(n * svv - sv * sv AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE) END AS s2
+  FROM stats),
+ctrl AS (SELECT n AS n0, m AS m0, s2 AS s20 FROM per WHERE arm = 'view'),
+j AS (
+  SELECT arm, n, m, s2, n0, m0, s20,
+    s2 / CAST(n AS DOUBLE) AS se2_a,
+    s20 / CAST(n0 AS DOUBLE) AS se2_0
+  FROM per CROSS JOIN ctrl)
+SELECT arm, n,
+  round(m, 6) AS mean,
+  round(s2, 6) AS var,
+  round(CASE WHEN arm != 'view' AND n >= 2 AND n0 >= 2
+             AND se2_a + se2_0 > 0
+        THEN (m - m0) / sqrt(se2_a + se2_0) END, 6) AS t,
+  round(CASE WHEN arm != 'view' AND n >= 2 AND n0 >= 2
+             AND se2_a + se2_0 > 0
+        THEN ((se2_a + se2_0) * (se2_a + se2_0))
+             / (se2_a * se2_a / CAST(n - 1 AS DOUBLE)
+                + se2_0 * se2_0 / CAST(n0 - 1 AS DOUBLE)) END, 6)
+    AS df_welch
+FROM j ORDER BY arm
+"""
+
+
+def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language quintile lift/gains table
+    (operators.evalmetrics.lift_table): rows bucket by
+    (n_chars DESC, doc_id ASC) ntile(5) inside each language — a
+    group-parallel window, no global sort — with exact integer bucket
+    counts and the cumulative-lift double sequence replayed by the
+    oracle.  The label is a deterministic doc_id residue (mechanical
+    but exact — the operator contract is what's under test)."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "y", (F.col("doc_id") % 3 == 0).cast("long")
+    )
+    return EV.lift_table(
+        docs, "n_chars", "y", "doc_id", n_buckets=5, group_cols=["lang"]
+    ).orderBy("lang", "bucket")
+
+
+_ORACLE_LIFT = """
+WITH b AS (
+  SELECT lang, CAST(doc_id % 3 = 0 AS BIGINT) AS y,
+    ntile(5) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
+      AS bucket
+  FROM documents),
+per AS (
+  SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos
+  FROM b GROUP BY 1, 2),
+c AS (
+  SELECT lang, bucket, n, n_pos,
+    CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+    CAST(sum(n_pos) OVER (PARTITION BY lang ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot_n,
+    CAST(sum(n_pos) OVER (PARTITION BY lang) AS BIGINT) AS tot_pos
+  FROM per)
+SELECT lang, bucket, n, n_pos,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+  round(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE), 6) AS cum_rate,
+  round(CASE WHEN tot_pos > 0
+        THEN (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+             / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) END, 6)
+    AS lift
+FROM c ORDER BY lang, bucket
+"""
+
+
+def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-evidence / information-value of source vs the
+    lang='en' label (operators.evalmetrics.woe_iv): one hash aggregate
+    to category cells, the one sanctioned single-row broadcast for the
+    marginals, smoothed woe/iv doubles replayed by the oracle."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("long")
+    )
+    return EV.woe_iv(docs, "source", "y", smooth=0.5).orderBy("category")
+
+
+_ORACLE_WOE = """
+WITH cells AS (
+  SELECT source AS category, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS n_pos,
+    CAST(sum(1 - CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS n_neg
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+         CAST(sum(n_neg) AS BIGINT) AS tot_neg
+  FROM cells),
+e AS (
+  SELECT category, n, n_pos, n_neg,
+    (CAST(n_pos AS DOUBLE) + 0.5) / CAST(tot_pos AS DOUBLE) AS p,
+    (CAST(n_neg AS DOUBLE) + 0.5) / CAST(tot_neg AS DOUBLE) AS q
+  FROM cells CROSS JOIN tot)
+SELECT category, n, n_pos, n_neg,
+  round(ln(p / q), 6) AS woe,
+  round((p - q) * ln(p / q), 6) AS iv_term
+FROM e ORDER BY category
+"""
+
 
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
@@ -8794,6 +9047,19 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "theil_sen": QuerySpec(
         q_theil_sen, _ORACLE_THEIL_SEN, "trend-theil-sen-robust-slope"
     ),
+    "pmi_collocations": QuerySpec(
+        q_pmi_collocations, _ORACLE_PMI, "text-pmi-collocations"
+    ),
+    "acf_lags": QuerySpec(
+        q_acf_lags, _ORACLE_ACF, "timeseries-autocorrelation"
+    ),
+    "ab_welch": QuerySpec(
+        q_ab_welch, _ORACLE_AB_WELCH, "experiment-welch-ttest"
+    ),
+    "lift_table": QuerySpec(
+        q_lift_table, _ORACLE_LIFT, "eval-decile-lift-gains"
+    ),
+    "woe_iv": QuerySpec(q_woe_iv, _ORACLE_WOE, "eval-woe-information-value"),
 }
 
 

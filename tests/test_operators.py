@@ -4768,3 +4768,134 @@ def test_theil_sen_group_cap_excludes_loudly(spark):
     ).collect()}
     assert set(out) == {"small"}       # over-cap group absent, countable
     assert out["small"]["slope"] == 3.0
+
+
+def test_pmi_collocations_hand_counts(spark):
+    from platform_etl_literature_spark.operators import textstats as TS
+
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b x"),
+            (3, "b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in TS.pmi_collocations(
+            docs, "doc_id", "text", min_pair_count=2
+        ).collect()
+    }
+    # unigrams: a=3 b=4 c=2 x=1, N1=10; bigrams: ab=3 ba=1 bc=2 bx=1, N2=7
+    assert set(out) == {("a", "b"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["n_pair"] == 3
+    assert abs(ab["pmi"] - math.log((3 * 10 / 3) * (10 / (4 * 7)))) < 1e-6
+    bc = out[("b", "c")]
+    assert bc["n_pair"] == 2
+    assert abs(bc["pmi"] - math.log((2 * 10 / 4) * (10 / (2 * 7)))) < 1e-6
+
+
+def test_acf_lags_matches_numpy_paired_pearson(spark):
+    import numpy as np
+
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    ys = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    df = spark.createDataFrame(
+        [("s", i, y) for i, y in enumerate(ys)], ["id", "p", "y"]
+    )
+    out = {
+        r["lag"]: r
+        for r in TSO.acf_lags(df, "id", "p", "y", max_lag=3).collect()
+    }
+    arr = np.array(ys, dtype=float)
+    for k in (1, 2, 3):
+        x, y = arr[k:], arr[:-k]
+        want = np.corrcoef(x, y)[0, 1]
+        assert out[k]["n_pairs"] == len(ys) - k
+        assert abs(out[k]["r"] - want) < 1e-6
+
+
+def test_acf_lags_short_and_constant_series(spark):
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    df = spark.createDataFrame(
+        [("short", 0, 1), ("short", 1, 2), ("flat", 0, 7), ("flat", 1, 7),
+         ("flat", 2, 7)],
+        ["id", "p", "y"],
+    )
+    rows = TSO.acf_lags(df, "id", "p", "y", max_lag=3).collect()
+    by = {(r["id"], r["lag"]): r for r in rows}
+    # every (id, lag) row exists even when there are no aligned pairs
+    assert len(rows) == 6
+    assert by[("short", 2)]["n_pairs"] == 0
+    assert by[("short", 2)]["r"] is None
+    # constant series: zero variance -> NULL r, but pairs counted
+    assert by[("flat", 1)]["n_pairs"] == 2
+    assert by[("flat", 1)]["r"] is None
+
+
+def test_ab_welch_matches_scipy_formula(spark):
+    import math
+
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    a = [10, 12, 14, 11, 13]
+    b = [20, 22, 19, 25]
+    rows = [("ctl", v) for v in a] + [("trt", v) for v in b]
+    df = spark.createDataFrame(rows, ["arm", "v"])
+    out = {r["arm"]: r for r in EV.ab_welch(df, "arm", "v", "ctl").collect()}
+    # hand Welch: means, sample vars
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    se2 = va / len(a) + vb / len(b)
+    t = (mb - ma) / math.sqrt(se2)
+    dfw = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert out["ctl"]["t"] is None and out["ctl"]["df_welch"] is None
+    assert abs(out["trt"]["t"] - t) < 1e-6
+    assert abs(out["trt"]["df_welch"] - dfw) < 1e-6
+    assert abs(out["trt"]["mean"] - mb) < 1e-6
+    assert abs(out["trt"]["var"] - vb) < 1e-6
+
+
+def test_lift_table_exact_buckets_and_lift(spark):
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    # 10 rows, scores 10..1 (unique), top half all positive
+    rows = [(i, 11 - i, 1 if i <= 5 else 0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["id", "score", "y"])
+    out = {
+        r["bucket"]: r
+        for r in EV.lift_table(df, "score", "y", "id", n_buckets=5).collect()
+    }
+    assert [out[b]["n"] for b in range(1, 6)] == [2, 2, 2, 2, 2]
+    assert [out[b]["n_pos"] for b in range(1, 6)] == [2, 2, 1, 0, 0]
+    # base rate 0.5; bucket1 cum_rate 1.0 -> lift 2.0
+    assert abs(out[1]["lift"] - 2.0) < 1e-6
+    assert abs(out[5]["lift"] - 1.0) < 1e-6
+    assert abs(out[3]["cum_rate"] - 5 / 6) < 1e-6
+
+
+def test_woe_iv_hand_values(spark):
+    import math
+
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    # cat A: 3 pos 1 neg; cat B: 1 pos 3 neg
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    out = {r["category"]: r for r in EV.woe_iv(df, "cat", "y", 0.5).collect()}
+    p_a, q_a = (3 + 0.5) / 4, (1 + 0.5) / 4
+    woe_a = math.log(p_a / q_a)
+    assert out["A"]["n_pos"] == 3 and out["A"]["n_neg"] == 1
+    assert abs(out["A"]["woe"] - woe_a) < 1e-6
+    assert abs(out["A"]["iv_term"] - (p_a - q_a) * woe_a) < 1e-6
+    # symmetric by construction
+    assert abs(out["A"]["woe"] + out["B"]["woe"]) < 1e-9

@@ -806,3 +806,60 @@ def test_event_transitions_one_lag_window_one_agg(spark, sf_dir):
     assert "Join" not in plan, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert plan.count("Window") == 2, plan[:3000]
+
+
+def test_pmi_vocab_joins_no_cartesian(spark, sf_dir):
+    """PMI joins are (filtered-pair-vocab × unigram-vocab) hash
+    equijoins; the only nested-loop joins are the two sanctioned
+    one-row totals broadcasts, and nothing runs in Python."""
+    plan = _simple_plan(SUITE["pmi_collocations"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_acf_one_window_no_join(spark, sf_dir):
+    """All max_lag lag columns ride ONE partitioned window pass and
+    all 6·max_lag sufficient statistics come from one hash-aggregate
+    pair — no self-join per lag, no single-partition funnel."""
+    plan = _simple_plan(SUITE["acf_lags"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_ab_welch_arm_collapse_control_broadcast(spark, sf_dir):
+    """The corpus collapses to arm-count rows in one map-side
+    aggregate; the control row attaches via the one sanctioned
+    single-row broadcast — no window, no shuffle-heavy join."""
+    plan = _simple_plan(SUITE["ab_welch"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_lift_table_group_parallel_windows_no_join(spark, sf_dir):
+    """Per-language ntile + cumulative windows are all partitioned by
+    the group — no global sort, no single-partition exchange, no
+    join anywhere."""
+    plan = _simple_plan(SUITE["lift_table"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_woe_iv_cell_collapse_totals_broadcast(spark, sf_dir):
+    """WOE/IV is one hash aggregate to category cells plus the one
+    sanctioned one-row totals broadcast — no window, no
+    corpus-shaped join."""
+    plan = _simple_plan(SUITE["woe_iv"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]

@@ -29,6 +29,7 @@ from platform_etl_literature_spark.operators import bpe as B
 from platform_etl_literature_spark.operators import components as CC
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import edjoin as EJ
+from platform_etl_literature_spark.operators import evalmetrics as EVM
 from platform_etl_literature_spark.operators import graph as GR
 from platform_etl_literature_spark.operators import kmv as KMV
 from platform_etl_literature_spark.operators import pagerank as PGR
@@ -251,6 +252,20 @@ OPS = {
     # build + backward as-of carry).  Vocabulary again scales linearly
     # with the factor (tagged copies), the fact set with the corpus.
     "record_linkage": _record_linkage,
+    # bigram PMI: vocab-keyed hash aggregates; the xi copy tag grows
+    # the bigram vocabulary linearly with the factor (no cross-copy
+    # pair survives), so cells scale with data, never quadratically
+    "pmi_collocations": lambda df: TS.pmi_collocations(
+        df, "doc_id", "text", min_pair_count=30
+    ),
+    "lift_table": lambda df: EVM.lift_table(
+        df.withColumn("y", (F.col("doc_id") % 3 == 0).cast("long")),
+        "n_chars", "y", "doc_id", n_buckets=5, group_cols=["lang"],
+    ),
+    "woe_iv": lambda df: EVM.woe_iv(
+        df.withColumn("y", (F.col("lang") == "en").cast("long")),
+        "source", "y",
+    ),
     "scd2_temporal_join": _scd2_temporal,
     "dq_verify": lambda df: QC.verify(
         df,
@@ -701,6 +716,28 @@ def _ev_seasonal(ev):
     return seasonal_profile(ev, ["event_type"], period="hour")
 
 
+def _ev_acf(ev):
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    daily = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("y")
+    )
+    return TSX.acf_lags(daily, "g", "d", "y", max_lag=7)
+
+
+def _ev_ab_welch(ev):
+    from platform_etl_literature_spark.operators import evalmetrics as EVM
+
+    arms = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    return EVM.ab_welch(arms, "event_type", "v", control="view")
+
+
 EVENTS_OPS = {
     "sessionize": _ev_sessionize,
     "seasonal_profile": _ev_seasonal,
@@ -727,6 +764,8 @@ EVENTS_OPS = {
     "event_transitions": _ev_transitions,
     "metric_health": _ev_metric_health,
     "theil_sen": _ev_theil_sen,
+    "acf_lags": _ev_acf,
+    "ab_welch": _ev_ab_welch,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
