@@ -203,6 +203,12 @@ HEADLINE = [
     # (trend and eval families already carry headline rows).
     "pmi_collocations",
     "ab_welch",
+    # in-engine classifier train+score (measured 1.93/0.42 at sf0.1,
+    # min of 3: the classes × token-occurrences pass is data-sized on
+    # both engines).  burstiness / gini / benford stay parity-gated
+    # suite rows (floor-shaped cell collapses; their families already
+    # carry headline rows).
+    "naive_bayes",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

@@ -387,3 +387,97 @@ def moore_lewis_select(
         rk.alias("rk"),
         (rk <= quota).alias("selected"),
     )
+
+
+def nb_confusion(
+    docs: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained and resubstitution-scored
+    in-engine (McCallum & Nigam, AAAI-98 workshop): add-one-smoothed
+    token likelihoods per class, log-prior from class document
+    frequencies, argmax prediction per document, and the
+    (true, predicted) confusion matrix — the supervised twin of the
+    heuristic ``lang_id``, and the proof that classifier TRAINING is
+    a pair of hash aggregates, not an ML-library import:
+
+        lp(w|c) = ln((count(w,c) + 1) / (n_c + V))
+        score(d,c) = ln(n_docs_c / n_docs) + Σ_{w∈d} lp(w|c)
+
+    Float parity: every count is an exact BIGINT; each ln rounds to
+    integer MICRO-NATS before the per-document sum (the module's
+    standing contract), so scores are order-free integer sums and the
+    argmax (ties → lexicographically smallest class) is
+    engine-portable.
+
+    Scale shape: training is two vocabulary-keyed map-side hash
+    aggregates (class-token counts, class totals); the class frame —
+    priors, totals, vocabulary size folded in — is class-count-sized
+    and attaches to the token stream via ONE sanctioned broadcast
+    nested loop (classes × occurrences IS multinomial scoring's data
+    size); token likelihoods attach by a (w, c) vocabulary equijoin;
+    the argmax window partitions by document.  Documents with zero
+    tokens carry no score rows and are excluded (documented; both
+    engines agree).
+
+    Returns (true_label, pred_label, n_docs) — the confusion matrix.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.col(label_col).alias("_y"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    cwc = toks.groupBy(F.col("_y").alias("c"), "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nc = cwc.groupBy("c").agg(F.sum("cnt").alias("n_c"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    priors = docs.groupBy(F.col(label_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    ndt = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    prior_lp = F.round(
+        F.log(
+            F.col("nd").cast("double") / F.col("n_all").cast("double")
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    classes = (
+        priors.join(nc, "c")
+        .crossJoin(F.broadcast(ndt))
+        .crossJoin(F.broadcast(vocab))
+        .select("c", "n_c", "v", prior_lp.alias("prior_micro"))
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_c") + F.col("v")).cast("double")
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    scored = (
+        toks.crossJoin(F.broadcast(classes))
+        .join(cwc, ["c", "w"], "left")
+        .select("_d", "_y", "c", "prior_micro", lp.alias("lp_micro"))
+    )
+    per_dc = scored.groupBy("_d", "_y", "c").agg(
+        (F.sum("lp_micro") + F.min("prior_micro")).alias("score_micro")
+    )
+    w = Window.partitionBy("_d").orderBy(
+        F.col("score_micro").desc(), F.col("c").asc()
+    )
+    pred = per_dc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("_y").alias("true_label"), F.col("c").alias("pred_label")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -368,3 +368,85 @@ def _chi2_fold(cells: DataFrame, keys: list[str]) -> DataFrame:
             F.round(F.col("chi2_nano") / 1000000000.0, 6).alias("chi2"),
         )
     )
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benford first-significant-digit conformance check (Benford
+    1938; Nigrini's fraud-audit standard): compare the observed
+    first-digit distribution of a POSITIVE integral value column
+    against log₁₀(1 + 1/d), with a chi-squared conformance statistic
+    per key — the classic anomaly screen for fabricated or truncated
+    numeric feeds.
+
+    Engine-portable digit extraction: the first character of the
+    BIGINT's decimal string — no float log₁₀ of the value anywhere
+    (log10 of a double near a power of ten is the classic
+    off-by-an-octave hazard).  Absent digits still contribute their
+    (0 − n·p)²/(n·p) term via a (keys × 1..9) spine, so the statistic
+    is the real chi-squared, not a present-cells-only lower bound.
+
+    Float parity: digit counts are exact BIGINTs; expected shares are
+    per-row log10 doubles; each chi-squared term rounds to integer
+    MICRO-UNITS before the (≤9-row) sum — the lm.py micro-nat
+    discipline — so the reduction is order-free and the SQL oracle
+    replays it bit for bit.
+
+    Scale shape: one map-side hash aggregate to (key, digit) cells;
+    the spine join and the two windows run on digit-cell-sized frames
+    (≤ 9 rows per key) — nothing corpus-shaped after the collapse.
+
+    Returns (*key, digit, n_obs, obs_p, exp_p, term_micro,
+    chi2_micro) — ``chi2_micro`` is the per-key integer sum repeated
+    on each digit row; divide by 10⁶ for the statistic (8 df).
+    """
+    keys = list(key_cols or [])
+    v = F.col(value_col).cast("long")
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    cells = (
+        df.filter(v.isNotNull() & (v > 0))
+        .groupBy(*keys, digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = (
+        cells.select(*keys).distinct()
+        .crossJoin(
+            F.broadcast(
+                cells.sparkSession.range(1, 10).select(
+                    F.col("id").cast("int").alias("digit")
+                )
+            )
+        )
+    )
+    full = spine.join(cells, [*keys, "digit"], "left").select(
+        *keys, "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
+    wk = Window.partitionBy(*[F.col(k) for k in keys])
+    n = F.sum("n_obs").over(wk)
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    expected = n.cast("double") * exp_p
+    term = (F.col("n_obs").cast("double") - expected) * (
+        F.col("n_obs").cast("double") - expected
+    ) / expected
+    with_terms = full.select(
+        *keys,
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / n.cast("double"), 6).alias(
+            "obs_p"
+        ),
+        F.round(exp_p, 6).alias("exp_p"),
+        F.round(term * 1000000.0, 0).cast("long").alias("term_micro"),
+    )
+    return with_terms.select(
+        *keys,
+        "digit",
+        "n_obs",
+        "obs_p",
+        "exp_p",
+        "term_micro",
+        F.sum("term_micro").over(wk).alias("chi2_micro"),
+    )

@@ -464,3 +464,53 @@ def grouped_theil_sen(
             F.round(F.col("_icpt"), 6).alias("intercept"),
         )
     )
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact per-group Gini coefficient of a NON-NEGATIVE integral
+    value column, via the rank form (Sen 1973):
+
+        G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n      (x sorted ascending)
+
+    Inequality/concentration readout: revenue per user, tokens per
+    document, traffic per source.
+
+    Float parity: ranks come from row_number over the value order —
+    ties need no tiebreak because permuting equal values leaves
+    Σ i·xᵢ unchanged — and both Σx and Σ i·xᵢ are exact order-free
+    BIGINT sums; the two closing divisions are a fixed double
+    sequence rounded at 6.  Overflow bound: per-group n·max(x)·n
+    < 2⁶³ (10⁶ rows of 10⁶-cent values is 10¹⁸ — at the bound;
+    shift the fixed point for wider groups).
+
+    Scale shape: one partitioned window (rank within group) + one
+    map-side-combinable hash aggregate — group-parallel.  Groups with
+    Σx = 0 or n = 0 report NULL.
+
+    Returns (*key, n, total, gini).
+    """
+    keys = list(key_cols or [])
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(v.asc())
+    ranked = df.filter(v.isNotNull() & (v >= 0)).select(
+        *keys,
+        v.alias("_v"),
+        F.row_number().over(w).cast("long").alias("_i"),
+    )
+    st = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("total"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_si"),
+    )
+    n = F.col("n").cast("long")
+    g = F.when(
+        (F.col("total") > 0) & (n > 0),
+        (F.lit(2.0) * F.col("_si").cast("double"))
+        / (n.cast("double") * F.col("total").cast("double"))
+        - (n + 1).cast("double") / n.cast("double"),
+    )
+    return st.select(*keys, "n", "total", F.round(g, 6).alias("gini"))

@@ -832,3 +832,73 @@ def acf_lags(
         F.coalesce(n, F.lit(0)).alias("n_pairs"),
         F.round(r, 6).alias("r"),
     )
+
+
+def burstiness(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Per-key inter-arrival burstiness (Goh & Barabási, EPL 2008):
+    for the gaps g_1..g_n between consecutive events of a key,
+
+        B = (σ − μ) / (σ + μ)          (−1 regular … 0 Poisson … →1 bursty)
+
+    plus the coefficient of variation σ/μ — the behavioral signal that
+    separates schedulers and bots (B≈−1) from humans (B>0).
+
+    Float parity: gaps are exact integral SECONDS from the
+    timestamp's microsecond epoch (integer floor division —
+    engine-portable; sub-second gap structure truncates, documented);
+    (n, Σg, Σg²) are order-free BIGINT sums; μ, sample σ, B, and cv
+    are one fixed double sequence on those integers (variance keeps
+    the integer numerator n·Σg²−(Σg)² intact until a single cast),
+    rounded at 6.  Tied timestamps need no tiebreak: the gap MULTISET
+    of a sorted multiset is permutation-invariant, so every statistic
+    is deterministic even though the tie order isn't.  Seconds, not
+    milliseconds, is the deliberate unit: the exact numerator needs
+    per-key n·Σg² < 2⁶³, which millisecond gaps breach at month-scale
+    spans (a 30-day span squared is 6.7e18 ms²) while second gaps
+    keep ~year-scale headroom (n·(3.2e7)²·n — safe to n ~ 10⁴ gaps
+    spanning a year).
+
+    Scale shape: one partitioned window (lag over the key's own
+    events) + one map-side-combinable hash aggregate — group-parallel,
+    nothing corpus-shaped after the aggregate.
+
+    Returns (*key, n_gaps, mean_s, std_s, burstiness, cv) for keys
+    with at least ``min_gaps`` gaps (σ needs n ≥ 2).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("_k").orderBy("_sec")
+    gaps = (
+        events.select(F.col(key_col).alias("_k"), us.alias("_us"))
+        # integer floor-division — a double divide of a ~1.7e15 µs
+        # epoch can round UP across the unit boundary before the
+        # cast, flipping the gap by ±1 between engines
+        .select("_k", F.expr("_us div 1000000").alias("_sec"))
+        .select("_k", (F.col("_sec") - F.lag("_sec", 1).over(w)).alias("_g"))
+        .filter(F.col("_g").isNotNull())
+    )
+    st = gaps.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_g").alias("_s1"),
+        F.sum(F.col("_g") * F.col("_g")).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("long")
+    mean = F.col("_s1").cast("double") / n.cast("double")
+    var = (n * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast(
+        "double"
+    ) / (n * (n - 1)).cast("double")
+    std = F.sqrt(var)
+    b = F.when(std + mean > 0, (std - mean) / (std + mean))
+    cv = F.when(mean > 0, std / mean)
+    return st.filter(n >= max(int(min_gaps), 2)).select(
+        F.col("_k").alias(key_col),
+        "n_gaps",
+        F.round(mean, 6).alias("mean_s"),
+        F.round(std, 6).alias("std_s"),
+        F.round(b, 6).alias("burstiness"),
+        F.round(cv, 6).alias("cv"),
+    )

