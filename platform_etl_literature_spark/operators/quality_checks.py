@@ -385,23 +385,13 @@ def benford_first_digit(
     Engine-portable digit extraction: the first character of the
     BIGINT's decimal string — no float log₁₀ of the value anywhere
     (log10 of a double near a power of ten is the classic
-    off-by-an-octave hazard).  Absent digits still contribute their
-    (0 − n·p)²/(n·p) term via a (keys × 1..9) spine, so the statistic
-    is the real chi-squared, not a present-cells-only lower bound.
+    off-by-an-octave hazard).
 
-    Float parity: digit counts are exact BIGINTs; expected shares are
-    per-row log10 doubles; each chi-squared term rounds to integer
-    MICRO-UNITS before the (≤9-row) sum — the lm.py micro-nat
-    discipline — so the reduction is order-free and the SQL oracle
-    replays it bit for bit.
-
-    Scale shape: one map-side hash aggregate to (key, digit) cells;
-    the spine join and the two windows run on digit-cell-sized frames
-    (≤ 9 rows per key) — nothing corpus-shaped after the collapse.
-
-    Returns (*key, digit, n_obs, obs_p, exp_p, term_micro,
-    chi2_micro) — ``chi2_micro`` is the per-key integer sum repeated
-    on each digit row; divide by 10⁶ for the statistic (8 df).
+    One map-side hash aggregate collapses the corpus to (key, digit)
+    cells, then the statistic rides :func:`benford_from_counts` — the
+    counts-based entry point that also composes bit-for-bit on
+    stream-maintained cell state (the ks_from_counts /
+    chi2_from_counts pattern).
     """
     keys = list(key_cols or [])
     v = F.col(value_col).cast("long")
@@ -411,6 +401,42 @@ def benford_first_digit(
         .groupBy(*keys, digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
+    return benford_from_counts(cells, key_cols=keys)
+
+
+def benford_from_counts(
+    cells: DataFrame,
+    key_cols: list[str] | None = None,
+    digit_col: str = "digit",
+    count_col: str = "n_obs",
+) -> DataFrame:
+    """Benford conformance from pre-aggregated (keys, digit, count)
+    cells — duplicate cells (per-batch grids from the streaming
+    cell-count maintenance) are re-summed first, so the statistic on
+    merged stream state equals the direct batch computation exactly.
+
+    Absent digits still contribute their (0 − n·p)²/(n·p) term via a
+    (keys × 1..9) spine, so the statistic is the real chi-squared,
+    not a present-cells-only lower bound.
+
+    Float parity: digit counts are exact BIGINTs; expected shares are
+    per-row log10 doubles; each chi-squared term rounds to integer
+    MICRO-UNITS before the (≤9-row) sum — the lm.py micro-nat
+    discipline — so the reduction is order-free and the SQL oracle
+    replays it bit for bit.
+
+    Scale shape: everything after the (cell-sized) re-sum is
+    digit-cell-sized — the 1..9 spine attaches via the sanctioned
+    broadcast, windows run over ≤9-row partitions.
+
+    Returns (*key, digit, n_obs, obs_p, exp_p, term_micro,
+    chi2_micro) — ``chi2_micro`` is the per-key integer sum repeated
+    on each digit row; divide by 10⁶ for the statistic (8 df).
+    """
+    keys = list(key_cols or [])
+    cells = cells.groupBy(
+        *keys, F.col(digit_col).cast("int").alias("digit")
+    ).agg(F.sum(F.col(count_col).cast("long")).alias("n_obs"))
     spine = (
         cells.select(*keys).distinct()
         .crossJoin(

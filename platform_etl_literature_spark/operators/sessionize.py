@@ -99,3 +99,99 @@ def event_transitions(
             6,
         ).alias("p"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation (Hughes' recency/frequency/monetary scoring,
+    the direct-marketing standard): per user, days-style recency
+    against the corpus' latest event, activity count, and exact
+    monetary total — each equi-depth-binned into ``n_bins`` scores
+    (``n_bins`` = best) and combined into the classic 3-digit segment
+    code.
+
+    Binning is NOT ntile: a global ntile is a single-partition sort.
+    Each dimension ranks with the scale-safe
+    :func:`ranking.ordered_global_index` (range exchange + broadcast
+    offsets) under a TOTAL order (dimension, then user id — no
+    engine-ambiguous ties), and the score is the exact integer form
+
+        score = n_bins − (rank − 1)·n_bins div n_users
+
+    which an SQL oracle replays with row_number.  Recency ranks
+    ascending (most recent first), frequency and monetary descending
+    (largest first), so ``n_bins`` always means "best".
+
+    Float parity: recency is exact integral seconds (µs epoch,
+    integer floor division); counts and cent totals are exact
+    BIGINTs; scores are pure integer arithmetic — no doubles anywhere.
+
+    Scale shape: one corpus-collapse hash aggregate to user-sized
+    rows, then three range-partitioned rank passes over the USER
+    frame and two user-keyed equijoins to stitch the scores; the
+    corpus total-ts attaches via the one sanctioned single-row
+    broadcast.  Nothing corpus-shaped after the first aggregate.
+
+    Returns (*user, r_seconds, f, m_cents, r_score, f_score, m_score,
+    segment).
+    """
+    from platform_etl_literature_spark.operators.ranking import (
+        ordered_global_index,
+    )
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.max(us).alias("_last_us"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(v).alias("m_cents"),
+    )
+    corpus_max = F.broadcast(events.agg(F.max(us).alias("_max_us")))
+    base = per_user.crossJoin(corpus_max).select(
+        "_u",
+        F.expr("(_max_us - _last_us) div 1000000").alias("r_seconds"),
+        "f",
+        F.coalesce("m_cents", F.lit(0)).alias("m_cents"),
+    )
+    n_users = F.broadcast(base.agg(F.count(F.lit(1)).alias("_n")))
+
+    def dim_score(order_cols, rank_name, score_name):
+        ranked = ordered_global_index(base, order_cols, rank_col=rank_name)
+        return ranked.crossJoin(n_users).select(
+            "_u",
+            (
+                F.lit(n_bins)
+                - F.expr(f"(({rank_name} - 1) * {n_bins}) div _n")
+            ).cast("int").alias(score_name),
+        )
+
+    r = dim_score(
+        [F.col("r_seconds").asc(), F.col("_u").asc()], "_rr", "r_score"
+    )
+    f_ = dim_score([F.col("f").desc(), F.col("_u").asc()], "_rf", "f_score")
+    m = dim_score(
+        [F.col("m_cents").desc(), F.col("_u").asc()], "_rm", "m_score"
+    )
+    out = (
+        base.join(r, "_u").join(f_, "_u").join(m, "_u")
+        .select(
+            F.col("_u").alias(user_col),
+            "r_seconds",
+            "f",
+            "m_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("segment"),
+        )
+    )
+    return out

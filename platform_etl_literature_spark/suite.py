@@ -8751,6 +8751,48 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation per user (operators.sessionize.rfm_segments):
+    recency/frequency/monetary equi-depth quintile scores via the
+    scale-safe global rank (range exchange + broadcast offsets — NOT
+    a single-partition ntile), pure integer arithmetic end to end.
+    The oracle replays the exact rank→score integer form with
+    row_number under the identical total order."""
+    ev = read_events(spark, sf)
+    prep = ev.select("user_id", "ts", _cents("value").alias("v_cents"))
+    return SS.rfm_segments(
+        prep, "user_id", "ts", "v_cents", n_bins=5
+    ).orderBy("user_id")
+
+
+_ORACLE_RFM = """
+WITH pu AS (
+  SELECT user_id,
+    max(epoch_us(ts)) AS last_us,
+    CAST(count(*) AS BIGINT) AS f,
+    CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0)
+         AS BIGINT) AS m_cents
+  FROM events GROUP BY 1),
+mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+base AS (
+  SELECT user_id, (max_us - last_us) // 1000000 AS r_seconds, f, m_cents
+  FROM pu CROSS JOIN mx),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM base),
+sc AS (
+  SELECT user_id, r_seconds, f, m_cents,
+    CAST(5 - ((row_number() OVER (ORDER BY r_seconds ASC, user_id ASC)
+               - 1) * 5) // nu AS INT) AS r_score,
+    CAST(5 - ((row_number() OVER (ORDER BY f DESC, user_id ASC)
+               - 1) * 5) // nu AS INT) AS f_score,
+    CAST(5 - ((row_number() OVER (ORDER BY m_cents DESC, user_id ASC)
+               - 1) * 5) // nu AS INT) AS m_score
+  FROM base CROSS JOIN n)
+SELECT user_id, r_seconds, f, m_cents, r_score, f_score, m_score,
+  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+FROM sc ORDER BY user_id
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -9243,6 +9285,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "benford": QuerySpec(q_benford, _ORACLE_BENFORD, "dq-benford-first-digit"),
     "naive_bayes": QuerySpec(
         q_naive_bayes, _ORACLE_NB, "ml-naive-bayes-train-score"
+    ),
+    "rfm_segments": QuerySpec(
+        q_rfm_segments, _ORACLE_RFM, "behavioral-rfm-segmentation"
     ),
 }
 

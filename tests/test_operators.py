@@ -4985,3 +4985,65 @@ def test_naive_bayes_separable_corpus_diagonal(spark):
     }
     # perfectly separable vocabularies -> diagonal confusion
     assert out == {("en", "en"): 4, ("fr", "fr"): 4}
+
+
+def test_benford_from_counts_matches_raw_and_merges(spark):
+    from platform_etl_literature_spark.operators import quality_checks as QC
+
+    vals = [123, 19, 23, 345, 91, 11, 87, 65, 41, 20]
+    df = spark.createDataFrame([("k", v) for v in vals], ["g", "v"])
+    raw = {(r["digit"]): r for r in QC.benford_first_digit(df, "v", ["g"]).collect()}
+    # split the same data into two per-batch count grids (duplicate
+    # cells) -> from_counts must re-sum and agree exactly
+    h = len(vals) // 2
+    c1 = spark.createDataFrame([("k", v) for v in vals[:h]], ["g", "v"])
+    c2 = spark.createDataFrame([("k", v) for v in vals[h:]], ["g", "v"])
+    from pyspark.sql import functions as F2
+
+    def cells(d):
+        return d.groupBy(
+            "g",
+            F2.substring(F2.col("v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        ).agg(F2.count(F2.lit(1)).alias("n_obs"))
+
+    merged = cells(c1).unionByName(cells(c2))
+    via = {
+        (r["digit"]): r
+        for r in QC.benford_from_counts(merged, ["g"]).collect()
+    }
+    assert set(via) == set(raw)
+    for d in raw:
+        for c in ("n_obs", "obs_p", "exp_p", "term_micro", "chi2_micro"):
+            assert via[d][c] == raw[d][c], (d, c)
+
+
+def test_rfm_segments_exact_quintiles(spark):
+    from datetime import datetime, timedelta
+
+    from platform_etl_literature_spark.operators import sessionize as SS
+
+    base = datetime(2024, 1, 1)
+    # 10 users: user i has i+1 events, last event at base + i hours,
+    # each event worth (i+1)*100 cents
+    rows = []
+    for i in range(10):
+        for j in range(i + 1):
+            rows.append((i, base + timedelta(hours=i, minutes=-j), (i + 1) * 100))
+    df = spark.createDataFrame(rows, ["u", "ts", "cents"])
+    out = {r["u"]: r for r in SS.rfm_segments(df, "u", "ts", "cents").collect()}
+    assert len(out) == 10
+    # user 9: most recent, most frequent, highest total -> 555
+    assert out[9]["segment"] == 555
+    # user 0: least recent/frequent/monetary -> 111
+    assert out[0]["segment"] == 111
+    # exact integer binning: rank r (1-based best-first) among n=10,
+    # score = 5 - (r-1)*5 div 10 -> two users per score
+    assert out[8]["segment"] == 555  # rank 2 in every dimension
+    assert out[7]["segment"] == 444
+    assert out[1]["segment"] == 111
+    # recency exact seconds: user 9 age 0, user 0 age 9h
+    assert out[9]["r_seconds"] == 0
+    assert out[0]["r_seconds"] == 9 * 3600
+    assert out[5]["f"] == 6 and out[5]["m_cents"] == 6 * 600

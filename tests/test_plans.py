@@ -905,3 +905,23 @@ def test_naive_bayes_one_class_broadcast_vocab_equijoin(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
     assert "Exchange SinglePartition" not in plan or True
+
+
+def test_rfm_no_single_partition_rank(spark, sf_dir):
+    """RFM's three equi-depth binnings ride the range-exchange global
+    rank — NO single-partition sort or window anywhere; the stitch
+    joins are user-keyed equijoins; the only nested-loop joins are the
+    sanctioned one-row broadcasts (corpus max-ts, user count ×3)."""
+    from platform_etl_literature_spark.operators.ranking import (
+        release_cached,
+    )
+
+    plan = _simple_plan(SUITE["rfm_segments"].fn(spark, sf_dir))
+    # the global-ntile hazard is a single-partition SORT/WINDOW; the
+    # scalar one-row aggregates (corpus max-ts, user count) are the
+    # sanctioned single-partition collapses and carry one row each
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    release_cached()

@@ -1544,3 +1544,64 @@ def test_cell_counts_stream_maintenance_and_exact_drift(spark, tmp_path):
     via_raw_c = chi2_drift(raw, "v", "s").collect()[0]
     assert via_state_c["chi2_nano"] == via_raw_c["chi2_nano"]
     assert via_state_c["n_cats"] == via_raw_c["n_cats"]
+
+
+def test_benford_composes_on_streamed_cell_state(spark, tmp_path):
+    """Benford conformance on stream-maintained digit-cell state
+    equals the direct batch computation bit-for-bit (the
+    ks/chi2_from_counts composition pattern: the state is exact
+    integer cells, the statistic folds in micro-units)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.quality_checks import (
+        benford_first_digit,
+        benford_from_counts,
+    )
+    from platform_etl_literature_spark.streaming.sketches import (
+        cell_counts_maintain_writer,
+        cell_counts_read_merged,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    b1 = [123, 19, 23, 345, 91]
+    b2 = [11, 87, 65, 41, 20, 199]
+    for i, b in enumerate((b1, b2)):
+        digits = [int(str(v)[0]) for v in b]
+        pq.write_table(
+            pa.table({"digit": pa.array(digits, pa.int64())}),
+            str(land / f"f{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("digit long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    cells = str(tmp_path / "cells")
+    q = (
+        cell_counts_maintain_writer(stream, ["digit"], cells)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = cell_counts_read_merged(spark, cells, ["digit"])
+    via_state = {
+        r["digit"]: r
+        for r in benford_from_counts(
+            merged, key_cols=[], count_col="cnt"
+        ).collect()
+    }
+    everything = spark.createDataFrame(
+        [(v,) for v in b1 + b2], "v long"
+    )
+    direct = {
+        r["digit"]: r
+        for r in benford_first_digit(everything, "v").collect()
+    }
+    assert set(via_state) == set(direct) == set(range(1, 10))
+    for d in direct:
+        for c in ("n_obs", "obs_p", "exp_p", "term_micro", "chi2_micro"):
+            assert via_state[d][c] == direct[d][c], (d, c)

@@ -722,6 +722,18 @@ def _ev_seasonal(ev):
     return seasonal_profile(ev, ["event_type"], period="hour")
 
 
+def _ev_rfm(ev):
+    # the rank persists are dropped by the probe's clearCache()
+    from platform_etl_literature_spark.operators import sessionize as SSX
+
+    prep = ev.select(
+        "user_id", "ts",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    out = SSX.rfm_segments(prep, "user_id", "ts", "v", n_bins=5)
+    return out
+
+
 def _ev_burstiness(ev):
     from platform_etl_literature_spark.operators import timeseries as TSX
 
@@ -790,6 +802,7 @@ EVENTS_OPS = {
     "ab_welch": _ev_ab_welch,
     "burstiness": _ev_burstiness,
     "benford": _ev_benford,
+    "rfm_segments": _ev_rfm,
     "asof_join": _ev_asof,
     "asof_join_segmented": _ev_asof_segmented,
 }
