@@ -9421,12 +9421,29 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 #     engine-replayed) the window otherwise lacks — kmv_distinct_users
 #     covers build+merge+estimate, the overlap row covers
 #     build+theta+pairwise set ops.
+#
+# Round-7 session-10 rotation (two swaps, displaced rows stay
+# parity-gated):
+#   case_when_buckets→naive_bayes — the P11/P13 constructs the bucket
+#     row exists for ride other hashed rows (broadcast_rank_lut's
+#     na.fill + rank LUT; corpus_curation's cascaded when/otherwise
+#     verdict flags), so the standalone bucket row is within-family
+#     redundant; the NB row hashes a NEW claim shape the window
+#     lacks — in-engine classifier TRAINING (two vocab-keyed
+#     aggregates) + micro-nat scoring + argmax confusion, the whole
+#     chain replayed by the oracle.
+#   agg_first_deterministic→rfm_segments — deterministic-first/
+#     collect_set are exercised by window_distinct_count (W5) and the
+#     asof row's ordered carry; RFM hashes the range-exchange global
+#     rank (ranking.ordered_global_index) under exact integer
+#     equi-depth binning — the scale-safe NOT-a-global-ntile
+#     construction was never driver-hashed.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
     "harmonic_relevance", "running_collect", "window_distinct_count",
     "two_level_window_min", "union_by_name", "string_funcs",
-    "date_parts", "case_when_buckets", "grouped_json",
+    "date_parts", "naive_bayes", "grouped_json",
     "evidence_cooc_analog", "psi_drift", "edit_distance_join",
     "ks_drift",
     "minhash_pairs", "funnel_steps", "bloomindex_skip",
@@ -9438,7 +9455,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "suffix_dedup",
     "corpus_curation", "dedup_components", "ann_recall_at_k",
     "kmv_source_overlap", "scan_provenance", "graph_triangles",
-    "agg_first_deterministic", "pivot_event_types", "interval_overlap",
+    "rfm_segments", "pivot_event_types", "interval_overlap",
     "asof_join",
 )
 
