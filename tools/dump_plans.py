@@ -539,6 +539,39 @@ SHOWCASE: dict[str, str] = {
         "no SortMergeJoin, no per-hop edge shuffle, no "
         "SinglePartition."
     ),
+    "pmi_collocations": (
+        "Bigrams come from zip_with over the per-doc token array — no "
+        "positional self-join, no window; the min_pair_count filter "
+        "sits BELOW the two unigram-vocabulary hash joins, so the "
+        "join inputs are filtered-pair-vocab × vocab; the two corpus "
+        "totals attach as one-row broadcasts."
+    ),
+    "naive_bayes": (
+        "Training is two vocabulary-keyed hash aggregates; the 5-row "
+        "class frame (priors + totals + vocab size folded in) attaches "
+        "via ONE BroadcastNestedLoopJoin — the declared data-size of "
+        "multinomial scoring — token likelihoods join on the (w, c) "
+        "vocabulary key, and the argmax window partitions by doc."
+    ),
+    "rfm_segments": (
+        "THREE RangePartitioning exchanges (one per dimension) and "
+        "ZERO Window operators: the equi-depth binning rides the "
+        "range-exchange global rank, never a single-partition ntile "
+        "sort; stitch joins are user-keyed; scalar one-row aggregates "
+        "(corpus max-ts, user count) are the only SinglePartition "
+        "collapses."
+    ),
+    "acf_lags": (
+        "All 7 lag columns ride ONE partitioned Window pass and all "
+        "42 sufficient statistics come from ONE hash-aggregate pair; "
+        "stack() unpivots to (key, lag) rows — no join, no per-lag "
+        "pass anywhere in the plan."
+    ),
+    "benford": (
+        "One corpus-collapse hash aggregate, then everything is "
+        "digit-cell-sized: the 1..9 spine broadcast, the per-key "
+        "total and chi² windows run over ≤9-row partitions."
+    ),
 }
 
 
