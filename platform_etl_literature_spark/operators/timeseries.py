@@ -902,3 +902,105 @@ def burstiness(
         F.round(b, 6).alias("burstiness"),
         F.round(cv, 6).alias("cv"),
     )
+
+
+def ccf_lags(
+    series: DataFrame,
+    id_col: str,
+    pos_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key cross-correlation function: for each lag
+    k = −max_lag..+max_lag, the EXACT Pearson correlation of the
+    aligned pairs (x_i, y_{i+k}) over the key's position-ranked
+    observations — the lead/lag diagnostic (does metric x LEAD metric
+    y by k steps?) that the ACF can't answer.  k > 0 means x leads y;
+    k = 0 is the plain contemporaneous correlation.
+
+    Float parity: duplicate positions collapse to one integral
+    (x, y) cell first (order-free BIGINT sums); every sufficient
+    statistic per lag is an exact conditional BIGINT sum over the
+    alignment (lead(y, k) / lag(y, −k) columns); the correlation is
+    the shared grouped-OLS closed form rounded at 6 — replayed
+    bit-for-bit by an SQL oracle using the identical window
+    alignment.
+
+    Scale shape: ONE partitioned window pass carries all 2·max_lag+1
+    shifted columns; ONE hash aggregate produces every statistic
+    map-side-combinable; ``stack`` unpivots to (key, lag) rows —
+    group-parallel, no self-join, no per-lag pass.  Overflow bound:
+    per key n·Σv² < 2⁶³ for both metrics.
+
+    Returns (*id, lag, n_pairs, r); lags with fewer than 2 aligned
+    pairs or zero variance on either side report NULL r.
+    """
+    pos = F.col(pos_col).cast("long")
+    xv = F.col(x_col).cast("long")
+    yv = F.col(y_col).cast("long")
+    # a position with no contribution to one metric counts 0 (sums,
+    # not means — absence IS signal; pre-filter for drop semantics)
+    cells = (
+        series.filter(pos.isNotNull())
+        .groupBy(F.col(id_col).alias("id"), pos.alias("_p"))
+        .agg(
+            F.coalesce(F.sum(xv), F.lit(0)).alias("_x"),
+            F.coalesce(F.sum(yv), F.lit(0)).alias("_y"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("_p")
+    ks = list(range(-max_lag, max_lag + 1))
+
+    def shifted(k):
+        if k == 0:
+            return F.col("_y")
+        if k > 0:
+            return F.lead("_y", k).over(w)
+        return F.lag("_y", -k).over(w)
+
+    lagged = cells.select(
+        "id", "_x", "_y",
+        *[shifted(k).alias(f"_y{'m' if k < 0 else ''}{abs(k)}") for k in ks],
+    )
+    aggs = []
+    for k in ks:
+        c = f"_y{'m' if k < 0 else ''}{abs(k)}"
+        yk = F.col(c)
+        present = yk.isNotNull()
+        tag = f"m{abs(k)}" if k < 0 else str(k)
+        aggs += [
+            F.count(yk).alias(f"n_{tag}"),
+            F.sum(F.when(present, F.col("_x"))).alias(f"sx_{tag}"),
+            F.sum(yk).alias(f"sy_{tag}"),
+            F.sum(F.col("_x") * yk).alias(f"sxy_{tag}"),
+            F.sum(F.when(present, F.col("_x") * F.col("_x"))).alias(
+                f"sxx_{tag}"
+            ),
+            F.sum(yk * yk).alias(f"syy_{tag}"),
+        ]
+    st = lagged.groupBy("id").agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}, n_{t}, sx_{t}, sy_{t}, sxy_{t}, sxx_{t}, syy_{t}"
+        for k, t in ((k, f"m{abs(k)}" if k < 0 else str(k)) for k in ks)
+    )
+    long = st.selectExpr(
+        "id",
+        f"stack({len(ks)}, {stack_args})"
+        " AS (lag, n_pairs, sx, sy, sxy, sxx, syy)",
+    )
+    n = F.col("n_pairs").cast("long")
+    covn = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varxn = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    varyn = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (n >= 2) & (varxn > 0) & (varyn > 0),
+        covn.cast("double")
+        / F.sqrt(varxn.cast("double") * varyn.cast("double")),
+    )
+    return long.select(
+        F.col("id"),
+        F.col("lag").cast("int").alias("lag"),
+        F.coalesce(n, F.lit(0)).alias("n_pairs"),
+        F.round(r, 6).alias("r"),
+    )

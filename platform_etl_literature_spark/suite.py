@@ -8793,6 +8793,110 @@ FROM sc ORDER BY user_id
 """
 
 
+def q_ccf_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-correlation (lead/lag) between click and purchase daily
+    cents per user cohort (operators.timeseries.ccf_lags): does click
+    volume LEAD purchase volume?  All 2·K+1 shifted columns ride one
+    partitioned window pass; sufficient statistics are conditional
+    BIGINT sums; the oracle replays the identical lead/lag alignment
+    and the grouped-OLS operand discipline."""
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    cells = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        (F.col("user_id") % 8).alias("cohort"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.when(F.col("event_type") == "click", _cents("value"))
+        .otherwise(F.lit(0))
+        .alias("x"),
+        F.when(F.col("event_type") == "purchase", _cents("value"))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    return (
+        TSO.ccf_lags(cells, "cohort", "d", "x", "y", max_lag=3)
+        .withColumnRenamed("id", "cohort")
+        .orderBy("cohort", "lag")
+    )
+
+
+_ORACLE_CCF = """
+WITH base AS (
+  SELECT user_id % 8 AS id,
+    CAST(date_part('day', ts) AS BIGINT) AS p,
+    CASE WHEN event_type = 'click'
+         THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END AS xr,
+    CASE WHEN event_type = 'purchase'
+         THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END AS yr
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+cells AS (
+  SELECT id, p,
+    CAST(coalesce(sum(xr), 0) AS BIGINT) AS x,
+    CAST(coalesce(sum(yr), 0) AS BIGINT) AS y
+  FROM base GROUP BY 1, 2),
+L AS (
+  SELECT id, x, y,
+    lag(y, 3) OVER w AS ym3, lag(y, 2) OVER w AS ym2,
+    lag(y, 1) OVER w AS ym1,
+    lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+    lead(y, 3) OVER w AS y3
+  FROM cells WINDOW w AS (PARTITION BY id ORDER BY p)),
+st AS (
+  SELECT id, -3 AS lag, CAST(count(ym3) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN ym3 IS NOT NULL THEN x END) AS BIGINT) AS sx,
+    CAST(sum(ym3) AS BIGINT) AS sy, CAST(sum(x * ym3) AS BIGINT) AS sxy,
+    CAST(sum(CASE WHEN ym3 IS NOT NULL THEN x * x END) AS BIGINT) AS sxx,
+    CAST(sum(ym3 * ym3) AS BIGINT) AS syy FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, -2, CAST(count(ym2) AS BIGINT),
+    CAST(sum(CASE WHEN ym2 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(ym2) AS BIGINT), CAST(sum(x * ym2) AS BIGINT),
+    CAST(sum(CASE WHEN ym2 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(ym2 * ym2) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, -1, CAST(count(ym1) AS BIGINT),
+    CAST(sum(CASE WHEN ym1 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(ym1) AS BIGINT), CAST(sum(x * ym1) AS BIGINT),
+    CAST(sum(CASE WHEN ym1 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(ym1 * ym1) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 0, CAST(count(y) AS BIGINT),
+    CAST(sum(x) AS BIGINT),
+    CAST(sum(y) AS BIGINT), CAST(sum(x * y) AS BIGINT),
+    CAST(sum(x * x) AS BIGINT),
+    CAST(sum(y * y) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 1, CAST(count(y1) AS BIGINT),
+    CAST(sum(CASE WHEN y1 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(y1) AS BIGINT), CAST(sum(x * y1) AS BIGINT),
+    CAST(sum(CASE WHEN y1 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(y1 * y1) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 2, CAST(count(y2) AS BIGINT),
+    CAST(sum(CASE WHEN y2 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(y2) AS BIGINT), CAST(sum(x * y2) AS BIGINT),
+    CAST(sum(CASE WHEN y2 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(y2 * y2) AS BIGINT) FROM L GROUP BY 1
+  UNION ALL
+  SELECT id, 3, CAST(count(y3) AS BIGINT),
+    CAST(sum(CASE WHEN y3 IS NOT NULL THEN x END) AS BIGINT),
+    CAST(sum(y3) AS BIGINT), CAST(sum(x * y3) AS BIGINT),
+    CAST(sum(CASE WHEN y3 IS NOT NULL THEN x * x END) AS BIGINT),
+    CAST(sum(y3 * y3) AS BIGINT) FROM L GROUP BY 1),
+e AS (
+  SELECT id, lag, n,
+    n * sxy - sx * sy AS covn,
+    n * sxx - sx * sx AS varxn,
+    n * syy - sy * sy AS varyn
+  FROM st)
+SELECT id AS cohort, CAST(lag AS INT) AS lag, n AS n_pairs,
+  round(CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+             THEN CAST(covn AS DOUBLE)
+                  / sqrt(CAST(varxn AS DOUBLE) * CAST(varyn AS DOUBLE))
+        END, 6) AS r
+FROM e ORDER BY cohort, lag
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -9288,6 +9392,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "rfm_segments": QuerySpec(
         q_rfm_segments, _ORACLE_RFM, "behavioral-rfm-segmentation"
+    ),
+    "ccf_lags": QuerySpec(
+        q_ccf_lags, _ORACLE_CCF, "timeseries-cross-correlation-leadlag"
     ),
 }
 

@@ -5047,3 +5047,33 @@ def test_rfm_segments_exact_quintiles(spark):
     assert out[9]["r_seconds"] == 0
     assert out[0]["r_seconds"] == 9 * 3600
     assert out[5]["f"] == 6 and out[5]["m_cents"] == 6 * 600
+
+
+def test_ccf_lags_matches_numpy_and_detects_lead(spark):
+    import numpy as np
+
+    from platform_etl_literature_spark.operators import timeseries as TSO
+
+    # y is x shifted forward by 2 (x leads y by 2) plus a wiggle
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    ys = [0, 0] + [v * 2 for v in xs[:-2]]
+    rows = [("s", i, x, y) for i, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, ["id", "p", "x", "y"])
+    out = {
+        r["lag"]: r
+        for r in TSO.ccf_lags(df, "id", "p", "x", "y", max_lag=3).collect()
+    }
+    assert len(out) == 7
+    ax, ay = np.array(xs, float), np.array(ys, float)
+    for k in range(-3, 4):
+        if k >= 0:
+            xa, yb = ax[: len(ax) - k or None][: len(ax) - k], ay[k:]
+            xa = ax[: len(ax) - k] if k else ax
+        else:
+            xa, yb = ax[-k:], ay[: len(ay) + k]
+        want = np.corrcoef(xa, yb)[0, 1]
+        assert out[k]["n_pairs"] == len(xs) - abs(k)
+        assert abs(out[k]["r"] - want) < 1e-6, (k, out[k]["r"], want)
+    # the lead-2 alignment is (near-)perfect, contemporaneous is not
+    assert out[2]["r"] > 0.999
+    assert out[2]["r"] > abs(out[0]["r"])

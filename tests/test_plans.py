@@ -925,3 +925,14 @@ def test_rfm_no_single_partition_rank(spark, sf_dir):
     assert "EvalPython" not in plan, plan[:3000]
     assert "rangepartitioning" in plan.lower(), plan[:3000]
     release_cached()
+
+
+def test_ccf_one_window_no_join(spark, sf_dir):
+    """All 2K+1 shifted columns ride ONE partitioned window pass and
+    every sufficient statistic comes from one hash-aggregate pair —
+    no self-join, no per-lag pass, no single-partition funnel."""
+    plan = _simple_plan(SUITE["ccf_lags"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]

@@ -1605,3 +1605,80 @@ def test_benford_composes_on_streamed_cell_state(spark, tmp_path):
     for d in direct:
         for c in ("n_obs", "obs_p", "exp_p", "term_micro", "chi2_micro"):
             assert via_state[d][c] == direct[d][c], (d, c)
+
+
+def test_acf_composes_on_ivm_maintained_daily_sums(spark, tmp_path):
+    """The autocorrelation function composed on IVM-maintained
+    (key, day) sum state equals the direct batch ACF bit-for-bit —
+    the sufficient-statistic chain is exact integers end to end, so
+    maintaining the daily cells incrementally (inserts AND deletes)
+    and running acf_lags over the state is the same computation."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.timeseries import acf_lags
+    from platform_etl_literature_spark.streaming.ivm import (
+        agg_maintain_writer,
+        read_state,
+    )
+
+    # (op, key, day, value): two series, a mid-stream correction
+    batches = [
+        [("I", "a", d, (d + 1) * 10) for d in range(6)],
+        [("I", "b", d, 100 - d) for d in range(6)]
+        + [("I", "a", 2, 7)],                       # extra cell mass
+        [("D", "a", 2, 7)],                          # ...then corrected
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = str(land / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "_op": pa.array([r[0] for r in rows], pa.string()),
+                    "g": pa.array([r[1] for r in rows], pa.string()),
+                    "d": pa.array([r[2] for r in rows], pa.int64()),
+                    "v": pa.array([r[3] for r in rows], pa.int64()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("_op string, g string, d long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    root = str(tmp_path / "state")
+    q = (
+        agg_maintain_writer(stream, root, ["g", "d"], ["v"], n_buckets=8)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = read_state(spark, root).select("g", "d", F.col("sum_v").alias("v"))
+    via_state = {
+        (r["id"], r["lag"]): (r["n_pairs"], r["r"])
+        for r in acf_lags(state, "g", "d", "v", max_lag=3).collect()
+    }
+    net = [("a", d, (d + 1) * 10) for d in range(6)] + [
+        ("b", d, 100 - d) for d in range(6)
+    ]
+    direct = {
+        (r["id"], r["lag"]): (r["n_pairs"], r["r"])
+        for r in acf_lags(
+            spark.createDataFrame(net, "g string, d long, v long"),
+            "g", "d", "v", max_lag=3,
+        ).collect()
+    }
+    assert via_state == direct
+    # sanity: series a is a perfect line -> lag-1 r == 1.0
+    assert via_state[("a", 1)][1] == 1.0

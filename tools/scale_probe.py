@@ -762,6 +762,24 @@ def _ev_acf(ev):
     return TSX.acf_lags(daily, "g", "d", "y", max_lag=7)
 
 
+def _ev_ccf(ev):
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    cells = ev.where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    ).select(
+        (F.col("user_id") % 8).alias("cohort"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.when(F.col("event_type") == "click", cents).otherwise(0).alias("x"),
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return TSX.ccf_lags(cells, "cohort", "d", "x", "y", max_lag=3)
+
+
 def _ev_ab_welch(ev):
     from platform_etl_literature_spark.operators import evalmetrics as EVM
 
@@ -799,6 +817,7 @@ EVENTS_OPS = {
     "metric_health": _ev_metric_health,
     "theil_sen": _ev_theil_sen,
     "acf_lags": _ev_acf,
+    "ccf_lags": _ev_ccf,
     "ab_welch": _ev_ab_welch,
     "burstiness": _ev_burstiness,
     "benford": _ev_benford,
