@@ -1,0 +1,111 @@
+"""Survival analysis — time-to-event curves over behavioral data
+(churn, time-to-second-purchase, document staleness).
+
+Reference parity note: the reference pipeline has no survival stage;
+this extends the behavioral family (SURVEY.md §7.8's analytics
+extension surface) with the product-limit estimator every analytics
+engine owes its users (Kaplan & Meier, JASA 1958).
+
+Float parity (suite module docstring policy): the survival curve is a
+RUNNING PRODUCT Π(1 − dᵢ/nᵢ) — a multi-row float reduction, which the
+repo's contract forbids raw.  It is made order-free the lm.py way:
+each factor's log, ln((nᵢ−dᵢ)/nᵢ), rounds to integer MICRO-NATS;
+the running product becomes a running INTEGER sum over a cumulative
+window; one exp at the boundary recovers S(t), rounded at 6.  Every
+count (events dᵢ, censored cᵢ, at-risk nᵢ) is an exact BIGINT derived
+from one cell collapse + one cumulative window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve per group.
+
+    Input: one row per subject with an integral ``duration`` (time
+    observed) and ``event`` ∈ {0, 1} (1 = the event happened at that
+    duration, 0 = censored there — left the study still alive).
+
+        S(t) = Π_{tᵢ ≤ t, dᵢ > 0} (1 − dᵢ / nᵢ)
+
+    with nᵢ the number still at risk entering tᵢ (standard KM: both
+    events and censorings at tᵢ count as at-risk AT tᵢ and leave
+    after).  When dᵢ = nᵢ (everyone remaining dies) the curve hits
+    exactly 0 and stays there — handled by an explicit cumulative
+    flag, not a −∞ log.
+
+    Float parity: per-time log factors round to integer micro-nats
+    before the cumulative integer sum (module docstring); S is one
+    exp + round(6) at the boundary — engine-portable, SQL-replayable.
+
+    Scale shape: one map-side cell collapse to (group, duration)
+    cells, one group-parallel cumulative window over the DISTINCT
+    durations (never subject rows), no join.  Censored-only times
+    still emit a row (n_at_risk bookkeeping; survival unchanged).
+
+    Returns (*group, t, n_at_risk, d, censored, survival) ordered
+    within group by t.
+    """
+    g = list(group_cols or [])
+    part = [F.col(c) for c in g]
+    t = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("long")
+    cells = df.groupBy(*g, t.alias("t")).agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sum(e).alias("d"),
+    )
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part)
+    # at risk entering t = all subjects − those removed strictly before
+    n_at_risk = (
+        F.sum("_total").over(w_all)
+        - F.sum("_total").over(w_cum)
+        + F.col("_total")
+    )
+    lp_micro = F.when(
+        (F.col("d") > 0) & (F.col("d") < n_at_risk),
+        F.round(
+            F.log(
+                (n_at_risk - F.col("d")).cast("double")
+                / n_at_risk.cast("double")
+            )
+            * 1000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = F.when(F.col("d") >= n_at_risk, F.lit(1)).otherwise(F.lit(0))
+    staged = cells.select(
+        *g,
+        "t",
+        n_at_risk.alias("n_at_risk"),
+        "d",
+        (F.col("_total") - F.col("d")).alias("censored"),
+        lp_micro.alias("_lp"),
+        dead.alias("_dead"),
+    )
+    cum_lp = F.sum("_lp").over(w_cum)
+    cum_dead = F.sum("_dead").over(w_cum)
+    surv = F.when(cum_dead > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(cum_lp.cast("double") / 1000000.0), 6)
+    )
+    return staged.select(
+        *g,
+        "t",
+        "n_at_risk",
+        "d",
+        "censored",
+        surv.alias("survival"),
+    )

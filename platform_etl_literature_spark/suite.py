@@ -40,6 +40,7 @@ from platform_etl_literature_spark.operators import multimodal as MM
 from platform_etl_literature_spark.operators import retrieval as RET
 from platform_etl_literature_spark.operators import sessionize as SS
 from platform_etl_literature_spark.operators import similarity as SIM
+from platform_etl_literature_spark.operators import survival as SV
 from platform_etl_literature_spark.operators import textstats as TS
 from platform_etl_literature_spark.operators import timeseries as TSO
 from platform_etl_literature_spark.sources.events import read_events, read_table
@@ -8897,6 +8898,130 @@ FROM e ORDER BY cohort, lag
 """
 
 
+def q_auc_roc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-language ROC-AUC of the length score against the
+    deterministic residue label (operators.evalmetrics.auc_roc):
+    Mann-Whitney with midrank ties, exact BIGINTs until the one
+    closing division.  The oracle replays the distinct-score cell
+    collapse, the cumulative rank window, and the 2·midrank form."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "y", (F.col("doc_id") % 3 == 0).cast("long")
+    )
+    return EV.auc_roc(docs, "n_chars", "y", group_cols=["lang"]).orderBy(
+        "lang"
+    )
+
+
+_ORACLE_AUC = """
+WITH cells AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(doc_id % 3 = 0 AS BIGINT)) AS BIGINT) AS np
+  FROM documents GROUP BY 1, 2),
+r AS (
+  SELECT lang, n, np,
+    CAST(sum(n) OVER (PARTITION BY lang ORDER BY s
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n + 1
+      AS rank_min
+  FROM cells),
+st AS (
+  SELECT lang,
+    CAST(sum(n) AS BIGINT) AS n_all,
+    CAST(sum(np) AS BIGINT) AS n_pos,
+    CAST(sum(np * (2 * rank_min + n - 1)) AS BIGINT) AS sum2
+  FROM r GROUP BY 1)
+SELECT lang, n_all AS n, n_pos, n_all - n_pos AS n_neg,
+  round(CASE WHEN n_pos > 0 AND n_all - n_pos > 0
+        THEN CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * (n_all - n_pos) AS DOUBLE) END, 6) AS auc
+FROM st ORDER BY lang
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curves per user cohort
+    (operators.survival.kaplan_meier), administratively censored at 7
+    days: duration = days from a user's first event to their first
+    purchase, capped at the 7-day observation window (purchases
+    beyond it are censored at 7 — the standard KM design).  The
+    running product is integer micro-nat log sums (module contract);
+    the oracle replays cells, at-risk bookkeeping, and the exp
+    boundary."""
+    ev = read_events(spark, sf)
+    per_user = ev.groupBy(
+        (F.col("user_id") % 3).alias("cohort"), "user_id"
+    ).agg(
+        F.min(F.dayofmonth("ts")).alias("_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.dayofmonth("ts"))
+        ).alias("_fp"),
+        F.max(F.dayofmonth("ts")).alias("_last"),
+    )
+    ttp = F.col("_fp") - F.col("_first")
+    observed = F.col("_fp").isNotNull() & (ttp <= 7)
+    subjects = per_user.select(
+        "cohort",
+        F.when(observed, ttp)
+        .otherwise(F.least(F.col("_last") - F.col("_first"), F.lit(7)))
+        .cast("long")
+        .alias("dur"),
+        observed.cast("long").alias("ev"),
+    )
+    return SV.kaplan_meier(
+        subjects, "dur", "ev", group_cols=["cohort"]
+    ).orderBy("cohort", "t")
+
+
+_ORACLE_KM = """
+WITH pu AS (
+  SELECT user_id % 3 AS cohort, user_id,
+    min(date_part('day', ts)) AS f,
+    min(CASE WHEN event_type = 'purchase'
+             THEN date_part('day', ts) END) AS fp,
+    max(date_part('day', ts)) AS l
+  FROM events GROUP BY 1, 2),
+subj AS (
+  SELECT cohort,
+    CAST(CASE WHEN fp IS NOT NULL AND fp - f <= 7 THEN fp - f
+              ELSE least(l - f, 7) END AS BIGINT) AS t,
+    CAST(fp IS NOT NULL AND fp - f <= 7 AS BIGINT) AS e
+  FROM pu),
+cells AS (
+  SELECT cohort, t, CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(e) AS BIGINT) AS d
+  FROM subj GROUP BY 1, 2),
+staged AS (
+  SELECT cohort, t, total, d,
+    CAST(sum(total) OVER (PARTITION BY cohort) AS BIGINT)
+      - CAST(sum(total) OVER (PARTITION BY cohort ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      + total AS n_at_risk
+  FROM cells),
+lp AS (
+  SELECT cohort, t, n_at_risk, d, total - d AS censored,
+    CASE WHEN d > 0 AND d < n_at_risk
+         THEN CAST(round(ln(CAST(n_at_risk - d AS DOUBLE)
+                            / CAST(n_at_risk AS DOUBLE))
+                         * 1000000.0, 0) AS BIGINT)
+         ELSE 0 END AS lp_micro,
+    CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS dead
+  FROM staged),
+c AS (
+  SELECT cohort, t, n_at_risk, d, censored,
+    CAST(sum(lp_micro) OVER (PARTITION BY cohort ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_lp,
+    CAST(sum(dead) OVER (PARTITION BY cohort ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_dead
+  FROM lp)
+SELECT cohort, t, n_at_risk, d, censored,
+  CASE WHEN cum_dead > 0 THEN 0.0
+       ELSE round(exp(CAST(cum_lp AS DOUBLE) / 1000000.0), 6)
+  END AS survival
+FROM c ORDER BY cohort, t
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -9395,6 +9520,10 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "ccf_lags": QuerySpec(
         q_ccf_lags, _ORACLE_CCF, "timeseries-cross-correlation-leadlag"
+    ),
+    "auc_roc": QuerySpec(q_auc_roc, _ORACLE_AUC, "eval-roc-auc-mann-whitney"),
+    "kaplan_meier": QuerySpec(
+        q_kaplan_meier, _ORACLE_KM, "survival-kaplan-meier"
     ),
 }
 

@@ -5077,3 +5077,86 @@ def test_ccf_lags_matches_numpy_and_detects_lead(spark):
     # the lead-2 alignment is (near-)perfect, contemporaneous is not
     assert out[2]["r"] > 0.999
     assert out[2]["r"] > abs(out[0]["r"])
+
+
+def test_auc_roc_hand_cases(spark):
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    # perfectly separated
+    rows = [("g", 1, 0), ("g", 2, 0), ("g", 3, 1), ("g", 4, 1)]
+    out = EV.auc_roc(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", ["g"]
+    ).collect()[0]
+    assert out["auc"] == 1.0 and out["n_pos"] == 2 and out["n_neg"] == 2
+    # ties -> midranks: AUC exactly 0.5
+    rows = [("g", 1, 0), ("g", 1, 1), ("g", 2, 0), ("g", 2, 1)]
+    out = EV.auc_roc(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", ["g"]
+    ).collect()[0]
+    assert out["auc"] == 0.5
+    # anti-predictive
+    rows = [("g", 4, 0), ("g", 3, 0), ("g", 2, 1), ("g", 1, 1)]
+    out = EV.auc_roc(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", ["g"]
+    ).collect()[0]
+    assert out["auc"] == 0.0
+    # degenerate: all positive -> NULL
+    rows = [("g", 1, 1), ("g", 2, 1)]
+    out = EV.auc_roc(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", ["g"]
+    ).collect()[0]
+    assert out["auc"] is None
+
+
+def test_auc_roc_matches_sklearn_formula(spark):
+    import random
+
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    rng = random.Random(7)
+    rows = [("g", rng.randrange(20), rng.randrange(2)) for _ in range(200)]
+    out = EV.auc_roc(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", ["g"]
+    ).collect()[0]
+    # reference: probability a random positive outranks a random
+    # negative, ties counting half
+    pos = [s for _, s, y in rows if y == 1]
+    neg = [s for _, s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    assert abs(out["auc"] - wins / (len(pos) * len(neg))) < 1e-6
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    from platform_etl_literature_spark.operators import survival as SV
+
+    rows = [
+        ("g", 1, 1), ("g", 2, 1), ("g", 3, 0), ("g", 4, 1), ("g", 5, 0)
+    ]
+    out = {
+        r["t"]: r
+        for r in SV.kaplan_meier(
+            spark.createDataFrame(rows, ["g", "dur", "ev"]), "dur", "ev", ["g"]
+        ).collect()
+    }
+    assert out[1]["n_at_risk"] == 5 and abs(out[1]["survival"] - 0.8) < 1e-5
+    assert out[2]["n_at_risk"] == 4 and abs(out[2]["survival"] - 0.6) < 1e-5
+    assert out[3]["d"] == 0 and abs(out[3]["survival"] - 0.6) < 1e-5
+    assert out[4]["n_at_risk"] == 2 and abs(out[4]["survival"] - 0.3) < 1e-5
+    assert out[5]["censored"] == 1 and abs(out[5]["survival"] - 0.3) < 1e-5
+
+
+def test_kaplan_meier_curve_hits_exact_zero(spark):
+    from platform_etl_literature_spark.operators import survival as SV
+
+    rows = [("g", 1, 1), ("g", 1, 1), ("g", 2, 1)]
+    out = {
+        r["t"]: r
+        for r in SV.kaplan_meier(
+            spark.createDataFrame(rows, ["g", "dur", "ev"]), "dur", "ev", ["g"]
+        ).collect()
+    }
+    assert abs(out[1]["survival"] - 1 / 3) < 1e-5
+    # d == n_at_risk at t=2 -> exactly 0.0, no -inf log anywhere
+    assert out[2]["survival"] == 0.0

@@ -936,3 +936,23 @@ def test_ccf_one_window_no_join(spark, sf_dir):
     assert plan.count("Window") == 1, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_auc_cell_collapse_one_window_no_join(spark, sf_dir):
+    """AUC folds to distinct-score cells map-side; the midrank ride is
+    one group-parallel cumulative window; no join anywhere."""
+    plan = _simple_plan(SUITE["auc_roc"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_kaplan_meier_cell_collapse_no_join(spark, sf_dir):
+    """KM folds subjects to (group, duration) cells in one map-side
+    aggregate; at-risk bookkeeping and the micro-nat running product
+    are group-parallel windows over DISTINCT durations — no join, no
+    single-partition funnel."""
+    plan = _simple_plan(SUITE["kaplan_meier"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]

@@ -263,6 +263,10 @@ OPS = {
         "n_chars", "y", "doc_id", n_buckets=5, group_cols=["lang"],
     ),
     "gini": lambda df: RB.gini(df, "n_chars", key_cols=["lang"]),
+    "auc_roc": lambda df: EVM.auc_roc(
+        df.withColumn("y", (F.col("doc_id") % 3 == 0).cast("long")),
+        "n_chars", "y", group_cols=["lang"],
+    ),
     # NB train+score: classes x token-occurrences is the declared
     # data-sized pass; the vocab equijoin carries the rest
     "naive_bayes": lambda df: LM.nb_confusion(
@@ -762,6 +766,31 @@ def _ev_acf(ev):
     return TSX.acf_lags(daily, "g", "d", "y", max_lag=7)
 
 
+def _ev_km(ev):
+    from platform_etl_literature_spark.operators import survival as SVX
+
+    per_user = ev.groupBy(
+        (F.col("user_id") % 3).alias("cohort"), "user_id"
+    ).agg(
+        F.min(F.dayofmonth("ts")).alias("_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.dayofmonth("ts"))
+        ).alias("_fp"),
+        F.max(F.dayofmonth("ts")).alias("_last"),
+    )
+    ttp = F.col("_fp") - F.col("_first")
+    observed = F.col("_fp").isNotNull() & (ttp <= 7)
+    subjects = per_user.select(
+        "cohort",
+        F.when(observed, ttp)
+        .otherwise(F.least(F.col("_last") - F.col("_first"), F.lit(7)))
+        .cast("long")
+        .alias("dur"),
+        observed.cast("long").alias("ev"),
+    )
+    return SVX.kaplan_meier(subjects, "dur", "ev", group_cols=["cohort"])
+
+
 def _ev_ccf(ev):
     from platform_etl_literature_spark.operators import timeseries as TSX
 
@@ -818,6 +847,7 @@ EVENTS_OPS = {
     "theil_sen": _ev_theil_sen,
     "acf_lags": _ev_acf,
     "ccf_lags": _ev_ccf,
+    "kaplan_meier": _ev_km,
     "ab_welch": _ev_ab_welch,
     "burstiness": _ev_burstiness,
     "benford": _ev_benford,
