@@ -760,3 +760,84 @@ def test_bpe_batch_amortization_on_disjoint_vocab(spark):
     assert [(m[1], m[2]) for m in got] == [tuple(w) for w in words]
     assert [m[3] for m in got] == [100 - i for i in range(24)]
     assert B.last_train_rounds <= 3, B.last_train_rounds
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 1)),
+        min_size=4,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_auc_complement_and_monotone_invariance(spark, pairs):
+    """AUC(score) == 1 − AUC(−score) whenever defined, and AUC is
+    invariant under a strictly monotone integer transform of the
+    score (it only reads the ordering) — two identities that catch
+    any drift in the midrank algebra."""
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    rows = [("g", s, y) for s, y in pairs]
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    a = EV.auc_roc(df, "s", "y", ["g"]).collect()[0]["auc"]
+    neg = df.selectExpr("g", "-s AS s", "y")
+    b = EV.auc_roc(neg, "s", "y", ["g"]).collect()[0]["auc"]
+    mono = df.selectExpr("g", "3 * s + 7 AS s", "y")
+    c = EV.auc_roc(mono, "s", "y", ["g"]).collect()[0]["auc"]
+    if a is None:
+        assert b is None and c is None
+    else:
+        assert abs((a + b) - 1.0) < 2e-6
+        assert abs(a - c) < 1e-9
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=30),
+    st.integers(2, 9),
+)
+@settings(max_examples=12, deadline=None)
+def test_gini_scale_invariance_and_bounds(spark, vals, k):
+    """Gini is scale-invariant (gini(k·x) == gini(x)) and bounded in
+    [0, (n−1)/n] — the rank-form algebra preserves both or it's
+    wrong."""
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    a = RB.gini(df, "v", ["g"]).collect()[0]
+    scaled = df.selectExpr("g", "i", f"v * {k} AS v")
+    b = RB.gini(scaled, "v", ["g"]).collect()[0]
+    if a["gini"] is None:
+        assert b["gini"] is None  # all-zero totals stay undefined
+    else:
+        assert abs(a["gini"] - b["gini"]) < 1e-9
+        n = a["n"]
+        assert -1e-9 <= a["gini"] <= (n - 1) / n + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 12), st.integers(0, 1)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_kaplan_meier_monotone_and_bounded(spark, subjects):
+    """The KM curve is non-increasing in t and stays in [0, 1]; with
+    zero events everywhere it is identically 1."""
+    from platform_etl_literature_spark.operators import survival as SV
+
+    rows = [("g", t, e) for t, e in subjects]
+    df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+    out = sorted(
+        SV.kaplan_meier(df, "dur", "ev", ["g"]).collect(),
+        key=lambda r: r["t"],
+    )
+    last = 1.0 + 1e-9
+    for r in out:
+        assert -1e-9 <= r["survival"] <= 1.0 + 1e-9
+        assert r["survival"] <= last + 2e-6, (r["t"], r["survival"], last)
+        last = r["survival"]
+    if all(e == 0 for _, e in subjects):
+        assert all(r["survival"] == 1.0 for r in out)
