@@ -572,6 +572,24 @@ SHOWCASE: dict[str, str] = {
         "digit-cell-sized: the 1..9 spine broadcast, the per-key "
         "total and chi² windows run over ≤9-row partitions."
     ),
+    "ccf_lags": (
+        "All 7 lead/lag shifted columns (k = −3..+3) ride ONE "
+        "partitioned Window pass over the (cohort, day) cells; all "
+        "42 sufficient statistics fold in one hash-aggregate pair; "
+        "stack() unpivots — no self-join, no per-lag pass."
+    ),
+    "auc_roc": (
+        "The corpus collapses to DISTINCT-SCORE cells map-side; the "
+        "midrank window runs over cells, never subject rows; no join "
+        "anywhere — a billion scored rows with a bounded score "
+        "domain shuffle only the domain."
+    ),
+    "kaplan_meier": (
+        "Subjects collapse to (cohort, duration) cells in one "
+        "map-side aggregate; at-risk bookkeeping and the micro-nat "
+        "running product are group-parallel cumulative windows over "
+        "distinct durations — no join, no SinglePartition."
+    ),
 }
 
 
