@@ -514,3 +514,95 @@ def gini(
         - (n + 1).cast("double") / n.cast("double"),
     )
     return st.select(*keys, "n", "total", F.round(g, 6).alias("gini"))
+
+
+def mann_kendall(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str] | None = None,
+    max_group_points: int = 1024,
+) -> DataFrame:
+    """Per-group Mann-Kendall trend test (Mann '45 / Kendall '75) —
+    the nonparametric significance companion to
+    :func:`grouped_theil_sen`: S = Σ_{i<j} sign(y_j − y_i) over the
+    x-ordered series, the tie-corrected variance
+
+        Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+
+    and the continuity-corrected normal score Z = (S∓1)/√Var(S).
+    Theil-Sen answers "how steep"; Mann-Kendall answers "is it real".
+
+    Exactness: S and both variance numerators are pure BIGINT
+    arithmetic (counts of sign pairs; tie-group cubes), so the one
+    √ and division are per-row doubles on identical operands —
+    engine-portable, SQL-replayable.  ``x``/``y`` integral by
+    contract.
+
+    Scale shape: the pair join is per-group quadratic BY DESIGN
+    (S is a pairwise statistic), guarded by the same
+    ``max_group_points`` loud-exclusion valve as Theil-Sen; tie
+    correction is one extra value-keyed aggregate.  Duplicate x
+    positions within a group are excluded from pairing the same way
+    (strict x ordering).
+
+    Returns (*key, n, s, var_s_x18, z) — ``var_s_x18`` is the exact
+    integer 18·Var(S); z is NULL when Var(S) = 0 (all values tied).
+    """
+    keys = list(key_cols or [])
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(*keys, x.alias("_x"), y.alias("_y"))
+    )
+    sizes = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    kept = base.join(
+        F.broadcast(
+            sizes.filter(F.col("_n") <= max_group_points).select(*keys)
+        ),
+        keys,
+    )
+    a = kept.select(*keys, F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = kept.select(*keys, F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    pairs = a.join(b, keys).filter(F.col("_xa") < F.col("_xb"))
+    s_agg = pairs.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col("_yb") > F.col("_ya"), 1)
+            .when(F.col("_yb") < F.col("_ya"), -1)
+            .otherwise(0)
+        ).alias("s")
+    )
+    ties = (
+        kept.groupBy(*keys, "_y")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie_x18")
+        )
+    )
+    n = F.col("_n").cast("long")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("_tie_x18")
+    z = F.when(
+        (var18 > 0) & (F.col("s") > 0),
+        (F.col("s") - 1).cast("double")
+        / F.sqrt(var18.cast("double") / 18.0),
+    ).when(
+        (var18 > 0) & (F.col("s") < 0),
+        (F.col("s") + 1).cast("double")
+        / F.sqrt(var18.cast("double") / 18.0),
+    ).when(var18 > 0, F.lit(0.0))
+    return (
+        sizes.filter(F.col("_n") <= max_group_points)
+        .join(F.broadcast(s_agg), keys)
+        .join(F.broadcast(ties), keys)
+        .select(
+            *keys,
+            n.alias("n"),
+            "s",
+            var18.alias("var_s_x18"),
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -109,3 +109,66 @@ def kaplan_meier(
         "censored",
         surv.alias("survival"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ — the
+    additive companion to :func:`kaplan_meier` (Nelson '72 / Aalen
+    '78), preferred when hazards are the modeling target (−ln S(t)
+    ≈ H(t)).
+
+    Float parity: the per-time hazard increments dᵢ/nᵢ round to
+    integer MICRO-UNITS before the cumulative sum (same discipline as
+    the KM log products), so H is an order-free integer fold; the
+    boundary emits both the integer ``h_micro`` and the rounded
+    double.  Same cell collapse + cumulative window shape as KM —
+    no join, group-parallel, cells are distinct durations.
+
+    Returns (*group, t, n_at_risk, d, censored, h_micro, cum_hazard).
+    """
+    g = list(group_cols or [])
+    part = [F.col(c) for c in g]
+    t = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("long")
+    cells = df.groupBy(*g, t.alias("t")).agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sum(e).alias("d"),
+    )
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part)
+    n_at_risk = (
+        F.sum("_total").over(w_all)
+        - F.sum("_total").over(w_cum)
+        + F.col("_total")
+    )
+    inc_micro = F.round(
+        F.col("d").cast("double") / n_at_risk.cast("double") * 1000000.0,
+        0,
+    ).cast("long")
+    staged = cells.select(
+        *g,
+        "t",
+        n_at_risk.alias("n_at_risk"),
+        "d",
+        (F.col("_total") - F.col("d")).alias("censored"),
+        inc_micro.alias("_inc"),
+    )
+    h_micro = F.sum("_inc").over(w_cum)
+    return staged.select(
+        *g,
+        "t",
+        "n_at_risk",
+        "d",
+        "censored",
+        h_micro.alias("h_micro"),
+        F.round(h_micro.cast("double") / 1000000.0, 6).alias("cum_hazard"),
+    )

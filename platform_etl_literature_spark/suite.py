@@ -9022,6 +9022,125 @@ FROM c ORDER BY cohort, t
 """
 
 
+def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall trend significance per event type over the same
+    daily frame the Theil-Sen row fits (operators.robust.mann_kendall):
+    S, the exact 18·Var(S) with tie correction, and the
+    continuity-corrected Z.  The oracle replays pairs, tie cubes, and
+    the one sqrt."""
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(F.sum(_cents("value")).alias("y"))
+    return RB.mann_kendall(daily, "d", "y", key_cols=["g"]).orderBy("g")
+
+
+_ORACLE_MK = """
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(date_part('day', ts) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+pairs AS (
+  SELECT a.g,
+    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x),
+sa AS (SELECT g, CAST(sum(sgn) AS BIGINT) AS s FROM pairs GROUP BY 1),
+tg AS (
+  SELECT g,
+    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1),
+e AS (
+  SELECT nn.g, n, s,
+    n * (n - 1) * (2 * n + 5) - tie18 AS var18
+  FROM nn JOIN sa ON nn.g = sa.g JOIN tg ON nn.g = tg.g)
+SELECT g, n, s, var18 AS var_s_x18,
+  round(CASE WHEN var18 > 0 AND s > 0
+             THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             WHEN var18 > 0 AND s < 0
+             THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             WHEN var18 > 0 THEN 0.0 END, 6) AS z
+FROM e ORDER BY g
+"""
+
+
+def q_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the identical
+    time-to-first-purchase subjects as the KM row
+    (operators.survival.nelson_aalen): hazard increments d/n in
+    integer micro-units, cumulative integer fold, same cell-collapse
+    shape.  The oracle replays increments and the fold."""
+    ev = read_events(spark, sf)
+    per_user = ev.groupBy(
+        (F.col("user_id") % 3).alias("cohort"), "user_id"
+    ).agg(
+        F.min(F.dayofmonth("ts")).alias("_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.dayofmonth("ts"))
+        ).alias("_fp"),
+        F.max(F.dayofmonth("ts")).alias("_last"),
+    )
+    ttp = F.col("_fp") - F.col("_first")
+    observed = F.col("_fp").isNotNull() & (ttp <= 7)
+    subjects = per_user.select(
+        "cohort",
+        F.when(observed, ttp)
+        .otherwise(F.least(F.col("_last") - F.col("_first"), F.lit(7)))
+        .cast("long")
+        .alias("dur"),
+        observed.cast("long").alias("ev"),
+    )
+    return SV.nelson_aalen(
+        subjects, "dur", "ev", group_cols=["cohort"]
+    ).orderBy("cohort", "t")
+
+
+_ORACLE_NA = """
+WITH pu AS (
+  SELECT user_id % 3 AS cohort, user_id,
+    min(date_part('day', ts)) AS f,
+    min(CASE WHEN event_type = 'purchase'
+             THEN date_part('day', ts) END) AS fp,
+    max(date_part('day', ts)) AS l
+  FROM events GROUP BY 1, 2),
+subj AS (
+  SELECT cohort,
+    CAST(CASE WHEN fp IS NOT NULL AND fp - f <= 7 THEN fp - f
+              ELSE least(l - f, 7) END AS BIGINT) AS t,
+    CAST(fp IS NOT NULL AND fp - f <= 7 AS BIGINT) AS e
+  FROM pu),
+cells AS (
+  SELECT cohort, t, CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(e) AS BIGINT) AS d
+  FROM subj GROUP BY 1, 2),
+staged AS (
+  SELECT cohort, t, total, d,
+    CAST(sum(total) OVER (PARTITION BY cohort) AS BIGINT)
+      - CAST(sum(total) OVER (PARTITION BY cohort ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      + total AS n_at_risk
+  FROM cells),
+inc AS (
+  SELECT cohort, t, n_at_risk, d, total - d AS censored,
+    CAST(round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+               * 1000000.0, 0) AS BIGINT) AS inc_micro
+  FROM staged),
+c AS (
+  SELECT cohort, t, n_at_risk, d, censored,
+    CAST(sum(inc_micro) OVER (PARTITION BY cohort ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS h_micro
+  FROM inc)
+SELECT cohort, t, n_at_risk, d, censored, h_micro,
+  round(CAST(h_micro AS DOUBLE) / 1000000.0, 6) AS cum_hazard
+FROM c ORDER BY cohort, t
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -9524,6 +9643,12 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "auc_roc": QuerySpec(q_auc_roc, _ORACLE_AUC, "eval-roc-auc-mann-whitney"),
     "kaplan_meier": QuerySpec(
         q_kaplan_meier, _ORACLE_KM, "survival-kaplan-meier"
+    ),
+    "mann_kendall": QuerySpec(
+        q_mann_kendall, _ORACLE_MK, "trend-mann-kendall-significance"
+    ),
+    "nelson_aalen": QuerySpec(
+        q_nelson_aalen, _ORACLE_NA, "survival-nelson-aalen-hazard"
     ),
 }
 

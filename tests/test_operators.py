@@ -5160,3 +5160,61 @@ def test_kaplan_meier_curve_hits_exact_zero(spark):
     assert abs(out[1]["survival"] - 1 / 3) < 1e-5
     # d == n_at_risk at t=2 -> exactly 0.0, no -inf log anywhere
     assert out[2]["survival"] == 0.0
+
+
+def test_mann_kendall_known_series(spark):
+    import math
+
+    from platform_etl_literature_spark.operators import robust as RB
+
+    # strictly increasing: S = n(n-1)/2, no ties
+    inc = [("up", i, i * 10) for i in range(8)]
+    # flat: S = 0, all tied -> Var 0 -> z NULL
+    flat = [("fl", i, 5) for i in range(6)]
+    df = spark.createDataFrame(inc + flat, ["g", "x", "y"])
+    out = {r["g"]: r for r in RB.mann_kendall(df, "x", "y", ["g"]).collect()}
+    n = 8
+    assert out["up"]["s"] == n * (n - 1) // 2
+    var18 = n * (n - 1) * (2 * n + 5)
+    assert out["up"]["var_s_x18"] == var18
+    want_z = (out["up"]["s"] - 1) / math.sqrt(var18 / 18.0)
+    assert abs(out["up"]["z"] - want_z) < 1e-6
+    assert out["fl"]["s"] == 0
+    assert out["fl"]["var_s_x18"] == 0
+    assert out["fl"]["z"] is None
+
+
+def test_mann_kendall_tie_correction(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    # y = [1, 1, 2]: one tie group of t=2 -> tie18 = 2*1*9 = 18
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 2)], ["g", "x", "y"]
+    )
+    out = RB.mann_kendall(df, "x", "y", ["g"]).collect()[0]
+    n = 3
+    assert out["s"] == 2  # (1,2):0 (1,3):+1 (2,3):+1
+    assert out["var_s_x18"] == n * (n - 1) * (2 * n + 5) - 18
+
+
+def test_nelson_aalen_textbook_and_km_consistency(spark):
+    from platform_etl_literature_spark.operators import survival as SV
+
+    rows = [
+        ("g", 1, 1), ("g", 2, 1), ("g", 3, 0), ("g", 4, 1), ("g", 5, 0)
+    ]
+    df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+    na = {r["t"]: r for r in SV.nelson_aalen(df, "dur", "ev", ["g"]).collect()}
+    assert abs(na[1]["cum_hazard"] - 1 / 5) < 1e-5
+    assert abs(na[2]["cum_hazard"] - (1 / 5 + 1 / 4)) < 1e-5
+    assert abs(na[4]["cum_hazard"] - (1 / 5 + 1 / 4 + 1 / 2)) < 1e-5
+    assert na[3]["cum_hazard"] == na[2]["cum_hazard"]  # censoring adds 0
+    # exp(-H) upper-bounds the KM curve (standard inequality)
+    import math
+
+    km = {
+        r["t"]: r["survival"]
+        for r in SV.kaplan_meier(df, "dur", "ev", ["g"]).collect()
+    }
+    for t, r in na.items():
+        assert km[t] <= math.exp(-r["cum_hazard"]) + 1e-6

@@ -956,3 +956,22 @@ def test_kaplan_meier_cell_collapse_no_join(spark, sf_dir):
     assert "Join" not in plan, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_mann_kendall_declared_pair_join_broadcast_stitch(spark, sf_dir):
+    """MK's pair join is the DECLARED per-group quadratic (the
+    statistic is pairwise); everything after is key-count-sized and
+    stitched by broadcast joins — no cartesian, nothing in Python."""
+    plan = _simple_plan(SUITE["mann_kendall"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_nelson_aalen_cell_collapse_no_join(spark, sf_dir):
+    """NA is the KM shape: one cell collapse + group-parallel
+    cumulative windows over distinct durations — no join."""
+    plan = _simple_plan(SUITE["nelson_aalen"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]

@@ -766,6 +766,41 @@ def _ev_acf(ev):
     return TSX.acf_lags(daily, "g", "d", "y", max_lag=7)
 
 
+def _ev_mk(ev):
+    daily = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("y")
+    )
+    return RB.mann_kendall(daily, "d", "y", key_cols=["g"])
+
+
+def _ev_na(ev):
+    from platform_etl_literature_spark.operators import survival as SVX
+
+    per_user = ev.groupBy(
+        (F.col("user_id") % 3).alias("cohort"), "user_id"
+    ).agg(
+        F.min(F.dayofmonth("ts")).alias("_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.dayofmonth("ts"))
+        ).alias("_fp"),
+        F.max(F.dayofmonth("ts")).alias("_last"),
+    )
+    ttp = F.col("_fp") - F.col("_first")
+    observed = F.col("_fp").isNotNull() & (ttp <= 7)
+    subjects = per_user.select(
+        "cohort",
+        F.when(observed, ttp)
+        .otherwise(F.least(F.col("_last") - F.col("_first"), F.lit(7)))
+        .cast("long")
+        .alias("dur"),
+        observed.cast("long").alias("ev"),
+    )
+    return SVX.nelson_aalen(subjects, "dur", "ev", group_cols=["cohort"])
+
+
 def _ev_km(ev):
     from platform_etl_literature_spark.operators import survival as SVX
 
@@ -848,6 +883,8 @@ EVENTS_OPS = {
     "acf_lags": _ev_acf,
     "ccf_lags": _ev_ccf,
     "kaplan_meier": _ev_km,
+    "mann_kendall": _ev_mk,
+    "nelson_aalen": _ev_na,
     "ab_welch": _ev_ab_welch,
     "burstiness": _ev_burstiness,
     "benford": _ev_benford,
