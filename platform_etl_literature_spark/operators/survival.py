@@ -172,3 +172,134 @@ def nelson_aalen(
         h_micro.alias("h_micro"),
         F.round(h_micro.cast("double") / 1000000.0, 6).alias("cum_hazard"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    arm_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample log-rank test per key (Mantel '66 / Peto '72): does
+    the treatment arm's survival curve differ from control's?  At
+    each pooled event time t with dₜ events among nₜ at risk
+    (n₁ₜ in arm 1):
+
+        O−E = Σₜ (d₁ₜ − dₜ·n₁ₜ/nₜ)
+        V   = Σₜ dₜ·(n₁ₜ/nₜ)·(1−n₁ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1)
+        χ²  = (O−E)² / V        (1 df)
+
+    ``arm_col`` must take exactly two values per key; the arm that
+    sorts FIRST is "arm 1" (deterministic, engine-portable).
+
+    Float parity: at-risk and event counts are exact BIGINTs from one
+    cell collapse + cumulative windows (the KM shape, pivoted by
+    arm); each time's O−E and V terms round to integer MICRO-UNITS
+    before their sums (the module discipline), so both reductions are
+    order-free and an SQL oracle replays them term-for-term; χ² is
+    two double ops at the boundary.
+
+    Scale shape: one map-side cell collapse to (key, t, arm) cells,
+    a conditional-sum pivot to (key, t) rows, group-parallel
+    cumulative windows over distinct times, one final aggregate — no
+    join anywhere.  Times with nₜ−1 = 0 or dₜ = 0 contribute zero.
+
+    Returns (*key, arm1, n1, n2, o1, ome_micro, v_micro, chi2).
+    """
+    g = list(key_cols or [])
+    part = [F.col(c) for c in g]
+    t = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("long")
+    cells = df.groupBy(*g, t.alias("t"), F.col(arm_col).alias("_arm")).agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sum(e).alias("_d"),
+    )
+    w_all = Window.partitionBy(*part)
+    arm1 = F.min("_arm").over(w_all)
+    is1 = (F.col("_arm") == arm1).cast("long")
+    pooled = cells.select(
+        *g,
+        "t",
+        arm1.alias("arm1"),
+        (is1 * F.col("_total")).alias("_tot1"),
+        ((1 - is1) * F.col("_total")).alias("_tot2"),
+        (is1 * F.col("_d")).alias("_d1"),
+        ((1 - is1) * F.col("_d")).alias("_d2"),
+    ).groupBy(*g, "t", "arm1").agg(
+        F.sum("_tot1").alias("tot1"),
+        F.sum("_tot2").alias("tot2"),
+        F.sum("_d1").alias("d1"),
+        F.sum("_d2").alias("d2"),
+    )
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy(*part)
+    n1 = (
+        F.sum("tot1").over(w_key) - F.sum("tot1").over(w_cum) + F.col("tot1")
+    )
+    n2 = (
+        F.sum("tot2").over(w_key) - F.sum("tot2").over(w_cum) + F.col("tot2")
+    )
+    n = n1 + n2
+    d = F.col("d1") + F.col("d2")
+    usable = (d > 0) & (n > 1)
+    frac1 = n1.cast("double") / n.cast("double")
+    ome = F.when(
+        usable,
+        F.round(
+            (F.col("d1").cast("double") - d.cast("double") * frac1)
+            * 1000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    v = F.when(
+        usable,
+        F.round(
+            d.cast("double")
+            * frac1
+            * (F.lit(1.0) - frac1)
+            * ((n - d).cast("double") / (n - 1).cast("double"))
+            * 1000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    staged = pooled.select(
+        *g,
+        "arm1",
+        F.col("d1"),
+        ome.alias("_ome"),
+        v.alias("_v"),
+        n1.alias("_n1row"),
+        n2.alias("_n2row"),
+        F.row_number().over(Window.partitionBy(*part).orderBy("t")).alias(
+            "_rn"
+        ),
+    )
+    st = staged.groupBy(*g).agg(
+        F.min("arm1").alias("arm1"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_n1row"))).alias("n1"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_n2row"))).alias("n2"),
+        F.sum("d1").alias("o1"),
+        F.sum("_ome").alias("ome_micro"),
+        F.sum("_v").alias("v_micro"),
+    )
+    chi2 = F.when(
+        F.col("v_micro") > 0,
+        (F.col("ome_micro").cast("double") / 1000000.0)
+        * (F.col("ome_micro").cast("double") / 1000000.0)
+        / (F.col("v_micro").cast("double") / 1000000.0),
+    )
+    return st.select(
+        *g,
+        "arm1",
+        "n1",
+        "n2",
+        "o1",
+        "ome_micro",
+        "v_micro",
+        F.round(chi2, 6).alias("chi2"),
+    )

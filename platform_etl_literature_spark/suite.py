@@ -9141,6 +9141,121 @@ FROM c ORDER BY cohort, t
 """
 
 
+def q_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample log-rank test per cohort
+    (operators.survival.logrank_test) over the same
+    time-to-first-purchase subjects as the KM row, arms split by a
+    deterministic user residue: O−E and V terms in integer
+    micro-units at each pooled event time, χ² at the boundary.  The
+    oracle replays cells, the arm pivot, at-risk windows, and both
+    micro folds."""
+    ev = read_events(spark, sf)
+    per_user = ev.groupBy(
+        (F.col("user_id") % 3).alias("cohort"), "user_id"
+    ).agg(
+        F.min(F.dayofmonth("ts")).alias("_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.dayofmonth("ts"))
+        ).alias("_fp"),
+        F.max(F.dayofmonth("ts")).alias("_last"),
+    )
+    ttp = F.col("_fp") - F.col("_first")
+    observed = F.col("_fp").isNotNull() & (ttp <= 7)
+    subjects = per_user.select(
+        "cohort",
+        F.when(F.expr("(user_id div 3) % 2 = 0"), F.lit("ctl"))
+        .otherwise(F.lit("trt"))
+        .alias("arm"),
+        F.when(observed, ttp)
+        .otherwise(F.least(F.col("_last") - F.col("_first"), F.lit(7)))
+        .cast("long")
+        .alias("dur"),
+        observed.cast("long").alias("ev"),
+    )
+    return SV.logrank_test(
+        subjects, "dur", "ev", "arm", key_cols=["cohort"]
+    ).orderBy("cohort")
+
+
+_ORACLE_LOGRANK = """
+WITH pu AS (
+  SELECT user_id % 3 AS cohort, user_id,
+    min(date_part('day', ts)) AS f,
+    min(CASE WHEN event_type = 'purchase'
+             THEN date_part('day', ts) END) AS fp,
+    max(date_part('day', ts)) AS l
+  FROM events GROUP BY 1, 2),
+subj AS (
+  SELECT cohort,
+    CASE WHEN (user_id // 3) % 2 = 0 THEN 'ctl' ELSE 'trt' END AS arm,
+    CAST(CASE WHEN fp IS NOT NULL AND fp - f <= 7 THEN fp - f
+              ELSE least(l - f, 7) END AS BIGINT) AS t,
+    CAST(fp IS NOT NULL AND fp - f <= 7 AS BIGINT) AS e
+  FROM pu),
+cells AS (
+  SELECT cohort, t, arm, CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(e) AS BIGINT) AS d
+  FROM subj GROUP BY 1, 2, 3),
+a1 AS (SELECT cohort, min(arm) AS arm1 FROM cells GROUP BY 1),
+pooled AS (
+  SELECT c.cohort, c.t, a1.arm1,
+    CAST(sum(CASE WHEN c.arm = a1.arm1 THEN total ELSE 0 END)
+         AS BIGINT) AS tot1,
+    CAST(sum(CASE WHEN c.arm != a1.arm1 THEN total ELSE 0 END)
+         AS BIGINT) AS tot2,
+    CAST(sum(CASE WHEN c.arm = a1.arm1 THEN d ELSE 0 END)
+         AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN c.arm != a1.arm1 THEN d ELSE 0 END)
+         AS BIGINT) AS d2
+  FROM cells c JOIN a1 ON c.cohort = a1.cohort GROUP BY 1, 2, 3),
+risk AS (
+  SELECT cohort, t, arm1, d1, d2,
+    CAST(sum(tot1) OVER (PARTITION BY cohort) AS BIGINT)
+      - CAST(sum(tot1) OVER (PARTITION BY cohort ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      + tot1 AS n1,
+    CAST(sum(tot2) OVER (PARTITION BY cohort) AS BIGINT)
+      - CAST(sum(tot2) OVER (PARTITION BY cohort ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      + tot2 AS n2,
+    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+  FROM pooled),
+terms AS (
+  SELECT cohort, arm1, d1, n1, n2, rn,
+    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+         THEN CAST(round((CAST(d1 AS DOUBLE)
+                          - CAST(d1 + d2 AS DOUBLE)
+                            * (CAST(n1 AS DOUBLE)
+                               / CAST(n1 + n2 AS DOUBLE)))
+                         * 1000000.0, 0) AS BIGINT)
+         ELSE 0 END AS ome,
+    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+         THEN CAST(round(CAST(d1 + d2 AS DOUBLE)
+                         * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                         * (1.0 - (CAST(n1 AS DOUBLE)
+                                   / CAST(n1 + n2 AS DOUBLE)))
+                         * (CAST(n1 + n2 - d1 - d2 AS DOUBLE)
+                            / CAST(n1 + n2 - 1 AS DOUBLE))
+                         * 1000000.0, 0) AS BIGINT)
+         ELSE 0 END AS v
+  FROM risk),
+st AS (
+  SELECT cohort, min(arm1) AS arm1,
+    CAST(max(CASE WHEN rn = 1 THEN n1 END) AS BIGINT) AS n1,
+    CAST(max(CASE WHEN rn = 1 THEN n2 END) AS BIGINT) AS n2,
+    CAST(sum(d1) AS BIGINT) AS o1,
+    CAST(sum(ome) AS BIGINT) AS ome_micro,
+    CAST(sum(v) AS BIGINT) AS v_micro
+  FROM terms GROUP BY 1)
+SELECT cohort, arm1, n1, n2, o1, ome_micro, v_micro,
+  round(CASE WHEN v_micro > 0
+        THEN (CAST(ome_micro AS DOUBLE) / 1000000.0)
+             * (CAST(ome_micro AS DOUBLE) / 1000000.0)
+             / (CAST(v_micro AS DOUBLE) / 1000000.0) END, 6) AS chi2
+FROM st ORDER BY cohort
+"""
+
+
 # definition order (insertion below); the EXPORTED ordering is pinned
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
@@ -9649,6 +9764,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "nelson_aalen": QuerySpec(
         q_nelson_aalen, _ORACLE_NA, "survival-nelson-aalen-hazard"
+    ),
+    "logrank": QuerySpec(
+        q_logrank, _ORACLE_LOGRANK, "survival-logrank-two-sample"
     ),
 }
 

@@ -5218,3 +5218,32 @@ def test_nelson_aalen_textbook_and_km_consistency(spark):
     }
     for t, r in na.items():
         assert km[t] <= math.exp(-r["cum_hazard"]) + 1e-6
+
+
+def test_logrank_hand_computed(spark):
+    from platform_etl_literature_spark.operators import survival as SV
+
+    rows = [
+        ("g", "A", 1, 1), ("g", "A", 2, 1),
+        ("g", "B", 3, 1), ("g", "B", 4, 1),
+    ]
+    df = spark.createDataFrame(rows, ["g", "arm", "dur", "ev"])
+    out = SV.logrank_test(df, "dur", "ev", "arm", ["g"]).collect()[0]
+    # hand: t=1 ome=.5 v=.25; t=2 ome=2/3 v=2/9; t=3 ome=0 v=0;
+    # t=4 skipped (n-1=0) -> chi2 = (7/6)^2 / (17/36) = 49/17
+    assert out["arm1"] == "A"
+    assert out["n1"] == 2 and out["n2"] == 2 and out["o1"] == 2
+    assert abs(out["chi2"] - 49 / 17) < 1e-4
+
+
+def test_logrank_identical_arms_zero(spark):
+    from platform_etl_literature_spark.operators import survival as SV
+
+    rows = []
+    for arm in ("x", "y"):
+        rows += [("g", arm, t, e) for t, e in ((1, 1), (2, 0), (3, 1))]
+    df = spark.createDataFrame(rows, ["g", "arm", "dur", "ev"])
+    out = SV.logrank_test(df, "dur", "ev", "arm", ["g"]).collect()[0]
+    # identical curves -> O-E exactly 0 -> chi2 exactly 0
+    assert out["ome_micro"] == 0
+    assert out["chi2"] == 0.0

@@ -975,3 +975,13 @@ def test_nelson_aalen_cell_collapse_no_join(spark, sf_dir):
     assert "Join" not in plan, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_logrank_cell_collapse_no_join(spark, sf_dir):
+    """Log-rank is the KM cell shape pivoted by arm: one cell
+    collapse, conditional-sum pivot, group-parallel cumulative
+    windows, one aggregate — no join anywhere."""
+    plan = _simple_plan(SUITE["logrank"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]

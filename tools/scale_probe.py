@@ -776,6 +776,34 @@ def _ev_mk(ev):
     return RB.mann_kendall(daily, "d", "y", key_cols=["g"])
 
 
+def _ev_logrank(ev):
+    from platform_etl_literature_spark.operators import survival as SVX
+
+    per_user = ev.groupBy(
+        (F.col("user_id") % 3).alias("cohort"), "user_id"
+    ).agg(
+        F.min(F.dayofmonth("ts")).alias("_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.dayofmonth("ts"))
+        ).alias("_fp"),
+        F.max(F.dayofmonth("ts")).alias("_last"),
+    )
+    ttp = F.col("_fp") - F.col("_first")
+    observed = F.col("_fp").isNotNull() & (ttp <= 7)
+    subjects = per_user.select(
+        "cohort",
+        F.when(F.expr("(user_id div 3) % 2 = 0"), F.lit("ctl"))
+        .otherwise(F.lit("trt"))
+        .alias("arm"),
+        F.when(observed, ttp)
+        .otherwise(F.least(F.col("_last") - F.col("_first"), F.lit(7)))
+        .cast("long")
+        .alias("dur"),
+        observed.cast("long").alias("ev"),
+    )
+    return SVX.logrank_test(subjects, "dur", "ev", "arm", key_cols=["cohort"])
+
+
 def _ev_na(ev):
     from platform_etl_literature_spark.operators import survival as SVX
 
@@ -885,6 +913,7 @@ EVENTS_OPS = {
     "kaplan_meier": _ev_km,
     "mann_kendall": _ev_mk,
     "nelson_aalen": _ev_na,
+    "logrank": _ev_logrank,
     "ab_welch": _ev_ab_welch,
     "burstiness": _ev_burstiness,
     "benford": _ev_benford,
