@@ -590,6 +590,23 @@ SHOWCASE: dict[str, str] = {
         "running product are group-parallel cumulative windows over "
         "distinct durations — no join, no SinglePartition."
     ),
+    "mann_kendall": (
+        "The DECLARED per-group pair join (S is pairwise, same valve "
+        "as Theil-Sen); tie correction is one value-keyed aggregate; "
+        "the stitch joins are all broadcast over key-count-sized "
+        "frames."
+    ),
+    "nelson_aalen": (
+        "The KM cell shape: one collapse to distinct durations, "
+        "group-parallel cumulative windows for at-risk counts and "
+        "the micro-unit hazard fold — no join."
+    ),
+    "logrank": (
+        "KM cells pivoted by arm via CONDITIONAL SUMS — no "
+        "arm-vs-arm join anywhere; at-risk windows and both "
+        "micro-unit term folds are group-parallel; one final "
+        "aggregate yields χ²."
+    ),
 }
 
 
