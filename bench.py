@@ -178,9 +178,9 @@ HEADLINE = [
     # round-7 session-9 sixth batch: series-similarity join, CUSUM
     # change-point, Markov transition matrix — measured before
     # promotion (spark/duck at sf0.1, clean machine, min of 4:
-    # ts_similar 2.17/0.08 — two cell/signature materializations +
-    # the 5.9k-candidate exact-Pearson verify, multi-job floor vs
-    # DuckDB's in-process run; cusum 0.54/0.02 and transitions
+    # ts_similar 2.17/0.08 at promotion; round 8 rebuilt the verify
+    # stage as dense per-id vectors + zip_with dot product (no
+    # per-pair cell shuffle); cusum 0.54/0.02 and transitions
     # 0.47/0.03 — floor rows, no-join window/agg plans).  ts_recall
     # stays OUT by the accountability-row rule; bfs_distances stays
     # OUT by the superstep rule.

@@ -569,15 +569,19 @@ def ts_similar_pairs(
        bits + same activity octave), with the dedup-family hot-bucket
        valve (a flat/viral shape is a stop gram; ``None`` = exact).
     3. Candidate pairs verify by EXACT Pearson r from integral
-       sufficient statistics over the aligned positions — one
-       equijoin of the (id, pos, value) cells against the candidate
-       list, one hash aggregate per pair, the grouped_ols operand
-       discipline (covariance cast to double before squaring).
+       sufficient statistics: each id pre-collapses to a DENSE
+       length-L ``array<long>`` vector (+ its Σv, Σv²) in ONE hash
+       aggregate, the candidate join pulls both vectors in by id, and
+       the cross moment Σ(va·vb) is a map-side ``zip_with`` dot
+       product — no per-(pair, position) shuffle, the grouped_ols
+       operand discipline (covariance cast to double before
+       squaring).
 
-    Missing positions are genuine zeros on both sides (aligned-join
-    semantics would silently drop them): the pair stats derive from n
-    = ``length`` with Σ over PRESENT cells only — exact, because
-    absent cells contribute 0 to every sum.
+    Missing positions are genuine zeros on both sides (the dense
+    vector makes them explicit): the pair stats derive from n =
+    ``length`` — exact, because absent cells contribute 0 to every
+    sum.  ``series`` must hold at most one row per (id, pos);
+    duplicates fail loudly (duplicate map key).
 
     Returns (id_a, id_b, r) with id_a < id_b, r rounded at 6.
 
@@ -601,24 +605,92 @@ def ts_similar_pairs(
         _materialize_once,
     )
 
-    # ONE materialization of the (id, pos, value) cell frame: the
-    # signature build AND both pair-verify sides re-reference it — the
-    # upstream series derivation (often a data-sized aggregation)
-    # must not replay three times
+    if length % n_segments != 0:
+        raise ValueError(
+            f"length {length} not divisible by n_segments {n_segments}"
+        )
+    if n_segments > 30:
+        raise ValueError("n_segments must be <= 30 (bit-packed int)")
+
+    # ONE hash aggregate collapses each id to a DENSE length-L
+    # array<long> (missing positions are genuine zeros, so absence IS
+    # signal) plus its per-id sufficient statistics Σv and Σv² —
+    # materialized ONCE; the signature, candidate generation and BOTH
+    # verify sides all read this cache.  This is the round-8 rewrite
+    # of the verify stage: the previous per-pair full-outer cell align
+    # shuffled candidates×length (pair, pos) rows and collapsed them
+    # with a second data-sized aggregate — candidate growth × per-pair
+    # join fan-out broke 16× linearity (SCALE r7: 205k → 95k rows/s).
+    # Now verification is a map-side zip_with dot product on the pair
+    # join itself: the only shuffles are the candidate equijoin and
+    # the two id-keyed array lookups, each carrying fixed-length rows.
     pos = F.col(pos_col).cast("long")
-    cells = _materialize_once(
-        series.filter((pos >= 0) & (pos < length)).select(
+    zero = F.lit(0).cast("long")
+    vec = _materialize_once(
+        series.filter((pos >= 0) & (pos < length))
+        .select(
             F.col(id_col).alias("_id"),
             pos.alias("_p"),
             F.col(value_col).cast("long").alias("_v"),
         )
+        .groupBy("_id")
+        # one row per (id, pos) per the contract above; violations
+        # fail LOUDLY (map_from_entries raises on duplicate keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_p", "_v"))
+            ).alias("_m")
+        )
+        .select(
+            "_id",
+            F.transform(
+                F.sequence(zero, F.lit(length - 1).cast("long")),
+                lambda i: F.coalesce(F.col("_m")[i], zero),
+            ).alias("_arr"),
+        )
+        .select(
+            "_id",
+            "_arr",
+            F.aggregate("_arr", zero, lambda a, x: a + x).alias("_s"),
+            F.aggregate("_arr", zero, lambda a, x: a + x * x).alias(
+                "_ss"
+            ),
+        )
     )
     if signature_buckets:
-        sig = ts_shape_signature(
-            cells, "_id", "_p", "_v", length, n_segments
+        # the ts_shape_signature bit pattern, computed MAP-SIDE from
+        # the dense vector (n_segments and seg_len are plan-time
+        # constants, so each segment sum is a slice-fold expression —
+        # no extra shuffle beyond the vec build)
+        seg_len = length // n_segments
+        bit_terms = [
+            F.when(
+                F.aggregate(
+                    F.slice("_arr", s * seg_len + 1, seg_len),
+                    zero,
+                    lambda a, x: a + x,
+                )
+                * n_segments
+                > F.col("_s"),
+                F.lit(1 << s).cast("long"),
+            ).otherwise(zero)
+            for s in range(n_segments)
+        ]
+        bits = bit_terms[0]
+        for t in bit_terms[1:]:
+            bits = bits + t
+        sig_col = bits + F.shiftleft(
+            F.length(F.conv(F.col("_s") + 1, 10, 2)).cast("int"),
+            n_segments,
         )
         sig = _drop_hot_buckets(
-            _materialize_once(sig), ["sig"], max_bucket_size
+            _materialize_once(
+                vec.select(
+                    F.col("_id").alias("id"), sig_col.alias("sig")
+                )
+            ),
+            ["sig"],
+            max_bucket_size,
         )
         cand = (
             sig.select(F.col("id").alias("id_a"), "sig")
@@ -627,36 +699,43 @@ def ts_similar_pairs(
             .select("id_a", "id_b")
         )
     else:
-        ids = cells.select(F.col("_id").alias("id")).distinct()
+        ids = vec.select(F.col("_id").alias("id"))
         cand = (
             ids.select(F.col("id").alias("id_a"))
             .join(ids.select(F.col("id").alias("id_b")),
                   F.col("id_a") < F.col("id_b"))
         )
-    a = cells.select(
-        F.col("_id").alias("id_a"), F.col("_p"), F.col("_v").alias("_va")
+    # per-pair verify: two id-keyed equijoins bring in each side's
+    # dense vector + precomputed Σv/Σv²; the cross moment Σ(va·vb) is
+    # a zip_with dot product — pure map-side, exact BIGINT
+    va = vec.select(
+        F.col("_id").alias("id_a"),
+        F.col("_arr").alias("_aa"),
+        F.col("_s").alias("_sa"),
+        F.col("_ss").alias("_saa"),
     )
-    b = cells.select(
-        F.col("_id").alias("id_b"), F.col("_p"), F.col("_v").alias("_vb")
+    vb = vec.select(
+        F.col("_id").alias("id_b"),
+        F.col("_arr").alias("_ab"),
+        F.col("_s").alias("_sb"),
+        F.col("_ss").alias("_sbb"),
     )
-    # per-pair aligned products: join each side's cells to the
-    # candidate list (candidate-sized), then OUTER-join the two cell
-    # streams per (pair, pos) so a position present on one side only
-    # still contributes its one-sided sums
-    pa = a.join(cand, "id_a").select("id_a", "id_b", "_p", "_va")
-    pb = b.join(cand, "id_b").select("id_a", "id_b", "_p", "_vb")
-    j = pa.join(pb, ["id_a", "id_b", "_p"], "full_outer").select(
-        "id_a",
-        "id_b",
-        F.coalesce("_va", F.lit(0)).alias("_va"),
-        F.coalesce("_vb", F.lit(0)).alias("_vb"),
-    )
-    st = j.groupBy("id_a", "id_b").agg(
-        F.sum("_va").alias("_sa"),
-        F.sum("_vb").alias("_sb"),
-        F.sum(F.col("_va") * F.col("_vb")).alias("_sab"),
-        F.sum(F.col("_va") * F.col("_va")).alias("_saa"),
-        F.sum(F.col("_vb") * F.col("_vb")).alias("_sbb"),
+    st = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "_sa",
+            "_sb",
+            "_saa",
+            "_sbb",
+            F.aggregate(
+                F.zip_with("_aa", "_ab", lambda x, y: x * y),
+                zero,
+                lambda a, x: a + x,
+            ).alias("_sab"),
+        )
     )
     n = F.lit(length).cast("long")
     cov_n = n * F.col("_sab") - F.col("_sa") * F.col("_sb")
