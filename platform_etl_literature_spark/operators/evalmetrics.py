@@ -263,7 +263,9 @@ def ab_welch(
     Scale shape: ONE map-side-combinable hash aggregate collapses the
     corpus to arm-count rows; the control row attaches via the one
     sanctioned single-row broadcast — no window, nothing corpus-shaped
-    downstream.  Arms with n < 2 (either side) report NULL t/df.
+    downstream.  Arms with n < 2 (either side) report NULL t/df.  A
+    control arm with NO rows fails loudly in-plan (raise_error) —
+    a typo'd control name must not silently empty the result.
 
     Returns (arm, n, mean, var, t, df_welch) for every non-control
     arm, plus the control arm's own row with NULL t/df.
@@ -284,11 +286,32 @@ def ab_welch(
         / (n * (n - 1)).cast("double"),
     )
     per_arm = stats.select("arm", "n", mean.alias("m"), var.alias("s2"))
+    # the control aggregate is ALWAYS exactly one row (a global
+    # conditional aggregate, not a filter): a typo'd / absent control
+    # arm fails LOUDLY in-plan (raise_error, the hdr_build pattern)
+    # instead of silently cross-joining an empty frame into zero rows
+    ctrl_match = F.col("arm") == control
     ctrl = F.broadcast(
-        per_arm.filter(F.col("arm") == control).select(
-            F.col("n").alias("n0"),
-            F.col("m").alias("m0"),
-            F.col("s2").alias("s20"),
+        per_arm.agg(
+            F.sum(ctrl_match.cast("long")).alias("_c"),
+            F.max(F.when(ctrl_match, F.col("n"))).alias("_n0"),
+            F.max(F.when(ctrl_match, F.col("m"))).alias("m0"),
+            F.max(F.when(ctrl_match, F.col("s2"))).alias("s20"),
+        ).select(
+            F.when(
+                F.col("_c") < 1,
+                F.raise_error(
+                    F.lit(
+                        "ab_welch: control arm "
+                        + repr(control)
+                        + " has no rows"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("_n0"))
+            .alias("n0"),
+            "m0",
+            "s20",
         )
     )
     j = per_arm.crossJoin(ctrl)
@@ -336,8 +359,11 @@ def lift_table(
 
     Determinism: ntile over a NON-UNIQUE order is engine-ambiguous,
     so the bucket order is (score DESC, id ASC) — total, replayable.
-    All counts are exact integers; rates and lift are per-row double
-    divisions on identical operands, rounded at 6.
+    NULL scores are excluded (Spark orders them NULLS LAST on DESC
+    where DuckDB puts them FIRST — an unrankable row must not decide
+    bucket boundaries engine-dependently).  All counts are exact
+    integers; rates and lift are per-row double divisions on
+    identical operands, rounded at 6.
 
     Scale shape: when ``group_cols`` partition the table (per-language
     / per-source reporting — the intended use), the ntile window and
@@ -354,7 +380,7 @@ def lift_table(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     lbl = F.col(label_col).cast("long")
-    b = scored.select(
+    b = scored.filter(F.col(score_col).isNotNull()).select(
         *g,
         lbl.alias("_y"),
         F.ntile(n_buckets).over(w).alias("bucket"),
@@ -478,7 +504,10 @@ def auc_roc(
     part = [F.col(c) for c in g]
     s = F.col(score_col).cast("long")
     y = F.col(label_col).cast("long")
-    cells = df.groupBy(*g, s.alias("_s")).agg(
+    # NULL scores are unrankable and engine-divergent (Spark orders
+    # NULLS FIRST on ASC, DuckDB NULLS LAST) — exclude them so the
+    # SQL-oracle replay contract holds for arbitrary inputs
+    cells = df.filter(s.isNotNull()).groupBy(*g, s.alias("_s")).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(y).alias("_np"),
     )

@@ -543,18 +543,25 @@ def mann_kendall(
     (S is a pairwise statistic), guarded by the same
     ``max_group_points`` loud-exclusion valve as Theil-Sen; tie
     correction is one extra value-keyed aggregate.  Duplicate x
-    positions within a group are excluded from pairing the same way
-    (strict x ordering).
+    positions within a group COLLAPSE first by summing y (the
+    cusum_changepoint cell-collapse discipline) — so n counts
+    distinct positions, every retained pair has strict x order, and
+    the n(n−1)(2n+5) variance term is consistent with the computed S
+    (pairing-with-exclusion under the full-n variance understates
+    |z| when x ties exist).
 
     Returns (*key, n, s, var_s_x18, z) — ``var_s_x18`` is the exact
-    integer 18·Var(S); z is NULL when Var(S) = 0 (all values tied).
+    integer 18·Var(S); z is NULL when Var(S) = 0 (all values tied,
+    or a single distinct position — such groups surface with s = 0
+    rather than vanishing).
     """
     keys = list(key_cols or [])
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
     base = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .select(*keys, x.alias("_x"), y.alias("_y"))
+        .groupBy(*keys, x.alias("_x"))
+        .agg(F.sum(y).alias("_y"))
     )
     sizes = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     kept = base.join(
@@ -596,7 +603,10 @@ def mann_kendall(
     ).when(var18 > 0, F.lit(0.0))
     return (
         sizes.filter(F.col("_n") <= max_group_points)
-        .join(F.broadcast(s_agg), keys)
+        # LEFT join: a single-position group produces no pairs row —
+        # it must surface with s = 0, not vanish
+        .join(F.broadcast(s_agg), keys, "left")
+        .withColumn("s", F.coalesce(F.col("s"), F.lit(0).cast("long")))
         .join(F.broadcast(ties), keys)
         .select(
             *keys,

@@ -191,7 +191,11 @@ def logrank_test(
         χ²  = (O−E)² / V        (1 df)
 
     ``arm_col`` must take exactly two values per key; the arm that
-    sorts FIRST is "arm 1" (deterministic, engine-portable).
+    sorts FIRST is "arm 1" (deterministic, engine-portable).  Three
+    or more arms fail LOUDLY in-plan (raise_error, the hdr_build
+    domain-guard pattern) — silent pooling into "arm 2" would yield a
+    plausible but wrong statistic.  One arm is degenerate but valid
+    (every O−E and V term is 0; χ² is NULL).
 
     Float parity: at-risk and event counts are exact BIGINTs from one
     cell collapse + cumulative windows (the KM shape, pivoted by
@@ -217,7 +221,20 @@ def logrank_test(
     )
     w_all = Window.partitionBy(*part)
     arm1 = F.min("_arm").over(w_all)
-    is1 = (F.col("_arm") == arm1).cast("long")
+    # in-plan domain guard (the hdr_build raise_error pattern,
+    # sketch.py): 3+ arms would silently pool every non-first arm
+    # into "arm 2" and yield a plausible-looking but wrong two-sample
+    # statistic — fail loudly instead.  collect_set runs over the
+    # already-collapsed (key, t, arm) cells, never the subject rows.
+    n_arms = F.size(F.collect_set("_arm").over(w_all))
+    is1 = F.when(
+        n_arms > 2,
+        F.expr(
+            "CAST(raise_error(concat('logrank_test: arm column takes "
+            "3+ distinct values within a key; the two-sample test "
+            "requires exactly two arms per key')) AS BIGINT)"
+        ),
+    ).otherwise((F.col("_arm") == arm1).cast("long"))
     pooled = cells.select(
         *g,
         "t",

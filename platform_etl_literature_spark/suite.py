@@ -9055,9 +9055,9 @@ tg AS (
         FROM daily GROUP BY 1, 2)
   GROUP BY 1),
 e AS (
-  SELECT nn.g, n, s,
+  SELECT nn.g, n, COALESCE(s, 0) AS s,
     n * (n - 1) * (2 * n + 5) - tie18 AS var18
-  FROM nn JOIN sa ON nn.g = sa.g JOIN tg ON nn.g = tg.g)
+  FROM nn LEFT JOIN sa ON nn.g = sa.g JOIN tg ON nn.g = tg.g)
 SELECT g, n, s, var18 AS var_s_x18,
   round(CASE WHEN var18 > 0 AND s > 0
              THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)

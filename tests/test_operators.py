@@ -5247,3 +5247,80 @@ def test_logrank_identical_arms_zero(spark):
     # identical curves -> O-E exactly 0 -> chi2 exactly 0
     assert out["ome_micro"] == 0
     assert out["chi2"] == 0.0
+
+
+def test_mann_kendall_duplicate_x_collapse_and_all_tied_x(spark):
+    """Duplicate x positions collapse by summing y BEFORE pairing, so
+    Var(S)'s n(n-1)(2n+5) term counts distinct positions — consistent
+    with the computed S; a group whose every row shares one x
+    surfaces with s=0 / z NULL instead of vanishing."""
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = (
+        # dup: x=1 holds (4, 6) -> collapses to 10; series 10, 20, 30
+        [("dup", 1, 4), ("dup", 1, 6), ("dup", 2, 20), ("dup", 3, 30)]
+        # onex: every row at x=5 -> one collapsed point, no pairs
+        + [("onex", 5, 1), ("onex", 5, 2), ("onex", 5, 3)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in RB.mann_kendall(df, "x", "y", ["g"]).collect()}
+    n = 3
+    assert out["dup"]["n"] == n
+    assert out["dup"]["s"] == 3  # strictly increasing collapsed series
+    assert out["dup"]["var_s_x18"] == n * (n - 1) * (2 * n + 5)
+    assert out["onex"]["n"] == 1
+    assert out["onex"]["s"] == 0
+    assert out["onex"]["var_s_x18"] == 0
+    assert out["onex"]["z"] is None
+
+
+def test_logrank_three_arms_raises_in_plan(spark):
+    """3+ arms within a key must fail LOUDLY (raise_error domain
+    guard), never silently pool non-first arms into 'arm 2'."""
+    import pytest
+
+    from platform_etl_literature_spark.operators import survival as SV
+
+    rows = [
+        ("g", "A", 1, 1), ("g", "B", 2, 1), ("g", "C", 3, 1),
+    ]
+    df = spark.createDataFrame(rows, ["g", "arm", "dur", "ev"])
+    with pytest.raises(Exception, match="exactly two arms"):
+        SV.logrank_test(df, "dur", "ev", "arm", ["g"]).collect()
+
+
+def test_ab_welch_missing_control_raises_in_plan(spark):
+    """A typo'd / absent control arm fails LOUDLY (raise_error on the
+    one-row control aggregate), never silently returns zero rows."""
+    import pytest
+
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], ["arm", "v"]
+    )
+    with pytest.raises(Exception, match="has no rows"):
+        EV.ab_welch(df, "arm", "v", control="nope").collect()
+    # and a present control still works
+    out = EV.ab_welch(df, "arm", "v", control="a").collect()
+    assert {r["arm"] for r in out} == {"a", "b"}
+
+
+def test_auc_and_lift_exclude_null_scores(spark):
+    """NULL scores are unrankable and engine-divergent (Spark NULLS
+    FIRST asc vs DuckDB NULLS LAST) — both readouts must exclude
+    them, keeping the SQL-oracle replay contract for any input."""
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    rows = [
+        ("g", 1, 0), ("g", 2, 0), ("g", 3, 1), ("g", 4, 1),
+        ("g", None, 1), ("g", None, 0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    out = EV.auc_roc(df, "s", "y", ["g"]).collect()[0]
+    assert out["n"] == 4 and out["auc"] == 1.0
+    lt = EV.lift_table(
+        df.withColumn("id", F.coalesce("s", F.lit(99))),
+        "s", "y", "id", n_buckets=2,
+    ).collect()
+    assert sum(r["n"] for r in lt) == 4

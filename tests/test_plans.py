@@ -833,13 +833,16 @@ def test_acf_one_window_no_join(spark, sf_dir):
 def test_ab_welch_arm_collapse_control_broadcast(spark, sf_dir):
     """The corpus collapses to arm-count rows in one map-side
     aggregate; the control row attaches via the one sanctioned
-    single-row broadcast — no window, no shuffle-heavy join."""
+    single-row broadcast — no window, no shuffle-heavy join.  The
+    missing-control raise_error guard adds exactly one
+    arm-count-sized single-partition collapse (bounded by the arm
+    vocabulary, never data-sized)."""
     plan = _simple_plan(SUITE["ab_welch"].fn(spark, sf_dir))
     assert "Window" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
-    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
 
 
@@ -904,7 +907,9 @@ def test_naive_bayes_one_class_broadcast_vocab_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
-    assert "Exchange SinglePartition" not in plan or True
+    # two sanctioned one-row collapses (corpus doc count + class
+    # count-sized prior aggregate) — bounded, never data-sized
+    assert plan.count("Exchange SinglePartition") <= 2, plan[:3000]
 
 
 def test_rfm_no_single_partition_rank(spark, sf_dir):
