@@ -9917,24 +9917,57 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 #     rank (ranking.ordered_global_index) under exact integer
 #     equi-depth binning — the scale-safe NOT-a-global-ntile
 #     construction was never driver-hashed.
+#
+# Round-8 rotation (per the round-7 verdict's explicit ask): the
+# session-10 analytics family — auc_roc, kaplan_meier, logrank,
+# mann_kendall, nelson_aalen, ccf_lags — all carry full SQL oracles
+# but had never been independently driver-hashed.  Six swaps; every
+# displaced row is a within-family near-redundancy and stays
+# value-gated in the parity suite:
+#   dedup_embedding_cosine→auc_roc — the F1 exact-cosine construct
+#     stays driver-hashed through ann_recall_at_k, which EMBEDS the
+#     brute-force cosine baseline (plus all five approximate paths)
+#     behind one composed oracle; the standalone near-dup threshold
+#     row is strictly weaker.
+#   kmv_distinct_users→kaplan_meier — kmv_source_overlap EMBEDS the
+#     KMV build and the estimate arithmetic (every integer in its
+#     overlap matrix is a theta-sketch set op on the same bottom-k
+#     construction); only the merge theorem leaves the window, and it
+#     stays parity-gated.
+#   bloomindex_skip→logrank — the layout family keeps hilbert_skip
+#     (the Hilbert fold + measured hilbert<=zorder skip accounting)
+#     and the window keeps bloom_join_prune's bloom-pruning claim;
+#     the file-index false-positive row stays parity-gated.
+#   psi_drift→mann_kendall — the drift family keeps ks_drift (the
+#     exact-integer-supremum proof row, hashed green in r7);
+#     psi_drift's nano-unit fold was hashed green in r7 too and
+#     stays parity-gated.
+#   pivot_event_types→nelson_aalen — the conditional-sum pivot
+#     construction rides two other hashed rows (logrank_test's arm
+#     pivot via indicator sums; naive_bayes' class-conditional
+#     counts), so the standalone pivot row is within-family
+#     redundant.
+#   embedding_centroids→ccf_lags — the §2.8 HOF family keeps TWO
+#     hashed rows (harmonic_relevance, doc_profile); the centroid
+#     zip_with/aggregate shapes also ride ann_recall_at_k's IVF path.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
     "harmonic_relevance", "running_collect", "window_distinct_count",
     "two_level_window_min", "union_by_name", "string_funcs",
     "date_parts", "naive_bayes", "grouped_json",
-    "evidence_cooc_analog", "psi_drift", "edit_distance_join",
+    "evidence_cooc_analog", "mann_kendall", "edit_distance_join",
     "ks_drift",
-    "minhash_pairs", "funnel_steps", "bloomindex_skip",
-    "user_ewma_segmented", "dedup_embedding_cosine", "mmr_rerank", "pagerank",
-    "embedding_centroids", "vectors_norm_category", "doc_profile",
+    "minhash_pairs", "funnel_steps", "logrank",
+    "user_ewma_segmented", "auc_roc", "mmr_rerank", "pagerank",
+    "ccf_lags", "vectors_norm_category", "doc_profile",
     "incremental_agg", "hilbert_skip", "sessionize", "moore_lewis_select",
-    "kmv_distinct_users", "multimodal_frames", "cluster_split",
+    "kaplan_meier", "multimodal_frames", "cluster_split",
     "bloom_join_prune", "token_packing", "hdr_quantile_sketch",
     "suffix_dedup",
     "corpus_curation", "dedup_components", "ann_recall_at_k",
     "kmv_source_overlap", "scan_provenance", "graph_triangles",
-    "rfm_segments", "pivot_event_types", "interval_overlap",
+    "rfm_segments", "nelson_aalen", "interval_overlap",
     "asof_join",
 )
 
