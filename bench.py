@@ -205,10 +205,57 @@ HEADLINE = [
     "ab_welch",
     # in-engine classifier train+score (measured 1.93/0.42 at sf0.1,
     # min of 3: the classes × token-occurrences pass is data-sized on
-    # both engines).  burstiness / gini / benford stay parity-gated
-    # suite rows (floor-shaped cell collapses; their families already
-    # carry headline rows).
+    # both engines).
     "naive_bayes",
+    # round-8 expansion (the r7 verdict's ask: record the session-9/10
+    # families' DuckDB-race ratios before the next rotation; n >= 130).
+    # All measured on BOTH engines at sf0.1 before promotion (min of
+    # 2 after warmup).  Survival: kaplan_meier 0.83/0.03, nelson_aalen
+    # 0.63/0.02, logrank 0.88/0.03.  Trend: mann_kendall 0.99/0.02,
+    # acf_lags 0.86/0.05, ccf_lags 0.83/0.08.  Eval: auc_roc 0.32/0.02,
+    # lift_table 0.34/0.02, woe_iv 0.34/0.01.  Segmentation:
+    # rfm_segments 2.13/0.02 (three range-exchange rank passes — pays
+    # ~6 job floors by construction).  Distributional: burstiness
+    # 0.44/0.02, gini 0.26/0.01, benford 0.45/0.02.  ALL floor-shaped
+    # (cell collapses against millisecond DuckDB times); the
+    # floor-adjusted subtotal in BENCH_NOTES.md is the structural read.
+    "kaplan_meier",
+    "nelson_aalen",
+    "logrank",
+    "mann_kendall",
+    "acf_lags",
+    "ccf_lags",
+    "auc_roc",
+    "lift_table",
+    "woe_iv",
+    "rfm_segments",
+    "burstiness",
+    "gini",
+    "benford",
+    # round-8 expansion, second batch: the SURVEY §2 core-construct
+    # rows the bench never raced (driver-hashed since round 2; each a
+    # one-or-two-stage plan measuring Spark's scheduling floor against
+    # DuckDB's in-process dispatch — measured at sf0.1: top1 0.25/0.01,
+    # anti 0.24/0.02, outer 0.51/0.03, rank_lut 0.71/0.02,
+    # win_distinct 0.56/0.14, union 0.38/0.01, strings 0.14/0.05,
+    # dates 0.28/0.02, vectors 0.11/0.00, funnel 0.65/0.03,
+    # asof 0.38/0.04).  suffix_dedup / dedup_components / cluster_split
+    # stay OUT: their oracles are recursive-CTE / all-pairs ground
+    # truths that run 1-2 ORDERS slower than the Spark side at sf0.1
+    # (cluster_split measured 13.0 Spark vs 87.3 DuckDB) — racing them
+    # would pad Spark's ratio with oracle-shaped wins and minutes of
+    # driver wall; mmr_rerank stays OUT by the diagnostics rule.
+    "top1_per_group",
+    "anti_join",
+    "outer_join_coalesce",
+    "broadcast_rank_lut",
+    "window_distinct_count",
+    "union_by_name",
+    "string_funcs",
+    "date_parts",
+    "vectors_norm_category",
+    "funnel_steps",
+    "asof_join",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

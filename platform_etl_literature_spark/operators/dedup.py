@@ -1145,6 +1145,50 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def embedding_lsh_occupancy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Bucket-occupancy accountability for the LSH near-dup path (the
+    ts_recall/dedup_recall pattern): per hash table, the bucket count,
+    the max and mean occupancy, and the candidate-pair volume
+    Σ s·(s−1)/2 the exact-cosine verify stage would pay.  This is the
+    measured check that the log2(n/25) bit-growth schedule
+    (tools/scale_probe.py:_bits_for) actually holds expected bucket
+    size — and so per-bucket quadratic verify work — constant as the
+    corpus grows; a drifting max_bucket or super-linear n_cand_pairs
+    at a larger factor is the loud signal to add bits or valve.
+
+    Scale shape: one bucketing pass (the same vectorized Arrow matmul
+    the join path uses) + two hash aggregates; output is
+    table-count-sized, no pair join anywhere.  Deterministic md5
+    hyperplanes → full SQL oracle.
+    """
+    from platform_etl_literature_spark.operators.similarity import (
+        _bucket_rows,
+    )
+
+    occ = (
+        _bucket_rows(df, "id", id_col, vec_col, n_tables, n_bits, dim)
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("_s"))
+    )
+    return occ.groupBy("tbl").agg(
+        F.sum("_s").alias("n_vecs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_s").alias("max_bucket"),
+        F.expr("sum(_s * (_s - 1) DIV 2)").alias("n_cand_pairs"),
+        F.round(
+            F.sum("_s").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_bucket"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

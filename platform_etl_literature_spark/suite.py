@@ -939,6 +939,64 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.4
 _ORACLE_DEDUP_EMB_LSH = _emb_lsh_oracle()
 
 
+def q_emb_lsh_occupancy(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-occupancy accountability for the LSH near-dup path
+    (operators.dedup.embedding_lsh_occupancy, the ts_recall/
+    dedup_recall pattern): per table, bucket count, max/mean occupancy
+    and the candidate-pair volume Σ s·(s−1)/2 the verify stage pays —
+    the measured check that the log2(n/25) bit-growth schedule holds
+    expected bucket size constant as the corpus grows (SCALE.md
+    carries the per-factor cells).  Same deterministic md5 planes as
+    dedup_embedding_lsh → full integer-exact SQL oracle."""
+    return D.embedding_lsh_occupancy(
+        _t(spark, sf, "embeddings"),
+        "vec_id",
+        "embedding",
+        n_tables=8,
+        n_bits=4,
+        dim=64,
+    ).orderBy("tbl")
+
+
+def _emb_lsh_occupancy_oracle(
+    n_tables: int = 8, n_bits: int = 4, dim: int = 64
+) -> str:
+    """DuckDB oracle for q_emb_lsh_occupancy: the _emb_lsh_oracle
+    bucket replay (inlined planes), then the same two aggregates."""
+    from platform_etl_literature_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for b in range(n_bits):
+            arr = ", ".join(repr(x) for x in _hyperplane(t, b, dim))
+            terms.append(
+                f"CASE WHEN list_dot_product(e, [{arr}]::DOUBLE[]) > 0"
+                f" THEN {1 << b} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    vb = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vb AS ({vb}),
+occ AS (
+  SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS s
+  FROM vb GROUP BY 1, 2)
+SELECT tbl, CAST(sum(s) AS BIGINT) AS n_vecs,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(max(s) AS BIGINT) AS max_bucket,
+  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_cand_pairs,
+  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS mean_bucket
+FROM occ GROUP BY tbl ORDER BY tbl
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: frozen-k-means cluster
     buckets + within-cluster exact cosine.  Same threshold as the
@@ -3814,16 +3872,30 @@ _ORACLE_ANN_RECALL = _ann_recall_oracle()
 
 
 def q_evidence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    """The full 4-step chain — processing (grounding) → embedding
-    (Word2Vec, seeded) → evidence (cosine pairs + co-occurrence scores)
-    — over a deterministic slice of the derived literature corpus.
-    Word2Vec training is iterative ML (non-SQL), so rows-only; the
-    slice (doc_id < 1000) bounds the training job at check scale.
-    """
+    """The evidence chain — processing (grounding, incl. the Porter
+    normalization + disambiguation) → evidence (cosine pairs +
+    co-occurrence scores) — over a deterministic slice of the derived
+    literature corpus, scored against the FROZEN seeded Word2Vec
+    artifact (plans/w2v_frozen.py, the PQ-codebook build-once pattern:
+    trained once by tools/train_w2v_frozen.py with the seeded
+    reduced-shape config on this exact slice, frozen as 6-decimal
+    literals).  evidence_from_matches is embedding-agnostic by design
+    (plans/evidence.py), so the frozen table IS the production shape —
+    at 100 TB the model is a versioned artifact, not something each
+    scoring run retrains.  This turns the previously rows-only
+    pipeline row into a FULL value-level check: the oracle replays the
+    expected grounding keys from the corpus construction
+    (benchdata.py: entity keys are doc_id modulo each entity table's
+    size — so the oracle independently cross-checks grounding
+    end-to-end) and the cosine + harmonic + co-occurrence arithmetic
+    from the same frozen literals.  In-chain Word2Vec TRAINING stays
+    covered by word2vec_synonyms (M3/M4, rows-only by nature) and the
+    embedding-step tests."""
     from platform_etl_literature_spark import benchdata as B
-    from platform_etl_literature_spark.plans import embedding as emb
+    from platform_etl_literature_spark.config import EvidenceConfig
     from platform_etl_literature_spark.plans import evidence as ev
     from platform_etl_literature_spark.plans import processing as proc
+    from platform_etl_literature_spark.plans.w2v_frozen import W2V_FROZEN
 
     epmc = B.epmc_from(spark, sf).filter(F.col("pmid").cast("long") < 1000)
     out = proc.run(
@@ -3835,13 +3907,15 @@ def q_evidence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         B.drugs_from(spark, sf),
         trace_source=False,
     )
-    from platform_etl_literature_spark.config import Word2VecConfig
-
-    # reduced W2V shape for the check-scale slice (full production
-    # params live in config.Word2VecConfig defaults / tests)
-    w2v = Word2VecConfig(num_partitions=4, max_iter=2, vector_size=32)
-    model, _training = emb.run(spark, out["matches"], conf=w2v)
-    evidence = ev.run(spark, model, out["matches"], out["cooccurrences"])
+    vectors = spark.createDataFrame(
+        W2V_FROZEN, "word STRING, vector ARRAY<DOUBLE>"
+    )
+    ev_m = ev.evidence_from_matches(
+        vectors, out["matches"], spark, EvidenceConfig().threshold
+    )
+    ev_c = ev.evidence_from_coocs(out["cooccurrences"])
+    join_cols = ["targetFromSourceId", "diseaseFromSourceMappedId"]
+    evidence = ev_m.join(ev_c, join_cols, "left_outer").na.fill(0.0)
     return evidence.select(
         "targetFromSourceId",
         "diseaseFromSourceMappedId",
@@ -3849,6 +3923,73 @@ def q_evidence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         "cooccurredPublicationCount",
         F.round("resourceScore", 6).alias("resourceScore"),
     )
+
+
+def _evidence_frozen_oracle() -> str:
+    """DuckDB oracle for q_evidence_pipeline, built from the same
+    frozen vector literals (the _pq_oracle pattern).  It replays the
+    EXPECTED grounding result from the corpus construction — entity
+    keys are doc_id modulo each entity table's size (benchdata.py), so
+    a grounding regression surfaces as a key mismatch here — then the
+    evidence arithmetic op-for-op: mapped mentions joined to the
+    frozen vectors, per-pair shared-publication counts, cosine as
+    dot/(|a|·|b|), the >0.01 threshold, the desc-sorted harmonic fold
+    (sum s/i²), and the co-occurrence path's score/10 harmonic +
+    distinct-pmid count under the <600-char sentence filter."""
+    from platform_etl_literature_spark.plans.w2v_frozen import W2V_FROZEN
+
+    vrows = ", ".join(
+        "(%r, [%s])" % (w, ", ".join(repr(x) for x in v))
+        for w, v in W2V_FROZEN
+    )
+    return f"""
+WITH vec(word, v) AS (VALUES {vrows}),
+nn AS (SELECT count(*) AS n_ds FROM nation),
+np AS (SELECT count(*) AS n_gp FROM part),
+m AS (
+  SELECT d.doc_id,
+         'ENSG' || CAST(d.doc_id % np.n_gp AS VARCHAR) AS t,
+         'EFO_' || CAST(d.doc_id % nn.n_ds AS VARCHAR) AS dis,
+         d.text
+  FROM documents d, nn, np
+  WHERE d.doc_id < 1000),
+pair AS (
+  SELECT m.t, m.dis, count(*) AS shared
+  FROM m
+  JOIN vec vt ON vt.word = m.t
+  JOIN vec vd ON vd.word = m.dis
+  GROUP BY 1, 2),
+sim AS (
+  SELECT p.t, p.dis, p.shared,
+    list_dot_product(vt.v, vd.v)
+      / (sqrt(list_dot_product(vt.v, vt.v))
+         * sqrt(list_dot_product(vd.v, vd.v))) AS s
+  FROM pair p
+  JOIN vec vt ON vt.word = p.t
+  JOIN vec vd ON vd.word = p.dis),
+em AS (
+  SELECT t, dis, shared,
+    list_sum(list_transform(generate_series(1, CAST(shared AS INT)),
+                            i -> s / (i * i))) AS harmonic
+  FROM sim WHERE s > 0.01),
+cd AS (
+  SELECT m.t, m.dis, m.doc_id,
+         (m.doc_id % 100 / 10.0) / 10.0 AS score
+  FROM m WHERE length(m.text) < 600),
+cr AS (
+  SELECT t, dis, doc_id, score,
+    row_number() OVER (PARTITION BY t, dis ORDER BY score DESC) AS rn
+  FROM cd),
+ec AS (
+  SELECT t, dis, sum(score / (rn * rn)) AS hcs,
+         count(DISTINCT doc_id) AS coocc
+  FROM cr GROUP BY 1, 2)
+SELECT em.t AS targetFromSourceId, em.dis AS diseaseFromSourceMappedId,
+  CAST(em.shared AS INT) AS sharedPublicationCount,
+  CAST(ec.coocc AS INT) AS cooccurredPublicationCount,
+  round(em.harmonic, 6) AS resourceScore
+FROM em LEFT JOIN ec ON em.t = ec.t AND em.dis = ec.dis
+"""
 
 
 def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
@@ -9337,6 +9478,11 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "dedup_embedding_lsh": QuerySpec(
         q_dedup_embedding_lsh, _ORACLE_DEDUP_EMB_LSH, "dedup-embedding-lsh"
     ),
+    "emb_lsh_occupancy": QuerySpec(
+        q_emb_lsh_occupancy,
+        _emb_lsh_occupancy_oracle(),
+        "lsh-bucket-occupancy-accountability",
+    ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup, _ORACLE_SEMANTIC_DEDUP, "dedup-semantic-clusters"
     ),
@@ -9406,7 +9552,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
         q_literature_pipeline, None, "flagship grounding+processing e2e"
     ),
     "evidence_pipeline": QuerySpec(
-        q_evidence_pipeline, None, "4-step processing+embedding+evidence e2e"
+        q_evidence_pipeline,
+        _evidence_frozen_oracle(),
+        "processing+evidence e2e vs frozen W2V artifact",
     ),
     "tfidf_terms": QuerySpec(q_tfidf_terms, _ORACLE_TFIDF, "textstats-tfidf-ext"),
     "json_props_extract": QuerySpec(
