@@ -811,6 +811,41 @@ def test_embedding_lsh_pairs_subset_of_bruteforce_with_full_recall_on_dups(spark
     D.release_cached()
 
 
+def test_embedding_lsh_occupancy_accounts_for_candidate_volume(spark):
+    """The occupancy row's invariants: every table sees every vector
+    exactly once (n_vecs = corpus size), mean = n_vecs/n_buckets, and
+    n_cand_pairs = sum over buckets of s·(s−1)/2 — cross-checked
+    against a direct bucket replay."""
+    rows = [(i, [float(i % 4 == j) for j in range(4)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    occ = D.embedding_lsh_occupancy(
+        df, "vec_id", "embedding", n_tables=4, n_bits=2
+    ).collect()
+    assert len(occ) == 4
+    from platform_etl_literature_spark.operators.similarity import (
+        _bucket_rows,
+    )
+
+    raw = (
+        _bucket_rows(df, "id", "vec_id", "embedding", 4, 2, None)
+        .groupBy("tbl", "bucket")
+        .count()
+        .collect()
+    )
+    import collections
+
+    per_tbl = collections.defaultdict(list)
+    for r in raw:
+        per_tbl[r["tbl"]].append(r["count"])
+    for r in occ:
+        sizes = per_tbl[r["tbl"]]
+        assert r["n_vecs"] == 12 == sum(sizes)
+        assert r["n_buckets"] == len(sizes)
+        assert r["max_bucket"] == max(sizes)
+        assert r["n_cand_pairs"] == sum(s * (s - 1) // 2 for s in sizes)
+        assert abs(r["mean_bucket"] - round(12 / len(sizes), 6)) < 1e-9
+
+
 def test_scrub_dup_passages_keeps_first_occurrence_only(spark):
     """C4-style passage scrub: first corpus-wide occurrence (by id, pos)
     of each passage survives, later ones — across docs AND within one

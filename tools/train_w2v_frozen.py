@@ -40,7 +40,7 @@ input to the embedding-agnostic evidence step
 (plans/evidence.py:evidence_from_matches) — training buys vector
 quality, not correctness — so the same constants serve every scale
 factor whose entity keys they cover (the synthetic corpus mentions
-ENSG{doc_id %% n_part} / EFO_{doc_id %% 25}, and sf0.001/sf0.01/sf0.1
+ENSG{doc_id % n_part} / EFO_{doc_id % 25}, and sf0.001/sf0.01/sf0.1
 key ranges all fall inside the sf0.01-slice vocabulary).  At 100 TB
 this lives in a versioned artifact store next to the corpus;
 regenerate with tools/train_w2v_frozen.py after a corpus change.
