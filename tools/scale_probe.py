@@ -987,6 +987,7 @@ def main() -> None:
         )
     }
     n_docs: dict[int, int] = {}
+    occupancy: dict[int, dict] = {}
 
     def probe(name, fn, df, factor, n_rows):
         # run 0 is codegen/JIT warmup (a first execution of a large
@@ -1021,6 +1022,31 @@ def main() -> None:
         )
         for name, fn in EMB_OPS.items():
             probe(name, lambda d, f=fn: f(d, bits, cents), emb, factor, n_emb)
+        # bucket-occupancy accountability (the emb_lsh_occupancy suite
+        # row, probed per factor at the factor's bit width): the
+        # r7 verdict's check that the log2(n/25) bit-growth schedule
+        # actually holds expected bucket size — and so per-bucket
+        # quadratic verify work — constant across factors
+        occ = (
+            D.embedding_lsh_occupancy(
+                emb, "vec_id", "embedding", n_tables=8, n_bits=bits, dim=64
+            )
+            .agg(
+                F.max("max_bucket").alias("max_bucket"),
+                F.round(F.avg("mean_bucket"), 2).alias("mean_bucket"),
+                F.sum("n_cand_pairs").alias("cand_pairs"),
+            )
+            .first()
+        )
+        occupancy.setdefault(factor, {}).update(
+            bits=bits,
+            n_vecs=n_emb,
+            max_bucket=occ["max_bucket"],
+            mean_bucket=float(occ["mean_bucket"]),
+            cand_pairs=occ["cand_pairs"],
+        )
+        print(json.dumps({"op": "emb_lsh_occupancy", "x": factor,
+                          **occupancy[factor]}))
         lpath = scaled_lineitem(spark, factor)
         li = spark.read.parquet(lpath)
         n_li = li.count()
@@ -1123,6 +1149,30 @@ def main() -> None:
             for f in factors
         ]
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    lines.append("")
+
+    # LSH bucket-occupancy accountability: the emb_lsh_occupancy suite
+    # row probed at each factor's bit width — the measured check that
+    # the log2(n/25) schedule holds expected bucket size (and the
+    # per-bucket quadratic verify volume) roughly constant
+    lines += [
+        "## LSH bucket occupancy vs the log2(n/25) bit schedule",
+        "",
+        "Max/mean bucket size and total candidate-pair volume "
+        "(Σ s·(s−1)/2 across buckets, 8 tables) for emb_lsh_near_pairs "
+        "at each factor's bit width.  The schedule holds when "
+        "mean_bucket stays ~flat and cand_pairs grows ~linearly with "
+        "n_vecs; a drifting max_bucket is the hot-bucket signal.",
+        "",
+        "| factor | n_vecs | bits | max bucket | mean bucket | candidate pairs |",
+        "|---|---|---|---|---|---|",
+    ]
+    for f in factors:
+        o = occupancy[f]
+        lines.append(
+            f"| {f}x | {o['n_vecs']:,} | {o['bits']} | {o['max_bucket']:,}"
+            f" | {o['mean_bucket']} | {o['cand_pairs']:,} |"
+        )
     lines.append("")
 
     # tokenizer-scale BPE probe (VERDICT r6 item 6): production merge
