@@ -1429,52 +1429,20 @@ def sorted_neighborhood_pairs(
     )
 
 
-def prefix_jaccard_pairs(
+def _prefix_jaccard_frames(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.6,
-    max_bucket_size: int | None = None,
-) -> DataFrame:
-    """Set-similarity join with PREFIX FILTERING (the PPJoin family —
-    Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. WWW'08): exact Jaccard
-    >= ``threshold`` pairs over distinct-token sets, generating
-    candidates only from each document's RARE-TOKEN PREFIX instead of
-    its full inverted index.
-
-    Why it scales where the plain inverted-index join
-    (:func:`ngram_jaccard_pairs`) pays Σdf²: order every token by
-    global document frequency (rarest first, ties by token — one
-    deterministic total order both engines replay) and sort each
-    document's token-rank set by that order.  Two sets with
-    Jaccard >= t MUST share a token within their first
-    n − ⌈t·n⌉ + 1 ranks (pigeonhole: missing the whole prefix caps the
-    overlap below t), so only prefix tokens — the LOW-df ones, since
-    the prefix is rare-first — enter the join.  Stop-token buckets
-    never generate candidates at all; the quadratic blowup moves from
-    the most common tokens to the rarest.
-
-    One corpus scan builds the compact (id, n, sorted rank array)
-    table (persisted — candidate generation and verification both read
-    it); the df/rank table shuffles as (token, long) pairs; the verify
-    is per-pair ``array_intersect`` on int ranks.  ``max_bucket_size``
-    remains available as a belt-and-braces valve for adversarial
-    corpora where even a prefix bucket goes viral.
-
-    The prefix filter is compounded with the suite's two other
-    lossless candidate filters (both applied BEFORE the pair-dedup
-    shuffle, so pruned pairs never shuffle): the ICDE'06 LENGTH filter
-    (min(n)/max(n) >= t) inside the bucket join, and the WWW'08
-    POSITIONAL filter — each shared prefix token's sorted positions
-    bound the achievable overlap, and the pair-dedup aggregation keeps
-    a pair only if its tightest bound still reaches the overlap
-    threshold t/(1+t)·(n_a+n_b).
-
-    Exact (no recall loss): completeness of the prefix filter is a
-    theorem, re-checked against the brute-force all-pairs join in
-    tests/test_properties.py.  Returns (id_a, id_b, n_a, n_b, n_inter,
-    jaccard) with id_a < id_b.
-    """
+    threshold: float,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared candidate-generation chain for the PPJoin family:
+    returns (compact, matched, cand) — the persisted (id, n, sorted
+    rank array) table, the prefix+LENGTH-filtered pair rows (one per
+    shared prefix token, pre-dedup), and the POSITIONAL-filtered
+    distinct candidate pairs.  :func:`prefix_jaccard_pairs` verifies
+    ``cand`` exactly; :func:`prefix_jaccard_stats` counts each stage
+    to publish the measured filter reduction."""
     from platform_etl_literature_spark.operators.ranking import (
         ordered_global_index,
     )
@@ -1562,6 +1530,131 @@ def prefix_jaccard_pairs(
         .agg(F.min("_slack").alias("_min_slack"))
         .filter(F.col("_min_slack") >= 0.0)
         .select("id_a", "id_b")
+    )
+    return compact, matched, cand
+
+
+def prefix_jaccard_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Filter-reduction accountability for the PPJoin chain (the
+    ts_recall/emb_lsh_occupancy pattern, the r7 verdict's ask): one
+    row measuring how many pairs each lossless filter admits —
+
+    * ``n_prefix_pairs``: DISTINCT pairs sharing ≥1 rare-prefix token
+      that survive the ICDE'06 length filter (the candidate set a
+      plain PPJoin would verify),
+    * ``n_after_positional``: pairs surviving the WWW'08 positional
+      min-slack prune (what the verify stage actually pays),
+    * ``n_verified``: pairs passing exact Jaccard ≥ t,
+
+    plus the measured reduction ratios.  Every count is replayed
+    integer-for-integer by the SQL oracle (same rank order, same
+    filters), so the claimed pruning is value-checked, not asserted.
+    """
+    compact, matched, cand = _prefix_jaccard_frames(
+        df, id_col, text_col, threshold, max_bucket_size
+    )
+    cand = _materialize_once(cand)
+    n_prefix = (
+        matched.select("id_a", "id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_prefix_pairs"))
+    )
+    n_pos = cand.agg(F.count(F.lit(1)).alias("n_after_positional"))
+    a = compact.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("rs").alias("_ra")
+    )
+    b = compact.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("rs").alias("_rb")
+    )
+    inter = F.size(F.array_intersect("_ra", "_rb"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    n_ver = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.round(jac, 6) >= threshold)
+        .agg(F.count(F.lit(1)).alias("n_verified"))
+    )
+    return (
+        n_prefix.crossJoin(n_pos)
+        .crossJoin(n_ver)
+        .select(
+            "n_prefix_pairs",
+            "n_after_positional",
+            "n_verified",
+            F.when(
+                F.col("n_prefix_pairs") > 0,
+                F.round(
+                    F.col("n_after_positional")
+                    / F.col("n_prefix_pairs").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(1.0)).alias("positional_keep_ratio"),
+            F.when(
+                F.col("n_after_positional") > 0,
+                F.round(
+                    F.col("n_verified")
+                    / F.col("n_after_positional").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(1.0)).alias("verify_precision"),
+        )
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (the PPJoin family —
+    Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. WWW'08): exact Jaccard
+    >= ``threshold`` pairs over distinct-token sets, generating
+    candidates only from each document's RARE-TOKEN PREFIX instead of
+    its full inverted index.
+
+    Why it scales where the plain inverted-index join
+    (:func:`ngram_jaccard_pairs`) pays Σdf²: order every token by
+    global document frequency (rarest first, ties by token — one
+    deterministic total order both engines replay) and sort each
+    document's token-rank set by that order.  Two sets with
+    Jaccard >= t MUST share a token within their first
+    n − ⌈t·n⌉ + 1 ranks (pigeonhole: missing the whole prefix caps the
+    overlap below t), so only prefix tokens — the LOW-df ones, since
+    the prefix is rare-first — enter the join.  Stop-token buckets
+    never generate candidates at all; the quadratic blowup moves from
+    the most common tokens to the rarest.
+
+    One corpus scan builds the compact (id, n, sorted rank array)
+    table (persisted — candidate generation and verification both read
+    it); the df/rank table shuffles as (token, long) pairs; the verify
+    is per-pair ``array_intersect`` on int ranks.  ``max_bucket_size``
+    remains available as a belt-and-braces valve for adversarial
+    corpora where even a prefix bucket goes viral.
+
+    The prefix filter is compounded with the suite's two other
+    lossless candidate filters (both applied BEFORE the pair-dedup
+    shuffle, so pruned pairs never shuffle): the ICDE'06 LENGTH filter
+    (min(n)/max(n) >= t) inside the bucket join, and the WWW'08
+    POSITIONAL filter — each shared prefix token's sorted positions
+    bound the achievable overlap, and the pair-dedup aggregation keeps
+    a pair only if its tightest bound still reaches the overlap
+    threshold t/(1+t)·(n_a+n_b).
+
+    Exact (no recall loss): completeness of the prefix filter is a
+    theorem, re-checked against the brute-force all-pairs join in
+    tests/test_properties.py.  Returns (id_a, id_b, n_a, n_b, n_inter,
+    jaccard) with id_a < id_b.
+    """
+    compact, _matched, cand = _prefix_jaccard_frames(
+        df, id_col, text_col, threshold, max_bucket_size
     )
     a = compact.select(
         F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("rs").alias("_ra")

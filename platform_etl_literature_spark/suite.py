@@ -725,6 +725,72 @@ WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.85
 """
 
 
+def q_prefix_jaccard_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """PPJoin filter-reduction accountability
+    (operators.dedup.prefix_jaccard_stats, the r7 verdict's ask): one
+    row counting the DISTINCT prefix+length-filter candidate pairs,
+    the pairs surviving the WWW'08 positional min-slack prune, and the
+    exact-Jaccard survivors at t=0.85 — the measured candidate
+    reduction, each integer replayed by an oracle that runs the SAME
+    rank order and filters (unlike prefix_jaccard's brute-force
+    losslessness oracle, this one value-checks the pruning chain
+    itself).  Stays out of the bench headline by the
+    accountability-row rule."""
+    return D.prefix_jaccard_stats(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.85
+    )
+
+
+_ORACLE_PREFIX_JACCARD_STATS = """
+WITH w AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x != ''))
+           AS toks
+  FROM documents),
+flat AS (SELECT id, unnest(toks) AS t FROM w WHERE len(toks) > 0),
+dfc AS (SELECT t, count(*) AS c FROM flat GROUP BY 1),
+rk AS (SELECT t, row_number() OVER (ORDER BY c ASC, t ASC) AS r FROM dfc),
+rs AS (
+  SELECT id, list_sort(list(r)) AS rs, count(*) AS n
+  FROM flat JOIN rk USING (t) GROUP BY id),
+pref AS (
+  SELECT id, n, p, rs[p] AS r
+  FROM (SELECT id, n, rs,
+               unnest(generate_series(1, CAST(n - ceil(0.85 * n) + 1 AS INT))) AS p
+        FROM rs)),
+lenf AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb,
+         a.p AS pa, b.p AS pb
+  FROM pref a JOIN pref b ON a.r = b.r AND a.id < b.id
+  WHERE b.n >= (0.85 - 1e-6) * a.n AND a.n >= (0.85 - 1e-6) * b.n),
+npre AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_prefix_pairs
+  FROM (SELECT DISTINCT id_a, id_b FROM lenf)),
+cand AS (
+  SELECT id_a, id_b
+  FROM lenf
+  GROUP BY 1, 2
+  HAVING min(least(pa - 1, pb - 1) + 1 + least(na - pa, nb - pb)
+             - ((0.85 - 1e-6) / (1.0 + (0.85 - 1e-6))) * (na + nb)) >= 0),
+npos AS (SELECT CAST(count(*) AS BIGINT) AS n_after_positional FROM cand),
+v AS (
+  SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
+         len(list_intersect(sa.rs, sb.rs)) AS n_inter
+  FROM cand JOIN rs sa ON sa.id = id_a JOIN rs sb ON sb.id = id_b),
+nver AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_verified FROM v
+  WHERE round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) >= 0.85)
+SELECT n_prefix_pairs, n_after_positional, n_verified,
+  CASE WHEN n_prefix_pairs > 0
+       THEN round(n_after_positional / CAST(n_prefix_pairs AS DOUBLE), 6)
+       ELSE 1.0 END AS positional_keep_ratio,
+  CASE WHEN n_after_positional > 0
+       THEN round(n_verified / CAST(n_after_positional AS DOUBLE), 6)
+       ELSE 1.0 END AS verify_precision
+FROM npre, npos, nver
+"""
+
+
 def q_lm_doc_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality scoring: average bigram log-prob (and
     perplexity) per document under an add-0.1-smoothed bigram model
@@ -9438,6 +9504,11 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "weighted_median": QuerySpec(
         q_weighted_median, _ORACLE_WEIGHTED_MEDIAN, "robust-weighted-median"
+    ),
+    "prefix_jaccard_stats": QuerySpec(
+        q_prefix_jaccard_stats,
+        _ORACLE_PREFIX_JACCARD_STATS,
+        "ppjoin-filter-reduction-accountability",
     ),
     "prefix_jaccard": QuerySpec(
         q_prefix_jaccard, _ORACLE_PREFIX_JACCARD, "dedup-prefix-filter-join"
