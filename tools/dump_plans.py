@@ -237,13 +237,15 @@ SHOWCASE: dict[str, str] = {
         "keys."
     ),
     "graph_triangles": (
-        "Wedge generation and closure are hash equijoins on src / "
-        "(w1, w2) over the degree-ORIENTED edges (max out-degree O(√m) "
-        "by construction — the last-reducer fix); the only nested-loop "
-        "joins are the 1-row scalar combines of the summary, which now "
-        "include the wedge-volume accountability row (n_candidates = "
-        "Σ C(outdeg,2), max_out_degree) so super-linear scale cells "
-        "are value-verified."
+        "Triangles count via ADJACENCY INTERSECTION over the "
+        "degree-ORIENTED edges (max out-degree O(√m) — the "
+        "last-reducer fix): two node-keyed hash equijoins attach "
+        "collected out-neighbor arrays and array_intersect runs per "
+        "edge inside codegen, so only the m oriented edges shuffle — "
+        "never Σ C(outdeg,2) wedge rows; the only nested-loop joins "
+        "are the 1-row scalar combines of the summary, which include "
+        "the wedge-volume accountability columns (n_candidates, "
+        "max_out_degree) so scale cells stay value-verified."
     ),
     "pagerank": (
         "NO edge-sized shuffle inside the loop: the node-sized rank "
@@ -508,12 +510,13 @@ SHOWCASE: dict[str, str] = {
         "are all broadcast hash joins over sketch-sized frames."
     ),
     "ts_similar": (
-        "The (id, pos, value) cell frame materializes ONCE "
-        "(InMemoryTableScan feeds the signature AND both verify "
-        "sides); candidates are a pure signature equijoin with the "
-        "hot-bucket valve; the exact-Pearson verify is a full-outer "
-        "cell align + one hash aggregate per pair — no cartesian, no "
-        "nested loop."
+        "The dense per-id vector frame (one hash aggregate: length-L "
+        "array + Σv + Σv²) materializes ONCE (InMemoryTableScan feeds "
+        "the map-side signature AND both verify sides); candidates "
+        "are a pure signature equijoin with the hot-bucket valve; the "
+        "exact-Pearson verify is a zip_with dot product on the pair "
+        "join — no per-(pair, pos) shuffle, no cartesian, no nested "
+        "loop."
     ),
     "cusum_changepoint": (
         "Cell collapse, one partitioned window over the <=31 "
