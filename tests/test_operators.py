@@ -1669,6 +1669,31 @@ def test_prefix_jaccard_random_losslessness_with_all_filters(spark):
         D.release_cached()
 
 
+def test_prefix_jaccard_stats_consistent_with_pairs(spark):
+    """The accountability row's counts must satisfy the filter-chain
+    invariants on the same corpus: n_prefix_pairs >= n_after_positional
+    >= n_verified, and n_verified equals the pairs operator's output
+    row count (the positional prune is lossless)."""
+    import random as _r
+
+    from platform_etl_literature_spark.operators import dedup as D
+
+    rng = _r.Random(20260816)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(1, 10)
+        ws = {vocab[min(int(rng.expovariate(0.15)), 29)] for _ in range(n)}
+        docs.append((i, " ".join(sorted(ws))))
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    th = 0.5
+    [st] = D.prefix_jaccard_stats(sdf, "doc_id", "text", threshold=th).collect()
+    n_pairs = D.prefix_jaccard_pairs(sdf, "doc_id", "text", threshold=th).count()
+    assert st["n_prefix_pairs"] >= st["n_after_positional"] >= st["n_verified"]
+    assert st["n_verified"] == n_pairs
+    D.release_cached()
+
+
 def test_zorder_bins_rejects_non_integral_columns(spark):
     """ADVICE r4: the docstring promises integral-only input — a double
     column must raise, not silently truncate into engine-dependent
