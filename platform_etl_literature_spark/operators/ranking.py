@@ -81,8 +81,8 @@ def ordered_global_index(
     df: DataFrame,
     order_by: list[Column],
     rank_col: str = "rnk",
-    running_sum_col: str | None = None,
-    running_sum_out: str = "cum",
+    running_sum_col: str | list[str] | None = None,
+    running_sum_out: str | list[str] = "cum",
     total_out: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -91,6 +91,11 @@ def ordered_global_index(
     ``running_sum_col`` and its grand total — WITHOUT a
     single-partition window.  See the module docstring for the
     construction and its determinism contract.
+
+    ``running_sum_col``/``running_sum_out`` accept parallel LISTS to
+    carry several prefix sums through the SAME range exchange (the
+    heaps_law caller needs cumulative tokens AND cumulative new
+    types); ``total_out`` applies to the FIRST sum column only.
 
     ``order_by`` MUST be a total order (no ties), or ranks within a tie
     group follow the physical range/sort placement.  Callers here rank
@@ -116,37 +121,53 @@ def ordered_global_index(
     )
     _CACHED.append(ann)
 
+    sum_cols = (
+        [running_sum_col]
+        if isinstance(running_sum_col, str)
+        else list(running_sum_col or [])
+    )
+    sum_outs = (
+        [running_sum_out]
+        if isinstance(running_sum_out, str)
+        else list(running_sum_out)
+    )
+    if sum_cols and len(sum_outs) < len(sum_cols):
+        raise ValueError("running_sum_out must name every running_sum_col")
     aggs = [F.count(F.lit(1)).alias("_n")]
-    if running_sum_col is not None:
+    for i, sc in enumerate(sum_cols):
         # The offset table is typed `_sum_off long`: running sums are
         # supported for integral columns only (every caller here sums
         # counts).  The cast keeps a drifting caller loud at analysis
         # time instead of silently truncating doubles driver-side.
-        dtype = dict(ann.dtypes).get(running_sum_col)
+        dtype = dict(ann.dtypes).get(sc)
         if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
             raise TypeError(
-                f"running_sum_col must be integral, got {running_sum_col}:{dtype}"
+                f"running_sum_col must be integral, got {sc}:{dtype}"
             )
-        aggs.append(F.sum(running_sum_col).alias("_s"))
+        aggs.append(F.sum(sc).alias(f"_s{i}"))
     stats = sorted(
         ann.groupBy("_pid").agg(*aggs).collect(), key=lambda r: r["_pid"]
     )
     # exclusive prefix sums over the #partitions-sized stats
-    rows, row_off, sum_off = [], 0, 0
+    rows, row_off = [], 0
+    sum_offs = [0] * len(sum_cols)
     for r in stats:
-        rows.append((r["_pid"], row_off, sum_off))
+        rows.append((r["_pid"], row_off, *sum_offs))
         row_off += r["_n"]
-        if running_sum_col is not None:
+        for i in range(len(sum_cols)):
             # F.sum is NULL over an all-NULL partition — contribute 0
-            sum_off += int(r["_s"] or 0)
+            sum_offs[i] += int(r[f"_s{i}"] or 0)
+    off_schema = "_pid int, _row_off long" + "".join(
+        f", _sum_off{i} long" for i in range(len(sum_cols))
+    )
     offsets = spark.createDataFrame(
-        rows or [(0, 0, 0)], "_pid int, _row_off long, _sum_off long"
+        rows or [(0, 0, *([0] * len(sum_cols)))], off_schema
     )
 
     out = ann.join(F.broadcast(offsets), "_pid", "left").withColumn(
         rank_col, (F.coalesce("_row_off", F.lit(0)) + F.col("_loc") + 1)
     )
-    if running_sum_col is not None:
+    if sum_cols:
         from pyspark.sql.window import Window
 
         # bounded window: each group is exactly one range partition
@@ -155,10 +176,14 @@ def ordered_global_index(
             .orderBy(*order_by)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = out.withColumn(
-            running_sum_out,
-            F.coalesce("_sum_off", F.lit(0)) + F.sum(running_sum_col).over(w),
-        )
+        for i, (sc, so) in enumerate(zip(sum_cols, sum_outs)):
+            out = out.withColumn(
+                so,
+                F.coalesce(f"_sum_off{i}", F.lit(0)) + F.sum(sc).over(w),
+            )
         if total_out is not None:
-            out = out.withColumn(total_out, F.lit(sum_off).cast("long"))
-    return out.drop("_pid", "_loc", "_row_off", "_sum_off")
+            out = out.withColumn(total_out, F.lit(sum_offs[0]).cast("long"))
+    drop_cols = ["_pid", "_loc", "_row_off"] + [
+        f"_sum_off{i}" for i in range(len(sum_cols))
+    ]
+    return out.drop(*drop_cols)

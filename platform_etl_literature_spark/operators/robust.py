@@ -616,3 +616,214 @@ def mann_kendall(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str] | None = None,
+    max_group_points: int = 1024,
+) -> DataFrame:
+    """Per-group Kendall rank correlation τ-b (Kendall, Biometrika
+    1938; τ-b tie treatment per Kendall '45) — the rank-association
+    companion to :func:`mann_kendall` (which tests ONE series against
+    its x-order; τ-b measures agreement between TWO metrics):
+
+        τ_b = (C − D) / √((n0 − n1)(n0 − n2))
+
+    with C/D the concordant/discordant pair counts, n0 = n(n−1)/2,
+    n1 = Σ_x-ties t(t−1)/2, n2 = Σ_y-ties t(t−1)/2.
+
+    Exactness: C, D, n0, n1, n2 are pure BIGINT pair counts — the one
+    √ and the division are per-row doubles on identical operands, so
+    a SQL oracle replaying the same pair filter matches bit-for-bit
+    before the 6 dp rounding.  ``x``/``y`` integral by contract
+    (fixed-point scale first — the theil_sen rule).
+
+    Scale shape: pairs are enumerated ONCE per unordered pair by the
+    strict total order (_xa, _ya, _ia) < (_xb, _yb, _ib) over an
+    in-group dense index — per-group quadratic BY DESIGN (τ IS a
+    pairwise statistic), guarded by the same ``max_group_points``
+    loud-exclusion valve as Theil-Sen / Mann-Kendall.  Unlike
+    mann_kendall, duplicate x positions do NOT collapse: x-ties are
+    part of τ-b's definition and land in n1.
+
+    Returns (*key, n, concordant, discordant, tau_b) — tau_b is NULL
+    when either tie product term is zero (all x or all y tied).
+    """
+    keys = list(key_cols or [])
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*keys, x.alias("_x"), y.alias("_y"))
+    sizes = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    kept = base.join(
+        F.broadcast(
+            sizes.filter(F.col("_n") <= max_group_points).select(*keys)
+        ),
+        keys,
+    )
+    # dense in-group index: makes the pair enumeration a strict total
+    # order even when whole (x, y) rows repeat (ties on BOTH columns
+    # must still contribute n1 AND n2 pairs exactly once)
+    from pyspark.sql.window import Window
+
+    idx = F.row_number().over(
+        Window.partitionBy(*(keys or [F.lit(1)])).orderBy("_x", "_y")
+    )
+    kept = kept.withColumn("_i", idx)
+    a = kept.select(
+        *keys,
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+        F.col("_i").alias("_ia"),
+    )
+    b = kept.select(
+        *keys,
+        F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+        F.col("_i").alias("_ib"),
+    )
+    pairs = a.join(b, keys).filter(F.col("_ia") < F.col("_ib"))
+    conc = (
+        ((F.col("_xa") < F.col("_xb")) & (F.col("_ya") < F.col("_yb")))
+        | ((F.col("_xa") > F.col("_xb")) & (F.col("_ya") > F.col("_yb")))
+    )
+    disc = (
+        ((F.col("_xa") < F.col("_xb")) & (F.col("_ya") > F.col("_yb")))
+        | ((F.col("_xa") > F.col("_xb")) & (F.col("_ya") < F.col("_yb")))
+    )
+    cd = pairs.groupBy(*keys).agg(
+        F.sum(conc.cast("long")).alias("concordant"),
+        F.sum(disc.cast("long")).alias("discordant"),
+    )
+    tx = (
+        kept.groupBy(*keys, "_x")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            (F.sum(F.col("_t") * (F.col("_t") - 1)) / 2)
+            .cast("long")
+            .alias("_n1")
+        )
+    )
+    ty = (
+        kept.groupBy(*keys, "_y")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            (F.sum(F.col("_t") * (F.col("_t") - 1)) / 2)
+            .cast("long")
+            .alias("_n2")
+        )
+    )
+    n = F.col("_n").cast("long")
+    n0 = (n * (n - 1) / 2).cast("long")
+    denom2 = (n0 - F.col("_n1")) * (n0 - F.col("_n2"))
+    tau = F.when(
+        denom2 > 0,
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(denom2.cast("double")),
+    )
+    return (
+        sizes.filter(F.col("_n") <= max_group_points)
+        # LEFT: a 1-row group has no pairs — surface with zero counts
+        .join(F.broadcast(cd), keys, "left")
+        .withColumn(
+            "concordant", F.coalesce("concordant", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "discordant", F.coalesce("discordant", F.lit(0).cast("long"))
+        )
+        .join(F.broadcast(tx), keys)
+        .join(F.broadcast(ty), keys)
+        .select(
+            *keys,
+            n.alias("n"),
+            "concordant",
+            "discordant",
+            F.round(tau, 6).alias("tau_b"),
+        )
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    trim_pct: int = 5,
+) -> DataFrame:
+    """Per-group winsorized and trimmed means at ``trim_pct``% per
+    tail (Tukey & McLaughlin, Sankhyā 1963) — the bounded-influence
+    location estimates between the mean (0% breakdown) and
+    :func:`grouped_median` (50%):
+
+    * g = floor(n · trim_pct / 100) values are clipped (winsorized)
+      or dropped (trimmed) from EACH tail, by exact rank;
+    * winsorized mean replaces each clipped value with the nearest
+      kept order statistic (rank g+1 low, rank n−g high);
+    * trimmed mean averages ranks g+1 .. n−g only.
+
+    Output columns name the clip count ``g_clip`` (not ``g``) so a
+    caller's group-key alias never collides.
+
+    Exactness: ``value_col`` integral by contract (fixed-point scale
+    first); rank selection + integer sums make both numerators exact
+    BIGINTs, so the two divisions are per-row doubles on identical
+    operands — SQL-replayable bit-for-bit before the 6 dp rounding.
+
+    Scale shape: ONE per-group sort window (rank + two order
+    statistics via conditional aggregation) — group-parallel, no
+    global sort, no pair join.  Returns
+    (*key, n, g_clip, lo_clip, hi_clip, winsorized_mean,
+    trimmed_mean).
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols or [])
+    v = F.col(value_col).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, v.alias("_v")
+    )
+    w = Window.partitionBy(*(keys or [F.lit(1)])).orderBy("_v")
+    r = base.withColumn("_r", F.row_number().over(w))
+    sz = r.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    g = F.floor(F.col("_n") * trim_pct / 100).cast("long")
+    j = r.join(F.broadcast(sz), keys).withColumn("_g", g)
+    lo = F.max(F.when(F.col("_r") == F.col("_g") + 1, F.col("_v")))
+    hi = F.max(F.when(F.col("_r") == F.col("_n") - F.col("_g"), F.col("_v")))
+    mid_sum = F.sum(
+        F.when(
+            (F.col("_r") > F.col("_g"))
+            & (F.col("_r") <= F.col("_n") - F.col("_g")),
+            F.col("_v"),
+        )
+    )
+    agg = j.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.max("_g").alias("g_clip"),
+        lo.alias("lo_clip"),
+        hi.alias("hi_clip"),
+        mid_sum.alias("_mid_sum"),
+    )
+    n_l = F.col("n").cast("long")
+    g_l = F.col("g_clip").cast("long")
+    win_num = (
+        F.col("_mid_sum") + g_l * F.col("lo_clip") + g_l * F.col("hi_clip")
+    )
+    trim_n = n_l - 2 * g_l
+    return agg.select(
+        *keys,
+        "n",
+        "g_clip",
+        "lo_clip",
+        "hi_clip",
+        F.round(win_num.cast("double") / n_l.cast("double"), 6).alias(
+            "winsorized_mean"
+        ),
+        F.round(
+            F.col("_mid_sum").cast("double") / trim_n.cast("double"), 6
+        ).alias("trimmed_mean"),
+    )

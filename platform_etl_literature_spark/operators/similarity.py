@@ -980,3 +980,135 @@ def refine_topk(
             F.round("sim_exact", 6).alias("sim"),
         )
     )
+
+
+def semi_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Semi-hard negative mining for contrastive training (Schroff et
+    al., FaceNet CVPR 2015 §3.2): for each anchor, find the k HARDEST
+    negatives that are still farther than the anchor's hardest
+    positive —
+
+        pos_sim(a)  = max cosine over same-label vectors (a excluded)
+        negatives(a) = top-k by sim desc among different-label vectors
+                       with sim < pos_sim(a)
+
+    — the in-batch mining step that decides which pairs a contrastive
+    epoch actually trains on.  Anchors with NO same-label companion
+    have no positive and are dropped (countable loudly: compare the
+    output's distinct query_id set against the anchor frame).
+
+    Physical shape (the cosine_topk_blocked discipline): anchors are
+    batch-sized BY CONTRACT (this is per-training-batch mining) and
+    ship driver-side into two Arrow kernels over the corpus —
+    pass 1 computes each partition's same-label max sim and reduces
+    to the global pos_sim (anchor-sized agg); pass 2 ships the
+    pos_sim array in the closure, masks different-label columns with
+    sim < pos_sim, and PRE-REDUCES to a local top-k per anchor under
+    the exact global order (sim desc, id asc) — lossless, so the
+    final ranking window sees partitions × A × k rows, never N × A.
+
+    Float note: sims come from numpy float64 matmuls in BOTH passes,
+    so the semi-hard cut compares like against like; zero-norm
+    vectors score 0.0 (the module convention).
+
+    Returns (query_id, neighbor_id, rank, sim, pos_sim).
+    """
+    import numpy as np
+
+    q_rows = anchors.select(id_col, vec_col, label_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(map(float, r[1])) for r in q_rows])
+    qlab = np.array([r[2] for r in q_rows], dtype=np.int64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def _sims(pdf):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        lab = pdf[label_col].to_numpy(dtype=np.int64)
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        xnorm = np.linalg.norm(X, axis=1)
+        denom = xnorm[:, None] * qnorm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(denom > 0, (X @ qmat.T) / denom, 0.0)
+        return ids, lab, S
+
+    def local_pos(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, lab, S = _sims(pdf)
+            out_q, out_p = [], []
+            for j in range(len(qids)):
+                mask = (lab == qlab[j]) & (ids != qids[j])
+                if mask.any():
+                    out_q.append(qids[j])
+                    out_p.append(S[mask, j].max())
+            yield pd.DataFrame({"query_id": out_q, "_pos": out_p})
+
+    cols = [id_col, vec_col, label_col]
+    pos_rows = (
+        corpus.select(*cols)
+        .mapInPandas(local_pos, "query_id long, _pos double")
+        .groupBy("query_id")
+        .agg(F.max("_pos").alias("pos_sim"))
+        .collect()
+    )
+    pos_map = {r["query_id"]: r["pos_sim"] for r in pos_rows}
+    keep = np.array([qid in pos_map for qid in qids], dtype=bool)
+    pos_arr = np.array(
+        [pos_map.get(int(qid), 0.0) for qid in qids], dtype=np.float64
+    )
+
+    def local_neg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, lab, S = _sims(pdf)
+            out_q, out_n, out_s, out_p = [], [], [], []
+            for j in range(len(qids)):
+                if not keep[j]:
+                    continue
+                mask = (lab != qlab[j]) & (S[:, j] < pos_arr[j])
+                cand_ids, cand_s = ids[mask], S[mask, j]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+                out_p.extend([pos_arr[j]] * len(order))
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "sim_exact": out_s,
+                    "_pos": out_p,
+                }
+            )
+
+    reduced = corpus.select(*cols).mapInPandas(
+        local_neg,
+        "query_id long, neighbor_id long, sim_exact double, _pos double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim_exact", 6).alias("sim"),
+            F.round("_pos", 6).alias("pos_sim"),
+        )
+    )

@@ -791,3 +791,261 @@ def pmi_collocations(
         "n_pair",
         F.round(F.log(ratio), 6).alias("pmi"),
     )
+
+
+def heaps_law(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    checkpoint_every: int = 50,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve with a fitted exponent
+    (Heaps 1978; Herdan 1960): reading the corpus in ``id_col`` order,
+    emit the running token count N(r) and running type (distinct
+    token) count V(r) at every ``checkpoint_every``-th document plus
+    the last, and fit V = K·N^β by least squares in log-log space —
+    the standard check that a corpus keeps contributing NEW vocabulary
+    as it grows (a flattening curve = the crawl is saturating; β for
+    natural language sits near 0.4-0.6, β near 0 flags boilerplate).
+
+    Construction (all order-free integer folds until the final fit):
+    * each token's FIRST document = min(doc id) over its postings —
+      one vocabulary-keyed aggregate;
+    * per-doc new_types = count of tokens whose first doc is this doc;
+      per-doc n_tokens = posting count;
+    * BOTH running sums ride ONE range exchange
+      (ranking.ordered_global_index multi-sum form) — no
+      single-partition window;
+    * the fit uses per-checkpoint micro-log coordinates
+      round(ln(N)·1e6), round(ln(V)·1e6) as BIGINTs, so the OLS
+      sufficient statistics are exact integer sums (order-free,
+      SQL-replayable); slope/intercept are two divisions on those
+      integers.
+
+    Overflow: |micro-log| ≤ ln(2⁶³)·1e6 < 4.4·10⁷; Σ x·y over C
+    checkpoints ≤ C·1.9·10¹⁵ — safe for C up to ~4,800 checkpoints,
+    and ``checkpoint_every`` exists precisely to keep C bounded (the
+    fit is over the curve's SHAPE, not every document).
+
+    Returns (doc_rank, cum_tokens, cum_types, beta, log_k) — beta and
+    log_k constant across rows (attached from the one-row fit).
+    """
+    from platform_etl_literature_spark.operators import ranking as RK
+
+    posts = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    per_doc_tokens = posts.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_ntok")
+    )
+    first_doc = posts.groupBy("_w").agg(F.min("_doc").alias("_doc"))
+    per_doc_new = first_doc.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_ntypes")
+    )
+    per_doc = (
+        per_doc_tokens.join(per_doc_new, "_doc", "left")
+        .withColumn("_ntypes", F.coalesce("_ntypes", F.lit(0).cast("long")))
+    )
+    cum = RK.ordered_global_index(
+        per_doc,
+        [F.col("_doc")],
+        rank_col="doc_rank",
+        running_sum_col=["_ntok", "_ntypes"],
+        running_sum_out=["cum_tokens", "cum_types"],
+    )
+    n_docs = per_doc.groupBy().agg(F.count(F.lit(1)).alias("_nd"))
+    pts = cum.crossJoin(F.broadcast(n_docs)).filter(
+        (F.col("doc_rank") % checkpoint_every == 0)
+        | (F.col("doc_rank") == F.col("_nd"))
+    )
+    mlog = lambda c: F.round(  # noqa: E731
+        F.log(F.col(c).cast("double")) * 1_000_000, 0
+    ).cast("long")
+    fit_in = pts.filter(F.col("cum_types") > 0).select(
+        mlog("cum_tokens").alias("_lx"), mlog("cum_types").alias("_ly")
+    )
+    s = fit_in.agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+    )
+    det = F.col("_c") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    beta = F.when(
+        det != 0,
+        (F.col("_c") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+            "double"
+        )
+        / det.cast("double"),
+    )
+    # intercept in micro-log space, reported in nats: ln K =
+    # (Σy − β·Σx)/c — computed from the SAME integer sums
+    log_k = F.when(
+        det != 0,
+        (
+            F.col("_sy").cast("double")
+            - (
+                (
+                    F.col("_c") * F.col("_sxy")
+                    - F.col("_sx") * F.col("_sy")
+                ).cast("double")
+                / det.cast("double")
+            )
+            * F.col("_sx").cast("double")
+        )
+        / (F.col("_c").cast("double") * 1_000_000.0),
+    )
+    fit = s.select(
+        F.round(beta, 6).alias("beta"), F.round(log_k, 6).alias("log_k")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "doc_rank", "cum_tokens", "cum_types", "beta", "log_k"
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str,
+    top_r: int = 256,
+    skip_top: int = 10,
+) -> DataFrame:
+    """Zipf rank-frequency exponent (Zipf 1949): rank terms by
+    frequency, fit ln(freq) = intercept − s·ln(rank) over ranks
+    ``skip_top+1 .. top_r`` by least squares — the corpus-health twin
+    of :func:`heaps_law` (natural text sits near s ≈ 1; machine
+    boilerplate skews flat or cliff-shaped).  The head ranks are
+    SKIPPED by default: Zipf's law notoriously bends for the few most
+    frequent function words, and the standard practice is to fit the
+    body of the distribution.
+
+    Exactness: term counts are BIGINTs; the top-R selection is a
+    bounded TakeOrdered (freq desc, term asc — total order) so ranks
+    are deterministic; per-rank micro-log coordinates are quantized
+    to BIGINTs and the OLS sufficient statistics are exact integer
+    sums (the heaps_law scheme) — SQL-replayable bit-for-bit.
+
+    Scale shape: ONE vocabulary-keyed count aggregate, then a bounded
+    top-R (orderBy + limit → TakeOrderedAndProject, no global sort
+    materialization); the R-row fit is metadata-sized by contract.
+
+    Returns ONE row (n_terms_ranked, n_fit, s_zipf, intercept) —
+    ``s_zipf`` is the positive exponent (−slope).
+    """
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    top = counts.orderBy(F.col("_n").desc(), F.col("_w").asc()).limit(top_r)
+    w = Window.orderBy(F.col("_n").desc(), F.col("_w").asc())
+    ranked = top.withColumn("_r", F.row_number().over(w))
+    mlog = lambda c: F.round(  # noqa: E731
+        F.log(F.col(c).cast("double")) * 1_000_000, 0
+    ).cast("long")
+    fit_in = ranked.filter(F.col("_r") > skip_top).select(
+        mlog("_r").alias("_lx"), mlog("_n").alias("_ly")
+    )
+    s = fit_in.agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+    )
+    det = F.col("_c") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        det != 0,
+        (F.col("_c") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+            "double"
+        )
+        / det.cast("double"),
+    )
+    icpt = F.when(
+        det != 0,
+        (
+            F.col("_sy").cast("double")
+            - (
+                (
+                    F.col("_c") * F.col("_sxy")
+                    - F.col("_sx") * F.col("_sy")
+                ).cast("double")
+                / det.cast("double")
+            )
+            * F.col("_sx").cast("double")
+        )
+        / (F.col("_c").cast("double") * 1_000_000.0),
+    )
+    n_ranked = ranked.agg(F.count(F.lit(1)).alias("n_terms_ranked"))
+    return n_ranked.crossJoin(
+        F.broadcast(
+            s.select(
+                F.col("_c").alias("n_fit"),
+                F.round(-slope, 6).alias("s_zipf"),
+                F.round(icpt, 6).alias("intercept"),
+            )
+        )
+    )
+
+
+def skipgram_cooc(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_k: int = 3,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts with 1/d distance weighting
+    (the word2vec-style context-window statistic; Mikolov et al. 2013
+    weight context positions by distance exactly this way) — the
+    windowed generalization of :func:`pmi_collocations`'s adjacent
+    bigrams, and the sufficient statistic for any count-based
+    embedding (GloVe's X_ij is exactly this table).
+
+    DIRECTIONAL pairs (w1 precedes w2 within ``window_k`` tokens):
+    * ``n_cooc``  = exact BIGINT occurrence count;
+    * ``w_micro`` = Σ round(1e6/d) as BIGINT — the distance-weighted
+      count in exact micro-units (order-free integer sum; 1/d over
+      doubles would be accumulation-order-dependent).
+
+    Scale shape: NO positional self-join — each (token, pos) row
+    expands into at most ``window_k`` (doc, target-pos, source-word)
+    probes via a bounded sequence explode, then ONE equijoin on
+    (doc, pos) against the token-at-position frame: linear in
+    k·corpus-tokens, map-side-combinable count aggregate on
+    vocabulary-pair keys, ``min_pair_count`` filter applied in the
+    same aggregate.  Returns (w1, w2, n_cooc, w_micro).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
+    )
+    probes = toks.select(
+        "_doc",
+        F.col("_w").alias("w1"),
+        F.explode(
+            F.sequence(
+                F.col("_pos") + 1, F.col("_pos") + window_k
+            )
+        ).alias("_tpos"),
+        F.col("_pos").alias("_spos"),
+    )
+    targets = toks.select(
+        "_doc", F.col("_pos").alias("_tpos"), F.col("_w").alias("w2")
+    )
+    return (
+        probes.join(targets, ["_doc", "_tpos"])
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("n_cooc"),
+            F.sum(
+                F.round(
+                    1_000_000.0
+                    / (F.col("_tpos") - F.col("_spos")).cast("double"),
+                    0,
+                ).cast("long")
+            ).alias("w_micro"),
+        )
+        .filter(F.col("n_cooc") >= min_pair_count)
+    )

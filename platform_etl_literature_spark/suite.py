@@ -35,6 +35,7 @@ from platform_etl_literature_spark.operators import graph as GR
 from platform_etl_literature_spark.operators import pagerank as PR
 from platform_etl_literature_spark.operators import quality_checks as QC
 from platform_etl_literature_spark.operators import robust as RB
+from platform_etl_literature_spark.operators import infotheory as IT
 from platform_etl_literature_spark.operators import lm as LM
 from platform_etl_literature_spark.operators import multimodal as MM
 from platform_etl_literature_spark.operators import retrieval as RET
@@ -9467,6 +9468,329 @@ FROM st ORDER BY cohort
 # by _DRIVER_PREFIX and assembled once at the bottom of the module —
 # SUITE itself is assigned exactly once (the duplicate-assignment
 # guard in tests/test_smoke.py enforces single-assignment module-wide)
+# --------------------------------------------------------------------------
+# Round-8 session 2: corpus statistics + analytics completion
+# --------------------------------------------------------------------------
+
+
+def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall τ-b rank association per event type between daily value
+    totals and daily event counts (operators.robust.kendall_tau), over
+    the same daily frame as the Theil-Sen/Mann-Kendall rows: exact
+    BIGINT concordant/discordant/tie pair counts, one sqrt."""
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.sum(_cents("value")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    return RB.kendall_tau(daily, "x", "y", key_cols=["g"]).orderBy("g")
+
+
+_ORACLE_KENDALL = """
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_part('day', ts)),
+idx AS (
+  SELECT g, x, y, row_number() OVER (PARTITION BY g ORDER BY x, y) AS i
+  FROM daily),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+cd AS (
+  SELECT a.g,
+    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)
+      AS BIGINT) AS concordant,
+    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)
+      AS BIGINT) AS discordant
+  FROM idx a JOIN idx b ON a.g = b.g AND a.i < b.i GROUP BY 1),
+tx AS (
+  SELECT g, CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS n1
+  FROM (SELECT g, x, count(*) AS t FROM daily GROUP BY 1, 2) GROUP BY 1),
+ty AS (
+  SELECT g, CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS n2
+  FROM (SELECT g, y, count(*) AS t FROM daily GROUP BY 1, 2) GROUP BY 1)
+SELECT nn.g, nn.n,
+       coalesce(cd.concordant, 0) AS concordant,
+       coalesce(cd.discordant, 0) AS discordant,
+       CASE WHEN (CAST(nn.n * (nn.n - 1) / 2 AS BIGINT) - tx.n1)
+               * (CAST(nn.n * (nn.n - 1) / 2 AS BIGINT) - ty.n2) > 0
+            THEN round(
+              CAST(coalesce(cd.concordant, 0) - coalesce(cd.discordant, 0)
+                   AS DOUBLE)
+              / sqrt(CAST(
+                  (CAST(nn.n * (nn.n - 1) / 2 AS BIGINT) - tx.n1)
+                  * (CAST(nn.n * (nn.n - 1) / 2 AS BIGINT) - ty.n2)
+                  AS DOUBLE)), 6)
+       END AS tau_b
+FROM nn LEFT JOIN cd ON nn.g = cd.g
+JOIN tx ON nn.g = tx.g JOIN ty ON nn.g = ty.g
+ORDER BY nn.g
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized + trimmed means of order totals per priority at 5%
+    per tail (operators.robust.winsorized_stats): exact rank clipping,
+    BIGINT numerators, two divisions."""
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    return RB.winsorized_stats(o, "v", key_cols=["g"]).orderBy("g")
+
+
+_ORACLE_WINSOR = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS r
+      FROM v),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+j AS (SELECT r.g, r.v, r.r, nn.n,
+             CAST(floor(nn.n * 5 / 100) AS BIGINT) AS gg
+      FROM r JOIN nn ON r.g = nn.g),
+agg AS (
+  SELECT g, max(n) AS n, max(gg) AS g_clip,
+         max(CASE WHEN r = gg + 1 THEN v END) AS lo_clip,
+         max(CASE WHEN r = n - gg THEN v END) AS hi_clip,
+         sum(CASE WHEN r > gg AND r <= n - gg THEN v END) AS mid_sum
+  FROM j GROUP BY 1)
+SELECT g, n, g_clip, lo_clip, hi_clip,
+       round(CAST(mid_sum + g_clip * lo_clip + g_clip * hi_clip AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS winsorized_mean,
+       round(CAST(mid_sum AS DOUBLE)
+             / CAST(n - 2 * g_clip AS DOUBLE), 6) AS trimmed_mean
+FROM agg ORDER BY g
+"""
+
+
+def q_categorical_mi(spark: SparkSession, sf: str) -> DataFrame:
+    """Entropy / mutual-information profile of (lang, source) on the
+    documents table (operators.infotheory.categorical_mi): exact
+    BIGINT level counts, per-level micro-nat log terms, order-free
+    integer sums — the corpus-confounding screen."""
+    return IT.categorical_mi(_t(spark, sf, "documents"), "lang", "source")
+
+
+_ORACLE_CAT_MI = """
+WITH b AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS x,
+         coalesce(CAST(source AS VARCHAR), '<null>') AS y
+  FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+cy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+hx AS (SELECT -sum(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                                  * 1000000, 0) AS BIGINT)) AS h,
+              CAST(count(*) AS BIGINT) AS lv
+       FROM cx, nn),
+hy AS (SELECT -sum(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                                  * 1000000, 0) AS BIGINT)) AS h,
+              CAST(count(*) AS BIGINT) AS lv
+       FROM cy, nn),
+hxy AS (SELECT -sum(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                                   * 1000000, 0) AS BIGINT)) AS h
+        FROM cxy, nn)
+SELECT nn.n AS n, hx.lv AS nx_levels, hy.lv AS ny_levels,
+       round(hx.h / (CAST(nn.n AS DOUBLE) * 1000000.0), 6) AS h_x,
+       round(hy.h / (CAST(nn.n AS DOUBLE) * 1000000.0), 6) AS h_y,
+       round(hxy.h / (CAST(nn.n AS DOUBLE) * 1000000.0), 6) AS h_xy,
+       round((hx.h + hy.h - hxy.h)
+             / (CAST(nn.n AS DOUBLE) * 1000000.0), 6) AS mi,
+       CASE WHEN least(hx.h, hy.h) > 0
+            THEN round(CAST(hx.h + hy.h - hxy.h AS DOUBLE)
+                       / CAST(least(hx.h, hy.h) AS DOUBLE), 6)
+       END AS nmi
+FROM nn, hx, hy, hxy
+"""
+
+
+def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-growth curve + fitted Heaps exponent over documents
+    in doc_id order (operators.textstats.heaps_law): both running sums
+    ride ONE range exchange; the fit is exact integer OLS over
+    micro-log checkpoint coordinates."""
+    return TS.heaps_law(
+        _t(spark, sf, "documents"), "doc_id", "text", checkpoint_every=10
+    )
+
+
+_ORACLE_HEAPS = """
+WITH posts AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+  FROM documents),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+       FROM posts GROUP BY 1),
+fd AS (SELECT w, min(doc_id) AS doc_id FROM posts GROUP BY 1),
+nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntypes
+       FROM fd GROUP BY 1),
+per AS (SELECT p.doc_id, p.ntok, coalesce(nt.ntypes, 0) AS ntypes
+        FROM pd p LEFT JOIN nt ON p.doc_id = nt.doc_id),
+cum AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) AS doc_rank,
+         CAST(sum(ntok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+         CAST(sum(ntypes) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+  FROM per),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM per),
+ck AS (SELECT cum.* FROM cum, nd
+       WHERE doc_rank % 10 = 0 OR doc_rank = nd.nd),
+fitin AS (
+  SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS lx,
+         CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS ly
+  FROM ck WHERE cum_types > 0),
+s AS (SELECT CAST(count(*) AS BIGINT) AS c, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+      FROM fitin),
+fit AS (
+  SELECT
+    CASE WHEN c * sxx - sx * sx != 0
+         THEN round(CAST(c * sxy - sx * sy AS DOUBLE)
+                    / CAST(c * sxx - sx * sx AS DOUBLE), 6)
+    END AS beta,
+    CASE WHEN c * sxx - sx * sx != 0
+         THEN round(
+           (CAST(sy AS DOUBLE)
+            - (CAST(c * sxy - sx * sy AS DOUBLE)
+               / CAST(c * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / (CAST(c AS DOUBLE) * 1000000.0), 6)
+    END AS log_k
+  FROM s)
+SELECT doc_rank, cum_tokens, cum_types, beta, log_k FROM ck, fit
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency exponent over the term table
+    (operators.textstats.zipf_fit): bounded top-256 TakeOrdered,
+    head-10 skipped, exact integer OLS in micro-log space."""
+    return TS.zipf_fit(
+        _t(spark, sf, "documents"), "text", top_r=256, skip_top=10
+    )
+
+
+_ORACLE_ZIPF = """
+WITH c AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+    FROM documents)
+  GROUP BY w),
+top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 256),
+r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS r FROM top),
+fitin AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT) AS ly
+  FROM r WHERE r > 10),
+s AS (SELECT CAST(count(*) AS BIGINT) AS c, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+      FROM fitin)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_terms_ranked,
+       c AS n_fit,
+       CASE WHEN c * sxx - sx * sx != 0
+            THEN round(-(CAST(c * sxy - sx * sy AS DOUBLE)
+                         / CAST(c * sxx - sx * sx AS DOUBLE)), 6)
+       END AS s_zipf,
+       CASE WHEN c * sxx - sx * sx != 0
+            THEN round(
+              (CAST(sy AS DOUBLE)
+               - (CAST(c * sxy - sx * sy AS DOUBLE)
+                  / CAST(c * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+              / (CAST(c AS DOUBLE) * 1000000.0), 6)
+       END AS intercept
+FROM s
+"""
+
+
+def q_skipgram_cooc(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram window-3 co-occurrence counts with exact micro-unit
+    1/d weights (operators.textstats.skipgram_cooc): bounded sequence
+    explode + ONE (doc, pos) equijoin — no positional self-join."""
+    return TS.skipgram_cooc(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        window_k=3,
+        min_pair_count=5,
+    )
+
+
+_ORACLE_SKIPGRAM = """
+WITH arrs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS arr
+  FROM documents),
+t AS (
+  SELECT doc_id, CAST(pos AS BIGINT) - 1 AS pos, arr[pos] AS w FROM (
+    SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM arrs)),
+probes AS (
+  SELECT doc_id, w AS w1, pos AS spos,
+         unnest(range(pos + 1, pos + 4)) AS tpos
+  FROM t),
+j AS (
+  SELECT p.w1, t2.w AS w2, p.tpos - p.spos AS d
+  FROM probes p JOIN t t2 ON p.doc_id = t2.doc_id AND p.tpos = t2.pos)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_cooc,
+       CAST(sum(CAST(round(1000000.0 / CAST(d AS DOUBLE), 0) AS BIGINT))
+            AS BIGINT) AS w_micro
+FROM j GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-hard negative mining for a deterministic anchor batch
+    (operators.similarity.semi_hard_negatives): per anchor, the top-5
+    hardest different-label neighbors below the anchor's hardest
+    same-label sim — the contrastive-training batch-mining step, exact
+    per the brute-force oracle."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.semi_hard_negatives(
+        emb, emb.filter(F.col("vec_id") % 17 == 0), k=5
+    )
+
+
+_ORACLE_HARD_NEG = """
+WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+           FROM embeddings WHERE vec_id % 17 = 0),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv, label AS cl
+      FROM embeddings),
+s AS (
+  SELECT qid, nid, ql, cl,
+         CASE WHEN sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv)))
+         END AS sim_exact
+  FROM a, c WHERE qid != nid),
+p AS (SELECT qid, max(sim_exact) AS pos_sim FROM s WHERE cl = ql
+      GROUP BY qid),
+neg AS (
+  SELECT s.qid, s.nid, s.sim_exact, p.pos_sim
+  FROM s JOIN p ON s.qid = p.qid
+  WHERE s.cl != s.ql AND s.sim_exact < p.pos_sim),
+r AS (
+  SELECT qid, nid, sim_exact, pos_sim,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim_exact DESC, nid)
+              AS INTEGER) AS rank
+  FROM neg)
+SELECT qid AS query_id, nid AS neighbor_id, rank,
+       round(sim_exact, 6) AS sim, round(pos_sim, 6) AS pos_sim
+FROM r WHERE rank <= 5
+"""
+
+
 _SUITE_DEFS: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -9983,6 +10307,25 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "nelson_aalen": QuerySpec(
         q_nelson_aalen, _ORACLE_NA, "survival-nelson-aalen-hazard"
+    ),
+    "kendall_tau": QuerySpec(
+        q_kendall_tau, _ORACLE_KENDALL, "robust-kendall-tau-b"
+    ),
+    "winsorized_stats": QuerySpec(
+        q_winsorized_stats, _ORACLE_WINSOR, "robust-winsorized-trimmed-mean"
+    ),
+    "categorical_mi": QuerySpec(
+        q_categorical_mi, _ORACLE_CAT_MI, "infotheory-mutual-information"
+    ),
+    "heaps_law": QuerySpec(
+        q_heaps_law, _ORACLE_HEAPS, "corpus-heaps-vocabulary-growth"
+    ),
+    "zipf_fit": QuerySpec(q_zipf_fit, _ORACLE_ZIPF, "corpus-zipf-exponent"),
+    "skipgram_cooc": QuerySpec(
+        q_skipgram_cooc, _ORACLE_SKIPGRAM, "corpus-skipgram-cooccurrence"
+    ),
+    "hard_negatives": QuerySpec(
+        q_hard_negatives, _ORACLE_HARD_NEG, "similarity-semi-hard-negatives"
     ),
     "logrank": QuerySpec(
         q_logrank, _ORACLE_LOGRANK, "survival-logrank-two-sample"

@@ -5384,3 +5384,222 @@ def test_auc_and_lift_exclude_null_scores(spark):
         "s", "y", "id", n_buckets=2,
     ).collect()
     assert sum(r["n"] for r in lt) == 4
+
+
+# ---------------------------------------------------------------------------
+# Round-8 session 2: corpus statistics + analytics completion
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_known_cases(spark):
+    import math
+
+    from platform_etl_literature_spark.operators import robust as RB
+
+    # perfect concordance: tau = 1
+    up = [("up", i, i * 3) for i in range(6)]
+    # perfect discordance: tau = -1
+    dn = [("dn", i, -i) for i in range(6)]
+    # hand case with ties: x=[1,1,2,3], y=[2,2,1,3]
+    # pairs by index: (1,2)x-tie+y-tie, (1,3)C? x1<2,y2>1 -> D,
+    # (1,4)C, (2,3)D, (2,4)C, (3,4)C  => C=3, D=2, n1=1, n2=1, n0=6
+    tie = [("tie", 1, 2), ("tie", 1, 2), ("tie", 2, 1), ("tie", 3, 3)]
+    df = spark.createDataFrame(up + dn + tie, ["g", "x", "y"])
+    out = {r["g"]: r for r in RB.kendall_tau(df, "x", "y", ["g"]).collect()}
+    assert out["up"]["tau_b"] == 1.0
+    assert out["dn"]["tau_b"] == -1.0
+    t = out["tie"]
+    assert (t["concordant"], t["discordant"]) == (3, 2)
+    want = (3 - 2) / math.sqrt((6 - 1) * (6 - 1))
+    assert abs(t["tau_b"] - round(want, 6)) < 1e-9
+
+
+def test_kendall_tau_degenerate_groups(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = (
+        # all x tied -> denominator 0 -> tau NULL, pairs all x-ties
+        [("ax", 1, v) for v in (1, 2, 3)]
+        # single row -> no pairs, surfaces with zero counts
+        + [("one", 5, 5)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in RB.kendall_tau(df, "x", "y", ["g"]).collect()}
+    assert out["ax"]["tau_b"] is None
+    assert out["ax"]["concordant"] == 0 and out["ax"]["discordant"] == 0
+    assert out["one"]["n"] == 1 and out["one"]["tau_b"] is None
+
+
+def test_kendall_tau_group_cap_excludes_loudly(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    big = [("big", i, i) for i in range(30)]
+    small = [("sm", i, i) for i in range(5)]
+    df = spark.createDataFrame(big + small, ["g", "x", "y"])
+    out = RB.kendall_tau(df, "x", "y", ["g"], max_group_points=10).collect()
+    assert {r["g"] for r in out} == {"sm"}
+
+
+def test_winsorized_stats_hand_case(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    # n=20, trim 5% -> g=1: clip one value per tail.
+    # values 1..19 plus one huge outlier 1000.
+    vals = list(range(1, 20)) + [1000]
+    df = spark.createDataFrame([("a", v) for v in vals], ["g", "v"])
+    out = RB.winsorized_stats(df, "v", ["g"], trim_pct=5).collect()[0]
+    assert (out["n"], out["g_clip"]) == (20, 1)
+    assert (out["lo_clip"], out["hi_clip"]) == (2, 19)
+    mid = sum(range(2, 20))  # ranks 2..19 = values 2..19
+    assert out["winsorized_mean"] == round((mid + 2 + 19) / 20.0, 6)
+    assert out["trimmed_mean"] == round(mid / 18.0, 6)
+
+
+def test_winsorized_stats_small_group_g0_is_plain_mean(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    vals = [3, 1, 4, 1, 5]
+    df = spark.createDataFrame([("a", v) for v in vals], ["g", "v"])
+    out = RB.winsorized_stats(df, "v", ["g"], trim_pct=5).collect()[0]
+    assert out["g_clip"] == 0
+    assert out["winsorized_mean"] == round(sum(vals) / 5.0, 6)
+    assert out["trimmed_mean"] == out["winsorized_mean"]
+    # g=0 clips nothing: lo/hi are the min/max order statistics
+    assert (out["lo_clip"], out["hi_clip"]) == (1, 5)
+
+
+def test_categorical_mi_bounds(spark):
+    from platform_etl_literature_spark.operators import infotheory as IT
+
+    # identical columns: MI = H(X), NMI = 1
+    same = spark.createDataFrame(
+        [(c, c) for c in "aabbbc"], ["x", "y"]
+    )
+    r = IT.categorical_mi(same, "x", "y").collect()[0]
+    assert abs(r["mi"] - r["h_x"]) < 2e-6
+    assert abs(r["nmi"] - 1.0) < 2e-6
+    # independent columns (full factorial, equal counts): MI ~ 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "ab" for b in "xy" for _ in range(3)],
+        ["x", "y"],
+    )
+    r2 = IT.categorical_mi(indep, "x", "y").collect()[0]
+    assert abs(r2["mi"]) < 2e-6
+    # constant column: zero marginal entropy -> NMI NULL
+    const = spark.createDataFrame([("k", v) for v in "abc"], ["x", "y"])
+    r3 = IT.categorical_mi(const, "x", "y").collect()[0]
+    assert r3["h_x"] == 0.0 and r3["nmi"] is None
+
+
+def test_categorical_mi_null_is_a_level(spark):
+    from platform_etl_literature_spark.operators import infotheory as IT
+
+    df = spark.createDataFrame(
+        [("a", "p"), (None, "q"), (None, "q"), ("b", "r")], ["x", "y"]
+    )
+    r = IT.categorical_mi(df, "x", "y").collect()[0]
+    assert r["nx_levels"] == 3  # a, b, and the null sentinel
+
+
+def test_heaps_law_curve_consistency(spark):
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators import textstats as TS
+    from platform_etl_literature_spark.operators import ranking as RK
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b d d"),
+            (3, "e"),
+            (4, "a e f g"),
+            (5, "h h h"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = TS.heaps_law(docs, "doc_id", "text", checkpoint_every=2)
+    rows = {r["doc_rank"]: r for r in out.collect()}
+    RK.release_cached()
+    # checkpoints at ranks 2, 4 and the final rank 5
+    assert set(rows) == {2, 4, 5}
+    assert rows[2]["cum_tokens"] == 7 and rows[2]["cum_types"] == 4
+    assert rows[4]["cum_tokens"] == 12 and rows[4]["cum_types"] == 7
+    assert rows[5]["cum_tokens"] == 15 and rows[5]["cum_types"] == 8
+    # curve is monotone and the fit is attached to every row
+    assert rows[2]["beta"] == rows[5]["beta"] is not None
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    docs_rows = []
+    # build a corpus whose term counts follow n(r) ~ 1000 / r exactly:
+    # term t{r} appears max(1, 1000 // r) times
+    did = 0
+    for r in range(1, 101):
+        for _ in range(max(1, 1000 // r)):
+            docs_rows.append((did, f"t{r:03d}"))
+            did += 1
+    from platform_etl_literature_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    out = TS.zipf_fit(docs, "text", top_r=100, skip_top=10).collect()[0]
+    assert out["n_terms_ranked"] == 100
+    assert out["n_fit"] == 90
+    # the floor() quantization flattens the tail slightly; the fitted
+    # exponent must still sit near 1
+    assert 0.9 < out["s_zipf"] < 1.1
+
+
+def test_skipgram_cooc_hand_counts(spark):
+    from platform_etl_literature_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in TS.skipgram_cooc(
+            docs, "doc_id", "text", window_k=2, min_pair_count=1
+        ).collect()
+    }
+    # doc1 pairs within k=2: (a,b)d1, (a,a)d2, (b,a)d1, (b,b)d2,
+    # (a,b)d1; doc2: (a,b)d1  => (a,b): n=3 (d=1,1,1), (a,a): n=1 (d=2)
+    assert out[("a", "b")]["n_cooc"] == 3
+    assert out[("a", "b")]["w_micro"] == 3 * 1_000_000
+    assert out[("a", "a")]["n_cooc"] == 1
+    assert out[("a", "a")]["w_micro"] == 500_000
+    assert out[("b", "a")]["n_cooc"] == 1
+    assert out[("b", "b")]["n_cooc"] == 1
+
+
+def test_semi_hard_negatives_contract(spark):
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators import similarity as SIM
+
+    # two labels along nearly-opposite directions plus a lone label
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (5, [0.5, 0.5], 1),
+        (6, [-1.0, 0.0], 2),  # lone label: no positive -> dropped
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = SIM.semi_hard_negatives(emb, emb, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # anchor 6 has no same-label companion
+    assert 6 not in by_q
+    labels = {r[0]: r[2] for r in rows}
+    for qid, neighbors in by_q.items():
+        for r in neighbors:
+            assert labels[r["neighbor_id"]] != labels[qid]
+            assert r["sim"] < r["pos_sim"] + 1e-9
+        ranks = sorted(x["rank"] for x in neighbors)
+        assert ranks == list(range(1, len(neighbors) + 1))
+    # anchor 1 (label 0): pos_sim = cos(v1, v2); hardest semi-hard
+    # negative is v5 (cos ~ 0.707 < pos ~ 0.994)
+    a1 = sorted(by_q[1], key=lambda r: r["rank"])
+    assert a1[0]["neighbor_id"] == 5
