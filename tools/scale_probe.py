@@ -35,6 +35,7 @@ from platform_etl_literature_spark.operators import kmv as KMV
 from platform_etl_literature_spark.operators import pagerank as PGR
 from platform_etl_literature_spark.operators import quality_checks as QC
 from platform_etl_literature_spark.operators import robust as RB
+from platform_etl_literature_spark.operators import infotheory as IT
 from platform_etl_literature_spark.operators import lm as LM
 from platform_etl_literature_spark.operators import layout as LAY
 from platform_etl_literature_spark.operators import profile as PRO
@@ -258,6 +259,19 @@ OPS = {
     "pmi_collocations": lambda df: TS.pmi_collocations(
         df, "doc_id", "text", min_pair_count=30
     ),
+    # round-8 corpus statistics: heaps rides ONE range exchange (two
+    # prefix sums share it); zipf is one vocab count + bounded top-R;
+    # skipgram is k probes/token into one (doc,pos) equijoin (the xi
+    # tag grows the pair vocabulary linearly, as with PMI); MI folds
+    # vocabulary-sized level counts
+    "heaps_law": lambda df: TS.heaps_law(
+        df, "doc_id", "text", checkpoint_every=50
+    ),
+    "zipf_fit": lambda df: TS.zipf_fit(df, "text"),
+    "skipgram_cooc": lambda df: TS.skipgram_cooc(
+        df, "doc_id", "text", window_k=3, min_pair_count=30
+    ),
+    "categorical_mi": lambda df: IT.categorical_mi(df, "lang", "source"),
     "lift_table": lambda df: EVM.lift_table(
         df.withColumn("y", (F.col("doc_id") % 3 == 0).cast("long")),
         "n_chars", "y", "doc_id", n_buckets=5, group_cols=["lang"],
@@ -390,6 +404,11 @@ EMB_OPS = {
     ),
     "ann_topk_blocked": lambda df, bits, cents: SIM.cosine_topk_blocked(
         df, df.filter(F.col("vec_id") < 10), k=5
+    ),
+    # round-8: semi-hard mining for a FIXED anchor batch (batch-sized
+    # by contract) against the growing corpus — two blocked kernels
+    "hard_negatives": lambda df, bits, cents: SIM.semi_hard_negatives(
+        df, df.filter(F.col("vec_id") < 120), k=5
     ),
     "binary_ann_topk": lambda df, bits, cents: SIM.binary_ann_topk(
         df, df.filter(F.col("vec_id") < 10), k=5, shortlist=20
@@ -776,6 +795,25 @@ def _ev_mk(ev):
     return RB.mann_kendall(daily, "d", "y", key_cols=["g"])
 
 
+def _ev_kendall(ev):
+    daily = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    return RB.kendall_tau(daily, "x", "y", key_cols=["g"])
+
+
+def _ev_winsor(ev):
+    v = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    return RB.winsorized_stats(v, "v", key_cols=["g"])
+
+
 def _ev_logrank(ev):
     from platform_etl_literature_spark.operators import survival as SVX
 
@@ -912,6 +950,10 @@ EVENTS_OPS = {
     "ccf_lags": _ev_ccf,
     "kaplan_meier": _ev_km,
     "mann_kendall": _ev_mk,
+    # round-8: tau-b pairs on the bounded daily frame (cell collapse
+    # absorbs population growth); winsorized means sort group-parallel
+    "kendall_tau": _ev_kendall,
+    "winsorized_stats": _ev_winsor,
     "nelson_aalen": _ev_na,
     "logrank": _ev_logrank,
     "ab_welch": _ev_ab_welch,
