@@ -990,3 +990,79 @@ def test_logrank_cell_collapse_no_join(spark, sf_dir):
     assert "Join" not in plan, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_kendall_tau_declared_pair_join_no_python(spark, sf_dir):
+    """τ-b's pair join is the declared per-group quadratic (equijoin on
+    the group key with the index inequality as residual) — never a
+    cartesian product; tie aggregates are hash aggregates; no Python."""
+    plan = _simple_plan(SUITE["kendall_tau"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_winsorized_stats_one_window_no_join_beyond_size(spark, sf_dir):
+    """Winsorized means: one group-parallel rank window + hash
+    aggregates; the size frame attaches via broadcast — no
+    single-partition window, nothing in Python."""
+    plan = _simple_plan(SUITE["winsorized_stats"].fn(spark, sf_dir))
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_categorical_mi_vocab_sized_folds_no_window(spark, sf_dir):
+    """MI folds level-keyed hash aggregates; the only nested-loop
+    joins are the sanctioned one-row broadcasts (three entropy
+    numerators, the level counts, the total); no window, no Python."""
+    plan = _simple_plan(SUITE["categorical_mi"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_heaps_law_range_exchange_no_single_partition(spark, sf_dir):
+    """Heaps' running sums ride the range exchange: windows are
+    bounded by the range partition id — NO single-partition sort or
+    data-sized window; the fit attaches via the sanctioned one-row
+    broadcast."""
+    from platform_etl_literature_spark.operators.ranking import (
+        release_cached,
+    )
+
+    plan = _simple_plan(SUITE["heaps_law"].fn(spark, sf_dir))
+    release_cached()
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    # the only single-partition collapses are the sanctioned scalar
+    # aggregates (doc count, the 5-sum OLS fit, its broadcast feed) —
+    # each carries one row, never the corpus
+    assert plan.count("Exchange SinglePartition") <= 3, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_zipf_fit_bounded_take_ordered(spark, sf_dir):
+    """The top-R selection must be a bounded TakeOrdered, not a global
+    sort materialization; the OLS is a one-row aggregate."""
+    plan = _simple_plan(SUITE["zipf_fit"].fn(spark, sf_dir))
+    assert "TakeOrdered" in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_skipgram_cooc_equijoin_never_positional_self_join(spark, sf_dir):
+    """Skip-gram probes join on (doc, pos) — a hash/sort EQUI join;
+    no cartesian, no broadcast nested loop (both sides are
+    corpus-sized), counts are map-side-combinable hash aggregates."""
+    plan = _simple_plan(SUITE["skipgram_cooc"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_hard_negatives_blocked_kernels_bounded_shuffle(spark, sf_dir):
+    """Semi-hard mining: the only Python is the two Arrow kernels
+    (mapInPandas); the ranking window input is the kernel's local
+    top-k pre-reduction, so no corpus-sized sort feeds the window."""
+    plan = _simple_plan(SUITE["hard_negatives"].fn(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]

@@ -16,6 +16,25 @@ from platform_etl_literature_spark.suite import SUITE
 
 # query → what to look for in its plan
 SHOWCASE: dict[str, str] = {
+    "heaps_law": (
+        "Both running sums (tokens, new types) ride ONE "
+        "`Exchange rangepartitioning(_doc)`; the windows partition by the "
+        "range-partition id (bounded), never a single-partition sort; the "
+        "only `Exchange SinglePartition` rows are the one-row scalar "
+        "aggregates (doc count, 5-sum OLS fit)."
+    ),
+    "skipgram_cooc": (
+        "The window probe is a bounded `sequence` explode feeding an EQUI "
+        "join on (doc, pos) — no positional self-join, no "
+        "BroadcastNestedLoopJoin; pair counts are map-side-combinable "
+        "`partial_count`/`partial_sum` hash aggregates on vocabulary keys."
+    ),
+    "hard_negatives": (
+        "Exactly one `MapInPandas` (the Arrow kernel); the ranking window "
+        "consumes the kernel's local top-k pre-reduction, so the shuffle "
+        "into `Window` carries partitions × anchors × k rows, never "
+        "N × anchors."
+    ),
     "pricing_summary": (
         "Filter reaches the scan (`PushedFilters: [IsNotNull(l_shipdate), "
         "LessThanOrEqual(...)]`); `ReadSchema` carries 6 of 16 lineitem "
