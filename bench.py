@@ -256,6 +256,21 @@ HEADLINE = [
     "vectors_norm_category",
     "funnel_steps",
     "asof_join",
+    # round-8 session-2 batch: corpus statistics + contrastive mining —
+    # measured before promotion (spark/duck at sf0.1, min of 3:
+    # skipgram_cooc 1.06/1.21 — a Spark WIN on the identical
+    # probe-equijoin plan; heaps_law 1.15/0.07 — the range-exchange
+    # prefix-sum claim, pays the offsets-collect job; hard_negatives
+    # 0.66/0.09 — two Arrow kernels vs DuckDB's in-process cross
+    # product).  zipf_fit (0.47/0.04), categorical_mi (0.58/0.01),
+    # kendall_tau (1.16/0.03), winsorized_stats (0.87/0.04) stay
+    # parity-gated by the within-family-redundancy rule: their OLS /
+    # level-fold / pair-join / rank-window shapes are already raced
+    # through grouped-OLS-family, chi2/psi, theil_sen/mann_kendall,
+    # and gini/lift rows.
+    "skipgram_cooc",
+    "heaps_law",
+    "hard_negatives",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

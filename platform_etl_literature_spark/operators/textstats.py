@@ -816,16 +816,21 @@ def heaps_law(
     * BOTH running sums ride ONE range exchange
       (ranking.ordered_global_index multi-sum form) — no
       single-partition window;
-    * the fit uses per-checkpoint micro-log coordinates
-      round(ln(N)·1e6), round(ln(V)·1e6) as BIGINTs, so the OLS
+    * the fit uses per-checkpoint quantized-log coordinates
+      round(ln(N)·1e4), round(ln(V)·1e4) as BIGINTs, so the OLS
       sufficient statistics are exact integer sums (order-free,
       SQL-replayable); slope/intercept are two divisions on those
-      integers.
+      integers.  The 1e-4 log quantization is PART OF the defined
+      semantics (the oracle replays it), and a 1e-4 ln error moves
+      the fitted exponent by < 1e-4/spread(ln N) — noise next to the
+      curve's own fit residuals.
 
-    Overflow: |micro-log| ≤ ln(2⁶³)·1e6 < 4.4·10⁷; Σ x·y over C
-    checkpoints ≤ C·1.9·10¹⁵ — safe for C up to ~4,800 checkpoints,
-    and ``checkpoint_every`` exists precisely to keep C bounded (the
-    fit is over the curve's SHAPE, not every document).
+    Overflow: |quantized-log| ≤ ln(2⁶³)·1e4 < 4.4·10⁵, so the binding
+    term c·Σx² ≤ C²·1.94·10¹¹ stays under 2⁶³ for C up to ~6,800
+    checkpoints (1e6-scaled logs overflowed at ~450 — measured at
+    sf0.1 with checkpoint_every=10); ``checkpoint_every`` exists
+    precisely to keep C bounded (the fit is over the curve's SHAPE,
+    not every document).
 
     Returns (doc_rank, cum_tokens, cum_types, beta, log_k) — beta and
     log_k constant across rows (attached from the one-row fit).
@@ -860,7 +865,7 @@ def heaps_law(
         | (F.col("doc_rank") == F.col("_nd"))
     )
     mlog = lambda c: F.round(  # noqa: E731
-        F.log(F.col(c).cast("double")) * 1_000_000, 0
+        F.log(F.col(c).cast("double")) * 10_000, 0
     ).cast("long")
     fit_in = pts.filter(F.col("cum_types") > 0).select(
         mlog("cum_tokens").alias("_lx"), mlog("cum_types").alias("_ly")
@@ -880,7 +885,7 @@ def heaps_law(
         )
         / det.cast("double"),
     )
-    # intercept in micro-log space, reported in nats: ln K =
+    # intercept in quantized-log space, reported in nats: ln K =
     # (Σy − β·Σx)/c — computed from the SAME integer sums
     log_k = F.when(
         det != 0,
@@ -895,7 +900,7 @@ def heaps_law(
             )
             * F.col("_sx").cast("double")
         )
-        / (F.col("_c").cast("double") * 1_000_000.0),
+        / (F.col("_c").cast("double") * 10_000.0),
     )
     fit = s.select(
         F.round(beta, 6).alias("beta"), F.round(log_k, 6).alias("log_k")
@@ -922,9 +927,10 @@ def zipf_fit(
 
     Exactness: term counts are BIGINTs; the top-R selection is a
     bounded TakeOrdered (freq desc, term asc — total order) so ranks
-    are deterministic; per-rank micro-log coordinates are quantized
-    to BIGINTs and the OLS sufficient statistics are exact integer
-    sums (the heaps_law scheme) — SQL-replayable bit-for-bit.
+    are deterministic; per-rank logs are quantized to 1e-4 BIGINT
+    coordinates and the OLS sufficient statistics are exact integer
+    sums (the heaps_law scheme, incl. its overflow bound) —
+    SQL-replayable bit-for-bit.
 
     Scale shape: ONE vocabulary-keyed count aggregate, then a bounded
     top-R (orderBy + limit → TakeOrderedAndProject, no global sort
@@ -942,7 +948,7 @@ def zipf_fit(
     w = Window.orderBy(F.col("_n").desc(), F.col("_w").asc())
     ranked = top.withColumn("_r", F.row_number().over(w))
     mlog = lambda c: F.round(  # noqa: E731
-        F.log(F.col(c).cast("double")) * 1_000_000, 0
+        F.log(F.col(c).cast("double")) * 10_000, 0
     ).cast("long")
     fit_in = ranked.filter(F.col("_r") > skip_top).select(
         mlog("_r").alias("_lx"), mlog("_n").alias("_ly")
@@ -975,7 +981,7 @@ def zipf_fit(
             )
             * F.col("_sx").cast("double")
         )
-        / (F.col("_c").cast("double") * 1_000_000.0),
+        / (F.col("_c").cast("double") * 10_000.0),
     )
     n_ranked = ranked.agg(F.count(F.lit(1)).alias("n_terms_ranked"))
     return n_ranked.crossJoin(

@@ -9617,7 +9617,7 @@ def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary-growth curve + fitted Heaps exponent over documents
     in doc_id order (operators.textstats.heaps_law): both running sums
     ride ONE range exchange; the fit is exact integer OLS over
-    micro-log checkpoint coordinates."""
+    quantized-log checkpoint coordinates."""
     return TS.heaps_law(
         _t(spark, sf, "documents"), "doc_id", "text", checkpoint_every=10
     )
@@ -9645,9 +9645,9 @@ nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM per),
 ck AS (SELECT cum.* FROM cum, nd
        WHERE doc_rank % 10 = 0 OR doc_rank = nd.nd),
 fitin AS (
-  SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1000000, 0)
+  SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 10000, 0)
               AS BIGINT) AS lx,
-         CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1000000, 0)
+         CAST(round(ln(CAST(cum_types AS DOUBLE)) * 10000, 0)
               AS BIGINT) AS ly
   FROM ck WHERE cum_types > 0),
 s AS (SELECT CAST(count(*) AS BIGINT) AS c, sum(lx) AS sx, sum(ly) AS sy,
@@ -9664,7 +9664,7 @@ fit AS (
            (CAST(sy AS DOUBLE)
             - (CAST(c * sxy - sx * sy AS DOUBLE)
                / CAST(c * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-           / (CAST(c AS DOUBLE) * 1000000.0), 6)
+           / (CAST(c AS DOUBLE) * 10000.0), 6)
     END AS log_k
   FROM s)
 SELECT doc_rank, cum_tokens, cum_types, beta, log_k FROM ck, fit
@@ -9674,7 +9674,7 @@ SELECT doc_rank, cum_tokens, cum_types, beta, log_k FROM ck, fit
 def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf rank-frequency exponent over the term table
     (operators.textstats.zipf_fit): bounded top-256 TakeOrdered,
-    head-10 skipped, exact integer OLS in micro-log space."""
+    head-10 skipped, exact integer OLS in quantized-log space."""
     return TS.zipf_fit(
         _t(spark, sf, "documents"), "text", top_r=256, skip_top=10
     )
@@ -9689,8 +9689,8 @@ WITH c AS (
 top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 256),
 r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS r FROM top),
 fitin AS (
-  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lx,
-         CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT) AS ly
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 10000, 0) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 10000, 0) AS BIGINT) AS ly
   FROM r WHERE r > 10),
 s AS (SELECT CAST(count(*) AS BIGINT) AS c, sum(lx) AS sx, sum(ly) AS sy,
              sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
@@ -9706,7 +9706,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_terms_ranked,
               (CAST(sy AS DOUBLE)
                - (CAST(c * sxy - sx * sy AS DOUBLE)
                   / CAST(c * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-              / (CAST(c AS DOUBLE) * 1000000.0), 6)
+              / (CAST(c AS DOUBLE) * 10000.0), 6)
        END AS intercept
 FROM s
 """
