@@ -542,3 +542,172 @@ def auc_roc(
         n_neg.alias("n_neg"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    key_cols: list[str] | None = None,
+    max_cells: int = 1024,
+) -> DataFrame:
+    """Per-group isotonic regression of outcome on score — the
+    monotone calibration map (Zadrozny & Elkan, KDD '02; the classic
+    PAV algorithm of Ayer et al. '55) computed NON-iteratively via the
+    minimax characterization (Robertson, Wright & Dykstra,
+    "Order Restricted Statistical Inference" '88, Thm 1.4.4):
+
+        fit(k) = max_{i<=k} min_{j>=k} mean(y over score cells i..j)
+
+    which equals the pooled-adjacent-violators solution exactly — no
+    loop, no convergence state, so the whole fit is ONE declarative
+    plan an SQL oracle replays verbatim.
+
+    Construction: collapse to distinct score CELLS per group (the
+    auc_roc discipline — a billion scored rows with a 10⁴-value score
+    domain produce 10⁴ cells), prefix sums over one group-parallel
+    window, interval means A(i,j) = exact-BIGINT differences with ONE
+    division, a running suffix-min window over j, and a per-cell max
+    aggregate.  The interval frame is per-group quadratic in CELLS by
+    design, guarded by the ``max_cells`` loud-exclusion valve (the
+    theil_sen rule).
+
+    Exactness: every A(i,j) is one double division of exact BIGINTs;
+    min/max over doubles are value-exact (no accumulation) — so fit
+    values are bit-identical in any engine before the 6 dp rounding.
+
+    ``score_col``/``label_col`` integral by contract (fixed-point
+    scale first; labels are typically 0/1 outcomes).  Returns
+    (*key, score, n, sy, rate, fit) — ``fit`` is non-decreasing in
+    score within each group (the property test), with rate = sy/n the
+    raw cell mean.
+    """
+    keys = list(key_cols or [])
+    x = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    cells = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*keys, x.alias("score"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy"))
+    )
+    sizes = cells.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nc"))
+    cells = cells.join(
+        F.broadcast(sizes.filter(F.col("_nc") <= max_cells).select(*keys)),
+        keys,
+    )
+    w = (
+        Window.partitionBy(*(keys or [F.lit(1)]))
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = (
+        cells.withColumn("_i", F.row_number().over(
+            Window.partitionBy(*(keys or [F.lit(1)])).orderBy("score")
+        ))
+        .withColumn("_P", F.sum("sy").over(w))
+        .withColumn("_N", F.sum("n").over(w))
+    )
+    a = pref.select(
+        *keys,
+        F.col("_i").alias("_ia"),
+        (F.col("_P") - F.col("sy")).alias("_P0"),
+        (F.col("_N") - F.col("n")).alias("_N0"),
+    )
+    b = pref.select(
+        *keys,
+        F.col("_i").alias("_ib"),
+        F.col("_P").alias("_P1"),
+        F.col("_N").alias("_N1"),
+    )
+    intervals = a.join(b, keys).filter(F.col("_ia") <= F.col("_ib"))
+    A = (F.col("_P1") - F.col("_P0")).cast("double") / (
+        F.col("_N1") - F.col("_N0")
+    ).cast("double")
+    wmin = (
+        Window.partitionBy(*keys, "_ia")
+        .orderBy(F.col("_ib").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = intervals.withColumn("_A", A).withColumn("_M", F.min("_A").over(wmin))
+    fit = m.groupBy(*keys, F.col("_ib").alias("_i")).agg(
+        F.max("_M").alias("_fit")
+    )
+    return (
+        pref.join(fit, [*keys, "_i"])
+        .select(
+            *keys,
+            "score",
+            "n",
+            "sy",
+            F.round(F.col("sy").cast("double") / F.col("n").cast("double"), 6)
+            .alias("rate"),
+            F.round(F.col("_fit"), 6).alias("fit"),
+        )
+    )
+
+
+def ece_from_calibration(
+    cal: DataFrame,
+    key_cols: list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error over a fitted calibration table
+    (Naeini et al., AAAI '15): bin cells by PREDICTED probability
+    (equal-width over [0,1]), compare each bin's weighted accuracy to
+    its weighted confidence,
+
+        ECE = Σ_b (n_b / N) · |acc_b − conf_b|
+
+    ``cal`` is :func:`isotonic_calibration` output ((*key, score, n,
+    sy, fit) with fit ∈ [0,1] — indicator labels by contract).
+
+    Exactness: confidences quantize per CELL to micro-units
+    (round(fit·1e6) BIGINT — the lm.py discipline) so bin sums are
+    order-free integer folds; each bin's |acc − conf| is doubles on
+    identical integers, quantized back to micro BEFORE the cross-bin
+    weighted sum — the entire statistic is an integer fold with two
+    scale divisions, bit-identical in any engine.
+
+    Returns per-bin rows (*key, bin, n_b, acc, conf) with the
+    group-constant ``ece`` attached — non-empty bins only.
+    """
+    keys = list(key_cols or [])
+    fit_micro = F.round(F.col("fit") * 1_000_000, 0).cast("long")
+    binned = cal.withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("fit") * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    ).withColumn("_fm", fit_micro)
+    per_bin = binned.groupBy(*keys, "bin").agg(
+        F.sum("n").alias("n_b"),
+        F.sum("sy").alias("_sy_b"),
+        F.sum(F.col("n") * F.col("_fm")).alias("_conf_num"),
+    )
+    acc = F.col("_sy_b").cast("double") / F.col("n_b").cast("double")
+    conf = F.col("_conf_num").cast("double") / (
+        F.col("n_b").cast("double") * 1_000_000.0
+    )
+    per_bin = per_bin.withColumn(
+        "_term_micro",
+        F.round(F.abs(acc - conf) * 1_000_000, 0).cast("long"),
+    )
+    ece = per_bin.groupBy(*keys).agg(
+        (
+            F.sum(F.col("n_b") * F.col("_term_micro"))
+            / (F.sum("n_b") * 1_000_000.0)
+        ).alias("_ece")
+    )
+    return (
+        per_bin.join(F.broadcast(ece), keys if keys else None, "inner")
+        if keys
+        else per_bin.crossJoin(F.broadcast(ece))
+    ).select(
+        *keys,
+        "bin",
+        "n_b",
+        F.round(acc, 6).alias("acc"),
+        F.round(conf, 6).alias("conf"),
+        F.round(F.col("_ece"), 6).alias("ece"),
+    )

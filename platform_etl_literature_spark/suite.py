@@ -9791,6 +9791,151 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_jaro_winkler_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaro-Winkler blocked similarity join over the corpus vocabulary
+    (operators.edjoin.jaro_winkler_pairs): first-character block +
+    length band, row-wise-python-in-Arrow verify on candidates only —
+    the record-linkage scorer where Levenshtein misranks.  The oracle
+    uses DuckDB's native jaro_winkler_similarity (semantics verified
+    equal to our kernel on 30k random pairs; boost-threshold 0.7
+    variant)."""
+    docs = _t(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return EJ.jaro_winkler_pairs(
+        vocab, "w", threshold=0.6, max_len_diff=4, keep_cols=["c"]
+    )
+
+
+_ORACLE_JW_JOIN = """
+WITH vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+    FROM documents)
+  GROUP BY w)
+SELECT a.w AS w1, b.w AS w2, a.c AS c_1, b.c AS c_2,
+       round(jaro_winkler_similarity(a.w, b.w), 6) AS jw
+FROM vocab a JOIN vocab b
+  ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
+ AND a.w < b.w
+ AND abs(len(a.w) - len(b.w)) <= 4
+WHERE jaro_winkler_similarity(a.w, b.w) >= 0.6
+"""
+
+
+def _iso_base(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared input for the calibration rows: whole-dollar score cells
+    vs a deterministic binary outcome per event."""
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    return ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value"), 0).cast("long").alias("s"),
+        (F.col("user_id") % 2).cast("long").alias("y"),
+    )
+
+
+def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type isotonic (PAV) calibration of outcome rate on
+    the whole-dollar score (operators.evalmetrics.isotonic_calibration)
+    via the non-iterative minimax characterization — one declarative
+    plan, replayed verbatim by the oracle."""
+    return EV.isotonic_calibration(
+        _iso_base(spark, sf), "s", "y", key_cols=["g"]
+    ).orderBy("g", "score")
+
+
+_ORACLE_ISOTONIC_BODY = """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value, 0) AS BIGINT) AS s,
+         CAST(user_id % 2 AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+cells AS (
+  SELECT g, s AS score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM base GROUP BY 1, 2),
+pref AS (
+  SELECT g, score, n, sy,
+         row_number() OVER (PARTITION BY g ORDER BY score) AS i,
+         CAST(sum(sy) OVER (PARTITION BY g ORDER BY score) AS BIGINT) AS p,
+         CAST(sum(n) OVER (PARTITION BY g ORDER BY score) AS BIGINT) AS nn
+  FROM cells),
+iv AS (
+  SELECT a.g, a.i AS ia, b.i AS ib,
+         CAST(b.p - (a.p - a.sy) AS DOUBLE)
+         / CAST(b.nn - (a.nn - a.n) AS DOUBLE) AS a_mean
+  FROM pref a JOIN pref b ON a.g = b.g AND a.i <= b.i),
+mm AS (
+  SELECT g, ia, ib,
+         min(a_mean) OVER (PARTITION BY g, ia ORDER BY ib DESC
+                           ROWS UNBOUNDED PRECEDING) AS m
+  FROM iv),
+fitt AS (SELECT g, ib AS i, max(m) AS fit FROM mm GROUP BY 1, 2),
+cal AS (
+  SELECT p.g, p.score, p.n, p.sy,
+         round(CAST(p.sy AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS rate,
+         round(f.fit, 6) AS fit
+  FROM pref p JOIN fitt f ON p.g = f.g AND p.i = f.i)
+"""
+
+_ORACLE_ISOTONIC = (
+    _ORACLE_ISOTONIC_BODY
+    + """
+SELECT g, score, n, sy, rate, fit FROM cal ORDER BY g, score
+"""
+)
+
+
+def q_ece_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected calibration error over the isotonic fit
+    (operators.evalmetrics.ece_from_calibration): equal-width bins on
+    the calibrated probability, micro-unit integer folds end to end —
+    the oracle replays the FULL chain (cells → PAV minimax → bins →
+    ECE)."""
+    cal = EV.isotonic_calibration(
+        _iso_base(spark, sf), "s", "y", key_cols=["g"]
+    )
+    return EV.ece_from_calibration(cal, key_cols=["g"], n_bins=10).orderBy(
+        "g", "bin"
+    )
+
+
+_ORACLE_ECE = (
+    _ORACLE_ISOTONIC_BODY
+    + """,
+binned AS (
+  SELECT g, least(CAST(floor(fit * 10) AS INT), 9) AS bin, n, sy,
+         CAST(round(fit * 1000000, 0) AS BIGINT) AS fm
+  FROM cal),
+per_bin AS (
+  SELECT g, bin, CAST(sum(n) AS BIGINT) AS n_b,
+         CAST(sum(sy) AS BIGINT) AS sy_b,
+         CAST(sum(n * fm) AS BIGINT) AS conf_num
+  FROM binned GROUP BY 1, 2),
+terms AS (
+  SELECT g, bin, n_b, sy_b, conf_num,
+         CAST(round(abs(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                        - CAST(conf_num AS DOUBLE)
+                          / (CAST(n_b AS DOUBLE) * 1000000.0))
+                    * 1000000, 0) AS BIGINT) AS term
+  FROM per_bin),
+e AS (
+  SELECT g,
+         CAST(sum(n_b * term) AS BIGINT)
+         / (CAST(sum(n_b) AS BIGINT) * 1000000.0) AS ece
+  FROM terms GROUP BY 1)
+SELECT t.g, t.bin, t.n_b,
+       round(CAST(t.sy_b AS DOUBLE) / CAST(t.n_b AS DOUBLE), 6) AS acc,
+       round(CAST(t.conf_num AS DOUBLE)
+             / (CAST(t.n_b AS DOUBLE) * 1000000.0), 6) AS conf,
+       round(e.ece, 6) AS ece
+FROM terms t JOIN e ON t.g = e.g ORDER BY t.g, t.bin
+"""
+)
+
+
 _SUITE_DEFS: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "P1 P5 P14 A7 A8"),
     "top1_per_group": QuerySpec(q_top1_per_group, _ORACLE_TOP1, "W2 O2"),
@@ -10326,6 +10471,15 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "hard_negatives": QuerySpec(
         q_hard_negatives, _ORACLE_HARD_NEG, "similarity-semi-hard-negatives"
+    ),
+    "jaro_winkler_join": QuerySpec(
+        q_jaro_winkler_join, _ORACLE_JW_JOIN, "linkage-jaro-winkler-blocked"
+    ),
+    "isotonic_calibration": QuerySpec(
+        q_isotonic_calibration, _ORACLE_ISOTONIC, "eval-isotonic-pav-minimax"
+    ),
+    "ece_calibration": QuerySpec(
+        q_ece_calibration, _ORACLE_ECE, "eval-expected-calibration-error"
     ),
     "logrank": QuerySpec(
         q_logrank, _ORACLE_LOGRANK, "survival-logrank-two-sample"

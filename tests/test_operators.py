@@ -5603,3 +5603,106 @@ def test_semi_hard_negatives_contract(spark):
     # negative is v5 (cos ~ 0.707 < pos ~ 0.994)
     a1 = sorted(by_q[1], key=lambda r: r["rank"])
     assert a1[0]["neighbor_id"] == 5
+
+
+def test_jaro_winkler_kernel_matches_duckdb(spark):
+    """Property check of the JW verify kernel against DuckDB's native
+    jaro_winkler_similarity (the oracle's scorer): identical to 1e-12
+    on random pairs incl. empties — pins the boost-threshold-0.7
+    variant and the match-window/transposition bookkeeping."""
+    import random
+
+    import duckdb
+
+    from platform_etl_literature_spark.operators.edjoin import jaro_winkler
+
+    con = duckdb.connect()
+    rng = random.Random(11)
+    for _ in range(2000):
+        s = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 12)))
+        t = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 12)))
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [s, t]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(s, t) - want) <= 1e-12, (s, t)
+    # textbook values
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert jaro_winkler("abc", "") == 0.0
+
+
+def test_jaro_winkler_pairs_blocked_join(spark):
+    from platform_etl_literature_spark.operators import edjoin as EJ
+    from pyspark.sql import functions as F
+
+    vocab = spark.createDataFrame(
+        [("martha", 3), ("marhta", 2), ("different", 1), ("marsha", 5)],
+        ["w", "c"],
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in EJ.jaro_winkler_pairs(
+            vocab, "w", threshold=0.9, keep_cols=["c"]
+        ).collect()
+    }
+    assert ("marhta", "martha") in out
+    r = out[("marhta", "martha")]
+    assert r["jw"] == 0.961111 and (r["c_1"], r["c_2"]) == (2, 3)
+    # "different" shares no block with the m-words
+    assert not any("different" in k for k in out)
+
+
+def test_isotonic_calibration_pava_hand_case(spark):
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    # cells (score -> rate over 5 rows each): 0.2, 0.6, 0.4, 0.8 —
+    # PAVA pools the (0.6, 0.4) violation into 0.5
+    rows = []
+    rates = {1: 1, 2: 3, 3: 2, 4: 4}  # successes out of 5
+    for s, k in rates.items():
+        rows += [("a", s, 1)] * k + [("a", s, 0)] * (5 - k)
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    out = {
+        r["score"]: r
+        for r in EV.isotonic_calibration(df, "s", "y", ["g"]).collect()
+    }
+    assert [out[s]["fit"] for s in (1, 2, 3, 4)] == [0.2, 0.5, 0.5, 0.8]
+    assert [out[s]["rate"] for s in (1, 2, 3, 4)] == [0.2, 0.6, 0.4, 0.8]
+
+
+def test_isotonic_calibration_monotone_and_valve(spark):
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    import random
+
+    rng = random.Random(3)
+    rows = [("g", rng.randint(0, 40), rng.randint(0, 1)) for _ in range(400)]
+    rows += [("big", i, i % 2) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    out = EV.isotonic_calibration(df, "s", "y", ["g"], max_cells=45).collect()
+    # the 50-cell group is excluded loudly
+    assert {r["g"] for r in out} == {"g"}
+    fits = [
+        r["fit"] for r in sorted(out, key=lambda r: r["score"])
+    ]
+    assert fits == sorted(fits)  # isotonic
+    # weighted mean is preserved by PAVA: sum n*fit == sum sy (to 6dp)
+    tot_fit = sum(r["n"] * r["fit"] for r in out)
+    tot_y = sum(r["sy"] for r in out)
+    assert abs(tot_fit - tot_y) < 1e-2
+
+
+def test_ece_from_calibration_hand_case(spark):
+    from platform_etl_literature_spark.operators import evalmetrics as EV
+
+    # perfectly calibrated cells -> ECE 0 (fit == acc per bin by
+    # construction when each bin holds one cell)
+    rows = []
+    for s, k in {1: 1, 2: 4}.items():
+        rows += [("a", s, 1)] * k + [("a", s, 0)] * (5 - k)
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    cal = EV.isotonic_calibration(df, "s", "y", ["g"])
+    out = EV.ece_from_calibration(cal, ["g"], n_bins=10).collect()
+    assert all(r["ece"] == 0.0 for r in out)
+    assert {r["bin"] for r in out} == {2, 8}

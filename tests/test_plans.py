@@ -1066,3 +1066,29 @@ def test_hard_negatives_blocked_kernels_bounded_shuffle(spark, sf_dir):
     plan = _simple_plan(SUITE["hard_negatives"].fn(spark, sf_dir))
     assert plan.count("MapInPandas") == 1, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_jaro_winkler_join_block_equijoin_one_arrow_kernel(spark, sf_dir):
+    """JW candidates come from the first-char block EQUIJOIN (never a
+    cartesian); the only Python is the single Arrow verify kernel over
+    candidates."""
+    plan = _simple_plan(SUITE["jaro_winkler_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+
+
+def test_isotonic_calibration_declarative_no_python(spark, sf_dir):
+    """The PAV minimax fit is ONE declarative plan: cell collapse,
+    group-keyed interval equijoin (never cartesian), two bounded
+    windows, one max aggregate — no iteration, no Python, no
+    single-partition exchange (all windows partition by the group)."""
+    plan = _simple_plan(SUITE["isotonic_calibration"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
+def test_ece_calibration_integer_folds_no_python(spark, sf_dir):
+    plan = _simple_plan(SUITE["ece_calibration"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]

@@ -272,6 +272,16 @@ OPS = {
         df, "doc_id", "text", window_k=3, min_pair_count=30
     ),
     "categorical_mi": lambda df: IT.categorical_mi(df, "lang", "source"),
+    # JW linkage: the vocabulary (and with it the xi-tagged variant
+    # families) grows linearly; candidates stay block-bounded
+    "jaro_winkler_join": lambda df: EJ.jaro_winkler_pairs(
+        df.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c")),
+        "w",
+        threshold=0.6,
+        keep_cols=["c"],
+    ),
     "lift_table": lambda df: EVM.lift_table(
         df.withColumn("y", (F.col("doc_id") % 3 == 0).cast("long")),
         "n_chars", "y", "doc_id", n_buckets=5, group_cols=["lang"],
@@ -814,6 +824,15 @@ def _ev_winsor(ev):
     return RB.winsorized_stats(v, "v", key_cols=["g"])
 
 
+def _ev_isotonic(ev):
+    base = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value"), 0).cast("long").alias("s"),
+        (F.col("user_id") % 2).cast("long").alias("y"),
+    )
+    return EVM.isotonic_calibration(base, "s", "y", key_cols=["g"])
+
+
 def _ev_logrank(ev):
     from platform_etl_literature_spark.operators import survival as SVX
 
@@ -954,6 +973,9 @@ EVENTS_OPS = {
     # absorbs population growth); winsorized means sort group-parallel
     "kendall_tau": _ev_kendall,
     "winsorized_stats": _ev_winsor,
+    # PAV minimax: score cells are dollar-bounded, so the quadratic
+    # interval frame stays flat while the population grows
+    "isotonic_calibration": _ev_isotonic,
     "nelson_aalen": _ev_na,
     "logrank": _ev_logrank,
     "ab_welch": _ev_ab_welch,
