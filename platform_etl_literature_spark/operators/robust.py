@@ -827,3 +827,79 @@ def winsorized_stats(
             F.col("_mid_sum").cast("double") / trim_n.cast("double"), 6
         ).alias("trimmed_mean"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    value_cols: list[str],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group Pearson correlation matrix over M metric columns —
+    every pairwise r from ONE aggregate pass (the multi-metric
+    completion of :func:`grouped_ols`, which fits one (x, y) pair).
+
+    All sufficient statistics (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ for every i < j)
+    are exact BIGINT sums out of a single map-side-combined aggregate;
+    each r is then
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+
+    — two sqrts and one division per pair on identical integer
+    operands, engine-portable, SQL-replayable bit-for-bit before the
+    6 dp rounding.  NULL handling is listwise: rows with ANY null
+    metric are dropped (the standard complete-case matrix, and the
+    only convention where one shared n makes the matrix consistent).
+
+    ``value_cols`` integral by contract, scaled so n·max|xᵢ|·max|xⱼ|
+    stays under 2⁶³ (dollars not cents for corpus-scale event values —
+    the BIGINT-squaring trap: n·Σxy is the binding term).
+
+    Scale shape: one hash aggregate keyed by the group (M(M+3)/2
+    accumulators wide, never row-shaped) feeding an M²-sized unpivot —
+    no window, no join, no second scan.  Returns
+    (*key, x, y, n, corr) for i < j; ``corr`` NULL when either
+    variance is 0.
+    """
+    if len(value_cols) < 2:
+        raise ValueError("corr_matrix needs at least two value columns")
+    keys = list(key_cols or [])
+    cond = F.lit(True)
+    for c in value_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        *keys, *[F.col(c).cast("long").alias(c) for c in value_cols]
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, ci in enumerate(value_cols):
+        aggs.append(F.sum(F.col(ci)).alias(f"_s{i}"))
+        aggs.append(F.sum(F.col(ci) * F.col(ci)).alias(f"_q{i}"))
+        for j in range(i + 1, len(value_cols)):
+            aggs.append(
+                F.sum(F.col(ci) * F.col(value_cols[j])).alias(f"_c{i}_{j}")
+            )
+    stats = base.groupBy(*keys).agg(*aggs)
+    n = F.col("_n")
+    pair_rows = []
+    for i, ci in enumerate(value_cols):
+        for j in range(i + 1, len(value_cols)):
+            cj = value_cols[j]
+            num = n * F.col(f"_c{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}")
+            vx = n * F.col(f"_q{i}") - F.col(f"_s{i}") * F.col(f"_s{i}")
+            vy = n * F.col(f"_q{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")
+            r = F.when(
+                (vx > 0) & (vy > 0),
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            )
+            pair_rows.append(
+                F.struct(
+                    F.lit(ci).alias("x"),
+                    F.lit(cj).alias("y"),
+                    F.round(r, 6).alias("corr"),
+                )
+            )
+    return stats.select(
+        *keys,
+        F.col("_n").alias("n"),
+        F.explode(F.array(*pair_rows)).alias("_p"),
+    ).select(*keys, "_p.x", "_p.y", "n", "_p.corr")

@@ -997,7 +997,6 @@ def zipf_fit(
 
 def skipgram_cooc(
     docs: DataFrame,
-    id_col: str,
     text_col: str,
     window_k: int = 3,
     min_pair_count: int = 5,
@@ -1015,43 +1014,41 @@ def skipgram_cooc(
       count in exact micro-units (order-free integer sum; 1/d over
       doubles would be accumulation-order-dependent).
 
-    Scale shape: NO positional self-join — each (token, pos) row
-    expands into at most ``window_k`` (doc, target-pos, source-word)
-    probes via a bounded sequence explode, then ONE equijoin on
-    (doc, pos) against the token-at-position frame: linear in
-    k·corpus-tokens, map-side-combinable count aggregate on
-    vocabulary-pair keys, ``min_pair_count`` filter applied in the
-    same aggregate.  Returns (w1, w2, n_cooc, w_micro).
+    Scale shape: NO join AT ALL — the pmi_collocations bigram shape
+    generalized: for each distance d = 1..k, the pair stream is a
+    zip_with of the token array against its d-shifted self (two
+    slices), all k distances flattened into ONE explode, so the whole
+    operator is a map-side projection feeding one map-side-combinable
+    count aggregate on vocabulary-pair keys (``min_pair_count``
+    filters in the same aggregate).  The per-distance weight
+    round(1e6/d) is a DRIVER-SIDE literal baked into each branch —
+    no per-row division.  (The first formulation probed a (doc, pos)
+    equijoin; at 16× corpus scale the join shuffled two
+    corpus-of-tokens-sized sides — 4.0 s — where this shape only
+    shuffles the pair-vocabulary counts.)  Returns
+    (w1, w2, n_cooc, w_micro).
     """
-    toks = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
-    )
-    probes = toks.select(
-        "_doc",
-        F.col("_w").alias("w1"),
-        F.explode(
-            F.sequence(
-                F.col("_pos") + 1, F.col("_pos") + window_k
-            )
-        ).alias("_tpos"),
-        F.col("_pos").alias("_spos"),
-    )
-    targets = toks.select(
-        "_doc", F.col("_pos").alias("_tpos"), F.col("_w").alias("w2")
-    )
+    if window_k < 1:
+        raise ValueError(f"window_k must be >= 1, got {window_k}")
+    branches = []
+    for d in range(1, window_k + 1):
+        wd = round(1_000_000 / d)
+        branches.append(
+            f"CASE WHEN size(_t) > {d} THEN "
+            f"zip_with(slice(_t, 1, size(_t) - {d}),"
+            f" slice(_t, 1 + {d}, size(_t) - {d}),"
+            f" (a, b) -> struct(a AS w1, b AS w2, {wd}L AS wm))"
+            f" ELSE array() END"
+        )
+    pairs_expr = "flatten(array(" + ", ".join(branches) + "))"
+    toks = docs.select(tokens(F.col(text_col)).alias("_t"))
     return (
-        probes.join(targets, ["_doc", "_tpos"])
+        toks.select(F.explode(F.expr(pairs_expr)).alias("_p"))
+        .select("_p.w1", "_p.w2", "_p.wm")
         .groupBy("w1", "w2")
         .agg(
             F.count(F.lit(1)).alias("n_cooc"),
-            F.sum(
-                F.round(
-                    1_000_000.0
-                    / (F.col("_tpos") - F.col("_spos")).cast("double"),
-                    0,
-                ).cast("long")
-            ).alias("w_micro"),
+            F.sum("wm").alias("w_micro"),
         )
         .filter(F.col("n_cooc") >= min_pair_count)
     )

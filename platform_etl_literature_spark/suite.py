@@ -9714,14 +9714,10 @@ FROM s
 
 def q_skipgram_cooc(spark: SparkSession, sf: str) -> DataFrame:
     """Skip-gram window-3 co-occurrence counts with exact micro-unit
-    1/d weights (operators.textstats.skipgram_cooc): bounded sequence
-    explode + ONE (doc, pos) equijoin — no positional self-join."""
+    1/d weights (operators.textstats.skipgram_cooc): k zip_with slices flattened
+    into one explode — no join of any kind."""
     return TS.skipgram_cooc(
-        _t(spark, sf, "documents"),
-        "doc_id",
-        "text",
-        window_k=3,
-        min_pair_count=5,
+        _t(spark, sf, "documents"), "text", window_k=3, min_pair_count=5
     )
 
 
@@ -9934,6 +9930,60 @@ SELECT t.g, t.bin, t.n_b,
 FROM terms t JOIN e ON t.g = e.g ORDER BY t.g, t.bin
 """
 )
+
+
+def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Pearson correlation matrix over three metrics
+    (whole-dollar value, day of month, hour) from ONE aggregate pass
+    (operators.robust.corr_matrix): all sufficient statistics exact
+    BIGINTs, two sqrts + one division per pair."""
+    ev = read_events(spark, sf).where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value"), 0).cast("long").alias("v"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+    return RB.corr_matrix(base, ["v", "d", "h"], key_cols=["g"]).orderBy(
+        "g", "x", "y"
+    )
+
+
+_ORACLE_CORR_MATRIX = """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value, 0) AS BIGINT) AS v,
+         CAST(date_part('day', ts) AS BIGINT) AS d,
+         CAST(date_part('hour', ts) AS BIGINT) AS h
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s0, CAST(sum(v * v) AS BIGINT) AS q0,
+         CAST(sum(d) AS BIGINT) AS s1, CAST(sum(d * d) AS BIGINT) AS q1,
+         CAST(sum(h) AS BIGINT) AS s2, CAST(sum(h * h) AS BIGINT) AS q2,
+         CAST(sum(v * d) AS BIGINT) AS c01,
+         CAST(sum(v * h) AS BIGINT) AS c02,
+         CAST(sum(d * h) AS BIGINT) AS c12
+  FROM base GROUP BY 1),
+pairs AS (
+  SELECT g, 'v' AS x, 'd' AS y, n,
+         n * c01 - s0 * s1 AS num,
+         n * q0 - s0 * s0 AS vx, n * q1 - s1 * s1 AS vy FROM s
+  UNION ALL
+  SELECT g, 'v', 'h', n, n * c02 - s0 * s2,
+         n * q0 - s0 * s0, n * q2 - s2 * s2 FROM s
+  UNION ALL
+  SELECT g, 'd', 'h', n, n * c12 - s1 * s2,
+         n * q1 - s1 * s1, n * q2 - s2 * s2 FROM s)
+SELECT g, x, y, n,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN round(CAST(num AS DOUBLE)
+                       / (sqrt(CAST(vx AS DOUBLE))
+                          * sqrt(CAST(vy AS DOUBLE))), 6)
+       END AS corr
+FROM pairs ORDER BY g, x, y
+"""
 
 
 _SUITE_DEFS: dict[str, QuerySpec] = {
@@ -10481,6 +10531,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "ece_calibration": QuerySpec(
         q_ece_calibration, _ORACLE_ECE, "eval-expected-calibration-error"
     ),
+    "corr_matrix": QuerySpec(
+        q_corr_matrix, _ORACLE_CORR_MATRIX, "robust-pearson-corr-matrix"
+    ),
     "logrank": QuerySpec(
         q_logrank, _ORACLE_LOGRANK, "survival-logrank-two-sample"
     ),
@@ -10699,7 +10752,7 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 #   funnel_steps→skipgram_cooc — the events family keeps FOUR hashed
 #     rows (sessionize, user_ewma_segmented, interval_overlap,
 #     asof_join) and funnel_windowed stays parity-gated; skipgram
-#     hashes the bounded-probe positional equijoin + micro-unit 1/d
+#     hashes the k-slice zip_with pair stream + micro-unit 1/d
 #     weight fold.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",

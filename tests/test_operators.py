@@ -5558,7 +5558,7 @@ def test_skipgram_cooc_hand_counts(spark):
     out = {
         (r["w1"], r["w2"]): r
         for r in TS.skipgram_cooc(
-            docs, "doc_id", "text", window_k=2, min_pair_count=1
+            docs, "text", window_k=2, min_pair_count=1
         ).collect()
     }
     # doc1 pairs within k=2: (a,b)d1, (a,a)d2, (b,a)d1, (b,b)d2,
@@ -5706,3 +5706,46 @@ def test_ece_from_calibration_hand_case(spark):
     out = EV.ece_from_calibration(cal, ["g"], n_bins=10).collect()
     assert all(r["ece"] == 0.0 for r in out)
     assert {r["bin"] for r in out} == {2, 8}
+
+
+def test_corr_matrix_known_values(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rows = []
+    # y2 = 2*y1 (r=1); y3 = -y1 (r=-1); y4 constant (r NULL)
+    for i in range(1, 8):
+        rows.append(("g", i, 2 * i, -i, 5))
+    df = spark.createDataFrame(rows, ["g", "a", "b", "c", "k"])
+    out = {
+        (r["x"], r["y"]): r
+        for r in RB.corr_matrix(df, ["a", "b", "c", "k"], ["g"]).collect()
+    }
+    assert len(out) == 6
+    assert out[("a", "b")]["corr"] == 1.0
+    assert out[("a", "c")]["corr"] == -1.0
+    assert out[("a", "k")]["corr"] is None  # zero variance side
+    assert out[("b", "c")]["corr"] == -1.0
+    assert all(r["n"] == 7 for r in out.values())
+
+
+def test_corr_matrix_listwise_nulls_and_reference(spark):
+    import random
+
+    from platform_etl_literature_spark.operators import robust as RB
+
+    rng = random.Random(5)
+    rows = [
+        ("g", rng.randint(0, 100), rng.randint(0, 100))
+        for _ in range(200)
+    ] + [("g", None, 1), ("g", 1, None)]
+    df = spark.createDataFrame(rows, ["g", "a", "b"])
+    out = RB.corr_matrix(df, ["a", "b"], ["g"]).collect()[0]
+    assert out["n"] == 200  # listwise: null rows dropped
+    xs = [r[1] for r in rows if r[1] is not None and r[2] is not None]
+    ys = [r[2] for r in rows if r[1] is not None and r[2] is not None]
+    n = len(xs)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    want = num / (vx**0.5 * vy**0.5)
+    assert abs(out["corr"] - round(want, 6)) < 1e-9

@@ -1049,14 +1049,14 @@ def test_zipf_fit_bounded_take_ordered(spark, sf_dir):
     assert "EvalPython" not in plan, plan[:3000]
 
 
-def test_skipgram_cooc_equijoin_never_positional_self_join(spark, sf_dir):
-    """Skip-gram probes join on (doc, pos) — a hash/sort EQUI join;
-    no cartesian, no broadcast nested loop (both sides are
-    corpus-sized), counts are map-side-combinable hash aggregates."""
+def test_skipgram_cooc_no_join_map_side_pairs(spark, sf_dir):
+    """Skip-gram pairs come from k zip_with slices flattened into one
+    explode — NO join of any kind; the only shuffle is the map-side-
+    combined pair-count aggregate."""
     plan = _simple_plan(SUITE["skipgram_cooc"].fn(spark, sf_dir))
-    assert "CartesianProduct" not in plan, plan[:3000]
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
 
 
 def test_hard_negatives_blocked_kernels_bounded_shuffle(spark, sf_dir):
@@ -1092,3 +1092,14 @@ def test_ece_calibration_integer_folds_no_python(spark, sf_dir):
     plan = _simple_plan(SUITE["ece_calibration"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_corr_matrix_one_aggregate_no_join_no_window(spark, sf_dir):
+    """The whole matrix comes from ONE map-side-combined aggregate
+    feeding an M²-sized unpivot — no join, no window, nothing in
+    Python."""
+    plan = _simple_plan(SUITE["corr_matrix"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]

@@ -24,10 +24,10 @@ SHOWCASE: dict[str, str] = {
         "aggregates (doc count, 5-sum OLS fit)."
     ),
     "skipgram_cooc": (
-        "The window probe is a bounded `sequence` explode feeding an EQUI "
-        "join on (doc, pos) — no positional self-join, no "
-        "BroadcastNestedLoopJoin; pair counts are map-side-combinable "
-        "`partial_count`/`partial_sum` hash aggregates on vocabulary keys."
+        "Pairs come from k zip_with slices flattened into ONE explode — "
+        "NO join node anywhere; the only Exchange is the "
+        "map-side-combined (`partial_count`/`partial_sum`) pair-count "
+        "aggregate on vocabulary keys."
     ),
     "hard_negatives": (
         "Exactly one `MapInPandas` (the Arrow kernel); the ranking window "

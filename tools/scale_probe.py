@@ -261,15 +261,15 @@ OPS = {
     ),
     # round-8 corpus statistics: heaps rides ONE range exchange (two
     # prefix sums share it); zipf is one vocab count + bounded top-R;
-    # skipgram is k probes/token into one (doc,pos) equijoin (the xi
-    # tag grows the pair vocabulary linearly, as with PMI); MI folds
+    # skipgram is k zip_with slices, no join (the xi tag grows the
+    # pair vocabulary linearly, as with PMI); MI folds
     # vocabulary-sized level counts
     "heaps_law": lambda df: TS.heaps_law(
         df, "doc_id", "text", checkpoint_every=50
     ),
     "zipf_fit": lambda df: TS.zipf_fit(df, "text"),
     "skipgram_cooc": lambda df: TS.skipgram_cooc(
-        df, "doc_id", "text", window_k=3, min_pair_count=30
+        df, "text", window_k=3, min_pair_count=30
     ),
     "categorical_mi": lambda df: IT.categorical_mi(df, "lang", "source"),
     # JW linkage: the vocabulary (and with it the xi-tagged variant
@@ -833,6 +833,18 @@ def _ev_isotonic(ev):
     return EVM.isotonic_calibration(base, "s", "y", key_cols=["g"])
 
 
+def _ev_corr_matrix(ev):
+    base = ev.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value"), 0).cast("long").alias("v"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+    return RB.corr_matrix(base, ["v", "d", "h"], key_cols=["g"])
+
+
 def _ev_logrank(ev):
     from platform_etl_literature_spark.operators import survival as SVX
 
@@ -976,6 +988,8 @@ EVENTS_OPS = {
     # PAV minimax: score cells are dollar-bounded, so the quadratic
     # interval frame stays flat while the population grows
     "isotonic_calibration": _ev_isotonic,
+    # corr matrix: one wide aggregate, M²-sized unpivot
+    "corr_matrix": _ev_corr_matrix,
     "nelson_aalen": _ev_na,
     "logrank": _ev_logrank,
     "ab_welch": _ev_ab_welch,
