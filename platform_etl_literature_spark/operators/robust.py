@@ -903,3 +903,74 @@ def corr_matrix(
         F.col("_n").alias("n"),
         F.explode(F.array(*pair_rows)).alias("_p"),
     ).select(*keys, "_p.x", "_p.y", "n", "_p.corr")
+
+
+def corr_matrix_from_cells(
+    cells: DataFrame,
+    value_cols: list[str],
+    count_col: str = "cnt",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """:func:`corr_matrix` on PRE-AGGREGATED joint value cells — the
+    composition entry point for stream-maintained state (the
+    ks_from_counts / benford_from_counts pattern):
+    ``streaming.sketches.cell_counts_maintain_writer`` lands per-batch
+    (keys, x₁..x_M, cnt) grids; their cell-wise merge is EXACTLY the
+    direct build, and every sufficient statistic here is an integer
+    Σ cnt·(term) — so the matrix computed from merged state equals
+    the batch :func:`corr_matrix` bit-for-bit.
+
+    Same output contract and overflow bound as :func:`corr_matrix`
+    (the binding term gains a factor only if cells are coarser than
+    rows — they are not: Σ cnt·x·y over cells == Σ x·y over rows).
+    """
+    if len(value_cols) < 2:
+        raise ValueError("corr_matrix needs at least two value columns")
+    keys = list(key_cols or [])
+    cond = F.lit(True)
+    for c in value_cols:
+        cond = cond & F.col(c).isNotNull()
+    w = F.col(count_col).cast("long")
+    base = cells.filter(cond).select(
+        *keys,
+        w.alias("_w"),
+        *[F.col(c).cast("long").alias(c) for c in value_cols],
+    )
+    aggs = [F.sum("_w").alias("_n")]
+    for i, ci in enumerate(value_cols):
+        aggs.append(F.sum(F.col("_w") * F.col(ci)).alias(f"_s{i}"))
+        aggs.append(
+            F.sum(F.col("_w") * F.col(ci) * F.col(ci)).alias(f"_q{i}")
+        )
+        for j in range(i + 1, len(value_cols)):
+            aggs.append(
+                F.sum(
+                    F.col("_w") * F.col(ci) * F.col(value_cols[j])
+                ).alias(f"_c{i}_{j}")
+            )
+    stats = base.groupBy(*keys).agg(*aggs)
+    n = F.col("_n")
+    pair_rows = []
+    for i, ci in enumerate(value_cols):
+        for j in range(i + 1, len(value_cols)):
+            cj = value_cols[j]
+            num = n * F.col(f"_c{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}")
+            vx = n * F.col(f"_q{i}") - F.col(f"_s{i}") * F.col(f"_s{i}")
+            vy = n * F.col(f"_q{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")
+            r = F.when(
+                (vx > 0) & (vy > 0),
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            )
+            pair_rows.append(
+                F.struct(
+                    F.lit(ci).alias("x"),
+                    F.lit(cj).alias("y"),
+                    F.round(r, 6).alias("corr"),
+                )
+            )
+    return stats.select(
+        *keys,
+        F.col("_n").alias("n"),
+        F.explode(F.array(*pair_rows)).alias("_p"),
+    ).select(*keys, "_p.x", "_p.y", "n", "_p.corr")

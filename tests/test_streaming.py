@@ -1682,3 +1682,71 @@ def test_acf_composes_on_ivm_maintained_daily_sums(spark, tmp_path):
     assert via_state == direct
     # sanity: series a is a perfect line -> lag-1 r == 1.0
     assert via_state[("a", 1)][1] == 1.0
+
+
+def test_corr_matrix_composes_on_streamed_cells(spark, tmp_path):
+    """Correlation-matrix maintenance: stream joint (g, v, d) value
+    cells with cell_counts_maintain_writer; corr_matrix_from_cells on
+    the merged state equals the direct batch corr_matrix bit-for-bit
+    (every sufficient statistic is an integer Σ cnt·term — no float
+    path to diverge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.operators.robust import (
+        corr_matrix,
+        corr_matrix_from_cells,
+    )
+    from platform_etl_literature_spark.streaming.sketches import (
+        cell_counts_maintain_writer,
+        cell_counts_read_merged,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    import random
+
+    rng = random.Random(19)
+    rows1 = [("a" if i % 3 else "b", rng.randint(0, 9), rng.randint(0, 5))
+             for i in range(40)]
+    rows2 = [("a" if i % 2 else "b", rng.randint(0, 9), rng.randint(0, 5))
+             for i in range(30)]
+    for fname, rows in (("f1.parquet", rows1), ("f2.parquet", rows2)):
+        pq.write_table(
+            pa.table({
+                "g": pa.array([r[0] for r in rows]),
+                "v": pa.array([r[1] for r in rows], pa.int64()),
+                "d": pa.array([r[2] for r in rows], pa.int64()),
+            }),
+            str(land / fname),
+        )
+
+    stream = (
+        spark.readStream.schema("g string, v long, d long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    cells = str(tmp_path / "cells")
+    q = (
+        cell_counts_maintain_writer(stream, ["g", "v", "d"], cells)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    everything = spark.createDataFrame(
+        rows1 + rows2, "g string, v long, d long"
+    )
+    merged = cell_counts_read_merged(spark, cells, ["g", "v", "d"])
+    via_state = {
+        (r["g"], r["x"], r["y"]): (r["n"], r["corr"])
+        for r in corr_matrix_from_cells(
+            merged, ["v", "d"], key_cols=["g"]
+        ).collect()
+    }
+    direct = {
+        (r["g"], r["x"], r["y"]): (r["n"], r["corr"])
+        for r in corr_matrix(everything, ["v", "d"], ["g"]).collect()
+    }
+    assert via_state == direct and len(direct) == 2
