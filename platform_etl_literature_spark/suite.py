@@ -9932,6 +9932,59 @@ FROM terms t JOIN e ON t.g = e.g ORDER BY t.g, t.bin
 )
 
 
+def q_w2v_frozen_synonyms(spark: SparkSession, sf: str) -> DataFrame:
+    """findSynonyms over the FROZEN Word2Vec artifact: top-5 cosine
+    neighbors for every disease key among all frozen entity vectors —
+    the value-checkable half of the reference's synonym surface
+    (Embedding.scala findSynonyms ≡ cosine top-k over getVectors;
+    W2V.scala:41-48).  The live-trained twin stays rows-only
+    (word2vec_synonyms, M3 by nature); THIS row hash-checks the
+    synonym arithmetic itself from plans/w2v_frozen.py literals, the
+    same 6-decimal constants the evidence_pipeline oracle replays."""
+    from platform_etl_literature_spark.plans.w2v_frozen import W2V_FROZEN
+
+    vec = spark.createDataFrame(
+        W2V_FROZEN, "word STRING, vector ARRAY<DOUBLE>"
+    )
+    anchors = vec.filter(F.col("word").startswith("EFO_"))
+    return SIM.cosine_topk(vec, anchors, id_col="word", vec_col="vector", k=5)
+
+
+def _w2v_synonyms_oracle() -> str:
+    from platform_etl_literature_spark.plans.w2v_frozen import W2V_FROZEN
+
+    vrows = ", ".join(
+        "(%r, [%s])" % (w, ", ".join(repr(x) for x in v))
+        for w, v in W2V_FROZEN
+    )
+    return f"""
+WITH vec(word, v) AS (VALUES {vrows}),
+q AS (SELECT word AS query_id, v AS qv FROM vec
+      WHERE word LIKE 'EFO\\_%' ESCAPE '\\'),
+s AS (
+  SELECT query_id, c.word AS neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(c.v, c.v)) = 0
+              THEN 0.0
+              ELSE list_dot_product(qv, c.v) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(c.v, c.v)))
+         END AS sim_exact
+  FROM q, vec c WHERE c.word != query_id),
+r AS (
+  SELECT query_id, neighbor_id, sim_exact,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_exact DESC, neighbor_id)
+              AS INTEGER) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim
+FROM r WHERE rank <= 5
+"""
+
+
+_ORACLE_W2V_SYNONYMS = _w2v_synonyms_oracle()
+
+
 def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type Pearson correlation matrix over three metrics
     (whole-dollar value, day of month, hour) from ONE aggregate pass
@@ -10533,6 +10586,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "corr_matrix": QuerySpec(
         q_corr_matrix, _ORACLE_CORR_MATRIX, "robust-pearson-corr-matrix"
+    ),
+    "w2v_frozen_synonyms": QuerySpec(
+        q_w2v_frozen_synonyms, _ORACLE_W2V_SYNONYMS, "S7 M3 M4 findSynonyms"
     ),
     "logrank": QuerySpec(
         q_logrank, _ORACLE_LOGRANK, "survival-logrank-two-sample"
