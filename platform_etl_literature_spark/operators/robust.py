@@ -974,3 +974,115 @@ def corr_matrix_from_cells(
         F.col("_n").alias("n"),
         F.explode(F.array(*pair_rows)).alias("_p"),
     ).select(*keys, "_p.x", "_p.y", "n", "_p.corr")
+
+
+#: Poisson(1) CDF cutoffs (k = 0..8), rounded to 12 dp — the inverse-CDF
+#: table for deterministic bootstrap weights.  LITERALS by design: both
+#: engines compare the same md5-uniform against the same constants, so
+#: the weight draw is bit-identical (the hash_split rule); P(w > 9) ≈
+#: 1.1e-7 is folded into w = 9.
+POISSON1_CDF: tuple[float, ...] = (
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
+    0.999998874797,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    n_boot: int = 50,
+    alpha_pct: int = 5,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for each group's mean
+    via the POISSON bootstrap (Hanley & MacGibbon, '06; the
+    one-pass-per-replicate resampling that works when n is unknown
+    and rows are distributed — each row enters replicate b with a
+    Poisson(1) multiplicity instead of a global n-draw, which is the
+    only bootstrap a shared-nothing engine can run without
+    materializing resamples).
+
+    DETERMINISTIC by construction (no RNG): row i's weight in
+    replicate b inverts the Poisson(1) CDF at the md5-uniform
+    u = token_hash(salt‖b‖':'‖id) / 2³² — the hash_split discipline —
+    so runs, engines, and repartitionings agree draw-for-draw, and the
+    SQL oracle replays every weight exactly.
+
+    Exactness: replicate sums are BIGINT Σ w·x (``value_col`` integral
+    by contract); each replicate mean is one division; the CI bounds
+    are EXACT nearest-rank order statistics over the B replicate means
+    (lo = rank ⌈B·α/200⌉ from each end) — no interpolation, no float
+    accumulation anywhere.
+
+    Scale shape: the explode is rows × B (B bounded, default 50) into
+    a map-side-combined (keys, b) aggregate — shuffle carries
+    groups × B cells; the rank window runs over B rows per group.
+    Returns (*key, n_rows, mean, ci_lo, ci_hi, n_boot) — one row per
+    group; replicates that draw an empty resample (probability
+    ~e^{-n·B}) are excluded from the rank order, with ranks over the
+    surviving count.
+    """
+    from platform_etl_literature_spark.operators.dedup import token_hash
+
+    if n_boot < 4:
+        raise ValueError(f"n_boot must be >= 4, got {n_boot}")
+    keys = list(key_cols or [])
+    x = F.col(value_col).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, F.col(id_col).cast("string").alias("_id"), x.alias("_x")
+    )
+    point = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean"),
+    )
+    rep = base.withColumn("_b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
+    u = token_hash(
+        F.concat(
+            F.lit(salt),
+            F.col("_b").cast("string"),
+            F.lit(":"),
+            F.col("_id"),
+        )
+    ) / F.lit(4294967296.0)
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    cells = (
+        rep.withColumn("_w", w.cast("long"))
+        .groupBy(*keys, "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("_ws"),
+            F.sum("_w").alias("_wn"),
+        )
+        .filter(F.col("_wn") > 0)
+        .withColumn(
+            "_rm", F.col("_ws").cast("double") / F.col("_wn").cast("double")
+        )
+    )
+    wr = Window.partitionBy(*(keys or [F.lit(1)])).orderBy("_rm", "_b")
+    wc = Window.partitionBy(*(keys or [F.lit(1)]))
+    ranked = cells.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_bn", F.count(F.lit(1)).over(wc)
+    )
+    lo_rank = F.ceil(F.col("_bn") * alpha_pct / 200).cast("long")
+    sel = ranked.withColumn("_lo_r", lo_rank).filter(
+        (F.col("_r") == F.col("_lo_r"))
+        | (F.col("_r") == F.col("_bn") + 1 - F.col("_lo_r"))
+    )
+    ci = sel.groupBy(*keys).agg(
+        F.round(F.min("_rm"), 6).alias("ci_lo"),
+        F.round(F.max("_rm"), 6).alias("ci_hi"),
+    )
+    return point.join(ci, keys).select(
+        *keys,
+        "n_rows",
+        "mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(n_boot).alias("n_boot"),
+    )

@@ -9932,6 +9932,72 @@ FROM terms t JOIN e ON t.g = e.g ORDER BY t.g, t.bin
 )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for each event type's
+    mean value (operators.robust.poisson_bootstrap_ci, B=50): every
+    resample weight inverts the Poisson(1) CDF at an md5-uniform, so
+    the oracle replays all B×n draws bit-for-bit and the CI bounds
+    are exact nearest-rank order statistics."""
+    ev = read_events(spark, sf).where(F.col("value").isNotNull())
+    base = ev.select(
+        F.col("event_type").alias("g"),
+        F.col("event_id").alias("id"),
+        _cents("value").alias("x"),
+    )
+    return RB.poisson_bootstrap_ci(
+        base, "id", "x", key_cols=["g"], n_boot=50, alpha_pct=5
+    ).orderBy("g")
+
+
+def _bootstrap_oracle() -> str:
+    from platform_etl_literature_spark.operators.robust import POISSON1_CDF
+
+    branches = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+         CAST(round(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+point AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+         round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS mean
+  FROM base GROUP BY 1),
+rep AS (SELECT g, id, x, unnest(range(0, 50)) AS b FROM base),
+uu AS (
+  SELECT g, b, x,
+         ('0x' || substr(md5('boot' || CAST(b AS VARCHAR) || ':' || id),
+                         1, 8))::BIGINT / 4294967296.0 AS u
+  FROM rep),
+ww AS (SELECT g, b, x, CASE {branches} ELSE {len(POISSON1_CDF)} END AS w
+       FROM uu),
+cells AS (
+  SELECT g, b, CAST(sum(w * x) AS BIGINT) AS ws,
+         CAST(sum(w) AS BIGINT) AS wn
+  FROM ww GROUP BY 1, 2),
+rm AS (SELECT g, b, CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS rm
+       FROM cells WHERE wn > 0),
+rk AS (
+  SELECT g, b, rm,
+         row_number() OVER (PARTITION BY g ORDER BY rm, b) AS r,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS bn
+  FROM rm),
+sel AS (
+  SELECT g, rm FROM rk
+  WHERE r = CAST(ceil(bn * 5 / 200.0) AS BIGINT)
+     OR r = bn + 1 - CAST(ceil(bn * 5 / 200.0) AS BIGINT)),
+ci AS (SELECT g, round(min(rm), 6) AS ci_lo, round(max(rm), 6) AS ci_hi
+       FROM sel GROUP BY 1)
+SELECT p.g, p.n_rows, p.mean, ci.ci_lo, ci.ci_hi, 50 AS n_boot
+FROM point p JOIN ci ON p.g = ci.g ORDER BY p.g
+"""
+
+
+_ORACLE_BOOTSTRAP = _bootstrap_oracle()
+
+
 def q_w2v_frozen_synonyms(spark: SparkSession, sf: str) -> DataFrame:
     """findSynonyms over the FROZEN Word2Vec artifact: top-5 cosine
     neighbors for every disease key among all frozen entity vectors —
@@ -10589,6 +10655,9 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "w2v_frozen_synonyms": QuerySpec(
         q_w2v_frozen_synonyms, _ORACLE_W2V_SYNONYMS, "S7 M3 M4 findSynonyms"
+    ),
+    "bootstrap_ci": QuerySpec(
+        q_bootstrap_ci, _ORACLE_BOOTSTRAP, "uncertainty-poisson-bootstrap"
     ),
     "logrank": QuerySpec(
         q_logrank, _ORACLE_LOGRANK, "survival-logrank-two-sample"

@@ -5749,3 +5749,46 @@ def test_corr_matrix_listwise_nulls_and_reference(spark):
     vy = n * sum(y * y for y in ys) - sum(ys) ** 2
     want = num / (vx**0.5 * vy**0.5)
     assert abs(out["corr"] - round(want, 6)) < 1e-9
+
+
+def test_poisson_bootstrap_ci_contract(spark):
+    from platform_etl_literature_spark.operators import robust as RB
+
+    import random
+
+    rng = random.Random(23)
+    rows = [("g", i, rng.randint(50, 150)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "id", "x"])
+    out = RB.poisson_bootstrap_ci(
+        df, "id", "x", ["g"], n_boot=40, alpha_pct=5
+    ).collect()[0]
+    # CI brackets the point estimate and is reasonably tight for a
+    # well-behaved 300-row sample (se ~ 1.7 -> CI width well under 20)
+    assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+    assert out["ci_hi"] - out["ci_lo"] < 20
+    assert out["n_rows"] == 300 and out["n_boot"] == 40
+    # deterministic: a second run draws the identical resamples
+    again = RB.poisson_bootstrap_ci(
+        df, "id", "x", ["g"], n_boot=40, alpha_pct=5
+    ).collect()[0]
+    assert (again["ci_lo"], again["ci_hi"]) == (out["ci_lo"], out["ci_hi"])
+
+
+def test_poisson_bootstrap_weights_mean_one(spark):
+    """The md5-uniform inverse-CDF draw must look Poisson(1): across
+    many (row, b) draws the mean weight sits near 1."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_literature_spark.operators.dedup import token_hash
+    from platform_etl_literature_spark.operators.robust import POISSON1_CDF
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("id"))
+    u = token_hash(F.concat(F.lit("t:"), F.col("id"))) / F.lit(4294967296.0)
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    stats = df.select(w.alias("w")).agg(
+        F.avg("w").alias("m"), F.max("w").alias("mx")
+    ).collect()[0]
+    assert abs(stats["m"] - 1.0) < 0.03
+    assert stats["mx"] <= 9

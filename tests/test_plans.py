@@ -1103,3 +1103,14 @@ def test_corr_matrix_one_aggregate_no_join_no_window(spark, sf_dir):
     assert "Window" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
     assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]
+
+
+def test_bootstrap_ci_map_side_explode_bounded_window(spark, sf_dir):
+    """The B-replicate explode is map-side into a map-side-combined
+    (keys, b) aggregate; the rank window runs over B rows per group —
+    no Python, no cartesian, no single-partition exchange."""
+    plan = _simple_plan(SUITE["bootstrap_ci"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "partial_sum" in plan, plan[:3000]

@@ -833,6 +833,17 @@ def _ev_isotonic(ev):
     return EVM.isotonic_calibration(base, "s", "y", key_cols=["g"])
 
 
+def _ev_bootstrap(ev):
+    base = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.col("event_id").alias("id"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("x"),
+    )
+    return RB.poisson_bootstrap_ci(
+        base, "id", "x", key_cols=["g"], n_boot=50
+    )
+
+
 def _ev_corr_matrix(ev):
     base = ev.where(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
@@ -990,6 +1001,9 @@ EVENTS_OPS = {
     "isotonic_calibration": _ev_isotonic,
     # corr matrix: one wide aggregate, M²-sized unpivot
     "corr_matrix": _ev_corr_matrix,
+    # bootstrap: rows×B map-side explode → (g, b) cells; the rank
+    # window is B rows per group regardless of population
+    "bootstrap_ci": _ev_bootstrap,
     "nelson_aalen": _ev_na,
     "logrank": _ev_logrank,
     "ab_welch": _ev_ab_welch,
