@@ -29,6 +29,13 @@ SHOWCASE: dict[str, str] = {
         "map-side-combined (`partial_count`/`partial_sum`) pair-count "
         "aggregate on vocabulary keys."
     ),
+    "bootstrap_ci": (
+        "The rows×B replicate explode is map-side (`Generate explode` "
+        "inside the scan's codegen stage) into a map-side-combined "
+        "(keys, b) aggregate (`partial_sum`); the nearest-rank window "
+        "partitions by the group over B rows — no SinglePartition, no "
+        "Python, zero RNG expressions."
+    ),
     "hard_negatives": (
         "Exactly one `MapInPandas` (the Arrow kernel); the ranking window "
         "consumes the kernel's local top-k pre-reduction, so the shuffle "
