@@ -233,8 +233,12 @@ def jaro_winkler_pairs(
     ``df`` must hold one row per distinct string (a vocabulary frame;
     the edit_distance_pairs contract).  The JW verify runs as a
     row-wise python kernel inside ONE Arrow batch per partition over
-    candidate pairs only.  Returns (w1, w2, *keep_1/2, jw) with
-    w1 < w2 and jw rounded to 6 dp.
+    candidate pairs only.  The threshold is applied to the 6dp-ROUNDED
+    score so the cut boundary is part of the bit-stable contract (two
+    engines' JW scorers agree only to ~1e-12; filtering unrounded
+    values lets float noise flip membership of threshold-straddling
+    pairs).  Returns (w1, w2, *keep_1/2, jw) with w1 < w2 and jw
+    rounded to 6 dp.
     """
     import pandas as pd
 
@@ -274,13 +278,13 @@ def jaro_winkler_pairs(
         )
     )
     return (
-        cand.withColumn("_jw", _jw(F.col("w1"), F.col("w2")))
+        cand.withColumn("_jw", F.round(_jw(F.col("w1"), F.col("w2")), 6))
         .filter(F.col("_jw") >= F.lit(threshold))
         .select(
             "w1",
             "w2",
             *[f"{c}_1" for c in keep],
             *[f"{c}_2" for c in keep],
-            F.round("_jw", 6).alias("jw"),
+            F.col("_jw").alias("jw"),
         )
     )

@@ -1032,7 +1032,9 @@ def skipgram_cooc(
         raise ValueError(f"window_k must be >= 1, got {window_k}")
     branches = []
     for d in range(1, window_k + 1):
-        wd = round(1_000_000 / d)
+        # half-UP (not banker's) so the literal matches SQL round()
+        # semantics for every d (first divergence at d=128: .5 case).
+        wd = int(1_000_000 / d + 0.5)
         branches.append(
             f"CASE WHEN size(_t) > {d} THEN "
             f"zip_with(slice(_t, 1, size(_t) - {d}),"

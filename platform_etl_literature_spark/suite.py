@@ -9818,7 +9818,7 @@ FROM vocab a JOIN vocab b
   ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
  AND a.w < b.w
  AND abs(len(a.w) - len(b.w)) <= 4
-WHERE jaro_winkler_similarity(a.w, b.w) >= 0.6
+WHERE round(jaro_winkler_similarity(a.w, b.w), 6) >= 0.6
 """
 
 
@@ -9848,10 +9848,16 @@ WITH base AS (
   SELECT event_type AS g, CAST(round(value, 0) AS BIGINT) AS s,
          CAST(user_id % 2 AS BIGINT) AS y
   FROM events WHERE value IS NOT NULL),
-cells AS (
+cells0 AS (
   SELECT g, s AS score, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(y) AS BIGINT) AS sy
   FROM base GROUP BY 1, 2),
+-- replay the impl's max_cells=1024 loud-exclusion valve
+-- (evalmetrics.isotonic_calibration drops groups with >1024 cells)
+csz AS (SELECT g, count(*) AS _nc FROM cells0 GROUP BY 1),
+cells AS (
+  SELECT c.g, c.score, c.n, c.sy
+  FROM cells0 c JOIN csz USING (g) WHERE csz._nc <= 1024),
 pref AS (
   SELECT g, score, n, sy,
          row_number() OVER (PARTITION BY g ORDER BY score) AS i,
