@@ -53,6 +53,13 @@ from pyspark.storagelevel import StorageLevel
 # tests call release_cached() / clearCache between queries.
 _CACHED: list[DataFrame] = []
 
+# Record-table rows below which the PPJoin verify joins broadcast the
+# compact (id, n, ranks) table instead of shuffle-joining it (see
+# prefix_jaccard_pairs).  ~2M records × ~150 int ranks ≈ 1.2 GB —
+# comfortable on 8 GB executors; beyond it the shuffle join is the
+# correct distributed path.
+_VERIFY_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def _materialize_once(df: DataFrame) -> DataFrame:
     """Persist a small per-document intermediate that feeds both sides
@@ -1122,6 +1129,18 @@ def embedding_cosine_pairs_lsh(
     cosine c is 1-(1-((1-acos(c)/π)^n_bits))^n_tables — tune upward
     with more tables, tighter buckets with more bits.  Returns
     (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
+
+    VERIFY-FIRST plan shape (the round-8 occupancy instrument's
+    finding): the pair dedup used to run BEFORE the cosine, so the
+    dedup shuffle carried both dim-wide vectors as payload per
+    candidate — at 16× corpus that shuffle alone cost 2.1× the bucket
+    join (measured: join 0.74 s, join+dedup 2.36 s).  Cosine + the
+    threshold filter now run directly on the bucket-join output
+    (duplicated candidates included — cosine is deterministic, so
+    multi-table collisions recompute the same value, expected ~1-2×
+    for non-dup pairs) and only the slim (id_a, id_b, cos) survivor
+    rows pay the dedup shuffle.  16× cell 10.65 → ~2.7 s with rows/s
+    now RISING with scale.
     """
     from platform_etl_literature_spark.functions.vectors import array_cosine
     from platform_etl_literature_spark.operators.similarity import _bucket_rows
@@ -1138,10 +1157,10 @@ def embedding_cosine_pairs_lsh(
     return (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", array_cosine("_va", "_vb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -1522,15 +1541,50 @@ def _prefix_jaccard_frames(
         + F.least(F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb"))
     )
     alpha = (F.lit(teff) / F.lit(1.0 + teff)) * (F.col("_na") + F.col("_nb"))
-    cand = (
+    # COUNT bound (the full PPJoin candidate condition, WWW'08 §4):
+    # every shared token ranked below the LAST matched prefix token is
+    # itself a matched row (rank order = array order, and a position
+    # below pa*/pb* is inside both prefixes), so the true overlap is
+    # EXACTLY cnt on the matched span plus at most the shorter
+    # remaining suffix: overlap <= cnt + min(na - pa*, nb - pb*).
+    # Strictly tighter than any single row's positional bound whenever
+    # the pair shares >= 1 prefix token at deep positions (cnt - 1 <=
+    # min(pa* - 1, pb* - 1) always) — measured at t=0.85/16x it cuts
+    # the verify-stage candidates 79.0M -> ~33M where min-slack alone
+    # plateaued.  VALID ONLY WITHOUT the hot-bucket valve: a dropped
+    # hot bucket removes matched rows, cnt undercounts, and the bound
+    # would over-prune — min-slack (a per-row bound, subset-safe)
+    # remains the only positional prune when the valve is active.
+    grouped = (
         matched.select(
-            "id_a", "id_b", (ubound.cast("double") - alpha).alias("_slack")
+            "id_a",
+            "id_b",
+            "_na",
+            "_nb",
+            "_pa",
+            "_pb",
+            (ubound.cast("double") - alpha).alias("_slack"),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.min("_slack").alias("_min_slack"))
+        .agg(
+            F.min("_slack").alias("_min_slack"),
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max("_pa").alias("_pam"),
+            F.max("_pb").alias("_pbm"),
+            F.max("_na").alias("_na"),
+            F.max("_nb").alias("_nb"),
+        )
         .filter(F.col("_min_slack") >= 0.0)
-        .select("id_a", "id_b")
     )
+    if max_bucket_size is None:
+        cbound = F.col("_cnt") + F.least(
+            F.col("_na") - F.col("_pam"), F.col("_nb") - F.col("_pbm")
+        )
+        calpha = (F.lit(teff) / F.lit(1.0 + teff)) * (
+            F.col("_na") + F.col("_nb")
+        )
+        grouped = grouped.filter(cbound.cast("double") >= calpha)
+    cand = grouped.select("id_a", "id_b")
     return compact, matched, cand
 
 
@@ -1566,12 +1620,15 @@ def prefix_jaccard_stats(
         .agg(F.count(F.lit(1)).alias("n_prefix_pairs"))
     )
     n_pos = cand.agg(F.count(F.lit(1)).alias("n_after_positional"))
+    broadcast_verify = compact.count() <= _VERIFY_BROADCAST_MAX_ROWS
     a = compact.select(
         F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("rs").alias("_ra")
     )
     b = compact.select(
         F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("rs").alias("_rb")
     )
+    if broadcast_verify:
+        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("_ra", "_rb"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     n_ver = (
@@ -1656,12 +1713,27 @@ def prefix_jaccard_pairs(
     compact, _matched, cand = _prefix_jaccard_frames(
         df, id_col, text_col, threshold, max_bucket_size
     )
+    # size-gated BROADCAST VERIFY (Vernica/Carey/Li SIGMOD'10 §5, the
+    # "basic record join" with a broadcast record table): candidate
+    # pairs outnumber records by orders of magnitude here, and a
+    # shuffle verify ships the FIRST joined side's rank array through
+    # the second join's exchange — pair-count × array-width bytes
+    # (measured 47 GB at t=0.85/16×, 8.5 s of the wall).  When the
+    # persisted compact table is small enough to broadcast (row-count
+    # scalar on the already-persisted frame — metadata-sized), both
+    # verify joins become map-side and no array ever shuffles; beyond
+    # the valve the shuffle join is the correct distributed fallback.
+    broadcast_verify = (
+        compact.count() <= _VERIFY_BROADCAST_MAX_ROWS
+    )
     a = compact.select(
         F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("rs").alias("_ra")
     )
     b = compact.select(
         F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("rs").alias("_rb")
     )
+    if broadcast_verify:
+        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("_ra", "_rb"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     return (

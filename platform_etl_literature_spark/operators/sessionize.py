@@ -132,14 +132,28 @@ def rfm_segments(
     BIGINTs; scores are pure integer arithmetic — no doubles anywhere.
 
     Scale shape: one corpus-collapse hash aggregate to user-sized
-    rows, then three range-partitioned rank passes over the USER
-    frame and two user-keyed equijoins to stitch the scores; the
-    corpus total-ts attaches via the one sanctioned single-row
-    broadcast.  Nothing corpus-shaped after the first aggregate.
+    rows, then ONE fused range-partitioned rank pass: the three
+    dimensions are stacked into a single 3n-row frame tagged
+    (0=recency, 1=frequency, 2=monetary) with DIRECTION-NORMALIZED
+    sort keys (descending dims negate), ranked under the total order
+    (tag, key, user) in one range exchange, and the per-dimension rank
+    recovered by subtracting tag · n_users (the tags occupy contiguous
+    global-rank segments by construction).  A single hash aggregate
+    pivots the three scores back to user rows and one user-keyed join
+    stitches them onto the base.  (The first formulation ran THREE
+    rank passes — three range exchanges, three eager offset collects,
+    three joins; at sf0.1 the fixed per-pass job barriers dominated
+    wall at 1.89 s.  One pass over 3n rows is the same asymptotic
+    shuffle volume with a third of the barriers.)  The corpus total-ts
+    attaches via the one sanctioned single-row broadcast.  Nothing
+    corpus-shaped after the first aggregate.
 
     Returns (*user, r_seconds, f, m_cents, r_score, f_score, m_score,
     segment).
     """
+    from platform_etl_literature_spark.operators.dedup import (
+        _materialize_once,
+    )
     from platform_etl_literature_spark.operators.ranking import (
         ordered_global_index,
     )
@@ -152,46 +166,67 @@ def rfm_segments(
         F.sum(v).alias("m_cents"),
     )
     corpus_max = F.broadcast(events.agg(F.max(us).alias("_max_us")))
-    base = per_user.crossJoin(corpus_max).select(
-        "_u",
-        F.expr("(_max_us - _last_us) div 1000000").alias("r_seconds"),
-        "f",
-        F.coalesce("m_cents", F.lit(0)).alias("m_cents"),
+    # persisted: the user frame feeds the stacked rank input, the
+    # n_users broadcast, AND the final stitch — without it the corpus
+    # collapse re-runs three times (the dedup registry, released via
+    # release_cached)
+    base = _materialize_once(
+        per_user.crossJoin(corpus_max).select(
+            "_u",
+            F.expr("(_max_us - _last_us) div 1000000").alias("r_seconds"),
+            "f",
+            F.coalesce("m_cents", F.lit(0)).alias("m_cents"),
+        )
     )
     n_users = F.broadcast(base.agg(F.count(F.lit(1)).alias("_n")))
 
-    def dim_score(order_cols, rank_name, score_name):
-        ranked = ordered_global_index(base, order_cols, rank_col=rank_name)
-        return ranked.crossJoin(n_users).select(
-            "_u",
-            (
-                F.lit(n_bins)
-                - F.expr(f"(({rank_name} - 1) * {n_bins}) div _n")
-            ).cast("int").alias(score_name),
-        )
-
-    r = dim_score(
-        [F.col("r_seconds").asc(), F.col("_u").asc()], "_rr", "r_score"
+    # stacked (tag, key, user) rows: ascending rank within each tag
+    # segment reproduces each dimension's own order (desc dims negate;
+    # ties broken by user id — the same total order the 3-pass form
+    # used, so scores are bit-identical)
+    stacked = base.select(
+        "_u",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("tag"), F.col("r_seconds").alias("key")
+                ),
+                F.struct(F.lit(1).alias("tag"), (-F.col("f")).alias("key")),
+                F.struct(
+                    F.lit(2).alias("tag"), (-F.col("m_cents")).alias("key")
+                ),
+            )
+        ).alias("_d"),
+    ).select("_u", "_d.tag", "_d.key")
+    ranked = ordered_global_index(
+        stacked,
+        [F.col("tag").asc(), F.col("key").asc(), F.col("_u").asc()],
+        rank_col="_g",
     )
-    f_ = dim_score([F.col("f").desc(), F.col("_u").asc()], "_rf", "f_score")
-    m = dim_score(
-        [F.col("m_cents").desc(), F.col("_u").asc()], "_rm", "m_score"
+    score = ranked.crossJoin(n_users).select(
+        "_u",
+        "tag",
+        (
+            F.lit(n_bins)
+            - F.expr(f"((_g - tag * _n - 1) * {n_bins}) div _n")
+        ).cast("int").alias("_score"),
     )
-    out = (
-        base.join(r, "_u").join(f_, "_u").join(m, "_u")
-        .select(
-            F.col("_u").alias(user_col),
-            "r_seconds",
-            "f",
-            "m_cents",
-            "r_score",
-            "f_score",
-            "m_score",
-            (
-                F.col("r_score") * 100
-                + F.col("f_score") * 10
-                + F.col("m_score")
-            ).alias("segment"),
-        )
+    scores = score.groupBy("_u").agg(
+        F.max(F.when(F.col("tag") == 0, F.col("_score"))).alias("r_score"),
+        F.max(F.when(F.col("tag") == 1, F.col("_score"))).alias("f_score"),
+        F.max(F.when(F.col("tag") == 2, F.col("_score"))).alias("m_score"),
     )
-    return out
+    return base.join(scores, "_u").select(
+        F.col("_u").alias(user_col),
+        "r_seconds",
+        "f",
+        "m_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100
+            + F.col("f_score") * 10
+            + F.col("m_score")
+        ).alias("segment"),
+    )

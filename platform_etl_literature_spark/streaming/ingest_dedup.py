@@ -34,6 +34,64 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 
+def _dedup_step(
+    keyed: DataFrame, seen: DataFrame | None, id_col: str
+) -> DataFrame:
+    """The per-micro-batch rule, shared verbatim by the foreachBatch
+    writer and the batch replay: drop rows whose digest is already
+    indexed (anti-join), then first-id-wins within the batch."""
+    fresh = (
+        keyed
+        if seen is None
+        else keyed.join(seen.select("_h"), "_h", "left_anti")
+    )
+    winners = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return fresh.join(winners, ["_h", id_col], "left_semi")
+
+
+def ingest_dedup_replay(
+    docs: DataFrame,
+    batch_ids: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_col: str = "batch",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Batch REPLAY of the streaming ingest-dedup fold — the
+    batch-equivalence witness for :func:`ingest_dedup_writer`: feed
+    the same corpus partitioned into ``batch_ids``-ordered
+    micro-batches through the SAME per-batch rule (``_dedup_step``,
+    shared code, not a re-implementation) with the accepted set
+    accumulating in-plan instead of in a parquet index.
+
+    The fold is declarative: K anti-join + winner stages chained by
+    unionByName — one lazy plan, no writes, no driver data.  Its
+    closed form (what the SQL oracle replays) is: per digest, the
+    accepted doc is the one minimizing (batch, id) lexicographically —
+    earlier micro-batches always win, first-id-wins inside a batch.
+    ``batch_ids`` must list every batch value in arrival order (the
+    streaming contract: micro-batch sequence is known and ordered);
+    K is micro-batch-count-sized, never data-sized.
+
+    Returns the accepted rows (*docs columns*, plus ``_h`` digest).
+    """
+
+    def key(c):
+        t = F.substring(c, 1, prefix_chars) if prefix_chars else c
+        return F.md5(t)
+
+    keyed = docs.withColumn("_h", key(F.col(text_col)))
+    accepted: DataFrame | None = None
+    for b in batch_ids:
+        kept = _dedup_step(
+            keyed.filter(F.col(batch_col) == F.lit(b)), accepted, id_col
+        )
+        accepted = kept if accepted is None else accepted.unionByName(kept)
+    if accepted is None:
+        raise ValueError("batch_ids must be non-empty")
+    return accepted
+
+
 def ingest_dedup_writer(
     docs_stream: DataFrame,
     index_path: str,
@@ -68,9 +126,8 @@ def ingest_dedup_writer(
                 raise
             fresh = keyed
         # first-id-wins within the batch (same winner rule as
-        # incremental_dedup / exact_dedup)
-        winners = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col))
-        kept = fresh.join(winners, ["_h", id_col], "left_semi")
+        # incremental_dedup / exact_dedup), via the shared step
+        kept = _dedup_step(fresh, None, id_col)
         kept.drop("_h").write.mode("append").parquet(out_path)
         kept.select("_h").write.mode("append").parquet(index_path)
 

@@ -768,11 +768,17 @@ npre AS (
   SELECT CAST(count(*) AS BIGINT) AS n_prefix_pairs
   FROM (SELECT DISTINCT id_a, id_b FROM lenf)),
 cand AS (
+  -- min-slack positional prune AND the count bound (the full PPJoin
+  -- candidate condition): overlap <= cnt + least(na - pa*, nb - pb*)
   SELECT id_a, id_b
   FROM lenf
   GROUP BY 1, 2
   HAVING min(least(pa - 1, pb - 1) + 1 + least(na - pa, nb - pb)
-             - ((0.85 - 1e-6) / (1.0 + (0.85 - 1e-6))) * (na + nb)) >= 0),
+             - ((0.85 - 1e-6) / (1.0 + (0.85 - 1e-6))) * (na + nb)) >= 0
+     AND CAST(count(*) + least(max(na) - max(pa), max(nb) - max(pb))
+              AS DOUBLE)
+         >= ((0.85 - 1e-6) / (1.0 + (0.85 - 1e-6)))
+            * (max(na) + max(nb))),
 npos AS (SELECT CAST(count(*) AS BIGINT) AS n_after_positional FROM cand),
 v AS (
   SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
@@ -2604,6 +2610,38 @@ FROM ch WHERE old_text IS NULL OR new_text != old_text
 """
 
 
+def q_ingest_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest-dedup, batch-replayed (streaming.ingest_dedup
+    .ingest_dedup_replay): the corpus split into 4 arrival
+    micro-batches (doc_id % 4) folds through the SAME per-batch
+    anti-join + first-id-wins rule the foreachBatch writer runs
+    (shared ``_dedup_step``) — the suite-level batch-equivalence
+    witness for the streaming surface.  Closed form the oracle
+    replays: per digest, the accepted doc minimizes (batch, doc_id)."""
+    from platform_etl_literature_spark.streaming.ingest_dedup import (
+        ingest_dedup_replay,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("batch")
+    )
+    return ingest_dedup_replay(
+        docs, [0, 1, 2, 3], id_col="doc_id", text_col="text",
+        batch_col="batch",
+    ).select("doc_id", "batch", F.col("_h").alias("h"))
+
+
+_ORACLE_INGEST_DEDUP_REPLAY = """
+WITH keyed AS (
+  SELECT doc_id, doc_id % 4 AS batch, md5(text) AS h FROM documents),
+r AS (
+  SELECT doc_id, batch, h,
+         row_number() OVER (PARTITION BY h ORDER BY batch, doc_id) AS rn
+  FROM keyed)
+SELECT doc_id, batch, h FROM r WHERE rn = 1
+"""
+
+
 def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Deequ-style per-column screening profile of the orders table —
     nulls, exact distincts, min/max (operators.profile.table_profile)."""
@@ -3166,6 +3204,130 @@ def q_literature_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return li.select(
         "pmid", "keywordId", "keywordType", F.round("relevance", 6).alias("relevance")
     )
+
+
+def q_literature_relevance(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic processing→relevance SLICE of the literature
+    pipeline under a full value-level oracle (VERDICT r8 item 4, the
+    evidence_pipeline/w2v_frozen precedent): a grounded-matches frame
+    is derived from documents with NO Python stage anywhere (the
+    Porter stemmer is the pipeline's only SQL-inexpressible step, so
+    the slice starts where grounding's keys end), then the PRODUCTION
+    code runs — plans.grounding.disambiguate's two-level windowed-min
+    ambiguity filter (exercised materially: keywords seen under a
+    low-ambiguity label in any even doc drop their high-ambiguity
+    odd-doc mentions) and plans.processing.literature_index's
+    section-weight → per-section collect → positional-harmonic
+    relevance.  Mention multiplicity 1+doc_id%3 makes the harmonic
+    fold non-trivial; one section per (doc, keyword) keeps the
+    port's running-collect/dropDuplicates shape value-deterministic
+    (Processing.filterMatchesForCH:53-125)."""
+    from platform_etl_literature_spark.plans.grounding import disambiguate
+    from platform_etl_literature_spark.plans.processing import (
+        literature_index,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("_id")
+    )
+    kw = d.select(
+        "_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("_j")
+    ).select(
+        "_id",
+        F.when(F.col("_j") == 0, F.col("_id") % 37)
+        .otherwise((F.col("_id") + 13) % 37)
+        .alias("_k"),
+    )
+    base = kw.select(
+        "_id",
+        F.concat(F.lit("KW"), F.col("_k").cast("string")).alias("keywordId"),
+        F.element_at(
+            F.array(F.lit("DS"), F.lit("GP"), F.lit("CD")),
+            (F.col("_k") % 3 + 1).cast("int"),
+        ).alias("type"),
+        F.when(F.col("_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("uniqueKeywordIdsPerLabelN"),
+        F.element_at(
+            F.array(
+                F.lit("title"), F.lit("abstract"),
+                F.lit("methods"), F.lit("results"),
+            ),
+            (F.col("_id") % 4 + 1).cast("int"),
+        ).alias("section"),
+        (F.lit(1) + F.col("_id") % 3).alias("_m"),
+    )
+    mentions = base.select(
+        F.col("_id").alias("pmid"),
+        F.concat(F.lit("PMC"), F.col("_id").cast("string")).alias("pmcid"),
+        F.lit("2021-06-15").alias("date"),
+        F.lit(2021).alias("year"),
+        F.lit(6).alias("month"),
+        F.lit(15).alias("day"),
+        "keywordId",
+        "type",
+        F.concat(
+            F.col("keywordId"),
+            F.when(F.col("_id") % 2 == 0, F.lit("_a")).otherwise(F.lit("_b")),
+        ).alias("label"),
+        "uniqueKeywordIdsPerLabelN",
+        "section",
+        F.explode(F.sequence(F.lit(1), F.col("_m"))).alias("_i"),
+    ).select(
+        "*",
+        F.col("_i").cast("long").alias("startInSentence"),
+        (F.col("_i") + 5).cast("long").alias("endInSentence"),
+        F.col("_i").cast("long").alias("sectionStart"),
+        (F.col("_i") + 5).cast("long").alias("sectionEnd"),
+    ).drop("_i")
+    kept = disambiguate(mentions, "keywordId", "uniqueKeywordIdsPerLabelN")
+    idx = literature_index(kept, spark)
+    return idx.select(
+        "pmid",
+        "keywordId",
+        "keywordType",
+        F.round("relevance", 6).alias("relevance"),
+    ).orderBy("pmid", "keywordId")
+
+
+_ORACLE_LITERATURE_RELEVANCE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+kw AS (
+  SELECT id, CASE j WHEN 0 THEN id % 37 ELSE (id + 13) % 37 END AS k
+  FROM d CROSS JOIN (SELECT unnest([0, 1]) AS j) js),
+base AS (
+  SELECT id, k, 'KW' || k AS keywordId,
+         (['DS','GP','CD'])[CAST(k % 3 AS INT) + 1] AS keywordType,
+         CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END AS amb,
+         (['title','abstract','methods','results'])[CAST(id % 4 AS INT) + 1]
+           AS section,
+         1 + id % 3 AS m
+  FROM kw),
+-- two-level windowed-min disambiguation: per-pub min over mention
+-- rows = amb (one label variant per pub), keep iff per-pub min <=
+-- global min over all pubs of the (type, keyword)
+g AS (
+  SELECT *, min(amb) OVER (PARTITION BY keywordType, keywordId) AS gmin
+  FROM base),
+keep AS (SELECT * FROM g WHERE amb <= gmin),
+w AS (
+  SELECT *, CASE section WHEN 'abstract' THEN 0.8 WHEN 'methods' THEN 0.3
+                         WHEN 'results' THEN 0.6 END AS sw
+  FROM keep),
+-- the positional harmonic fold inlined per mention count (m <= 3 by
+-- construction), SAME left-to-right float adds as Spark's aggregate
+rel AS (
+  SELECT id AS pmid, keywordId, keywordType,
+         CASE WHEN section = 'title' THEN 1.0
+              WHEN m = 1 THEN sw
+              WHEN m = 2 THEN sw + sw / 4.0
+              ELSE sw + sw / 4.0 + sw / 9.0
+         END AS relevance
+  FROM w)
+SELECT pmid, keywordId, keywordType, round(relevance, 6) AS relevance
+FROM rel ORDER BY pmid, keywordId
+"""
 
 
 def q_approx_distinct_window(spark: SparkSession, sf: str) -> DataFrame:
@@ -10266,6 +10428,11 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     "literature_pipeline": QuerySpec(
         q_literature_pipeline, None, "flagship grounding+processing e2e"
     ),
+    "literature_relevance": QuerySpec(
+        q_literature_relevance,
+        _ORACLE_LITERATURE_RELEVANCE,
+        "processing-relevance-slice full oracle (disambiguate+literature_index)",
+    ),
     "evidence_pipeline": QuerySpec(
         q_evidence_pipeline,
         _evidence_frozen_oracle(),
@@ -10347,6 +10514,11 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "scd2_history": QuerySpec(
         q_scd2_history, _ORACLE_SCD2, "versioning-scd2-history"
+    ),
+    "ingest_dedup_replay": QuerySpec(
+        q_ingest_dedup_replay,
+        _ORACLE_INGEST_DEDUP_REPLAY,
+        "streaming-ingest-dedup-batch-equivalence",
     ),
     "bpe_encode": QuerySpec(
         q_bpe_encode, _bpe_encode_oracle(), "tokenizer-bpe-frozen-encode"
@@ -10885,25 +11057,62 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 #     asof_join) and funnel_windowed stays parity-gated; skipgram
 #     hashes the k-slice zip_with pair stream + micro-unit 1/d
 #     weight fold.
+# Round-9 rotation (VERDICT r8 item 2: highest-value never-hashed
+# rows in; every displaced row was hashed green by the driver in r8,
+# is within-family redundant in the window, and stays value-gated in
+# the full parity suite):
+#   kendall_tau→mann_kendall — same declared pair-join machinery
+#     (valve, BIGINT tie terms); τ-b was hashed green r8, MK's
+#     trend S/Var(S) algebra has never been driver-hashed.
+#   isotonic_calibration→ece_calibration — ECE replays the FULL
+#     isotonic chain (cells → PAV minimax → bins) plus the binning
+#     fold; strictly more arithmetic under one hash.
+#   logrank→nelson_aalen — survival family keeps kaplan_meier in
+#     the window; NA's additive hazard fold is KM's twin but its
+#     micro-unit cumulative sum has never been driver-hashed.
+#   heaps_law→zipf_fit — same vocab-rank family (range-exchange
+#     prefix machinery, hashed green r8 via heaps); Zipf hashes the
+#     log-log least-squares fold instead.
+#   hdr_quantile_sketch→winsorized_stats — robust-quantile family;
+#     HDR hashed green r8, winsorize's exact clamped-mean fold
+#     never driver-hashed.
+#   jaro_winkler_join→record_linkage — same blocked-verify linkage
+#     family; JW hashed green r8, the Fellegi-Sunter field-agreement
+#     scorer never driver-hashed.
+#   naive_bayes→auc_roc — eval family; NB hashed green r8, the
+#     Mann-Whitney cell-midrank AUC fold never driver-hashed.
+#   ks_drift→corr_matrix — drift/statistics family keeps psi/ks
+#     parity-gated; the exact-integer pairwise Pearson matrix
+#     never driver-hashed.
+#   skipgram_cooc→ccf_lags — corpus-stats family keeps doc_profile
+#     + heaps lineage hashed r8; the cross-correlation lag window
+#     fold never driver-hashed.
+#   user_ewma_segmented→bootstrap_ci — events family keeps FOUR
+#     hashed rows (sessionize, interval_overlap, asof_join,
+#     incremental_agg); the deterministic Poisson-bootstrap
+#     percentile fold never driver-hashed.
+#   categorical_mi→ingest_dedup_replay — MI hashed green r8; the
+#     NEW streaming batch-equivalence row (VERDICT r8 item 8) gives
+#     the streaming surface its first driver hash.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
     "harmonic_relevance", "running_collect", "window_distinct_count",
     "two_level_window_min", "union_by_name", "string_funcs",
-    "date_parts", "naive_bayes", "grouped_json",
-    "evidence_cooc_analog", "kendall_tau", "jaro_winkler_join",
-    "ks_drift",
-    "minhash_pairs", "skipgram_cooc", "logrank",
-    "user_ewma_segmented", "isotonic_calibration", "mmr_rerank",
+    "date_parts", "auc_roc", "grouped_json",
+    "evidence_cooc_analog", "mann_kendall", "record_linkage",
+    "corr_matrix",
+    "minhash_pairs", "ccf_lags", "nelson_aalen",
+    "bootstrap_ci", "ece_calibration", "mmr_rerank",
     "pagerank",
-    "heaps_law", "vectors_norm_category", "doc_profile",
+    "zipf_fit", "vectors_norm_category", "doc_profile",
     "incremental_agg", "hilbert_skip", "sessionize", "moore_lewis_select",
     "kaplan_meier", "multimodal_frames", "cluster_split",
-    "bloom_join_prune", "token_packing", "hdr_quantile_sketch",
+    "bloom_join_prune", "token_packing", "winsorized_stats",
     "suffix_dedup",
     "corpus_curation", "dedup_components", "ann_recall_at_k",
     "kmv_source_overlap", "scan_provenance", "graph_triangles",
-    "rfm_segments", "categorical_mi", "interval_overlap",
+    "rfm_segments", "ingest_dedup_replay", "interval_overlap",
     "asof_join",
 )
 
