@@ -303,7 +303,10 @@ cand AS (
   GROUP BY 1, 2
   HAVING min(least(a.p - 1, b.p - 1) + 1
              + least(a.n - a.p, b.n - b.p)
-             - ((0.85 - 1e-6) / (1.85 - 1e-6)) * (a.n + b.n)) >= 0),
+             - ((0.85 - 1e-6) / (1.85 - 1e-6)) * (a.n + b.n)) >= 0
+     AND CAST(count(*) + least(max(a.n) - max(a.p), max(b.n) - max(b.p))
+              AS DOUBLE)
+         >= ((0.85 - 1e-6) / (1.85 - 1e-6)) * (max(a.n) + max(b.n))),
 v AS (
   SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
          len(list_intersect(sa.rs, sb.rs)) AS n_inter

@@ -707,7 +707,18 @@ def ts_similar_pairs(
         )
     # per-pair verify: two id-keyed equijoins bring in each side's
     # dense vector + precomputed Σv/Σv²; the cross moment Σ(va·vb) is
-    # a zip_with dot product — pure map-side, exact BIGINT
+    # a zip_with dot product — pure map-side, exact BIGINT.
+    # Size-gated BROADCAST VERIFY (the prefix_jaccard rule, Vernica et
+    # al. SIGMOD'10): candidates outnumber ids, and a shuffle verify
+    # ships the first joined side's length-L array once PER PAIR
+    # through the second join's exchange; when the persisted id-sized
+    # vec table fits, both joins go map-side and no array shuffles.
+    # The row-count scalar reads the already-persisted frame.
+    from platform_etl_literature_spark.operators.dedup import (
+        _VERIFY_BROADCAST_MAX_ROWS,
+    )
+
+    broadcast_verify = vec.count() <= _VERIFY_BROADCAST_MAX_ROWS
     va = vec.select(
         F.col("_id").alias("id_a"),
         F.col("_arr").alias("_aa"),
@@ -720,6 +731,8 @@ def ts_similar_pairs(
         F.col("_s").alias("_sb"),
         F.col("_ss").alias("_sbb"),
     )
+    if broadcast_verify:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     st = (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -248,6 +248,29 @@ def test_embedding_lsh_bucket_table_reused_not_recomputed(spark, sf_dir):
     D.release_cached()
 
 
+def test_embedding_lsh_verify_before_pair_dedup(spark, sf_dir):
+    """VERIFY-FIRST (round 9): the cosine threshold filter must sit
+    UPSTREAM of the pair-dedup exchange, so only slim survivor rows
+    (id_a, id_b, cos) shuffle — the old dedup-first shape shipped both
+    dim-wide vectors per candidate through that exchange (the 16×
+    SCALE regression).  Structural check: the final HashAggregate
+    (the dropDuplicates) must not carry the vector columns."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(SUITE["dedup_embedding_lsh"].fn(spark, sf_dir))
+    # the dedup aggregate keys on (id_a, id_b) with cos as the only
+    # carried value — if a vector column (_va/_vb) appears in any
+    # aggregate node, vectors are being shuffled for dedup again
+    for frag in plan.split("HashAggregate")[1:]:
+        # the aggregate's own spec is its (keys=[...], functions=[...],
+        # output=[...]) triple — stop at the third ']' so the check
+        # never reads the child operators
+        spec = "]".join(frag.split("]")[:3])
+        if "id_a" in spec and "id_b" in spec:
+            assert "_va" not in spec and "_vb" not in spec, spec
+    D.release_cached()
+
+
 def test_bm25_topk_is_take_ordered_single_stats_exchange(spark, sf_dir):
     """BM25 search must be one map-side corpus pass: the only exchanges
     are the single-row stats rollup (+ its broadcast back); top-k is

@@ -81,6 +81,31 @@ SHOWCASE: dict[str, str] = {
         "`FlatMapGroupsInPandas` — the per-cluster X@X.T SemDeDup kernel — "
         "so pair scoring never joins or re-shuffles."
     ),
+    "dedup_embedding_lsh": (
+        "VERIFY-FIRST (round 9): the cosine HOF + threshold Filter sit "
+        "directly on the bucket-join output, UPSTREAM of the pair-dedup "
+        "Exchange — only slim (id_a, id_b, cos) survivor rows shuffle "
+        "for dedup; the old shape shipped both dim-wide vectors per "
+        "candidate through that Exchange (measured 2.1× the join cost "
+        "at 16×).  Both join sides read the ONE persisted bucketed "
+        "table (InMemoryTableScan)."
+    ),
+    "ingest_dedup_replay": (
+        "The streaming fold as one lazy plan: K chained left_anti "
+        "probes against the accumulating accepted union + per-batch "
+        "first-id-wins (partial_min HashAggregate feeding a "
+        "left_semi) — the SAME `_dedup_step` the foreachBatch writer "
+        "runs; no writes, no driver data, each anti-join keyed on the "
+        "16-byte digest."
+    ),
+    "literature_relevance": (
+        "The production relevance slice: disambiguate's two windowed "
+        "mins partition by (pmid, type, keyword) and (type, keyword) — "
+        "group-parallel, never SinglePartition; literature_index's "
+        "section collect, running flatten and harmonic zip_with fold "
+        "all ride partitioned Windows; the section-rank LUT attaches "
+        "as a BroadcastHashJoin."
+    ),
     "scrub_dup_passages": (
         "No sort window anywhere: first occurrences are partial_min(struct) "
         "HashAggregates on the md5 digest (map-side combine flattens hot "
@@ -212,17 +237,20 @@ SHOWCASE: dict[str, str] = {
         "AQE picks shuffle-hash joins co-partitioned on the gram key."
     ),
     "prefix_jaccard": (
-        "PPJoin with all three lossless filters: candidates come from a "
+        "PPJoin with all FOUR lossless filters: candidates come from a "
         "self-equijoin on the EXPLODED RARE-TOKEN PREFIX only (slice of "
-        "the persisted rank-array table — `InMemoryTableScan` on both "
-        "candidate sides AND both verify sides), with a DISTRIBUTED "
-        "global token rank (range Exchange + monotonically_increasing_id "
-        "+ broadcast offsets; no `Exchange SinglePartition`, test-"
+        "the persisted rank-array table), with a DISTRIBUTED global "
+        "token rank (range Exchange + monotonically_increasing_id + "
+        "broadcast offsets; no `Exchange SinglePartition`, test-"
         "pinned).  The ICDE'06 LENGTH filter and WWW'08 POSITIONAL "
-        "filter both apply BEFORE the pair-dedup Exchange (the Filter "
-        "and the min-slack partial aggregate sit upstream of it), so "
-        "pruned candidates never shuffle; the exact-Jaccard verify is "
-        "per-pair array_intersect, no re-tokenization anywhere."
+        "filter apply BEFORE the pair-dedup Exchange; the pair "
+        "aggregation then applies BOTH the min-slack bound and the "
+        "full PPJoin COUNT bound (overlap <= matched-prefix count + "
+        "min remaining suffix).  The verify is SIZE-GATED BROADCAST "
+        "(BroadcastHashJoin on both verify sides when the record table "
+        "fits — no pair-count × array-width exchange; shuffle-join "
+        "fallback beyond the valve); exact-Jaccard is per-pair "
+        "array_intersect, no re-tokenization anywhere."
     ),
     "rrf_hybrid": (
         "Reciprocal-rank fusion: each ranking reaches its top-50 via "
@@ -541,8 +569,10 @@ SHOWCASE: dict[str, str] = {
         "the map-side signature AND both verify sides); candidates "
         "are a pure signature equijoin with the hot-bucket valve; the "
         "exact-Pearson verify is a zip_with dot product on the pair "
-        "join — no per-(pair, pos) shuffle, no cartesian, no nested "
-        "loop."
+        "join — size-gated BROADCAST on both vector sides (the "
+        "prefix_jaccard rule: no length-L array ships per pair "
+        "through the second join's exchange) — no per-(pair, pos) "
+        "shuffle, no cartesian, no nested loop."
     ),
     "cusum_changepoint": (
         "Cell collapse, one partitioned window over the <=31 "
@@ -583,12 +613,14 @@ SHOWCASE: dict[str, str] = {
         "vocabulary key, and the argmax window partitions by doc."
     ),
     "rfm_segments": (
-        "THREE RangePartitioning exchanges (one per dimension) and "
-        "ZERO Window operators: the equi-depth binning rides the "
+        "ONE RangePartitioning exchange for all three dimensions (the "
+        "round-9 fusion: tag-stacked, direction-normalized sort keys; "
+        "per-dimension rank = global rank − tag·n_users) and ZERO "
+        "Window operators: the equi-depth binning rides the "
         "range-exchange global rank, never a single-partition ntile "
-        "sort; stitch joins are user-keyed; scalar one-row aggregates "
-        "(corpus max-ts, user count) are the only SinglePartition "
-        "collapses."
+        "sort; the score pivot is one hash aggregate; the stitch join "
+        "is user-keyed; scalar one-row aggregates (corpus max-ts, "
+        "user count) are the only SinglePartition collapses."
     ),
     "acf_lags": (
         "All 7 lag columns ride ONE partitioned Window pass and all "
