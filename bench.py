@@ -214,8 +214,9 @@ HEADLINE = [
     # 0.63/0.02, logrank 0.88/0.03.  Trend: mann_kendall 0.99/0.02,
     # acf_lags 0.86/0.05, ccf_lags 0.83/0.08.  Eval: auc_roc 0.32/0.02,
     # lift_table 0.34/0.02, woe_iv 0.34/0.01.  Segmentation:
-    # rfm_segments 2.13/0.02 (three range-exchange rank passes — pays
-    # ~6 job floors by construction).  Distributional: burstiness
+    # rfm_segments 2.13/0.02 at promotion (three range-exchange rank
+    # passes; round 9 fused them into ONE tag-stacked exchange +
+    # pivot-back — measured 0.94 s).  Distributional: burstiness
     # 0.44/0.02, gini 0.26/0.01, benford 0.45/0.02.  ALL floor-shaped
     # (cell collapses against millisecond DuckDB times); the
     # floor-adjusted subtotal in BENCH_NOTES.md is the structural read.
@@ -271,6 +272,34 @@ HEADLINE = [
     "skipgram_cooc",
     "heaps_law",
     "hard_negatives",
+    # round-9 promotions (the r8 verdict's ask: race one representative
+    # per un-raced family; n_queries 134 -> 142).  Measured before
+    # promotion (spark/duck at sf0.1, idle box, min of 3):
+    # isotonic_calibration 1.18/0.07 — the non-iterative PAV minimax
+    # chain (interval equijoin + suffix-min window + max agg);
+    # jaro_winkler_join 0.51/0.05 — blocked Arrow-kernel verify;
+    # corr_matrix 0.60/0.02 — the one-agg M-metric pairwise Pearson;
+    # w2v_frozen_synonyms 1.07/0.19 — frozen-artifact cosine top-k;
+    # literature_relevance 1.27/0.02 — the production disambiguate +
+    # literature_index relevance slice (three windows + the harmonic
+    # zip_with fold); ingest_dedup_replay 2.32/0.02 — the K-batch
+    # streaming fold as one plan (4 chained anti-joins pay ~4 job
+    # floors BY CONSTRUCTION — the streaming batch-equivalence
+    # witness, not a batch-optimal dedup; exact_dedup races that);
+    # winsorized_stats 0.92/0.05 and zipf_fit 0.42/0.04 — rank-clip
+    # and bounded-top-R OLS folds.  bootstrap_ci stays OUT by the
+    # round-8 rationale (a deliberate 5M-draw md5 stream, 7.4/3.1 —
+    # the md5-uniform machinery is already raced via hash_split /
+    # eval_sample); all floor-shaped rows keep the floor-adjusted
+    # subtotal in BENCH_NOTES.md as the structural read.
+    "isotonic_calibration",
+    "jaro_winkler_join",
+    "corr_matrix",
+    "w2v_frozen_synonyms",
+    "literature_relevance",
+    "ingest_dedup_replay",
+    "winsorized_stats",
+    "zipf_fit",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs
