@@ -262,6 +262,74 @@ def test_ingest_dedup_across_and_within_batches(spark, tmp_path):
     assert idx == 3
 
 
+def test_ingest_dedup_replay_matches_streaming_writer(spark, tmp_path):
+    """The batch REPLAY fold must accept EXACTLY the set the real
+    foreachBatch writer accepts when the same corpus arrives in the
+    same batch order — the suite row's batch-equivalence claim tested
+    against the actual streaming path, not just the closed form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.streaming.ingest_dedup import (
+        ingest_dedup_replay,
+        ingest_dedup_writer,
+    )
+
+    rows = [
+        (i, ["alpha", "beta", "gamma", "delta", "epsilon"][i % 5])
+        for i in range(20)
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    # batch b holds ids with id % 4 == b, shipped as one file per batch
+    import os as _os
+
+    for b in range(4):
+        ids, texts = zip(*[r for r in rows if r[0] % 4 == b])
+        path = str(land / f"b{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(list(texts), pa.string()),
+                }
+            ),
+            path,
+        )
+        # strictly increasing mtimes pin the FileStreamSource arrival
+        # order to the batch order the replay assumes
+        _os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = (
+        ingest_dedup_writer(
+            stream, str(tmp_path / "index"), str(tmp_path / "corpus")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+
+    batch = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("batch")
+    )
+    replayed = {
+        r["doc_id"]
+        for r in ingest_dedup_replay(batch, [0, 1, 2, 3]).collect()
+    }
+    assert streamed == replayed
+    # 5 distinct texts -> exactly 5 winners, each min (batch, id)
+    assert len(replayed) == 5
+
+
 def test_stream_static_segment_enrichment_matches_batch(spark, batch_events):
     """Stream-static broadcast join (events stream x customer dim) +
     windowed agg must equal the same pipeline on batch input, and the
