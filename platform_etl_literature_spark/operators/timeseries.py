@@ -765,6 +765,52 @@ def ts_similar_pairs(
     )
 
 
+def ts_sig_occupancy(
+    series: DataFrame,
+    id_col: str,
+    pos_col: str,
+    value_col: str,
+    length: int,
+    n_segments: int = 7,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Signature-bucket occupancy accountability for
+    :func:`ts_similar_pairs` (the emb_lsh_occupancy pattern — the
+    instrument the r8 verdict's emb-LSH fix was built on): ONE row
+    with the bucket count, max/mean occupancy, the candidate-pair
+    volume Σ s·(s−1)/2 the verify stage would pay WITHOUT the valve,
+    the series count the hot-bucket valve drops, and the candidate
+    volume after the valve — so a drifting 16× cell can be attributed
+    to candidate growth vs hot-bucket skew vs verify cost from the
+    numbers, not guessed.
+
+    Scale shape: the signature aggregate + two hash aggregates;
+    output is one row, no pair join anywhere.  Deterministic integer
+    signature → full SQL oracle.
+    """
+    sig = ts_shape_signature(
+        series, id_col, pos_col, value_col, length, n_segments
+    )
+    occ = sig.groupBy("sig").agg(F.count(F.lit(1)).alias("_s"))
+    hot = F.col("_s") > F.lit(max_bucket_size)
+    pairs = F.expr("_s * (_s - 1) DIV 2")
+    return occ.agg(
+        F.sum("_s").alias("n_series"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_s").alias("max_bucket"),
+        F.sum(pairs).alias("n_cand_pairs"),
+        F.sum(F.when(hot, F.col("_s")).otherwise(F.lit(0).cast("long"))).alias(
+            "n_hot_dropped"
+        ),
+        F.sum(
+            F.when(~hot, pairs).otherwise(F.lit(0).cast("long"))
+        ).alias("n_cand_after_valve"),
+        F.round(
+            F.sum("_s").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_bucket"),
+    )
+
+
 def cusum_changepoint(
     series: DataFrame,
     id_col: str,

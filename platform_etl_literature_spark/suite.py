@@ -8295,6 +8295,64 @@ ORDER BY id_a, id_b
 
 
 
+def q_ts_sig_occupancy(spark: SparkSession, sf: str) -> DataFrame:
+    """Signature-bucket occupancy accountability for the series-
+    similarity join (operators.timeseries.ts_sig_occupancy — the
+    emb_lsh_occupancy pattern, VERDICT r8 item 6): bucket count,
+    max/mean occupancy, pre-valve candidate volume Σ s·(s−1)/2, the
+    series the hot-bucket valve drops, and the post-valve candidate
+    volume — every integer oracle-replayed, so the ts_similar SCALE
+    cells can be attributed (candidate growth vs hot-bucket skew)
+    from measurements.  Stays out of the bench headline by the
+    accountability-row rule."""
+    from platform_etl_literature_spark.operators import timeseries as TSX
+
+    ev = read_events(spark, sf).where(F.col("user_id").isNotNull())
+    cells = (
+        ev.where(F.dayofmonth("ts") <= 28)
+        .groupBy(
+            F.col("user_id").alias("id"),
+            (F.dayofmonth("ts") - 1).cast("long").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return TSX.ts_sig_occupancy(
+        cells, "id", "p", "v", length=28, n_segments=7,
+        max_bucket_size=256,
+    )
+
+
+_ORACLE_TS_SIG_OCCUPANCY = """
+WITH cells AS (
+  SELECT user_id AS id, CAST(date_part('day', ts) AS BIGINT) - 1 AS p,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND CAST(date_part('day', ts) AS BIGINT) <= 28
+  GROUP BY 1, 2),
+segs AS (
+  SELECT id, CAST(p // 4 AS INTEGER) AS s, CAST(sum(v) AS BIGINT) AS ss
+  FROM cells GROUP BY 1, 2),
+tot AS (SELECT id, CAST(sum(ss) AS BIGINT) AS tot FROM segs GROUP BY 1),
+bits AS (
+  SELECT s.id,
+    CAST(sum(CASE WHEN s.ss * 7 > t.tot THEN (1 << s.s) ELSE 0 END)
+      + (CAST(length(bin(t.tot + 1)) AS BIGINT) << 7) AS BIGINT) AS sig
+  FROM segs s JOIN tot t USING (id) GROUP BY s.id, t.tot),
+occ AS (SELECT sig, CAST(count(*) AS BIGINT) AS s FROM bits GROUP BY 1)
+SELECT CAST(sum(s) AS BIGINT) AS n_series,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(s) AS BIGINT) AS max_bucket,
+       CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_cand_pairs,
+       CAST(sum(CASE WHEN s > 256 THEN s ELSE 0 END) AS BIGINT)
+         AS n_hot_dropped,
+       CAST(sum(CASE WHEN s <= 256 THEN s * (s - 1) // 2 ELSE 0 END)
+         AS BIGINT) AS n_cand_after_valve,
+       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_bucket
+FROM occ
+"""
+
+
 def q_ts_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate-generation recall accountability for the series-
     similarity join (the dedup_recall / ann_recall_at_k pattern):
@@ -10744,6 +10802,11 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
     ),
     "ts_similar": QuerySpec(
         q_ts_similar, _ORACLE_TS_SIMILAR, "timeseries-similarity-join"
+    ),
+    "ts_sig_occupancy": QuerySpec(
+        q_ts_sig_occupancy,
+        _ORACLE_TS_SIG_OCCUPANCY,
+        "timeseries-signature-occupancy accountability",
     ),
     "ts_recall": QuerySpec(
         q_ts_recall, _ORACLE_TS_RECALL,
