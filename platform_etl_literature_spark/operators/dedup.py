@@ -53,11 +53,13 @@ from pyspark.storagelevel import StorageLevel
 # tests call release_cached() / clearCache between queries.
 _CACHED: list[DataFrame] = []
 
-# Record-table rows below which the PPJoin verify joins broadcast the
-# compact (id, n, ranks) table instead of shuffle-joining it (see
-# prefix_jaccard_pairs).  ~2M records × ~150 int ranks ≈ 1.2 GB —
-# comfortable on 8 GB executors; beyond it the shuffle join is the
-# correct distributed path.
+# Record-table rows below which a pair-verify join broadcasts the
+# per-id table instead of shuffle-joining it.  Used by
+# timeseries.ts_similar_pairs, whose dense-vector table is a few
+# hundred bytes per id; prefix_jaccard_pairs deliberately does NOT
+# broadcast (its rank-array hash relation measured several hundred MB
+# of heap at 16× and regressed the scale probe 18 → 94 s — see the
+# verify-strategy note in prefix_jaccard_pairs).
 _VERIFY_BROADCAST_MAX_ROWS = 2_000_000
 
 
@@ -1620,15 +1622,12 @@ def prefix_jaccard_stats(
         .agg(F.count(F.lit(1)).alias("n_prefix_pairs"))
     )
     n_pos = cand.agg(F.count(F.lit(1)).alias("n_after_positional"))
-    broadcast_verify = compact.count() <= _VERIFY_BROADCAST_MAX_ROWS
     a = compact.select(
         F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("rs").alias("_ra")
     )
     b = compact.select(
         F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("rs").alias("_rb")
     )
-    if broadcast_verify:
-        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("_ra", "_rb"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     n_ver = (
@@ -1713,27 +1712,26 @@ def prefix_jaccard_pairs(
     compact, _matched, cand = _prefix_jaccard_frames(
         df, id_col, text_col, threshold, max_bucket_size
     )
-    # size-gated BROADCAST VERIFY (Vernica/Carey/Li SIGMOD'10 §5, the
-    # "basic record join" with a broadcast record table): candidate
-    # pairs outnumber records by orders of magnitude here, and a
-    # shuffle verify ships the FIRST joined side's rank array through
-    # the second join's exchange — pair-count × array-width bytes
-    # (measured 47 GB at t=0.85/16×, 8.5 s of the wall).  When the
-    # persisted compact table is small enough to broadcast (row-count
-    # scalar on the already-persisted frame — metadata-sized), both
-    # verify joins become map-side and no array ever shuffles; beyond
-    # the valve the shuffle join is the correct distributed fallback.
-    broadcast_verify = (
-        compact.count() <= _VERIFY_BROADCAST_MAX_ROWS
-    )
+    # Verify-join strategy, MEASURED AND DECIDED (round 9): a shuffle
+    # verify ships the first joined side's rank array through the
+    # second join's exchange (pair-count × array-width — 47 GB of
+    # payload at t=0.85/16×), and the Vernica/Carey/Li SIGMOD'10
+    # broadcast-record-table alternative was built and A/B'd.  Local
+    # verdict: NEUTRAL standalone (21.2 s broadcast vs 21.5 s shuffle
+    # at 16× — a single-JVM "shuffle" is a memory copy) and ACTIVELY
+    # HARMFUL under long-session heap pressure (the scale probe's 16×
+    # cell hit 93.8 s: two ~50 MB broadcast hash relations over int
+    # arrays are several hundred MB of driver/executor heap each, a
+    # GC storm next to accumulated persists).  So the SHUFFLE join
+    # stays — Catalyst/AQE can still elect a broadcast from its own
+    # size estimates on a real cluster, where executor-local memory
+    # budgets make that call correctly per-site.
     a = compact.select(
         F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("rs").alias("_ra")
     )
     b = compact.select(
         F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("rs").alias("_rb")
     )
-    if broadcast_verify:
-        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("_ra", "_rb"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     return (

@@ -246,10 +246,10 @@ SHOWCASE: dict[str, str] = {
         "filter apply BEFORE the pair-dedup Exchange; the pair "
         "aggregation then applies BOTH the min-slack bound and the "
         "full PPJoin COUNT bound (overlap <= matched-prefix count + "
-        "min remaining suffix).  The verify is SIZE-GATED BROADCAST "
-        "(BroadcastHashJoin on both verify sides when the record table "
-        "fits — no pair-count × array-width exchange; shuffle-join "
-        "fallback beyond the valve); exact-Jaccard is per-pair "
+        "min remaining suffix).  The verify is a deliberate SHUFFLE "
+        "join (the broadcast-record-table variant was measured and "
+        "rejected — hash relations over rank arrays cost hundreds of "
+        "MB of heap; see DESIGN.md); exact-Jaccard is per-pair "
         "array_intersect, no re-tokenization anywhere."
     ),
     "rrf_hybrid": (
