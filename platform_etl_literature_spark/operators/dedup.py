@@ -1695,14 +1695,18 @@ def prefix_jaccard_pairs(
     remains available as a belt-and-braces valve for adversarial
     corpora where even a prefix bucket goes viral.
 
-    The prefix filter is compounded with the suite's two other
-    lossless candidate filters (both applied BEFORE the pair-dedup
-    shuffle, so pruned pairs never shuffle): the ICDE'06 LENGTH filter
-    (min(n)/max(n) >= t) inside the bucket join, and the WWW'08
-    POSITIONAL filter — each shared prefix token's sorted positions
-    bound the achievable overlap, and the pair-dedup aggregation keeps
-    a pair only if its tightest bound still reaches the overlap
-    threshold t/(1+t)·(n_a+n_b).
+    The prefix filter is compounded with three further lossless
+    candidate filters: the ICDE'06 LENGTH filter (min(n)/max(n) >= t)
+    inside the bucket join, the WWW'08 POSITIONAL filter — each shared
+    prefix token's sorted positions bound the achievable overlap, and
+    the pair-dedup aggregation keeps a pair only if its tightest bound
+    still reaches the overlap threshold t/(1+t)·(n_a+n_b) — and
+    (round 9) the full PPJoin COUNT bound in the same aggregation
+    (overlap <= matched-prefix count + min remaining suffix; see the
+    construction note in ``_prefix_jaccard_frames``).  The length and
+    positional row filters apply BEFORE the pair-dedup shuffle, so
+    pairs they prune never shuffle; the aggregate bounds prune before
+    the verify joins.
 
     Exact (no recall loss): completeness of the prefix filter is a
     theorem, re-checked against the brute-force all-pairs join in

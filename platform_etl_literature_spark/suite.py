@@ -730,7 +730,8 @@ def q_prefix_jaccard_stats(spark: SparkSession, sf: str) -> DataFrame:
     """PPJoin filter-reduction accountability
     (operators.dedup.prefix_jaccard_stats, the r7 verdict's ask): one
     row counting the DISTINCT prefix+length-filter candidate pairs,
-    the pairs surviving the WWW'08 positional min-slack prune, and the
+    the pairs surviving the WWW'08 positional prune (min-slack AND
+    the full count bound, round 9), and the
     exact-Jaccard survivors at t=0.85 — the measured candidate
     reduction, each integer replayed by an oracle that runs the SAME
     rank order and filters (unlike prefix_jaccard's brute-force
