@@ -3075,6 +3075,90 @@ def q_text_normalize_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_keys_nostem(spark: SparkSession, sf: str) -> DataFrame:
+    """The grounding key chain VALUE-GATED up to its single Python
+    stage (round 9; SURVEY §7.7 ranks NLP parity as risk #1): the
+    PRODUCTION expressions — `token_terms` (TT split + lower +
+    punctuation cleanup), `label_terms_unstemmed` (LT split +
+    case-sensitive stopword removal + lower + cleanup), and
+    `generate_key`'s exact order-preserving / sorted-distinct concat —
+    run WITHOUT the Porter stemmer, so the whole chain is
+    SQL-expressible and every character of both keys hash-checks.
+    Porter itself stays golden-tested in pytest and rows-only in
+    `text_normalize_keys` (the full chain)."""
+    from platform_etl_literature_spark.functions.text import (
+        LABEL_T,
+        TOKEN_T,
+        generate_key,
+        label_terms_unstemmed,
+        token_terms,
+    )
+
+    t = F.col("text")
+    d = (
+        _t(spark, sf, "documents")
+        .withColumn(f"d_{TOKEN_T}", token_terms(t))
+        .withColumn(f"d_{LABEL_T}", label_terms_unstemmed(t))
+    )
+    return d.select(
+        "doc_id",
+        generate_key("d", F.lit(LABEL_T)).alias("lt_key"),
+        generate_key("d", F.lit(TOKEN_T)).alias("tt_key"),
+        F.size(f"d_{LABEL_T}").alias("n_lt"),
+        F.size(f"d_{TOKEN_T}").alias("n_tt"),
+    )
+
+
+_STOPWORDS_SQL = (
+    "['a', 'i', "
+    + ", ".join(
+        "'" + w.replace("'", "''") + "'"
+        for w in (
+            lambda gs: gs + [x.capitalize() for x in gs]
+        )(
+            "about above after again against all am an and any are aren't as at be because "
+            "been before being below between both but by can't cannot could couldn't did didn't do does doesn't doing don't down "
+            "during each few for from further had hadn't has hasn't have haven't having he he'd he'll he's her here here's hers "
+            "herself him himself his how how's i'd i'll i'm i've if in into is isn't it it's its itself let's me more most mustn't "
+            "my myself no nor not of off on once only or other ought our ours ourselves out over own same shan't she she'd she'll "
+            "she's should shouldn't so some such than that that's the their theirs them themselves then there there's these they "
+            "they'd they'll they're they've this those through to too under until up very was wasn't we we'd we'll we're we've "
+            "were weren't what what's when when's where where's which while who who's whom why why's with won't would wouldn't "
+            "you you'd you'll you're you've your yours yourself yourselves".split(" ")
+        )
+    )
+    + "]"
+)
+
+_ORACLE_TEXT_KEYS_NOSTEM = f"""
+WITH lt AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             list_filter(regexp_split_to_array(text, '[\\s\\-/:,;]+'),
+                         t -> NOT list_contains({_STOPWORDS_SQL}, t)),
+             t -> regexp_replace(lower(t), '[^\\w\\d\\s]', '', 'g')),
+           t -> t IS NOT NULL AND t != '') AS toks
+  FROM documents),
+tt AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[\\s:,;]+'),
+                          t -> regexp_replace(lower(t), '[^\\w\\d\\s]',
+                                              '', 'g')),
+           t -> t IS NOT NULL AND t != '') AS toks
+  FROM documents)
+SELECT d.doc_id,
+       array_to_string(
+         list_sort(list_filter(list_distinct(lt.toks), t -> t != '')),
+         '') AS lt_key,
+       array_to_string(tt.toks, '') AS tt_key,
+       CAST(len(lt.toks) AS INT) AS n_lt,
+       CAST(len(tt.toks) AS INT) AS n_tt
+FROM documents d JOIN lt USING (doc_id) JOIN tt USING (doc_id)
+"""
+
+
 def q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable-sketch rollup: per-(event_type, day) HLL sketches of
     distinct users, re-aggregated per event_type by sketch UNION (the
@@ -10481,6 +10565,11 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
         q_window_range_frame, _ORACLE_RANGE_FRAME, "range-frame-ext"
     ),
     "text_normalize_keys": QuerySpec(q_text_normalize_keys, None, "M1 M2"),
+    "text_keys_nostem": QuerySpec(
+        q_text_keys_nostem,
+        _ORACLE_TEXT_KEYS_NOSTEM,
+        "M1 M2 value-gated up to the Porter stage",
+    ),
     "bpe_merges": QuerySpec(q_bpe_merges, None, "tokenizer-bpe-train"),
     "hll_rollup": QuerySpec(q_hll_rollup, None, "sketch-mergeable-hll"),
     "word2vec_synonyms": QuerySpec(q_word2vec_synonyms, None, "M3 M4 S7"),
