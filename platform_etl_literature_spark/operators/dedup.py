@@ -296,6 +296,33 @@ def minhash_candidate_pairs(
     )
 
 
+def band_table(sigs: DataFrame, band_size: int = 2) -> DataFrame:
+    """(id, band, band_key) LSH band buckets from MinHash signature
+    rows: the k seeds split into k/band_size bands; a band's bucket
+    key is the exact signature tuple serialized in seed order.
+    Shared by :func:`minhash_banded_pairs` (the batch pair join) and
+    the streaming near-dup-at-ingest index
+    (streaming.ingest_neardedup) — one definition, one oracle
+    replay."""
+    k = len(MINHASH_SEEDS)
+    n_bands = k // band_size
+    return (
+        sigs.selectExpr(
+            "id", "seed", "sig", f"CAST(seed / {band_size} AS INT) AS band"
+        )
+        .filter(F.col("band") < n_bands)
+        .groupBy("id", "band")
+        # band bucket = the exact signature tuple, serialized in seed order
+        .agg(F.expr("sort_array(collect_list(struct(seed, sig))) AS _tuple"))
+        .selectExpr(
+            "id",
+            "band",
+            "array_join(transform(_tuple, e -> CAST(e.sig AS STRING)), ':')"
+            " AS band_key",
+        )
+    )
+
+
 def minhash_banded_pairs(
     sigs: DataFrame,
     band_size: int = 2,
@@ -317,21 +344,11 @@ def minhash_banded_pairs(
     the banded table (one short row per doc × band) is persisted once
     for the two-sided bucket join (see module docstring).
     """
-    k = len(MINHASH_SEEDS)
-    n_bands = k // band_size
-    banded = (
-        sigs.selectExpr("id", "seed", "sig", f"CAST(seed / {band_size} AS INT) AS band")
-        .filter(F.col("band") < n_bands)
-        .groupBy("id", "band")
-        # band bucket = the exact signature tuple, serialized in seed order
-        .agg(F.expr("sort_array(collect_list(struct(seed, sig))) AS _tuple"))
-        .selectExpr(
-            "id",
-            "band",
-            "array_join(transform(_tuple, e -> CAST(e.sig AS STRING)), ':') AS band_key",
-        )
+    banded = _drop_hot_buckets(
+        _materialize_once(band_table(sigs, band_size)),
+        ["band", "band_key"],
+        max_bucket_size,
     )
-    banded = _drop_hot_buckets(_materialize_once(banded), ["band", "band_key"], max_bucket_size)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (

@@ -1,0 +1,172 @@
+"""NEAR-dup rejection at ingest: banded MinHash-LSH screening of an
+arriving document stream against everything already accepted, via
+``foreachBatch`` + a persistent BAND index.
+
+The exact-dedup sibling (:mod:`streaming.ingest_dedup`) remembers one
+16-byte digest per accepted doc; near-dup curation must remember the
+accepted corpus' LSH band buckets instead — (band, band_key) rows, a
+handful of short strings per doc, still orders of magnitude smaller
+than the corpus.  Each micro-batch computes its docs' band buckets with
+the SAME signature/banding code the batch operator uses
+(``dedup.minhash_signatures`` + ``dedup.band_table`` — one definition,
+one oracle), then applies the deterministic acceptance rule:
+
+  a doc is ACCEPTED iff
+    (1) none of its band buckets appears in the index (it is not a
+        near-dup of any previously accepted doc), AND
+    (2) no SMALLER-id doc of the same batch shares a band bucket with
+        it (first-id-wins inside a batch).
+
+Rule (2) deliberately compares against ALL same-batch docs, not only
+the batch's own survivors — a doc bucket-adjacent to a rejected
+near-dup is itself transitively close to the accepted original, so the
+conservative drop is the right curation call AND keeps the rule
+closed-form: acceptance depends only on (batch, id, bucket) facts, so
+a SQL oracle replays the whole K-batch fold exactly (suite row
+``ingest_neardedup_replay``).  Docs too short to shingle (no bands)
+are always accepted.
+
+Delivery note: same at-least-once posture as ingest_dedup — a replayed
+batch sees at worst MORE indexed buckets, so it can only drop extra
+near-dups, never re-admit one.
+
+Capability extension (SURVEY.md §7.6): pairs the batch MinHash-LSH
+dedup family with Structured Streaming; the reference has no streaming
+surface at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def _batch_bands(
+    batch: DataFrame, id_col: str, text_col: str,
+    shingle_n: int, band_size: int,
+) -> DataFrame:
+    """(id, band, band_key) for one batch via the batch operators."""
+    from platform_etl_literature_spark.operators.dedup import (
+        band_table,
+        minhash_signatures,
+    )
+
+    return band_table(
+        minhash_signatures(batch, id_col, text_col, shingle_n), band_size
+    )
+
+
+def _neardedup_step(
+    batch: DataFrame,
+    bands: DataFrame,
+    index: DataFrame | None,
+    id_col: str,
+) -> DataFrame:
+    """The per-micro-batch acceptance rule, shared verbatim by the
+    foreachBatch writer and the batch replay: drop ids whose bucket is
+    indexed, drop ids sharing a bucket with a smaller same-batch id,
+    keep the rest (bandless docs fall through both anti-joins)."""
+    a = bands.select(F.col("id").alias("_ia"), "band", "band_key")
+    b = bands.select(F.col("id").alias("_ib"), "band", "band_key")
+    wdrop = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+    )
+    drops = wdrop
+    if index is not None:
+        hits = (
+            bands.join(index, ["band", "band_key"], "left_semi")
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        drops = drops.unionByName(hits).distinct()
+    return batch.join(drops, [id_col], "left_anti")
+
+
+def neardedup_replay(
+    docs: DataFrame,
+    batch_ids: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_col: str = "batch",
+    shingle_n: int = 2,
+    band_size: int = 2,
+) -> DataFrame:
+    """Batch REPLAY of the streaming near-dup fold — the
+    batch-equivalence witness for :func:`neardedup_writer`: the corpus
+    partitioned into ``batch_ids``-ordered micro-batches folds through
+    the SAME per-batch rule (``_neardedup_step``), with the accepted
+    band index accumulating in-plan instead of in parquet.  The band
+    table for the WHOLE corpus is computed once (persisted; signatures
+    are per-doc facts, identical whichever batch computes them) and
+    sliced per batch.  Returns the accepted rows (*docs columns*)."""
+    from platform_etl_literature_spark.operators.dedup import (
+        _materialize_once,
+    )
+
+    bands_all = _materialize_once(
+        _batch_bands(docs, id_col, text_col, shingle_n, band_size).join(
+            docs.select(
+                F.col(id_col).alias("id"), F.col(batch_col).alias("_b")
+            ),
+            "id",
+        )
+    )
+    accepted: DataFrame | None = None
+    index: DataFrame | None = None
+    for bid in batch_ids:
+        batch = docs.filter(F.col(batch_col) == F.lit(bid))
+        bands = bands_all.filter(F.col("_b") == F.lit(bid)).drop("_b")
+        kept = _neardedup_step(batch, bands, index, id_col)
+        kept_bands = bands.join(
+            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).select("band", "band_key")
+        index = (
+            kept_bands if index is None
+            else index.unionByName(kept_bands)
+        )
+        accepted = kept if accepted is None else accepted.unionByName(kept)
+    if accepted is None:
+        raise ValueError("batch_ids must be non-empty")
+    return accepted
+
+
+def neardedup_writer(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    band_size: int = 2,
+) -> DataStreamWriter:
+    """Build the foreachBatch writer (caller adds checkpoint/trigger
+    and calls ``.start()``).  The index holds (band, band_key) rows of
+    every accepted doc."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        bands = _batch_bands(batch, id_col, text_col, shingle_n, band_size)
+        try:
+            index = spark.read.parquet(index_path).select(
+                "band", "band_key"
+            )
+        except AnalysisException as exc:
+            cond = getattr(exc, "getCondition", exc.getErrorClass)() or ""
+            if "PATH_NOT_FOUND" not in cond and "does not exist" not in str(
+                exc
+            ):
+                raise
+            index = None
+        kept = _neardedup_step(batch, bands, index, id_col)
+        kept.write.mode("append").parquet(out_path)
+        bands.join(
+            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).select("band", "band_key").write.mode("append").parquet(index_path)
+
+    return docs_stream.writeStream.foreachBatch(_step).outputMode("update")

@@ -1238,6 +1238,75 @@ SELECT id_a, id_b, n_bands FROM bpairs
 """
 
 
+def q_ingest_neardedup_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming NEAR-dup-at-ingest, batch-replayed
+    (streaming.ingest_neardedup.neardedup_replay): the corpus split
+    into 4 arrival micro-batches (doc_id % 4) folds through the SAME
+    per-batch rule the foreachBatch writer runs (shared
+    ``_neardedup_step``; band buckets from the SAME
+    minhash_signatures + band_table the batch pair join uses) — accept
+    iff no band bucket is indexed by an earlier batch's survivor and
+    no smaller same-batch id shares a bucket.  The oracle unrolls the
+    4-batch fold in SQL, bucket for bucket."""
+    from platform_etl_literature_spark.streaming.ingest_neardedup import (
+        neardedup_replay,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("batch")
+    )
+    return neardedup_replay(
+        docs, [0, 1, 2, 3], id_col="doc_id", text_col="text",
+        batch_col="batch", shingle_n=2, band_size=2,
+    ).select("doc_id", "batch")
+
+
+# the signature/banding CTEs shared with the banded-pairs oracle,
+# without its trailing bpairs CTE (the replay needs buckets, not pairs)
+_BANDED_TABLE_CTES = (
+    _BANDED_PAIRS_CTES.rsplit("bpairs AS", 1)[0].rstrip().rstrip(",")
+)
+
+_ORACLE_INGEST_NEARDEDUP = f"""
+WITH {_BANDED_TABLE_CTES},
+bb AS (SELECT id, id % 4 AS batch, band, band_key FROM banded),
+wdrop AS (
+  SELECT DISTINCT b.id FROM bb a JOIN bb b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.batch = b.batch AND a.id < b.id),
+d4 AS (SELECT DISTINCT id, batch FROM bb),
+acc0 AS (SELECT id FROM d4 WHERE batch = 0
+         AND id NOT IN (SELECT id FROM wdrop)),
+idx1 AS (SELECT DISTINCT band, band_key FROM bb JOIN acc0 USING (id)),
+hit1 AS (SELECT DISTINCT bb.id FROM bb JOIN idx1 USING (band, band_key)
+         WHERE bb.batch = 1),
+acc1 AS (SELECT id FROM d4 WHERE batch = 1
+         AND id NOT IN (SELECT id FROM wdrop)
+         AND id NOT IN (SELECT id FROM hit1)),
+idx2 AS (SELECT * FROM idx1 UNION
+         SELECT DISTINCT band, band_key FROM bb JOIN acc1 USING (id)),
+hit2 AS (SELECT DISTINCT bb.id FROM bb JOIN idx2 USING (band, band_key)
+         WHERE bb.batch = 2),
+acc2 AS (SELECT id FROM d4 WHERE batch = 2
+         AND id NOT IN (SELECT id FROM wdrop)
+         AND id NOT IN (SELECT id FROM hit2)),
+idx3 AS (SELECT * FROM idx2 UNION
+         SELECT DISTINCT band, band_key FROM bb JOIN acc2 USING (id)),
+hit3 AS (SELECT DISTINCT bb.id FROM bb JOIN idx3 USING (band, band_key)
+         WHERE bb.batch = 3),
+acc3 AS (SELECT id FROM d4 WHERE batch = 3
+         AND id NOT IN (SELECT id FROM wdrop)
+         AND id NOT IN (SELECT id FROM hit3)),
+nob AS (SELECT doc_id AS id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM d4)),
+allacc AS (
+  SELECT id FROM acc0 UNION ALL SELECT id FROM acc1
+  UNION ALL SELECT id FROM acc2 UNION ALL SELECT id FROM acc3
+  UNION ALL SELECT id FROM nob)
+SELECT id AS doc_id, CAST(id % 4 AS BIGINT) AS batch FROM allacc
+"""
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole blocking —
     4 exact-block equijoins, bit_count(xor) verify on candidates only."""
@@ -10667,6 +10736,11 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
         q_ingest_dedup_replay,
         _ORACLE_INGEST_DEDUP_REPLAY,
         "streaming-ingest-dedup-batch-equivalence",
+    ),
+    "ingest_neardedup_replay": QuerySpec(
+        q_ingest_neardedup_replay,
+        _ORACLE_INGEST_NEARDEDUP,
+        "streaming-neardedup-at-ingest batch-equivalence (banded LSH index)",
     ),
     "bpe_encode": QuerySpec(
         q_bpe_encode, _bpe_encode_oracle(), "tokenizer-bpe-frozen-encode"

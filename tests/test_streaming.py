@@ -330,6 +330,76 @@ def test_ingest_dedup_replay_matches_streaming_writer(spark, tmp_path):
     assert len(replayed) == 5
 
 
+def test_ingest_neardedup_replay_matches_streaming_writer(spark, tmp_path):
+    """The near-dup batch REPLAY fold must accept EXACTLY the set the
+    real foreachBatch writer accepts for the same arrival order — the
+    suite row's batch-equivalence claim tested against the actual
+    streaming path with a persistent band index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_literature_spark.streaming.ingest_neardedup import (
+        neardedup_replay,
+        neardedup_writer,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "entirely different words compose this sentence here",
+        "spark streams deduplicate documents at ingest time",
+        "tiny",
+    ]
+    rows = [(i, base[i % 5] + (" tail" if i % 10 >= 5 else "")) for i in range(24)]
+    land = tmp_path / "landing"
+    land.mkdir()
+    import os as _os
+
+    for b in range(4):
+        ids, texts = zip(*[r for r in rows if r[0] % 4 == b])
+        path = str(land / f"b{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(list(texts), pa.string()),
+                }
+            ),
+            path,
+        )
+        _os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = (
+        neardedup_writer(
+            stream, str(tmp_path / "bandindex"), str(tmp_path / "corpus")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("batch")
+    )
+    replayed = {
+        r["doc_id"]
+        for r in neardedup_replay(batch, [0, 1, 2, 3]).collect()
+    }
+    assert streamed == replayed
+    # the bandless doc ("tiny", no bigram) in batch 0 must be accepted
+    assert 4 in replayed
+    # heavy near-duplication -> the fold must actually reject docs
+    assert len(replayed) < len(rows)
+
+
 def test_stream_static_segment_enrichment_matches_batch(spark, batch_events):
     """Stream-static broadcast join (events stream x customer dim) +
     windowed agg must equal the same pipeline on batch input, and the
