@@ -797,6 +797,30 @@ def test_bfs_distances_broadcast_frontier_no_edge_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:3000]
 
 
+def test_text_keys_nostem_pure_map(spark, sf_dir):
+    """The no-stem key chain is a per-row projection: zero exchanges,
+    zero Python — the whole normalization stays in whole-stage
+    codegen."""
+    plan = _simple_plan(SUITE["text_keys_nostem"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+
+
+def test_ingest_neardedup_replay_reuses_band_table(spark, sf_dir):
+    """The K-batch near-dup fold must slice ONE persisted corpus band
+    table (InMemoryTableScan), never recompute signatures per stage,
+    and contain no cartesian/Python stage."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    plan = _simple_plan(
+        SUITE["ingest_neardedup_replay"].fn(spark, sf_dir)
+    )
+    assert plan.count("InMemoryTableScan") >= 8, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
+    D.release_cached()
+
+
 def test_ts_similar_single_cell_pass_no_cartesian(spark, sf_dir):
     """The (id, pos, value) cell frame materializes ONCE (signature
     build + both verify sides read the cache — the upstream series

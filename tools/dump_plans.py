@@ -90,6 +90,22 @@ SHOWCASE: dict[str, str] = {
         "at 16×).  Both join sides read the ONE persisted bucketed "
         "table (InMemoryTableScan)."
     ),
+    "ingest_neardedup_replay": (
+        "The streaming near-dup fold as one lazy plan: the corpus band "
+        "table materializes ONCE (InMemoryTableScan on every batch "
+        "slice — signatures are per-doc facts, identical whichever "
+        "batch computes them), each of the K stages is a bucket-keyed "
+        "left_semi (index hit) + left_anti (drop) pair, and the "
+        "within-batch first-id-wins is a bucket self-join — no writes, "
+        "no driver data, no cartesian."
+    ),
+    "text_keys_nostem": (
+        "The grounding key chain minus its one Python stage: pure "
+        "whole-stage-codegen HOFs (split, case-sensitive stopword "
+        "filter, lower+cleanup transform, sorted-distinct / "
+        "order-preserving array_join) — ZERO exchanges beyond the scan "
+        "(a per-row map), no EvalPython anywhere."
+    ),
     "ingest_dedup_replay": (
         "The streaming fold as one lazy plan: K chained left_anti "
         "probes against the accumulating accepted union + per-batch "
