@@ -53,14 +53,15 @@ from pyspark.storagelevel import StorageLevel
 # tests call release_cached() / clearCache between queries.
 _CACHED: list[DataFrame] = []
 
-# Record-table rows below which a pair-verify join broadcasts the
-# per-id table instead of shuffle-joining it.  Used by
-# timeseries.ts_similar_pairs, whose dense-vector table is a few
-# hundred bytes per id; prefix_jaccard_pairs deliberately does NOT
-# broadcast (its rank-array hash relation measured several hundred MB
-# of heap at 16× and regressed the scale probe 18 → 94 s — see the
-# verify-strategy note in prefix_jaccard_pairs).
-_VERIFY_BROADCAST_MAX_ROWS = 2_000_000
+# Pair-verify joins in this suite deliberately do NOT force
+# broadcasts: the record-table hash relations (rank arrays, dense
+# vectors) cost several hundred MB of heap per 50 MB of data
+# (measured — the forced-broadcast PPJoin verify regressed the 16×
+# scale probe 18 → 94 s), a row-count gate cannot see row width, and
+# the A/B was neutral locally.  AQE elects broadcasts from its own
+# byte-based estimates where they genuinely fit; see the
+# verify-strategy notes in prefix_jaccard_pairs and
+# timeseries.ts_similar_pairs.
 
 
 def _materialize_once(df: DataFrame) -> DataFrame:
@@ -1622,7 +1623,9 @@ def prefix_jaccard_stats(
       that survive the ICDE'06 length filter (the candidate set a
       plain PPJoin would verify),
     * ``n_after_positional``: pairs surviving the WWW'08 positional
-      min-slack prune (what the verify stage actually pays),
+      prunes — BOTH the per-token min-slack bound and (round 9) the
+      full PPJoin count bound — i.e. what the verify stage actually
+      pays,
     * ``n_verified``: pairs passing exact Jaccard ≥ t,
 
     plus the measured reduction ratios.  Every count is replayed

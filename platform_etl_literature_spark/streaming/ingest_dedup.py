@@ -34,6 +34,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 
+def _digest(c, prefix_chars: int | None):
+    """The ingest digest — md5 of the text (or its head fingerprint),
+    one definition for the writer and the replay."""
+    t = F.substring(c, 1, prefix_chars) if prefix_chars else c
+    return F.md5(t)
+
+
 def _dedup_step(
     keyed: DataFrame, seen: DataFrame | None, id_col: str
 ) -> DataFrame:
@@ -76,11 +83,7 @@ def ingest_dedup_replay(
     Returns the accepted rows (*docs columns*, plus ``_h`` digest).
     """
 
-    def key(c):
-        t = F.substring(c, 1, prefix_chars) if prefix_chars else c
-        return F.md5(t)
-
-    keyed = docs.withColumn("_h", key(F.col(text_col)))
+    keyed = docs.withColumn("_h", _digest(F.col(text_col), prefix_chars))
     accepted: DataFrame | None = None
     for b in batch_ids:
         kept = _dedup_step(
@@ -104,18 +107,15 @@ def ingest_dedup_writer(
     calls ``.start()``).  ``prefix_chars`` selects the head-fingerprint
     variant (see ``incremental_dedup``)."""
 
-    def key(c):
-        t = F.substring(c, 1, prefix_chars) if prefix_chars else c
-        return F.md5(t)
-
     def _step(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
         spark = batch.sparkSession
-        keyed = batch.withColumn("_h", key(F.col(text_col)))
+        keyed = batch.withColumn(
+            "_h", _digest(F.col(text_col), prefix_chars)
+        )
         try:
             seen = spark.read.parquet(index_path).select("_h")
-            fresh = keyed.join(seen, "_h", "left_anti")
         except AnalysisException as exc:
             # ONLY the first-batch missing-index case may fall through
             # to "everything is fresh" — any other read failure (a
@@ -124,10 +124,12 @@ def ingest_dedup_writer(
             cond = getattr(exc, "getCondition", exc.getErrorClass)() or ""
             if "PATH_NOT_FOUND" not in cond and "does not exist" not in str(exc):
                 raise
-            fresh = keyed
-        # first-id-wins within the batch (same winner rule as
-        # incremental_dedup / exact_dedup), via the shared step
-        kept = _dedup_step(fresh, None, id_col)
+            seen = None
+        # the FULL shared rule (index anti-join + first-id-wins) —
+        # _dedup_step is the single definition of both halves, so the
+        # batch-equivalence claim against ingest_dedup_replay is
+        # code-shared, not re-implemented
+        kept = _dedup_step(keyed, seen, id_col)
         kept.drop("_h").write.mode("append").parquet(out_path)
         kept.select("_h").write.mode("append").parquet(index_path)
 

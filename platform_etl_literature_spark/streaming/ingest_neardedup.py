@@ -149,24 +149,38 @@ def neardedup_writer(
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
+        from pyspark.storagelevel import StorageLevel
 
         spark = batch.sparkSession
-        bands = _batch_bands(batch, id_col, text_col, shingle_n, band_size)
+        # persisted for the trigger: the band table feeds FOUR
+        # consumers (both sides of the within-batch self-join, the
+        # index probe, and the index append) — without the cache the
+        # shingle+signature aggregation re-runs per consumer
+        bands = _batch_bands(
+            batch, id_col, text_col, shingle_n, band_size
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            index = spark.read.parquet(index_path).select(
-                "band", "band_key"
+            try:
+                index = spark.read.parquet(index_path).select(
+                    "band", "band_key"
+                )
+            except AnalysisException as exc:
+                cond = (
+                    getattr(exc, "getCondition", exc.getErrorClass)() or ""
+                )
+                if "PATH_NOT_FOUND" not in cond and (
+                    "does not exist" not in str(exc)
+                ):
+                    raise
+                index = None
+            kept = _neardedup_step(batch, bands, index, id_col)
+            kept.write.mode("append").parquet(out_path)
+            bands.join(
+                kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+            ).select("band", "band_key").write.mode("append").parquet(
+                index_path
             )
-        except AnalysisException as exc:
-            cond = getattr(exc, "getCondition", exc.getErrorClass)() or ""
-            if "PATH_NOT_FOUND" not in cond and "does not exist" not in str(
-                exc
-            ):
-                raise
-            index = None
-        kept = _neardedup_step(batch, bands, index, id_col)
-        kept.write.mode("append").parquet(out_path)
-        bands.join(
-            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
-        ).select("band", "band_key").write.mode("append").parquet(index_path)
+        finally:
+            bands.unpersist()
 
     return docs_stream.writeStream.foreachBatch(_step).outputMode("update")

@@ -27,6 +27,9 @@ from platform_etl_literature_spark.functions.harmonic import (
     harmonic_sorted,
     max_harmonic,
 )
+from platform_etl_literature_spark.functions.text import (
+    ALL_STOP_WORDS as _text_ALL_STOP_WORDS,
+)
 from platform_etl_literature_spark.functions.vectors import array_norm
 from platform_etl_literature_spark.operators import dedup as D
 from platform_etl_literature_spark.operators import edjoin as EJ
@@ -3178,23 +3181,13 @@ def q_text_keys_nostem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# generated from the CANONICAL stopword list (functions.text
+# .ALL_STOP_WORDS) so the oracle literal can never drift from the
+# engine's — byte-identical by construction, not by duplication
 _STOPWORDS_SQL = (
-    "['a', 'i', "
+    "["
     + ", ".join(
-        "'" + w.replace("'", "''") + "'"
-        for w in (
-            lambda gs: gs + [x.capitalize() for x in gs]
-        )(
-            "about above after again against all am an and any are aren't as at be because "
-            "been before being below between both but by can't cannot could couldn't did didn't do does doesn't doing don't down "
-            "during each few for from further had hadn't has hasn't have haven't having he he'd he'll he's her here here's hers "
-            "herself him himself his how how's i'd i'll i'm i've if in into is isn't it it's its itself let's me more most mustn't "
-            "my myself no nor not of off on once only or other ought our ours ourselves out over own same shan't she she'd she'll "
-            "she's should shouldn't so some such than that that's the their theirs them themselves then there there's these they "
-            "they'd they'll they're they've this those through to too under until up very was wasn't we we'd we'll we're we've "
-            "were weren't what what's when when's where where's which while who who's whom why why's with won't would wouldn't "
-            "you you'd you'll you're you've your yours yourself yourselves".split(" ")
-        )
+        "'" + w.replace("'", "''") + "'" for w in _text_ALL_STOP_WORDS
     )
     + "]"
 )
