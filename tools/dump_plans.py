@@ -585,10 +585,10 @@ SHOWCASE: dict[str, str] = {
         "the map-side signature AND both verify sides); candidates "
         "are a pure signature equijoin with the hot-bucket valve; the "
         "exact-Pearson verify is a zip_with dot product on the pair "
-        "join — size-gated BROADCAST on both vector sides (the "
-        "prefix_jaccard rule: no length-L array ships per pair "
-        "through the second join's exchange) — no per-(pair, pos) "
-        "shuffle, no cartesian, no nested loop."
+        "join (deliberate lazy SHUFFLE joins — the forced broadcast "
+        "was A/B'd and rejected, see DESIGN.md; AQE elects broadcasts "
+        "from byte-based estimates) — no per-(pair, pos) shuffle, no "
+        "cartesian, no nested loop."
     ),
     "cusum_changepoint": (
         "Cell collapse, one partitioned window over the <=31 "
