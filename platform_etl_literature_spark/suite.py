@@ -11314,6 +11314,19 @@ _SUITE_DEFS: dict[str, QuerySpec] = {
 #   categorical_mi→ingest_dedup_replay — MI hashed green r8; the
 #     NEW streaming batch-equivalence row (VERDICT r8 item 8) gives
 #     the streaming surface its first driver hash.
+# Round-9 session-2 swaps (three NEW full-oracle rows straight into
+# the window; each displaced row hashed green in r8 and within-family
+# redundant):
+#   doc_profile→text_keys_nostem — §2.8 HOF keeps harmonic_relevance
+#     hashed in-window; the key chain gives M1/M2 their FIRST driver
+#     hash (both were parity/golden-gated only since round 1 — the
+#     SURVEY §7.7 #1 risk now driver-checked up to the Porter stage).
+#   moore_lewis_select→literature_relevance — the LM-selection family
+#     stays benched + parity; the relevance slice drives the
+#     PRODUCTION disambiguate + literature_index plan under a hash.
+#   mmr_rerank→ingest_neardedup_replay — F1 cosine stays hashed via
+#     ann_recall_at_k; the near-dup ingest fold joins its exact-dedup
+#     sibling so BOTH streaming replay witnesses are driver-hashed.
 _DRIVER_PREFIX: tuple[str, ...] = (
     "pricing_summary", "top1_per_group", "anti_join",
     "outer_join_coalesce", "broadcast_rank_lut", "theta_self_join",
@@ -11323,10 +11336,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "evidence_cooc_analog", "mann_kendall", "record_linkage",
     "corr_matrix",
     "minhash_pairs", "ccf_lags", "nelson_aalen",
-    "bootstrap_ci", "ece_calibration", "mmr_rerank",
+    "bootstrap_ci", "ece_calibration", "ingest_neardedup_replay",
     "pagerank",
-    "zipf_fit", "vectors_norm_category", "doc_profile",
-    "incremental_agg", "hilbert_skip", "sessionize", "moore_lewis_select",
+    "zipf_fit", "vectors_norm_category", "text_keys_nostem",
+    "incremental_agg", "hilbert_skip", "sessionize", "literature_relevance",
     "kaplan_meier", "multimodal_frames", "cluster_split",
     "bloom_join_prune", "token_packing", "winsorized_stats",
     "suffix_dedup",
