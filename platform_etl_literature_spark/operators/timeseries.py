@@ -509,6 +509,14 @@ def ts_shape_signature(
     a bin-string length; fixed-point-shift signed series first).
     ``length`` must be divisible by ``n_segments``.  Returns
     (id, sig, total) — one row per id.
+
+    This is the FIXED-resolution form (a documented instrument); the
+    production similarity join :func:`ts_similar_pairs` uses the
+    scale-ADAPTIVE refinement (``_adaptive_sig_from_vec``) whose
+    resolution grows with the series count, so its bucket vocabulary
+    — unlike this one's — does not saturate as the corpus grows (the
+    round-9 occupancy finding: 16× series → 286× candidate pairs at
+    fixed resolution).
     """
     if length % n_segments != 0:
         raise ValueError(
@@ -547,6 +555,163 @@ def ts_shape_signature(
     )
 
 
+def _pow2_long(c, max_exp: int):
+    """``2^c`` as an exact BIGINT column for a small bounded integer
+    column ``c`` in ``[0, max_exp]`` — a chained CASE, no float
+    ``pow`` (float-parity policy).  Values beyond ``max_exp`` clamp
+    (unreachable when the caller derives ``c`` from a capped
+    schedule)."""
+    out = F.when(c <= 0, F.lit(1).cast("long"))
+    for k in range(1, max_exp):
+        out = out.when(c == k, F.lit(1 << k).cast("long"))
+    return out.otherwise(F.lit(1 << max_exp).cast("long"))
+
+
+def _dense_series_vec(
+    series: DataFrame,
+    id_col: str,
+    pos_col: str,
+    value_col: str,
+    length: int,
+) -> DataFrame:
+    """ONE hash aggregate collapsing each id to a DENSE length-L
+    ``array<long>`` (missing positions are genuine zeros, so absence
+    IS signal) plus its per-id sufficient statistics Σv and Σv² —
+    materialized ONCE; the signature, candidate generation and BOTH
+    verify sides of :func:`ts_similar_pairs` all read this cache.
+    One row per (id, pos) per the caller contract; violations fail
+    LOUDLY (``map_from_entries`` raises on duplicate keys).  Returns
+    (_id, _arr, _s, _ss)."""
+    from platform_etl_literature_spark.operators.dedup import (
+        _materialize_once,
+    )
+
+    pos = F.col(pos_col).cast("long")
+    zero = F.lit(0).cast("long")
+    return _materialize_once(
+        series.filter((pos >= 0) & (pos < length))
+        .select(
+            F.col(id_col).alias("_id"),
+            pos.alias("_p"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_p", "_v"))
+            ).alias("_m")
+        )
+        .select(
+            "_id",
+            F.transform(
+                F.sequence(zero, F.lit(length - 1).cast("long")),
+                lambda i: F.coalesce(F.col("_m")[i], zero),
+            ).alias("_arr"),
+        )
+        .select(
+            "_id",
+            "_arr",
+            F.aggregate("_arr", zero, lambda a, x: a + x).alias("_s"),
+            F.aggregate("_arr", zero, lambda a, x: a + x * x).alias(
+                "_ss"
+            ),
+        )
+    )
+
+
+def _adaptive_sig_from_vec(
+    vec: DataFrame,
+    length: int,
+    n_segments: int,
+    sig_base_n: int,
+    sig_max_extra_bits: int,
+) -> DataFrame:
+    """Scale-ADAPTIVE shape signature (the round-9 verdict fix): the
+    fixed 1-bit-per-segment PAA signature saturates — its bucket
+    vocabulary does not grow with the corpus, so occupancy (and the
+    quadratic candidate volume) grows linearly (measured: 16× series
+    → 286× pre-valve pairs).  The emb-LSH precedent (log2(n/25) bit
+    schedule, ``dedup.embedding_cosine_pairs_lsh``) applied here:
+
+    * ``b = min(sig_max_extra_bits, floor(log2(max(n //
+      sig_base_n, 1))))`` EXTRA refinement bits, one per doubling of
+      the series count ``n`` beyond ``sig_base_n`` — vocabulary grows
+      ~2^b, keeping expected occupancy ~flat.  ``n`` rides a
+      broadcast ONE-ROW aggregate crossJoin (the house pattern — no
+      eager count, the plan stays lazy), and the identical integer
+      schedule replays in the SQL oracle (``floor(log2(x))`` =
+      bin-string length − 1).
+    * The b bits spread ROUND-ROBIN over segments: segment s gets
+      ``r_s = b DIV n_segments + (s < b % n_segments)`` refinement
+      bits, so vocabulary grows 2× per bit, not 2^n_segments per
+      step.
+    * Segment s's LEVEL at resolution r is the dyadic refinement of
+      its ratio-to-uniform-mean, in exact integers: ``level =
+      least(2^(r+1) − 1, greatest(ss·n_segments·2^r − 1, 0) DIV
+      greatest(tot, 1))`` — the count of strictly-exceeded thresholds
+      k·tot/(n_segments·2^r), so at r = 0 it reproduces the original
+      strict above-mean bit EXACTLY (b = 0 ⇒ bit-identical bucketing
+      to the fixed signature; small corpora and the sf0.01 parity
+      rows are unchanged).
+    * Near-identical series keep recall 1.0 BY CONSTRUCTION at any
+      resolution: equal segment sums ⇒ equal levels.
+
+    The signature is a STRING ``octave|level_0|…|level_{k-1}`` (no
+    variable-width bit packing, no overflow ceiling); buckets are an
+    equijoin key either way.  Computed MAP-SIDE from the dense vector
+    (slice folds — no shuffle beyond the vec build and the one-row
+    count).  Returns (id, sig)."""
+    zero = F.lit(0).cast("long")
+    seg_len = length // n_segments
+    nrow = vec.agg(F.count(F.lit(1)).alias("_n"))
+    # floor(log2(max(n DIV base, 1))) = bin-string length − 1 — the
+    # engine-portable integer log the octave already uses (bin(0) is
+    # "0", length 1, so n < 2·base ⇒ b = 0)
+    b = F.least(
+        F.lit(sig_max_extra_bits),
+        F.length(F.conv(F.expr(f"_n DIV {sig_base_n}"), 10, 2))
+        - F.lit(1),
+    ).cast("int")
+    staged = (
+        vec.crossJoin(F.broadcast(nrow))
+        .withColumn("_b", b)
+        .select(
+            "_id",
+            "_s",
+            "_b",
+            *[
+                F.aggregate(
+                    F.slice("_arr", s * seg_len + 1, seg_len),
+                    zero,
+                    lambda a, x: a + x,
+                ).alias(f"_ss{s}")
+                for s in range(n_segments)
+            ],
+        )
+    )
+    # exact integer level: operands stay BIGINT through SQL DIV (all
+    # non-negative, so truncating DIV == floor on both engines)
+    parts = [F.length(F.conv(F.col("_s") + 1, 10, 2)).cast("string")]
+    for s in range(n_segments):
+        r = (
+            f"(_b DIV {n_segments}"
+            f" + (CASE WHEN {s} < _b % {n_segments} THEN 1 ELSE 0 END))"
+        )
+        parts.append(
+            F.expr(
+                f"least(shiftleft(CAST(1 AS BIGINT), {r} + 1) - 1,"
+                f" greatest(_ss{s} * {n_segments}"
+                f" * shiftleft(CAST(1 AS BIGINT), {r}) - 1,"
+                f" CAST(0 AS BIGINT))"
+                f" DIV greatest(_s, CAST(1 AS BIGINT)))"
+            ).cast("string")
+        )
+    return staged.select(
+        F.col("_id").alias("id"),
+        F.concat_ws("|", *parts).alias("sig"),
+    )
+
+
 def ts_similar_pairs(
     series: DataFrame,
     id_col: str,
@@ -557,17 +722,26 @@ def ts_similar_pairs(
     min_r: float = 0.9,
     max_bucket_size: int | None = 256,
     signature_buckets: bool = True,
+    sig_base_n: int = 1500,
+    sig_max_extra_bits: int = 24,
 ) -> DataFrame:
     """Time-series similarity join: pairs of ids whose fixed-length
     integer series have Pearson correlation ≥ ``min_r`` — found by the
     house candidate-generation shape (REPOSE ICDE'21 / distributed
     series search EDBT'19 family, re-expressed): NEVER all-pairs.
 
-    1. Each series reduces to its :func:`ts_shape_signature` (one
-       hash aggregate + one tiny window — data crosses the wire once).
-    2. Candidates are a bucket EQUIJOIN on the signature (same shape
-       bits + same activity octave), with the dedup-family hot-bucket
-       valve (a flat/viral shape is a stop gram; ``None`` = exact).
+    1. Each series reduces to its scale-ADAPTIVE shape signature
+       (:func:`_adaptive_sig_from_vec` — the round-10 fix for the
+       fixed signature's vocabulary saturation: ``floor(log2(n /
+       sig_base_n))`` extra dyadic refinement bits spread round-robin
+       over segments, one per doubling of the series count, the
+       emb-LSH log2(n/25) precedent; at ``b = 0`` bit-identical
+       bucketing to :func:`ts_shape_signature`).  One hash aggregate
+       + a broadcast one-row count — data crosses the wire once.
+    2. Candidates are a bucket EQUIJOIN on the signature (same
+       refined shape levels + same activity octave), with the
+       dedup-family hot-bucket valve (a flat/viral shape is a stop
+       gram; ``None`` = exact).
     3. Candidate pairs verify by EXACT Pearson r from integral
        sufficient statistics: each id pre-collapses to a DENSE
        length-L ``array<long>`` vector (+ its Σv, Σv²) in ONE hash
@@ -612,81 +786,28 @@ def ts_similar_pairs(
     if n_segments > 30:
         raise ValueError("n_segments must be <= 30 (bit-packed int)")
 
-    # ONE hash aggregate collapses each id to a DENSE length-L
-    # array<long> (missing positions are genuine zeros, so absence IS
-    # signal) plus its per-id sufficient statistics Σv and Σv² —
-    # materialized ONCE; the signature, candidate generation and BOTH
-    # verify sides all read this cache.  This is the round-8 rewrite
-    # of the verify stage: the previous per-pair full-outer cell align
-    # shuffled candidates×length (pair, pos) rows and collapsed them
-    # with a second data-sized aggregate — candidate growth × per-pair
-    # join fan-out broke 16× linearity (SCALE r7: 205k → 95k rows/s).
-    # Now verification is a map-side zip_with dot product on the pair
-    # join itself: the only shuffles are the candidate equijoin and
-    # the two id-keyed array lookups, each carrying fixed-length rows.
-    pos = F.col(pos_col).cast("long")
+    # The dense-vec cache (see _dense_series_vec) is the round-8
+    # rewrite of the verify stage: the previous per-pair full-outer
+    # cell align shuffled candidates×length (pair, pos) rows and
+    # collapsed them with a second data-sized aggregate — candidate
+    # growth × per-pair join fan-out broke 16× linearity (SCALE r7:
+    # 205k → 95k rows/s).  Verification is a map-side zip_with dot
+    # product on the pair join itself: the only shuffles are the
+    # candidate equijoin and the two id-keyed array lookups, each
+    # carrying fixed-length rows.
     zero = F.lit(0).cast("long")
-    vec = _materialize_once(
-        series.filter((pos >= 0) & (pos < length))
-        .select(
-            F.col(id_col).alias("_id"),
-            pos.alias("_p"),
-            F.col(value_col).cast("long").alias("_v"),
-        )
-        .groupBy("_id")
-        # one row per (id, pos) per the contract above; violations
-        # fail LOUDLY (map_from_entries raises on duplicate keys)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("_p", "_v"))
-            ).alias("_m")
-        )
-        .select(
-            "_id",
-            F.transform(
-                F.sequence(zero, F.lit(length - 1).cast("long")),
-                lambda i: F.coalesce(F.col("_m")[i], zero),
-            ).alias("_arr"),
-        )
-        .select(
-            "_id",
-            "_arr",
-            F.aggregate("_arr", zero, lambda a, x: a + x).alias("_s"),
-            F.aggregate("_arr", zero, lambda a, x: a + x * x).alias(
-                "_ss"
-            ),
-        )
-    )
+    vec = _dense_series_vec(series, id_col, pos_col, value_col, length)
     if signature_buckets:
-        # the ts_shape_signature bit pattern, computed MAP-SIDE from
-        # the dense vector (n_segments and seg_len are plan-time
-        # constants, so each segment sum is a slice-fold expression —
-        # no extra shuffle beyond the vec build)
-        seg_len = length // n_segments
-        bit_terms = [
-            F.when(
-                F.aggregate(
-                    F.slice("_arr", s * seg_len + 1, seg_len),
-                    zero,
-                    lambda a, x: a + x,
-                )
-                * n_segments
-                > F.col("_s"),
-                F.lit(1 << s).cast("long"),
-            ).otherwise(zero)
-            for s in range(n_segments)
-        ]
-        bits = bit_terms[0]
-        for t in bit_terms[1:]:
-            bits = bits + t
-        sig_col = bits + F.shiftleft(
-            F.length(F.conv(F.col("_s") + 1, 10, 2)).cast("int"),
-            n_segments,
-        )
+        # scale-adaptive signature, computed MAP-SIDE from the dense
+        # vector (n_segments and seg_len are plan-time constants, so
+        # each segment sum is a slice-fold expression — no extra
+        # shuffle beyond the vec build and the broadcast one-row
+        # count that drives the resolution schedule)
         sig = _drop_hot_buckets(
             _materialize_once(
-                vec.select(
-                    F.col("_id").alias("id"), sig_col.alias("sig")
+                _adaptive_sig_from_vec(
+                    vec, length, n_segments, sig_base_n,
+                    sig_max_extra_bits,
                 )
             ),
             ["sig"],
@@ -770,23 +891,36 @@ def ts_sig_occupancy(
     length: int,
     n_segments: int = 7,
     max_bucket_size: int = 256,
+    sig_base_n: int = 1500,
+    sig_max_extra_bits: int = 24,
 ) -> DataFrame:
     """Signature-bucket occupancy accountability for
     :func:`ts_similar_pairs` (the emb_lsh_occupancy pattern — the
     instrument the r8 verdict's emb-LSH fix was built on): ONE row
-    with the bucket count, max/mean occupancy, the candidate-pair
-    volume Σ s·(s−1)/2 the verify stage would pay WITHOUT the valve,
-    the series count the hot-bucket valve drops, and the candidate
-    volume after the valve — so a drifting 16× cell can be attributed
-    to candidate growth vs hot-bucket skew vs verify cost from the
-    numbers, not guessed.
+    with the resolution schedule's extra-bit count, the bucket count,
+    max/mean occupancy, the candidate-pair volume Σ s·(s−1)/2 the
+    verify stage would pay WITHOUT the valve, the series count the
+    hot-bucket valve drops, and the candidate volume after the valve
+    — so a drifting 16× cell can be attributed to candidate growth vs
+    hot-bucket skew vs verify cost from the numbers, not guessed.
+
+    Measures the join's ACTUAL buckets: the same
+    :func:`_adaptive_sig_from_vec` signature (same schedule params)
+    ts_similar_pairs buckets on — the round-10 instrument check that
+    the floor(log2(n/sig_base_n)) refinement schedule holds mean
+    occupancy ~flat as the corpus grows (the fixed signature measured
+    16× series → 286× candidates; ``extra_bits`` makes the schedule's
+    engagement visible per factor).  ``mean_bucket_micros`` is the
+    exact fixed-point mean ``n_series·10⁶ DIV n_buckets`` (integer
+    parity policy — no rounded-double boundary cases).
 
     Scale shape: the signature aggregate + two hash aggregates;
     output is one row, no pair join anywhere.  Deterministic integer
     signature → full SQL oracle.
     """
-    sig = ts_shape_signature(
-        series, id_col, pos_col, value_col, length, n_segments
+    vec = _dense_series_vec(series, id_col, pos_col, value_col, length)
+    sig = _adaptive_sig_from_vec(
+        vec, length, n_segments, sig_base_n, sig_max_extra_bits
     )
     occ = sig.groupBy("sig").agg(F.count(F.lit(1)).alias("_s"))
     hot = F.col("_s") > F.lit(max_bucket_size)
@@ -802,9 +936,25 @@ def ts_sig_occupancy(
         F.sum(
             F.when(~hot, pairs).otherwise(F.lit(0).cast("long"))
         ).alias("n_cand_after_valve"),
-        F.round(
-            F.sum("_s").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("mean_bucket"),
+    ).select(
+        F.least(
+            F.lit(sig_max_extra_bits),
+            F.length(
+                F.conv(F.expr(f"n_series DIV {sig_base_n}"), 10, 2)
+            )
+            - F.lit(1),
+        )
+        .cast("int")
+        .alias("extra_bits"),
+        "n_series",
+        "n_buckets",
+        "max_bucket",
+        "n_cand_pairs",
+        "n_hot_dropped",
+        "n_cand_after_valve",
+        F.expr("n_series * CAST(1000000 AS BIGINT) DIV n_buckets").alias(
+            "mean_bucket_micros"
+        ),
     )
 
 

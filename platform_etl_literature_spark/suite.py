@@ -8361,19 +8361,77 @@ FROM bfs GROUP BY node ORDER BY node
 
 
 
+# Shared signature CTE block for the three ts-similarity oracles
+# (ts_similar / ts_sig_occupancy / ts_recall): cells → dense per-id
+# segment sums → the scale-ADAPTIVE signature (round-10:
+# b = least(24, floor(log2(n // 1500))) extra dyadic refinement bits,
+# one per doubling of the series count, spread round-robin over the 7
+# segments — the emb-LSH log2(n/25) schedule; every step exact BIGINT,
+# floor(log2(x)) = bin-string length − 1, so the oracle replays the
+# schedule at ANY scale factor — the isotonic-max_cells lesson).  The
+# composition is by NAMED constants, not string-splitting a sibling
+# literal (the _BANDED_TABLE_CTES advisory).
+_TS_SIG_CTES = """
+cells AS (
+  SELECT user_id AS id, CAST(date_part('day', ts) AS BIGINT) - 1 AS p,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND CAST(date_part('day', ts) AS BIGINT) <= 28
+  GROUP BY 1, 2),
+ids AS (SELECT DISTINCT id FROM cells),
+bq AS (
+  SELECT CAST(least(24, length(bin(count(*) // 1500)) - 1) AS INTEGER)
+    AS b
+  FROM ids),
+rawseg AS (
+  SELECT id, CAST(p // 4 AS INTEGER) AS s, CAST(sum(v) AS BIGINT) AS ss
+  FROM cells GROUP BY 1, 2),
+segs AS (
+  SELECT i.id, g.s, CAST(COALESCE(r.ss, 0) AS BIGINT) AS ss
+  FROM ids i
+  CROSS JOIN (SELECT CAST(range AS INTEGER) AS s FROM range(7)) g
+  LEFT JOIN rawseg r ON r.id = i.id AND r.s = g.s),
+tot AS (SELECT id, CAST(sum(ss) AS BIGINT) AS tot FROM segs GROUP BY 1),
+lev AS (
+  SELECT s.id, s.s,
+    least(
+      (CAST(1 AS BIGINT) << ((bq.b // 7
+         + CASE WHEN s.s < bq.b % 7 THEN 1 ELSE 0 END) + 1)) - 1,
+      greatest(s.ss * 7 * (CAST(1 AS BIGINT) << (bq.b // 7
+         + CASE WHEN s.s < bq.b % 7 THEN 1 ELSE 0 END)) - 1,
+               CAST(0 AS BIGINT))
+        // greatest(t.tot, 1)) AS level
+  FROM segs s JOIN tot t USING (id) CROSS JOIN bq),
+sigs AS (
+  SELECT l.id,
+    CAST(length(bin(t.tot + 1)) AS VARCHAR) || '|'
+      || string_agg(CAST(l.level AS VARCHAR), '|' ORDER BY l.s) AS sig
+  FROM lev l JOIN tot t USING (id)
+  GROUP BY l.id, t.tot)"""
+
+# ... plus the hot-bucket valve — the block the similarity/recall
+# oracles bucket-join on
+_TS_CELLS_CTES = _TS_SIG_CTES + """,
+okb AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= 256),
+sg AS (SELECT b.id, b.sig FROM sigs b JOIN okb USING (sig))"""
+
+
 def q_ts_similar(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series similarity join (operators.timeseries.
     ts_similar_pairs): user pairs whose 28-day activity series
     (daily event counts) correlate at Pearson r >= 0.3 — the
     distributed-series-search family (REPOSE ICDE'21, EDBT'19) in the
     house candidate-generation shape: a deterministic integer SHAPE
-    signature (PAA segment-vs-series-mean bits + activity octave,
-    engine-portable — no z-normalized Gaussian breakpoints) buckets
-    the series, candidates are a signature EQUIJOIN with the
+    signature (PAA segment-vs-series-mean dyadic levels + activity
+    octave, engine-portable — no z-normalized Gaussian breakpoints)
+    whose RESOLUTION scales with the series count (round-10:
+    floor(log2(n/1500)) extra refinement bits, the emb-LSH schedule —
+    bucket vocabulary grows with the corpus instead of saturating)
+    buckets the series, candidates are a signature EQUIJOIN with the
     hot-bucket valve, and every candidate verifies by EXACT Pearson r
     from integral sufficient statistics (the grouped_ols operand
-    discipline).  The oracle replays signature, valve, candidates and
-    verification integer-for-integer."""
+    discipline).  The oracle replays signature, schedule, valve,
+    candidates and verification integer-for-integer."""
     from platform_etl_literature_spark.operators import timeseries as TSX
 
     ev = read_events(spark, sf).where(F.col("user_id").isNotNull())
@@ -8391,24 +8449,8 @@ def q_ts_similar(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_ORACLE_TS_SIMILAR = """
-WITH cells AS (
-  SELECT user_id AS id, CAST(date_part('day', ts) AS BIGINT) - 1 AS p,
-         CAST(count(*) AS BIGINT) AS v
-  FROM events
-  WHERE user_id IS NOT NULL AND CAST(date_part('day', ts) AS BIGINT) <= 28
-  GROUP BY 1, 2),
-segs AS (
-  SELECT id, CAST(p // 4 AS INTEGER) AS s, CAST(sum(v) AS BIGINT) AS ss
-  FROM cells GROUP BY 1, 2),
-tot AS (SELECT id, CAST(sum(ss) AS BIGINT) AS tot FROM segs GROUP BY 1),
-bits AS (
-  SELECT s.id,
-    CAST(sum(CASE WHEN s.ss * 7 > t.tot THEN (1 << s.s) ELSE 0 END)
-      + (CAST(length(bin(t.tot + 1)) AS BIGINT) << 7) AS BIGINT) AS sig
-  FROM segs s JOIN tot t USING (id) GROUP BY s.id, t.tot),
-okb AS (SELECT sig FROM bits GROUP BY sig HAVING count(*) <= 256),
-sg AS (SELECT b.id, b.sig FROM bits b JOIN okb USING (sig)),
+_ORACLE_TS_SIMILAR = f"""
+WITH {_TS_CELLS_CTES},
 cand AS (SELECT a.id AS id_a, b.id AS id_b
          FROM sg a JOIN sg b ON a.sig = b.sig AND a.id < b.id),
 pa AS (SELECT c.id_a, c.id_b, l.p, l.v AS va
@@ -8445,12 +8487,16 @@ ORDER BY id_a, id_b
 def q_ts_sig_occupancy(spark: SparkSession, sf: str) -> DataFrame:
     """Signature-bucket occupancy accountability for the series-
     similarity join (operators.timeseries.ts_sig_occupancy — the
-    emb_lsh_occupancy pattern, VERDICT r8 item 6): bucket count,
-    max/mean occupancy, pre-valve candidate volume Σ s·(s−1)/2, the
-    series the hot-bucket valve drops, and the post-valve candidate
-    volume — every integer oracle-replayed, so the ts_similar SCALE
-    cells can be attributed (candidate growth vs hot-bucket skew)
-    from measurements.  Stays out of the bench headline by the
+    emb_lsh_occupancy pattern, VERDICT r8 item 6): the adaptive
+    resolution schedule's extra-bit count (round-10 — the instrument
+    that shows the floor(log2(n/1500)) refinement engaging as the
+    corpus grows), bucket count, max occupancy, exact fixed-point
+    mean occupancy (micros — integer parity policy, no rounded-double
+    boundaries), pre-valve candidate volume Σ s·(s−1)/2, the series
+    the hot-bucket valve drops, and the post-valve candidate volume —
+    every integer oracle-replayed, so the ts_similar SCALE cells can
+    be attributed (candidate growth vs hot-bucket skew) from
+    measurements.  Stays out of the bench headline by the
     accountability-row rule."""
     from platform_etl_literature_spark.operators import timeseries as TSX
 
@@ -8469,34 +8515,26 @@ def q_ts_sig_occupancy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_ORACLE_TS_SIG_OCCUPANCY = """
-WITH cells AS (
-  SELECT user_id AS id, CAST(date_part('day', ts) AS BIGINT) - 1 AS p,
-         CAST(count(*) AS BIGINT) AS v
-  FROM events
-  WHERE user_id IS NOT NULL AND CAST(date_part('day', ts) AS BIGINT) <= 28
-  GROUP BY 1, 2),
-segs AS (
-  SELECT id, CAST(p // 4 AS INTEGER) AS s, CAST(sum(v) AS BIGINT) AS ss
-  FROM cells GROUP BY 1, 2),
-tot AS (SELECT id, CAST(sum(ss) AS BIGINT) AS tot FROM segs GROUP BY 1),
-bits AS (
-  SELECT s.id,
-    CAST(sum(CASE WHEN s.ss * 7 > t.tot THEN (1 << s.s) ELSE 0 END)
-      + (CAST(length(bin(t.tot + 1)) AS BIGINT) << 7) AS BIGINT) AS sig
-  FROM segs s JOIN tot t USING (id) GROUP BY s.id, t.tot),
-occ AS (SELECT sig, CAST(count(*) AS BIGINT) AS s FROM bits GROUP BY 1)
-SELECT CAST(sum(s) AS BIGINT) AS n_series,
-       CAST(count(*) AS BIGINT) AS n_buckets,
-       CAST(max(s) AS BIGINT) AS max_bucket,
-       CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_cand_pairs,
-       CAST(sum(CASE WHEN s > 256 THEN s ELSE 0 END) AS BIGINT)
-         AS n_hot_dropped,
-       CAST(sum(CASE WHEN s <= 256 THEN s * (s - 1) // 2 ELSE 0 END)
-         AS BIGINT) AS n_cand_after_valve,
-       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-         AS mean_bucket
-FROM occ
+_ORACLE_TS_SIG_OCCUPANCY = f"""
+WITH {_TS_SIG_CTES},
+occ AS (SELECT sig, CAST(count(*) AS BIGINT) AS s FROM sigs GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n_series,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(max(s) AS BIGINT) AS max_bucket,
+         CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_cand_pairs,
+         CAST(sum(CASE WHEN s > 256 THEN s ELSE 0 END) AS BIGINT)
+           AS n_hot_dropped,
+         CAST(sum(CASE WHEN s <= 256 THEN s * (s - 1) // 2 ELSE 0 END)
+           AS BIGINT) AS n_cand_after_valve
+  FROM occ)
+SELECT CAST(least(24, length(bin(n_series // 1500)) - 1) AS INTEGER)
+         AS extra_bits,
+       n_series, n_buckets, max_bucket, n_cand_pairs, n_hot_dropped,
+       n_cand_after_valve,
+       CAST(n_series * 1000000 // n_buckets AS BIGINT)
+         AS mean_bucket_micros
+FROM agg
 """
 
 
@@ -8557,31 +8595,10 @@ def q_ts_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_TS_CELLS_CTES = """
-cells AS (
-  SELECT user_id AS id, CAST(date_part('day', ts) AS BIGINT) - 1 AS p,
-         CAST(count(*) AS BIGINT) AS v
-  FROM events
-  WHERE user_id IS NOT NULL AND CAST(date_part('day', ts) AS BIGINT) <= 28
-  GROUP BY 1, 2),
-segs AS (
-  SELECT id, CAST(p // 4 AS INTEGER) AS s, CAST(sum(v) AS BIGINT) AS ss
-  FROM cells GROUP BY 1, 2),
-tot AS (SELECT id, CAST(sum(ss) AS BIGINT) AS tot FROM segs GROUP BY 1),
-bits AS (
-  SELECT s.id,
-    CAST(sum(CASE WHEN s.ss * 7 > t.tot THEN (1 << s.s) ELSE 0 END)
-      + (CAST(length(bin(t.tot + 1)) AS BIGINT) << 7) AS BIGINT) AS sig
-  FROM segs s JOIN tot t USING (id) GROUP BY s.id, t.tot),
-okb AS (SELECT sig FROM bits GROUP BY sig HAVING count(*) <= 256),
-sg AS (SELECT b.id, b.sig FROM bits b JOIN okb USING (sig))"""
-
-
 _ORACLE_TS_RECALL = f"""
 WITH {_TS_CELLS_CTES},
 scand AS (SELECT a.id AS id_a, b.id AS id_b
           FROM sg a JOIN sg b ON a.sig = b.sig AND a.id < b.id),
-ids AS (SELECT DISTINCT id FROM cells),
 allp AS (SELECT a.id AS id_a, b.id AS id_b
          FROM ids a JOIN ids b ON a.id < b.id),
 pa AS (SELECT c.id_a, c.id_b, l.p, l.v AS va

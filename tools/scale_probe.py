@@ -1176,12 +1176,13 @@ def main() -> None:
         ts_occupancy[factor] = {
             k: tso[k]
             for k in (
-                "n_series", "n_buckets", "max_bucket", "n_cand_pairs",
-                "n_hot_dropped", "n_cand_after_valve", "mean_bucket",
+                "extra_bits", "n_series", "n_buckets", "max_bucket",
+                "n_cand_pairs", "n_hot_dropped", "n_cand_after_valve",
+                "mean_bucket_micros",
             )
         }
         print(json.dumps({"op": "ts_sig_occupancy", "x": factor,
-                          **{k: float(v) if k == "mean_bucket" else int(v)
+                          **{k: int(v)
                              for k, v in ts_occupancy[factor].items()}}))
         # copy i holds user ids [i*u, (i+1)*u) -> u recovers the copy
         users_1x = ev.agg(F.max("user_id")).first()[0] // factor + 1
@@ -1302,27 +1303,34 @@ def main() -> None:
     lines.append("")
 
     # ts_similar signature-occupancy accountability (r8 verdict item
-    # 6): disjoint scaled copies share shape vocabularies, so bucket
-    # COUNT should absorb growth only partially — the instrument shows
-    # whether candidate volume or hot-bucket skew drives the cells
+    # 6; round-10 adaptive resolution): extra_bits is the
+    # floor(log2(n/1500)) refinement schedule engaging — the schedule
+    # holds when mean occupancy stays ~flat and candidate volume
+    # grows ~linearly (the probe's scaled copies are IDENTICAL
+    # series, so a per-user floor of copies² true-dup candidates is
+    # irreducible output, not saturation)
     lines += [
-        "## ts_similar signature-bucket occupancy (valve = 256)",
+        "## ts_similar signature-bucket occupancy (valve = 256, "
+        "adaptive resolution)",
         "",
-        "Pre-valve candidate volume Σ s·(s−1)/2, the series the "
+        "Extra refinement bits per the floor(log2(n/1500)) schedule, "
+        "pre-valve candidate volume Σ s·(s−1)/2, the series the "
         "hot-bucket valve drops, and the post-valve candidate volume "
-        "the verify stage actually pays, per factor.",
+        "the verify stage actually pays, per factor.  Mean occupancy "
+        "is exact micros (integer parity policy).",
         "",
-        "| factor | series | buckets | max bucket | mean | cand pairs "
-        "| hot-dropped | cand after valve |",
-        "|---|---|---|---|---|---|---|---|",
+        "| factor | series | extra bits | buckets | max bucket | "
+        "mean | cand pairs | hot-dropped | cand after valve |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for f in factors:
         if f not in ts_occupancy:
             continue
         o = ts_occupancy[f]
         lines.append(
-            f"| {f}x | {o['n_series']:,} | {o['n_buckets']:,} | "
-            f"{o['max_bucket']:,} | {o['mean_bucket']} | "
+            f"| {f}x | {o['n_series']:,} | {o['extra_bits']} | "
+            f"{o['n_buckets']:,} | {o['max_bucket']:,} | "
+            f"{o['mean_bucket_micros'] / 1e6:.2f} | "
             f"{o['n_cand_pairs']:,} | {o['n_hot_dropped']:,} | "
             f"{o['n_cand_after_valve']:,} |"
         )
