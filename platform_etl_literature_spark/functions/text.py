@@ -112,6 +112,33 @@ def _make_stem_udf():
 _stem_tokens = _make_stem_udf()
 
 
+def frozen_stem_terms(arr: Column) -> Column:
+    """Frozen-map stemmer strategy (VERDICT r9 item 4 — the
+    w2v_frozen / PQ-codebook build-once pattern applied to the
+    pipeline's single Python stage): stems each token via the
+    STEM_FROZEN lookup (functions/stem_frozen.py, built once by
+    tools/build_frozen_stems.py from the fixture label vocabulary),
+    coalescing unseen tokens to identity.  Pure Catalyst — a map
+    literal probed per element inside ``transform`` — so a pipeline
+    run with this strategy is fully SQL-replayable: the DuckDB oracle
+    carries the same pairs and the same identity fallback, making
+    the two engines identical at ANY scale factor by construction
+    (out-of-vocabulary tokens pass through unstemmed on BOTH sides).
+    Interchangeable with the Porter UDF wherever the vocabulary is
+    covered; the live-Porter path remains the production default."""
+    from platform_etl_literature_spark.functions.stem_frozen import (
+        STEM_FROZEN,
+    )
+
+    if not STEM_FROZEN:
+        return arr
+    m = F.map_from_arrays(
+        F.lit([t for t, _ in STEM_FROZEN]),
+        F.lit([s for _, s in STEM_FROZEN]),
+    )
+    return F.transform(arr, lambda t: F.coalesce(m[t], t))
+
+
 def _nonempty(arr: Column) -> Column:
     return F.filter(arr, lambda t: t.isNotNull() & (t != ""))
 
@@ -136,14 +163,20 @@ def label_terms_unstemmed(text: Column) -> Column:
 
 
 def normalise_sentence(
-    df: DataFrame, text_col: str, prefix: str
+    df: DataFrame, text_col: str, prefix: str, stemmer=None
 ) -> DataFrame:
     """Add ``{prefix}_TT`` and ``{prefix}_LT`` token-array columns —
     the capability of ``Grounding.normaliseSentence`` (:144-158) +
-    the NLP pipeline, with stemming as the single Python stage."""
+    the NLP pipeline, with stemming as the single Python stage.
+
+    ``stemmer`` (Column → Column over the unstemmed LT token array)
+    defaults to the Porter pandas UDF; pass
+    :func:`frozen_stem_terms` for the SQL-replayable frozen-map
+    strategy."""
     t = F.col(text_col)
+    st = stemmer if stemmer is not None else _stem_tokens
     return df.withColumn(f"{prefix}_{TOKEN_T}", token_terms(t)).withColumn(
-        f"{prefix}_{LABEL_T}", _stem_tokens(label_terms_unstemmed(t))
+        f"{prefix}_{LABEL_T}", st(label_terms_unstemmed(t))
     )
 
 

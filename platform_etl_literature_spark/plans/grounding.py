@@ -109,11 +109,13 @@ def _explode_variants(df: DataFrame, variant_cols: list[str], distinct: bool) ->
     )
 
 
-def _normalise_and_key(df: DataFrame, prefix: str) -> DataFrame:
-    return with_keys_column(normalise_sentence(df, "text", prefix), prefix, "key")
+def _normalise_and_key(df: DataFrame, prefix: str, stemmer=None) -> DataFrame:
+    return with_keys_column(
+        normalise_sentence(df, "text", prefix, stemmer), prefix, "key"
+    )
 
 
-def transform_diseases(diseases: DataFrame) -> DataFrame:
+def transform_diseases(diseases: DataFrame, stemmer=None) -> DataFrame:
     """Disease LUT variants (Grounding.transformDiseases:389-429):
     name=1.0, exact=0.999, narrow=0.998, broad=0.997, related=0.996 —
     all label-type keys."""
@@ -128,10 +130,10 @@ def transform_diseases(diseases: DataFrame) -> DataFrame:
     variants = _explode_variants(
         d, ["nameC", "broadC", "exactC", "narrowC", "relatedC"], distinct=False
     )
-    return _normalise_and_key(variants, "efoTerms")
+    return _normalise_and_key(variants, "efoTerms", stemmer)
 
 
-def transform_targets(targets: DataFrame) -> DataFrame:
+def transform_targets(targets: DataFrame, stemmer=None) -> DataFrame:
     """Target LUT variants (Grounding.transformTargets:431-487): name
     (label 1.0), symbol (token 1.0), synonyms 0.999, obsolete 0.998,
     protein accessions (token 0.999)."""
@@ -175,10 +177,10 @@ def transform_targets(targets: DataFrame) -> DataFrame:
         ],
         distinct=True,
     )
-    return _normalise_and_key(variants, "targetTerms")
+    return _normalise_and_key(variants, "targetTerms", stemmer)
 
 
-def transform_drugs(drugs: DataFrame) -> DataFrame:
+def transform_drugs(drugs: DataFrame, stemmer=None) -> DataFrame:
     """Drug LUT variants (Grounding.transformDrugs:489-516): name and
     synonyms under BOTH key types."""
     d = (
@@ -195,19 +197,19 @@ def transform_drugs(drugs: DataFrame) -> DataFrame:
         ["nameL", "nameT", "tradeNamesL", "tradeNamesT", "synonymsL", "synonymsT"],
         distinct=False,
     )
-    return _normalise_and_key(variants, "drugTerms")
+    return _normalise_and_key(variants, "drugTerms", stemmer)
 
 
 def load_entity_lut(
-    targets: DataFrame, diseases: DataFrame, drugs: DataFrame
+    targets: DataFrame, diseases: DataFrame, drugs: DataFrame, stemmer=None
 ) -> DataFrame:
     """3-way union of entity LUTs + ambiguity count per (type, labelN)
     (Grounding.loadEntityLUT:518-554).  The result is small relative to
     the corpus and is broadcast by the caller."""
     cols = ["key as labelN", "type", "keywordId", "factor"]
-    ds = transform_diseases(diseases).withColumn("type", F.lit("DS")).selectExpr(*cols)
-    gp = transform_targets(targets).withColumn("type", F.lit("GP")).selectExpr(*cols)
-    cd = transform_drugs(drugs).withColumn("type", F.lit("CD")).selectExpr(*cols)
+    ds = transform_diseases(diseases, stemmer).withColumn("type", F.lit("DS")).selectExpr(*cols)
+    gp = transform_targets(targets, stemmer).withColumn("type", F.lit("GP")).selectExpr(*cols)
+    cd = transform_drugs(drugs, stemmer).withColumn("type", F.lit("CD")).selectExpr(*cols)
     # One shuffle instead of two (the reference's distinct() + windowed
     # approx_count_distinct, Grounding.scala:547-550, shuffles the full
     # row once on all columns and again on (type, labelN)): collect the
@@ -350,7 +352,7 @@ def filter_entities(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def map_entities(entities: DataFrame, luts: DataFrame) -> DataFrame:
+def map_entities(entities: DataFrame, luts: DataFrame, stemmer=None) -> DataFrame:
     """Ground NER labels: normalize each mention label under its
     key-type variants, join the LUT, keep dense_rank-1 candidates
     (Grounding.mapEntities:160-206)."""
@@ -392,7 +394,9 @@ def map_entities(entities: DataFrame, luts: DataFrame) -> DataFrame:
         .withColumn("keyType", F.col("_textV.keyType"))
     )
     keyed = with_keys_column(
-        normalise_sentence(labels, "text", "nerTerms"), "nerTerms", "labelN"
+        normalise_sentence(labels, "text", "nerTerms", stemmer),
+        "nerTerms",
+        "labelN",
     )
     w = Window.partitionBy("type", "labelN").orderBy(F.col("factor").desc())
     out_cols = sorted(
@@ -566,10 +570,15 @@ def compute(
     diseases: DataFrame,
     drugs: DataFrame,
     trace_source: bool = True,
+    stemmer=None,
 ) -> dict[str, DataFrame]:
-    """Full grounding step (Grounding.compute:563-610)."""
+    """Full grounding step (Grounding.compute:563-610).  ``stemmer``
+    (None = the Porter pandas UDF) selects the LT stemming strategy
+    for LUTs and mention labels alike — pass
+    functions.text.frozen_stem_terms for the SQL-replayable frozen
+    map."""
     id_lut = load_epmc_ids(epmcids)
-    luts = F.broadcast(load_entity_lut(targets, diseases, drugs))
+    luts = F.broadcast(load_entity_lut(targets, diseases, drugs, stemmer))
     sentences = filter_entities(
         load_entities(replace_spaces_schema(epmc), id_lut, trace_source)
     )
@@ -578,5 +587,7 @@ def compute(
     # with execution memory
     from pyspark.storagelevel import StorageLevel
 
-    mapped_labels = map_entities(sentences, luts).persist(StorageLevel.DISK_ONLY)
+    mapped_labels = map_entities(sentences, luts, stemmer).persist(
+        StorageLevel.DISK_ONLY
+    )
     return resolve_entities(sentences, mapped_labels)

@@ -136,6 +136,7 @@ def run(
     drugs: DataFrame,
     ranks: list[SectionRank] | None = None,
     trace_source: bool = True,
+    stemmer=None,
 ) -> dict[str, DataFrame]:
     """Full processing step (Processing.apply:180-223): grounding →
     persist reused branches → flatten → literature index.
@@ -143,7 +144,9 @@ def run(
     Returns the five output DataFrames; writing is the caller's choice
     (sources.write_to), so steps compose in-memory OR via files.
     """
-    g = grounding.compute(epmc, epmcids, targets, diseases, drugs, trace_source)
+    g = grounding.compute(
+        epmc, epmcids, targets, diseases, drugs, trace_source, stemmer
+    )
     for name in ("matches", "cooccurrences"):
         g[name].persist(StorageLevel.DISK_ONLY)
 

@@ -1694,6 +1694,64 @@ def test_prefix_jaccard_stats_consistent_with_pairs(spark):
     D.release_cached()
 
 
+def test_prefix_jaccard_best_match_collapses_cliques(spark):
+    """The collapsed emission mode (VERDICT r9 item 7): a duplicate
+    clique of c documents emits c rows (each with its best partner
+    and its duplication degree c−1), not c·(c−1)/2 pairs; ties on
+    jaccard break to the SMALLEST partner id; values agree with the
+    all-pairs operator collapsed by hand."""
+    from platform_etl_literature_spark.operators import dedup as D
+
+    # clique of 4 identical docs + an unrelated singleton
+    docs = [(i, "alpha beta gamma delta") for i in range(4)]
+    docs.append((9, "zeta eta theta iota"))
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in D.prefix_jaccard_best_match(
+            sdf, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for i in range(4):
+        assert out[i]["n_pairs"] == 3
+        assert out[i]["jaccard"] == 1.0
+        assert out[i]["best_id"] == (0 if i != 0 else 1)
+    # hand-collapsed all-pairs agreement on a mixed corpus
+    import random as _r
+
+    rng = _r.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    mixed = [
+        (i, " ".join(sorted({rng.choice(vocab) for _ in range(6)})))
+        for i in range(30)
+    ]
+    mdf = spark.createDataFrame(mixed, ["doc_id", "text"])
+    pairs = D.prefix_jaccard_pairs(
+        mdf, "doc_id", "text", threshold=0.5
+    ).collect()
+    want: dict[int, tuple] = {}
+    cnt: dict[int, int] = {}
+    for p in pairs:
+        for me, other in ((p["id_a"], p["id_b"]), (p["id_b"], p["id_a"])):
+            cnt[me] = cnt.get(me, 0) + 1
+            cur = want.get(me)
+            if cur is None or (-p["jaccard"], other) < cur:
+                want[me] = (-p["jaccard"], other)
+    got = {
+        r["id"]: r
+        for r in D.prefix_jaccard_best_match(
+            mdf, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i, (nj, partner) in want.items():
+        assert got[i]["best_id"] == partner
+        assert got[i]["jaccard"] == -nj
+        assert got[i]["n_pairs"] == cnt[i]
+    D.release_cached()
+
+
 def test_zorder_bins_rejects_non_integral_columns(spark):
     """ADVICE r4: the docstring promises integral-only input — a double
     column must raise, not silently truncate into engine-dependent

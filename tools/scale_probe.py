@@ -1081,6 +1081,7 @@ def main() -> None:
     n_docs: dict[int, int] = {}
     occupancy: dict[int, dict] = {}
     ts_occupancy: dict[int, dict] = {}
+    graph_volume: dict[int, dict] = {}
 
     def probe(name, fn, df, factor, n_rows):
         # run 0 is codegen/JIT warmup (a first execution of a large
@@ -1145,6 +1146,33 @@ def main() -> None:
         n_li = li.count()
         for name, fn in GRAPH_OPS.items():
             probe(name, fn, li, factor, n_li)
+        # graph candidate-volume accountability (VERDICT r9 item 5:
+        # the r9 triangles-dip debate was settled by re-runs, not
+        # data) — collected ONCE per factor, untimed: triangle_stats
+        # already computes the exact intermediate volumes (n_wedges,
+        # the oriented wedge-pair candidates, the realized out-degree
+        # bound), the k_core/label_prop slice edge count sizes their
+        # peeling input, and a single untimed BFS run records the
+        # reached frontier, so a drifting graph cell is attributed
+        # from the probe output alone
+        _tri = GRAPH_OPS["graph_triangles"](li).first()
+        _slice_edges = (
+            GR.pair_edges(li, "l_orderkey", "l_partkey", max_group=64)
+            .where((F.col("u") * 2654435761 + F.col("v") * 40503) % 29 == 0)
+            .count()
+        )
+        _bfs_reached = _li_bfs(li).count()
+        graph_volume[factor] = {
+            "n_edges": int(_tri["n_edges"]),
+            "n_wedges": int(_tri["n_wedges"]),
+            "n_candidates": int(_tri["n_candidates"]),
+            "max_out_degree": int(_tri["max_out_degree"]),
+            "n_triangles": int(_tri["n_triangles"]),
+            "slice_edges": int(_slice_edges),
+            "bfs_reached": int(_bfs_reached),
+        }
+        print(json.dumps({"op": "graph_volume", "x": factor,
+                          **graph_volume[factor]}))
         evpath = scaled_events(spark, factor)
         ev = spark.read.parquet(evpath)
         n_ev = ev.count()
@@ -1333,6 +1361,37 @@ def main() -> None:
             f"{o['mean_bucket_micros'] / 1e6:.2f} | "
             f"{o['n_cand_pairs']:,} | {o['n_hot_dropped']:,} | "
             f"{o['n_cand_after_valve']:,} |"
+        )
+    lines.append("")
+
+    # graph candidate-volume accountability (VERDICT r9 item 5):
+    # intermediate volumes per factor so a drifting graph cell is
+    # attributed from data (candidate growth vs variance), not re-runs
+    lines += [
+        "## Graph candidate-volume accountability",
+        "",
+        "Exact intermediate volumes per factor for the graph cells: "
+        "co-purchase edges, open wedges Σ C(deg,2), the oriented "
+        "wedge-pair candidates the triangle intersection pays "
+        "(n_candidates), the realized orientation out-degree bound, "
+        "triangles found, the k_core/label_prop sparsified-slice edge "
+        "count, and the BFS reached-node count.  A super-linear wall "
+        "cell with linear volumes here is session variance by "
+        "elimination; volume growth names the guilty stage directly.",
+        "",
+        "| factor | edges | wedges | tri candidates | max outdeg | "
+        "triangles | slice edges | bfs reached |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for f in factors:
+        if f not in graph_volume:
+            continue
+        o = graph_volume[f]
+        lines.append(
+            f"| {f}x | {o['n_edges']:,} | {o['n_wedges']:,} | "
+            f"{o['n_candidates']:,} | {o['max_out_degree']:,} | "
+            f"{o['n_triangles']:,} | {o['slice_edges']:,} | "
+            f"{o['bfs_reached']:,} |"
         )
     lines.append("")
 
