@@ -300,6 +300,67 @@ HEADLINE = [
     "ingest_dedup_replay",
     "winsorized_stats",
     "zipf_fit",
+    # round-10 promotions (the r9 verdict's ask: race the unbenched
+    # driver-window residents; n_queries 142 -> 163).  Measured before
+    # promotion via tools/measure_promotions.py (spark/duck at sf0.1,
+    # min of 3 — a slower-than-r9 box session; compare ratios):
+    # ingest_neardedup_replay 5.45/1.82 — the 4-batch band-index fold
+    # as ONE plan (chained bucket anti-joins pay ~4 job floors BY
+    # CONSTRUCTION, the streaming batch-equivalence witness);
+    # label_propagation 2.67/0.31 and k_core 4.06/0.47 — iterative
+    # peeling/propagation pay one job floor PER ROUND by semantics;
+    # evidence_pipeline 5.34/0.28 — the full grounded-evidence chain
+    # (W2V-frozen cosine + harmonic + co-occurrence);
+    # literature_pipeline_frozen 4.44/3.50 — the flagship e2e race
+    # (LUT build + keying + grounding + disambiguation + index) at
+    # 1.27x, the closest big-plan race in the suite;
+    # suffix_dedup 1.40/1.81 — a Spark WIN on the distributed suffix
+    # sort; multimodal_frames 2.99/0.14 and multimodal_resize
+    # 0.72/0.02 — Arrow mapInPandas codec kernels vs native list ops;
+    # hilbert_skip 2.23/0.30, bloom_join_prune 1.74/0.13,
+    # scan_provenance 1.68/0.00 — layout/skipping machinery, file-op
+    # floors dominate; bloom_decontaminate 1.61/1.03 — broadcast-
+    # Bloom map-only scan; ece_calibration 1.50/0.14, quality_logreg
+    # 1.13/0.77, sorted_neighborhood 0.89/0.02, char_entropy
+    # 0.47/0.27, cube_rollup 0.48/0.07, asof_nearest 0.39/0.09,
+    # asof_forward_tolerance 0.31/0.74 (a Spark win),
+    # retention_cohorts 0.31/0.03, struct_expand 0.04/0.00 —
+    # floor-shaped §2/events rows, priced by the floor-adjusted
+    # subtotal in BENCH_NOTES.md.
+    # Exempt with RECORDED races (BENCH_NOTES.md round-10):
+    # dedup_components 2.77/84.35 and cluster_split 2.56/93.27 —
+    # Spark wins 30x, but the oracle's recursive-CTE closure would
+    # triple the bench's DuckDB wall per rep (runtime budget, not
+    # redundancy); text_keys_nostem 0.97/19.17 — Spark wins 20x, same
+    # oracle-runtime budget; prefix_jaccard_best 4.45/23.48 — its
+    # oracle is the deliberately-quadratic brute-force ground truth
+    # and the all-pairs sibling already races the identical-algorithm
+    # override; dedup_embedding_lsh 19.62/0.21 — the suite row pins
+    # n_bits=4 for oracle determinism, which at sf0.1's corpus is
+    # BELOW the log2(n/25) schedule (saturated buckets; the adaptive
+    # scale path is the SCALE.md claim — revisit with a masked-plane
+    # adaptive oracle); bootstrap_ci stays out by the r8 rationale.
+    "ingest_neardedup_replay",
+    "label_propagation",
+    "k_core",
+    "multimodal_resize",
+    "cube_rollup",
+    "bloom_decontaminate",
+    "sorted_neighborhood",
+    "evidence_pipeline",
+    "struct_expand",
+    "retention_cohorts",
+    "asof_nearest",
+    "asof_forward_tolerance",
+    "char_entropy",
+    "quality_logreg",
+    "literature_pipeline_frozen",
+    "suffix_dedup",
+    "multimodal_frames",
+    "hilbert_skip",
+    "bloom_join_prune",
+    "scan_provenance",
+    "ece_calibration",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

@@ -193,6 +193,13 @@ OPS = {
     "prefix_jaccard": lambda df: D.prefix_jaccard_pairs(
         df, "doc_id", "text", threshold=0.85
     ),
+    # the round-10 output-collapsed emission mode (VERDICT r9 item 7):
+    # identical candidate chain + verify, but a clique of size c emits
+    # c rows instead of c²/2 — the cell that shows the wall when the
+    # quadratic true-pair volume skips the output exchange and sink
+    "prefix_jaccard_best": lambda df: D.prefix_jaccard_best_match(
+        df, "doc_id", "text", threshold=0.85
+    ),
     "winnow_pairs": lambda df: D.winnow_candidate_pairs(
         D.winnow_fingerprints(df, "doc_id", "text", k=3, window=4), min_shared=2
     ),
@@ -1209,6 +1216,16 @@ def main() -> None:
                 "mean_bucket_micros",
             )
         }
+        # the join's TRUE output (r >= 0.3) — the denominator that
+        # shows whether candidate volume is signature saturation or
+        # irreducible output (the round-10 saturation-fix test:
+        # cand/true should FALL or stay flat as the corpus grows)
+        ts_occupancy[factor]["n_true_pairs"] = (
+            TSX.ts_similar_pairs(
+                _ts_cells, "id", "p", "v", length=28, n_segments=7,
+                min_r=0.3, max_bucket_size=256,
+            ).count()
+        )
         print(json.dumps({"op": "ts_sig_occupancy", "x": factor,
                           **{k: int(v)
                              for k, v in ts_occupancy[factor].items()}}))
@@ -1348,19 +1365,26 @@ def main() -> None:
         "is exact micros (integer parity policy).",
         "",
         "| factor | series | extra bits | buckets | max bucket | "
-        "mean | cand pairs | hot-dropped | cand after valve |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "mean | cand pairs | hot-dropped | cand after valve | "
+        "true pairs | cand/true |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for f in factors:
         if f not in ts_occupancy:
             continue
         o = ts_occupancy[f]
+        ct = (
+            o["n_cand_after_valve"] / o["n_true_pairs"]
+            if o["n_true_pairs"]
+            else float("inf")
+        )
         lines.append(
             f"| {f}x | {o['n_series']:,} | {o['extra_bits']} | "
             f"{o['n_buckets']:,} | {o['max_bucket']:,} | "
             f"{o['mean_bucket_micros'] / 1e6:.2f} | "
             f"{o['n_cand_pairs']:,} | {o['n_hot_dropped']:,} | "
-            f"{o['n_cand_after_valve']:,} |"
+            f"{o['n_cand_after_valve']:,} | {o['n_true_pairs']:,} | "
+            f"{ct:.2f} |"
         )
     lines.append("")
 
