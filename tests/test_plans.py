@@ -830,7 +830,15 @@ def test_ts_similar_single_cell_pass_no_cartesian(spark, sf_dir):
 
     plan = _simple_plan(SUITE["ts_similar"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # the ONE sanctioned nested-loop join is the broadcast one-row
+    # series count driving the adaptive resolution schedule (round
+    # 10), and it lives INSIDE the cached signature subtree — explain
+    # reprints that body per cache scan, so pin the SHAPE (its probe
+    # side is always the cached vec scan) rather than a raw count
+    for i, line in enumerate(plan.splitlines()):
+        if "BroadcastNestedLoopJoin" in line:
+            nxt = plan.splitlines()[i + 1]
+            assert "InMemoryTableScan" in nxt, plan[:3000]
     assert plan.count("InMemoryTableScan") >= 3, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
     D.release_cached()
