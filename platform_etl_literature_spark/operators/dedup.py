@@ -1796,17 +1796,27 @@ def prefix_jaccard_best_match(
     pairs = prefix_jaccard_pairs(
         df, id_col, text_col, threshold, max_bucket_size
     ).select("id_a", "id_b", "jaccard")
+    # symmetrize MAP-SIDE via explode, not a self-union: a union's two
+    # branches would recompute the whole (un-cached) verify chain
+    # twice — measured at the 16× probe cell as ~+30% over the
+    # all-pairs wall, where this form pays one verify pass + a slim
+    # 2×pairs fan-out that the partial aggregation collapses locally
     sym = pairs.select(
-        F.col("id_a").alias("id"),
-        F.col("id_b").alias("partner"),
-        "jaccard",
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("id"),
-            F.col("id_a").alias("partner"),
-            "jaccard",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id"),
+                    F.col("id_b").alias("partner"),
+                    F.col("jaccard").alias("jaccard"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id"),
+                    F.col("id_a").alias("partner"),
+                    F.col("jaccard").alias("jaccard"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.id", "_e.partner", "_e.jaccard")
     best = sym.groupBy("id").agg(
         F.min(
             F.struct((-F.col("jaccard")).alias("_nj"), F.col("partner"))
