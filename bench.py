@@ -335,11 +335,13 @@ HEADLINE = [
     # oracle-runtime budget; prefix_jaccard_best 4.45/23.48 — its
     # oracle is the deliberately-quadratic brute-force ground truth
     # and the all-pairs sibling already races the identical-algorithm
-    # override; dedup_embedding_lsh 19.62/0.21 — the suite row pins
-    # n_bits=4 for oracle determinism, which at sf0.1's corpus is
-    # BELOW the log2(n/25) schedule (saturated buckets; the adaptive
-    # scale path is the SCALE.md claim — revisit with a masked-plane
-    # adaptive oracle); bootstrap_ci stays out by the r8 rationale.
+    # override; bootstrap_ci stays out by the r8 rationale.
+    # dedup_embedding_lsh measured 19.62/0.21 under its OLD fixed
+    # n_bits=4 (below the log2(n/25) schedule at sf0.1 — saturated
+    # buckets, ~1M pair verifies); the row now runs the adaptive
+    # masked-plane schedule (buckets at the 12-bit cap, masked to the
+    # count-derived width, oracle replays schedule+mask) and
+    # re-measured 2.51/0.26 — promoted.
     "ingest_neardedup_replay",
     "label_propagation",
     "k_core",
@@ -361,6 +363,7 @@ HEADLINE = [
     "bloom_join_prune",
     "scan_provenance",
     "ece_calibration",
+    "dedup_embedding_lsh",
 ]
 
 # prefix_jaccard's SUITE oracle is deliberately the brute-force all-pairs

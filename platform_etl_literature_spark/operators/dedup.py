@@ -1128,6 +1128,26 @@ def scrub_dup_passages(
     )
 
 
+def _lsh_adaptive_bits_col(n_col, n0: int, min_bits: int, max_bits: int):
+    """The ``max(min_bits, ceil(log2(n/n0)))`` bit schedule
+    (tools/scale_probe.py:_bits_for — expected bucket size ~n0) as an
+    exact integer column expression, capped at ``max_bits``:
+    ``ceil(log2(x))`` for x ≥ 2 is the bin-string length of x−1, and
+    the min_bits floor absorbs the degenerate small-x cases.  The
+    identical arithmetic replays in the SQL oracle, so the schedule
+    scales with the corpus WITHOUT breaking parity at any factor (the
+    isotonic-max_cells lesson)."""
+    ceil_ratio = (n_col + F.lit(n0 - 1)).cast("long") / F.lit(n0)
+    x = F.greatest(ceil_ratio.cast("long"), F.lit(1).cast("long"))
+    return F.least(
+        F.lit(max_bits),
+        F.greatest(
+            F.lit(min_bits),
+            F.length(F.conv(x - F.lit(1), 10, 2)),
+        ),
+    ).cast("int")
+
+
 def embedding_cosine_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -1136,6 +1156,10 @@ def embedding_cosine_pairs_lsh(
     n_tables: int = 8,
     n_bits: int = 4,
     dim: int | None = None,
+    adaptive_bits: bool = False,
+    adaptive_n0: int = 25,
+    adaptive_min_bits: int = 4,
+    adaptive_max_bits: int = 12,
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs at scale: random-hyperplane
     LSH buckets the corpus ONCE (persisted, both join sides derive from
@@ -1161,13 +1185,41 @@ def embedding_cosine_pairs_lsh(
     for non-dup pairs) and only the slim (id_a, id_b, cos) survivor
     rows pay the dedup shuffle.  16× cell 10.65 → ~2.7 s with rows/s
     now RISING with scale.
+
+    ``adaptive_bits=True`` (round 10) applies the
+    max(min_bits, ceil(log2(n/n0))) occupancy schedule
+    (:func:`_lsh_adaptive_bits_col`) WITHOUT an eager count or
+    recall-relevant plane changes: buckets are computed ONCE at
+    ``adaptive_max_bits`` with the usual fixed md5 planes, and the
+    effective bucket is the LOW-b-BIT MASK ``bucket % 2^b`` with b
+    from a broadcast one-row count — masking low bits of the packed
+    sign vector IS bucketing with exactly the first b planes, so the
+    result equals a fixed ``n_bits=b`` run bit-for-bit and the SQL
+    oracle replays schedule and mask integer-for-integer.  ``n_bits``
+    is ignored in this mode.
     """
     from platform_etl_literature_spark.functions.vectors import array_cosine
     from platform_etl_literature_spark.operators.similarity import _bucket_rows
 
-    bucketed = _materialize_once(
-        _bucket_rows(df, "id", id_col, vec_col, n_tables, n_bits, dim)
-    )
+    eff_bits = adaptive_max_bits if adaptive_bits else n_bits
+    raw = _bucket_rows(df, "id", id_col, vec_col, n_tables, eff_bits, dim)
+    if adaptive_bits:
+        nrow = df.agg(F.count(F.lit(1)).alias("_n"))
+        b = _lsh_adaptive_bits_col(
+            F.col("_n"), adaptive_n0, adaptive_min_bits, adaptive_max_bits
+        )
+        raw = (
+            raw.crossJoin(F.broadcast(nrow))
+            .withColumn("_b", b)
+            .withColumn(
+                "bucket",
+                F.expr(
+                    "pmod(bucket, shiftleft(CAST(1 AS BIGINT), _b))"
+                ),
+            )
+            .drop("_n", "_b")
+        )
+    bucketed = _materialize_once(raw)
     a = bucketed.select(
         F.col("id").alias("id_a"), F.col("_v_id").alias("_va"), "tbl", "bucket"
     )
@@ -1191,6 +1243,10 @@ def embedding_lsh_occupancy(
     n_tables: int = 8,
     n_bits: int = 4,
     dim: int | None = None,
+    adaptive_bits: bool = False,
+    adaptive_n0: int = 25,
+    adaptive_min_bits: int = 4,
+    adaptive_max_bits: int = 12,
 ) -> DataFrame:
     """Bucket-occupancy accountability for the LSH near-dup path (the
     ts_recall/dedup_recall pattern): per hash table, the bucket count,
@@ -1201,6 +1257,9 @@ def embedding_lsh_occupancy(
     size — and so per-bucket quadratic verify work — constant as the
     corpus grows; a drifting max_bucket or super-linear n_cand_pairs
     at a larger factor is the loud signal to add bits or valve.
+    ``adaptive_bits`` mirrors :func:`embedding_cosine_pairs_lsh`'s
+    round-10 schedule mode (low-b-bit mask of max-bit buckets) so the
+    instrument measures the join's ACTUAL buckets.
 
     Scale shape: one bucketing pass (the same vectorized Arrow matmul
     the join path uses) + two hash aggregates; output is
@@ -1211,11 +1270,25 @@ def embedding_lsh_occupancy(
         _bucket_rows,
     )
 
-    occ = (
-        _bucket_rows(df, "id", id_col, vec_col, n_tables, n_bits, dim)
-        .groupBy("tbl", "bucket")
-        .agg(F.count(F.lit(1)).alias("_s"))
-    )
+    eff_bits = adaptive_max_bits if adaptive_bits else n_bits
+    raw = _bucket_rows(df, "id", id_col, vec_col, n_tables, eff_bits, dim)
+    if adaptive_bits:
+        nrow = df.agg(F.count(F.lit(1)).alias("_n"))
+        b = _lsh_adaptive_bits_col(
+            F.col("_n"), adaptive_n0, adaptive_min_bits, adaptive_max_bits
+        )
+        raw = (
+            raw.crossJoin(F.broadcast(nrow))
+            .withColumn("_b", b)
+            .withColumn(
+                "bucket",
+                F.expr(
+                    "pmod(bucket, shiftleft(CAST(1 AS BIGINT), _b))"
+                ),
+            )
+            .drop("_n", "_b")
+        )
+    occ = raw.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_s"))
     return occ.groupBy("tbl").agg(
         F.sum("_s").alias("n_vecs"),
         F.count(F.lit(1)).alias("n_buckets"),

@@ -1007,28 +1007,45 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """The scale path of embedding near-dup: LSH-bucketed candidate
     pairs (corpus bucketed once, persisted) + exact-cosine verify —
     same threshold as the brute-force twin, so the two results differ
-    only by LSH recall.  Deterministic md5 hyperplanes → full SQL
-    oracle."""
+    only by LSH recall.  Round 10: the row now runs the PRODUCTION
+    max(4, ceil(log2(n/25))) occupancy schedule (adaptive_bits —
+    buckets computed at the 12-bit cap, masked to the count-derived
+    width; bit-for-bit a fixed n_bits=b run), closing the r10 bench
+    finding that the old fixed n_bits=4 sat below the schedule at
+    sf0.1 (saturated buckets, ~1M pair verifies).  Deterministic md5
+    hyperplanes + integer schedule → full SQL oracle at ANY factor."""
     return D.embedding_cosine_pairs_lsh(
         _t(spark, sf, "embeddings"),
         "vec_id",
         "embedding",
         threshold=0.4,
         n_tables=8,
-        n_bits=4,
         dim=64,
+        adaptive_bits=True,
     )
 
 
-def _emb_lsh_oracle(n_tables: int = 8, n_bits: int = 4, dim: int = 64) -> str:
+# the adaptive-bit schedule + mask, shared by both emb-LSH oracles:
+# b = least(cap, greatest(4, ceil(log2(ceil(n/25))))) with the integer
+# ceil-log2 = bin-length(x-1) form the Spark column mirrors exactly
+_EMB_LSH_SCHEDULE_CTES = """
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+bq AS (SELECT CAST(least(12, greatest(4,
+         length(bin(greatest((n + 24) // 25, 1) - 1)))) AS INTEGER) AS b
+       FROM nq)"""
+
+
+def _emb_lsh_oracle(n_tables: int = 8, max_bits: int = 12, dim: int = 64) -> str:
     """DuckDB oracle for q_dedup_embedding_lsh: identical bucket
-    replay (inlined planes) over BOTH sides of the self-join, distinct
-    candidate pairs, exact-cosine filter at the same threshold."""
+    replay (inlined planes at the max-bit cap, masked to the
+    count-derived adaptive width) over BOTH sides of the self-join,
+    distinct candidate pairs, exact-cosine filter at the same
+    threshold."""
     from platform_etl_literature_spark.operators.similarity import _hyperplane
 
     def bucket_expr(t: int) -> str:
         terms = []
-        for b in range(n_bits):
+        for b in range(max_bits):
             arr = ", ".join(repr(x) for x in _hyperplane(t, b, dim))
             terms.append(
                 f"CASE WHEN list_dot_product(e, [{arr}]::DOUBLE[]) > 0"
@@ -1042,7 +1059,11 @@ def _emb_lsh_oracle(n_tables: int = 8, n_bits: int = 4, dim: int = 64) -> str:
     )
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-vb AS ({vb}),
+{_EMB_LSH_SCHEDULE_CTES},
+vb0 AS ({vb}),
+vb AS (SELECT vec_id, e, tbl,
+              bucket % (CAST(1 AS BIGINT) << bq.b) AS bucket
+       FROM vb0 CROSS JOIN bq),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM vb a JOIN vb b USING (tbl, bucket)
@@ -1076,23 +1097,24 @@ def q_emb_lsh_occupancy(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         "embedding",
         n_tables=8,
-        n_bits=4,
         dim=64,
+        adaptive_bits=True,
     ).orderBy("tbl")
 
 
 def _emb_lsh_occupancy_oracle(
-    n_tables: int = 8, n_bits: int = 4, dim: int = 64
+    n_tables: int = 8, max_bits: int = 12, dim: int = 64
 ) -> str:
     """DuckDB oracle for q_emb_lsh_occupancy: the _emb_lsh_oracle
-    bucket replay (inlined planes), then the same two aggregates."""
+    bucket replay (inlined planes, adaptive-width mask), then the
+    same two aggregates."""
     from platform_etl_literature_spark.operators.similarity import (
         _hyperplane,
     )
 
     def bucket_expr(t: int) -> str:
         terms = []
-        for b in range(n_bits):
+        for b in range(max_bits):
             arr = ", ".join(repr(x) for x in _hyperplane(t, b, dim))
             terms.append(
                 f"CASE WHEN list_dot_product(e, [{arr}]::DOUBLE[]) > 0"
@@ -1106,7 +1128,11 @@ def _emb_lsh_occupancy_oracle(
     )
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-vb AS ({vb}),
+{_EMB_LSH_SCHEDULE_CTES},
+vb0 AS ({vb}),
+vb AS (SELECT vec_id, tbl,
+              bucket % (CAST(1 AS BIGINT) << bq.b) AS bucket
+       FROM vb0 CROSS JOIN bq),
 occ AS (
   SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS s
   FROM vb GROUP BY 1, 2)
