@@ -109,7 +109,14 @@ def _make_stem_udf():
     return F.pandas_udf(stem_arrays, ArrayType(StringType()))
 
 
-_stem_tokens = _make_stem_udf()
+# asNondeterministic: the optimizer otherwise SPLITS filters that
+# reference the stemmed column (with_keys_column's length(key) > 0)
+# and re-evaluates the UDF below the pushed filter — the round-10
+# before-plans show every grounding stream paying stem_arrays TWICE
+# (e.g. plans/r10/evidence_pipeline_before.txt nodes 102+105, 111+114,
+# 120+123, 129+132).  Marking the UDF non-deterministic forbids the
+# duplication (guide §4.4); the computed value is unchanged.
+_stem_tokens = _make_stem_udf().asNondeterministic()
 
 
 def frozen_stem_terms(arr: Column) -> Column:

@@ -188,7 +188,13 @@ def nearest_lists_udf(centroids: list[list[float]]):
         order = _np.argsort(d2, axis=1, kind="stable")  # (n, L)
         return _pd.Series([row.tolist() for row in order])
 
-    return F.pandas_udf(_nearest_lists, "array<int>")
+    # asNondeterministic: the inner-join on list_id infers an
+    # isnotnull(list_id) filter that the optimizer pushes below the
+    # assignment projection, re-running the full centroid matmul over
+    # every corpus vector (plans/r10/ivf_ann_topk_before.txt nodes
+    # 9+12).  Non-deterministic forbids the duplication (guide §4.4);
+    # the assignment value is unchanged.
+    return F.pandas_udf(_nearest_lists, "array<int>").asNondeterministic()
 
 
 def ivf_train_centroids(
