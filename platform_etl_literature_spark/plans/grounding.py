@@ -426,8 +426,18 @@ def disambiguate(
     overall = Window.partitionBy(type_col, keyword_col)
     min_pub = "_min_ambiguity_per_pub"
     min_all = "_min_ambiguity_overall"
+    # ONE exchange for both windows (guide §2.4): hash-partitioning by
+    # the COARSER (type, keyword) key clusters the finer per-publication
+    # window's groups too, so EnsureRequirements satisfies both window
+    # distributions from this single shuffle (the finer window adds only
+    # a local sort).  Without it the plan paid two full exchanges of the
+    # mention stream back to back — hash(pmid, pmcid, type, kw) then
+    # hash(type, kw) (plans/r10/evidence_pipeline_before.txt).  Skew
+    # exposure is unchanged: the second exchange already grouped by
+    # (type, kw), so a hot keyword concentrated identically before.
     return (
-        df.withColumn(min_pub, F.min(label_counts_col).over(per_pub))
+        df.repartition(type_col, keyword_col)
+        .withColumn(min_pub, F.min(label_counts_col).over(per_pub))
         .withColumn(min_all, F.min(min_pub).over(overall))
         .filter(F.col(min_pub) <= F.col(min_all))
         .drop(min_pub, min_all)

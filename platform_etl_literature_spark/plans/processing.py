@@ -73,6 +73,15 @@ def literature_index(
     fdf = df.withColumn("pmid", F.col("pmid").cast("long")).withColumnRenamed(
         "type", "keywordType"
     )
+    # ONE exchange for the whole index (guide §2.4): partitioning by
+    # pmid alone satisfies every downstream clustering requirement —
+    # both windows ((pmid, section, keywordId) and (pmid, keywordId)),
+    # both dropDuplicates, the sentences branch's two groupBys
+    # ((pmid, section) then (pmid)) and the final join on pmid — so the
+    # plan pays this single shuffle of the match stream instead of four
+    # (plans/r10/literature_pipeline_frozen_before.txt).  Rows per pmid
+    # are bounded by mentions per publication, so no skew hot key.
+    fdf = fdf.repartition("pmid")
 
     sentences_df = (
         fdf.filter(F.col("section").isin("title", "abstract"))
