@@ -1127,6 +1127,71 @@ def test_bmp_roundtrip_real_codec_and_corrupt_payload(spark):
             MM.decode_bmp_stats(bad).collect()
 
 
+def test_avi_synth_vectorized_bytes_identical(spark):
+    """The round-10 batch-vectorized AVI writer (constant RIFF template
+    + whole-batch pixel fill) must emit byte-identical payloads to the
+    straightforward per-(media, frame) formulation it replaced."""
+    import struct
+
+    import numpy as np
+
+    width, height, n_frames, fps = 10, 7, 9, 4
+    stride = (width * 3 + 3) // 4 * 4
+    fsize = stride * height
+
+    def ref_payload(media_id: int) -> bytes:
+        # the pre-vectorization writer, kept verbatim as the reference
+        def frame_dib(m: int, f: int) -> bytes:
+            r, g, b = MM._avi_pixels(m, f, width, height)
+            px = (
+                np.stack([b, g, r], axis=-1)
+                .astype(np.uint8)
+                .reshape(height, width * 3)
+            )
+            rows = np.zeros((height, stride), dtype=np.uint8)
+            rows[:, : width * 3] = px[::-1]
+            return rows.tobytes()
+
+        avih = struct.pack(
+            "<14I", 1_000_000 // fps, fsize * fps, 0, 0x10, n_frames,
+            0, 1, fsize, width, height, 0, 0, 0, 0,
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIiI4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps,
+            0, n_frames, fsize, -1, 0, 0, 0, width, height,
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsize, 0, 0, 0, 0
+        )
+        hdrl = MM._riff_list(
+            b"hdrl",
+            MM._riff_chunk(b"avih", avih)
+            + MM._riff_list(
+                b"strl",
+                MM._riff_chunk(b"strh", strh) + MM._riff_chunk(b"strf", strf),
+            ),
+        )
+        frames = [frame_dib(media_id, f) for f in range(n_frames)]
+        movi = MM._riff_list(
+            b"movi", b"".join(MM._riff_chunk(b"00db", fb) for fb in frames)
+        )
+        idx_entries, off = [], 4
+        for fb in frames:
+            idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fb)))
+            off += 8 + len(fb) + (len(fb) % 2)
+        idx1 = MM._riff_chunk(b"idx1", b"".join(idx_entries))
+        body = b"AVI " + hdrl + movi + idx1
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    ids = spark.createDataFrame([(0,), (7,), (123,)], ["doc_id"])
+    got = {
+        r["media_id"]: bytes(r["payload"])
+        for r in MM.synth_avi_media(ids, "doc_id").collect()
+    }
+    for mid in (0, 7, 123):
+        assert got[mid] == ref_payload(mid), f"payload drift for media {mid}"
+
+
 def test_avi_roundtrip_real_codec_and_corrupt_payload(spark):
     """The video payload must be a genuine RIFF/AVI container: the
     chunk tree parses with stdlib struct (RIFF size, avih frame count,
