@@ -373,28 +373,47 @@ def synth_bmp_media(
     stride = (width * 3 + 3) // 4 * 4
     img_size = stride * height
 
-    def pack(media_id: int) -> bytes:
-        r, g, b = _bmp_pixels(media_id, width, height)
-        rows = np.zeros((height, stride), dtype=np.uint8)
-        # interleave BGR; BMP stores rows bottom-up
-        px = np.stack([b, g, r], axis=-1).astype(np.uint8).reshape(height, width * 3)
-        rows[:, : width * 3] = px[::-1]
-        header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
-        info = struct.pack(
-            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0
-        )
-        return header + info + rows.tobytes()
+    # Constant-geometry template (the AVI writer's round-10 pattern):
+    # header + info are identical across media, so only the pixel bytes
+    # are computed — for the whole batch at once, instead of ~8 numpy
+    # calls on a 70-element array per media.  Bytes are identical
+    # (pytest pins old-vs-new payload equality).
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0
+    )
+    template = np.frombuffer(header + info + b"\x00" * img_size, dtype=np.uint8)
+    pixels_off = len(header) + len(info)
+    n_bytes = len(template)
+
+    def pack_batch(ids_np: "np.ndarray") -> list[bytes]:
+        n = len(ids_np)
+        y, x = np.mgrid[0:height, 0:width]
+        m = ids_np.astype(np.int64)[:, None, None]
+        r = (m * _BMP_R[0] + y * _BMP_R[1] + x * _BMP_R[2]) % 256
+        g = (m * _BMP_G[0] + y * _BMP_G[1] + x * _BMP_G[2]) % 256
+        b = (m * _BMP_B[0] + y * _BMP_B[1] + x * _BMP_B[2]) % 256
+        # interleave BGR; BMP stores rows bottom-up (flip height)
+        px = np.stack([b, g, r], axis=-1).astype(np.uint8)  # (n, h, w, 3)
+        px = px[:, ::-1, :, :].reshape(n, height, width * 3)
+        rows = np.zeros((n, height, stride), dtype=np.uint8)
+        rows[..., : width * 3] = px
+        out = np.tile(template, (n, 1))
+        out[:, pixels_off:] = rows.reshape(n, img_size)
+        return [row.tobytes() for row in out]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["media_id"]
-            payloads = ids.map(pack)
+            payloads = pd.Series(pack_batch(ids.to_numpy()), index=ids.index)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "payload": payloads,
                     "mime": "image/bmp",
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": pd.Series(
+                        n_bytes, index=ids.index, dtype="int64"
+                    ),
                 }
             )
 
@@ -423,7 +442,9 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
 
     import numpy as np
 
-    def stats(payload: bytes) -> tuple:
+    def parse(payload: bytes) -> tuple[int, int, bool, bytes]:
+        """Header-parse one payload; return (width, height, bottom_up,
+        raw pixel rows).  All validity checks live here."""
         buf = bytes(payload)
         if len(buf) < 54:
             raise ValueError(f"BMP truncated: {len(buf)} bytes")
@@ -440,30 +461,54 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
         stride = (width * 3 + 3) // 4 * 4
         if len(buf) < off + stride * height:
             raise ValueError("BMP pixel array truncated")
-        rows = np.frombuffer(
-            buf, dtype=np.uint8, count=stride * height, offset=off
-        ).reshape(height, stride)[:, : width * 3]
-        if bottom_up:
-            rows = rows[::-1]
-        px = rows.reshape(height, width, 3).astype(np.int64)
-        b, g, r = px[..., 0], px[..., 1], px[..., 2]
-        luma = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
-        y, x = np.mgrid[0:height, 0:width]
-        n = width * height
-        return (
-            width,
-            height,
-            n,
-            round(int(r.sum()) / n, 6),
-            round(int(g.sum()) / n, 6),
-            round(int(b.sum()) / n, 6),
-            int(luma.max()),
-            int(((x + 2 * y) * luma).sum()),
-        )
+        return width, height, bottom_up, buf[off : off + stride * height]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-payload header parsing stays genuine; the pixel statistics
+        # are reduced for the whole batch at once per geometry group
+        # (the AVI decoder's round-10 pattern, guide §4.2) instead of
+        # ~10 small-array numpy calls per image.
         for pdf in batches:
-            rows = [stats(p) for p in pdf["payload"]]
+            rows: list = [None] * len(pdf)
+            groups: dict = {}
+            for pos, payload in enumerate(pdf["payload"]):
+                width, height, bottom_up, raw = parse(payload)
+                g = groups.setdefault((width, height, bottom_up), ([], []))
+                g[0].append(pos)
+                g[1].append(raw)
+            for (width, height, bottom_up), (positions, raws) in groups.items():
+                stride = (width * 3 + 3) // 4 * 4
+                k = len(raws)
+                arr = np.frombuffer(b"".join(raws), dtype=np.uint8).reshape(
+                    k, height, stride
+                )
+                if bottom_up:
+                    arr = arr[:, ::-1, :]
+                px = (
+                    arr[:, :, : width * 3]
+                    .reshape(k, height, width, 3)
+                    .astype(np.int64)
+                )
+                b, g, r = px[..., 0], px[..., 1], px[..., 2]
+                luma = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
+                y, x = np.mgrid[0:height, 0:width]
+                n = width * height
+                rsum = r.sum(axis=(1, 2))
+                gsum = g.sum(axis=(1, 2))
+                bsum = b.sum(axis=(1, 2))
+                lmax = luma.max(axis=(1, 2))
+                cks = ((x + 2 * y) * luma).sum(axis=(1, 2))
+                for j, pos in enumerate(positions):
+                    rows[pos] = (
+                        width,
+                        height,
+                        n,
+                        round(int(rsum[j]) / n, 6),
+                        round(int(gsum[j]) / n, 6),
+                        round(int(bsum[j]) / n, 6),
+                        int(lmax[j]),
+                        int(cks[j]),
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1127,6 +1127,39 @@ def test_bmp_roundtrip_real_codec_and_corrupt_payload(spark):
             MM.decode_bmp_stats(bad).collect()
 
 
+def test_bmp_synth_vectorized_bytes_identical(spark):
+    """The batch-vectorized BMP writer must emit byte-identical
+    payloads to the per-media formulation it replaced."""
+    import struct
+
+    import numpy as np
+
+    width, height = 10, 7
+    stride = (width * 3 + 3) // 4 * 4
+    img_size = stride * height
+
+    def ref_payload(media_id: int) -> bytes:
+        r, g, b = MM._bmp_pixels(media_id, width, height)
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        px = (
+            np.stack([b, g, r], axis=-1).astype(np.uint8).reshape(height, width * 3)
+        )
+        rows[:, : width * 3] = px[::-1]
+        header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0
+        )
+        return header + info + rows.tobytes()
+
+    ids = spark.createDataFrame([(0,), (11,), (255,)], ["doc_id"])
+    got = {
+        r["media_id"]: bytes(r["payload"])
+        for r in MM.synth_bmp_media(ids, "doc_id").collect()
+    }
+    for mid in (0, 11, 255):
+        assert got[mid] == ref_payload(mid), f"payload drift for media {mid}"
+
+
 def test_avi_synth_vectorized_bytes_identical(spark):
     """The round-10 batch-vectorized AVI writer (constant RIFF template
     + whole-batch pixel fill) must emit byte-identical payloads to the
