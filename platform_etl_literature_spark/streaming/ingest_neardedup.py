@@ -99,10 +99,17 @@ def neardedup_replay(
     batch-equivalence witness for :func:`neardedup_writer`: the corpus
     partitioned into ``batch_ids``-ordered micro-batches folds through
     the SAME per-batch rule (``_neardedup_step``), with the accepted
-    band index accumulating in-plan instead of in parquet.  The band
-    table for the WHOLE corpus is computed once (persisted; signatures
-    are per-doc facts, identical whichever batch computes them) and
-    sliced per batch.  Returns the accepted rows (*docs columns*)."""
+    band index accumulating across batches.  The band table for the
+    WHOLE corpus is computed once (persisted; signatures are per-doc
+    facts, identical whichever batch computes them) and sliced per
+    batch.  Each batch's accepted-ID frame is eagerly
+    ``localCheckpoint``ed (round 10): the purely-lazy fold embedded
+    batch b's whole kept subtree in every later batch's index probe
+    AND the final union — O(K²) recompute of the same joins (measured
+    3x the wall at sf0.1: 8.05 → 2.82 s min in an interleaved A/B).
+    The checkpoint is K tiny id-frames — the streaming writer's
+    per-trigger parquet index, replayed in memory; acceptance values
+    are unchanged.  Returns the accepted rows (*docs columns*)."""
     from platform_etl_literature_spark.operators.dedup import (
         _materialize_once,
     )
@@ -120,13 +127,20 @@ def neardedup_replay(
     for bid in batch_ids:
         batch = docs.filter(F.col(batch_col) == F.lit(bid))
         bands = bands_all.filter(F.col("_b") == F.lit(bid)).drop("_b")
-        kept = _neardedup_step(batch, bands, index, id_col)
-        kept_bands = bands.join(
-            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
-        ).select("band", "band_key")
+        kept_ids = (
+            _neardedup_step(batch, bands, index, id_col)
+            .select(F.col(id_col).alias("id"))
+            .localCheckpoint(eager=True)
+        )
+        kept_bands = bands.join(kept_ids, "id", "left_semi").select(
+            "band", "band_key"
+        )
         index = (
             kept_bands if index is None
             else index.unionByName(kept_bands)
+        )
+        kept = batch.join(
+            kept_ids.withColumnRenamed("id", id_col), [id_col], "left_semi"
         )
         accepted = kept if accepted is None else accepted.unionByName(kept)
     if accepted is None:

@@ -806,16 +806,24 @@ def test_text_keys_nostem_pure_map(spark, sf_dir):
     assert "EvalPython" not in plan, plan[:3000]
 
 
-def test_ingest_neardedup_replay_reuses_band_table(spark, sf_dir):
-    """The K-batch near-dup fold must slice ONE persisted corpus band
-    table (InMemoryTableScan), never recompute signatures per stage,
-    and contain no cartesian/Python stage."""
+def test_ingest_neardedup_replay_checkpointed_fold(spark, sf_dir):
+    """The K-batch near-dup fold checkpoints each batch's accepted-id
+    frame (round 10: the lazy fold re-embedded batch b's kept subtree
+    in every later batch's index probe — O(K²) recompute), so the
+    FINAL plan must be exactly K slim semi-joins of the batch scans
+    against checkpointed id RDDs: no signature recompute (no
+    aggregates, no band-table scan), no cartesian, no Python."""
     from platform_etl_literature_spark.operators import dedup as D
 
     plan = _simple_plan(
         SUITE["ingest_neardedup_replay"].fn(spark, sf_dir)
     )
-    assert plan.count("InMemoryTableScan") >= 8, plan[:3000]
+    assert plan.count("Scan ExistingRDD") == 4, plan[:3000]
+    assert plan.count("LeftSemi") == 4, plan[:3000]
+    # the signature/banding work happened in the checkpoint jobs — the
+    # final plan must not replay any of it
+    assert "HashAggregate" not in plan, plan[:3000]
+    assert "InMemoryTableScan" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "EvalPython" not in plan, plan[:3000]
     D.release_cached()
