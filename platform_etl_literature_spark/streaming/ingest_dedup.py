@@ -71,14 +71,20 @@ def ingest_dedup_replay(
     shared code, not a re-implementation) with the accepted set
     accumulating in-plan instead of in a parquet index.
 
-    The fold is declarative: K anti-join + winner stages chained by
-    unionByName — one lazy plan, no writes, no driver data.  Its
-    closed form (what the SQL oracle replays) is: per digest, the
-    accepted doc is the one minimizing (batch, id) lexicographically —
-    earlier micro-batches always win, first-id-wins inside a batch.
-    ``batch_ids`` must list every batch value in arrival order (the
-    streaming contract: micro-batch sequence is known and ordered);
-    K is micro-batch-count-sized, never data-sized.
+    The fold chains K anti-join + winner stages by unionByName; each
+    batch's kept frame is eagerly ``localCheckpoint``ed (round 10):
+    the purely-lazy fold embedded batch b's whole kept subtree in
+    every later batch's anti-join AND the final union — O(K²)
+    recompute of the digest/winner stages (interleaved A/B at sf0.1:
+    1.75 → 1.11 s min).  The checkpoint mirrors the streaming
+    writer's per-trigger digest index, replayed in memory; accepted
+    values are unchanged.  Closed form (what the SQL oracle replays):
+    per digest, the accepted doc is the one minimizing (batch, id)
+    lexicographically — earlier micro-batches always win,
+    first-id-wins inside a batch.  ``batch_ids`` must list every
+    batch value in arrival order (the streaming contract: micro-batch
+    sequence is known and ordered); K is micro-batch-count-sized,
+    never data-sized.
 
     Returns the accepted rows (*docs columns*, plus ``_h`` digest).
     """
@@ -88,7 +94,7 @@ def ingest_dedup_replay(
     for b in batch_ids:
         kept = _dedup_step(
             keyed.filter(F.col(batch_col) == F.lit(b)), accepted, id_col
-        )
+        ).localCheckpoint(eager=True)
         accepted = kept if accepted is None else accepted.unionByName(kept)
     if accepted is None:
         raise ValueError("batch_ids must be non-empty")
