@@ -426,16 +426,25 @@ def nb_confusion(
     """
     from pyspark.sql.window import Window
 
+    # Round 10: score on per-document WORD COUNTS, not occurrences —
+    # Σ_{w∈d} lp(w|c) = Σ_w count(d,w)·lp(w|c), an exact integer
+    # multiply, so the result is bit-identical while the scoring join
+    # volume drops from occurrences × classes to distinct-(doc, word)
+    # × classes.  The class-token counts and the vocabulary both
+    # re-aggregate from the (doc, word) frame, so the corpus is
+    # tokenized ONCE instead of three times (measured 2.20 → 1.75 s
+    # at sf0.1, values identical).
     toks = docs.select(
         F.col(id_col).alias("_d"),
         F.col(label_col).alias("_y"),
         F.explode(tokens(F.col(text_col))).alias("w"),
     )
-    cwc = toks.groupBy(F.col("_y").alias("c"), "w").agg(
-        F.count(F.lit(1)).alias("cnt")
+    dwc = toks.groupBy("_d", "_y", "w").agg(F.count(F.lit(1)).alias("_k"))
+    cwc = dwc.groupBy(F.col("_y").alias("c"), "w").agg(
+        F.sum("_k").alias("cnt")
     )
     nc = cwc.groupBy("c").agg(F.sum("cnt").alias("n_c"))
-    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    vocab = cwc.agg(F.countDistinct("w").alias("v"))
     priors = docs.groupBy(F.col(label_col).alias("c")).agg(
         F.count(F.lit(1)).alias("nd")
     )
@@ -462,9 +471,12 @@ def nb_confusion(
         0,
     ).cast("long")
     scored = (
-        toks.crossJoin(F.broadcast(classes))
+        dwc.crossJoin(F.broadcast(classes))
         .join(cwc, ["c", "w"], "left")
-        .select("_d", "_y", "c", "prior_micro", lp.alias("lp_micro"))
+        .select(
+            "_d", "_y", "c", "prior_micro",
+            (F.col("_k") * lp).alias("lp_micro"),
+        )
     )
     per_dc = scored.groupBy("_d", "_y", "c").agg(
         (F.sum("lp_micro") + F.min("prior_micro")).alias("score_micro")
