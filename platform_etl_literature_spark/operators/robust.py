@@ -45,12 +45,22 @@ MAD_SIGMA = 0.6745  # Φ⁻¹(0.75): MAD → σ consistency constant
 
 
 def grouped_median(
-    df: DataFrame, key_cols: list[str], value_col: str, out_col: str = "med"
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "med",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Exact per-group median via distinct-value rank selection.
 
     Returns one row per key group: (*key_cols, out_col).  NULL values
     are excluded (SQL aggregate convention); empty groups don't appear.
+    ``count_col`` additionally emits the group's non-null value count —
+    it rides the rank-selection window that is computed anyway, so a
+    caller that needs (median, n) gets both from ONE pass instead of
+    re-aggregating the (possibly expensive) input a second time (round
+    10: grouped_theil_sen's pair join was computed twice, once under
+    the median's exchange and once under a separate count).
     """
     g = (
         df.filter(F.col(value_col).isNotNull())
@@ -69,13 +79,16 @@ def grouped_median(
     hi = F.ceil((n + 1) / 2)
     lo_in = (cum - F.col("_cnt") + 1 <= lo) & (lo <= cum)
     hi_in = (cum - F.col("_cnt") + 1 <= hi) & (hi <= cum)
-    sel = (
-        g.withColumn("_w", lo_in.cast("int") + hi_in.cast("int"))
-        .filter(F.col("_w") > 0)
-    )
-    return sel.groupBy(*key_cols).agg(
-        (F.sum(F.col(value_col) * F.col("_w")) / F.lit(2.0)).alias(out_col)
-    )
+    sel = g.withColumn("_w", lo_in.cast("int") + hi_in.cast("int"))
+    if count_col is not None:
+        # the same w_all window value the rank bounds already use — no
+        # extra pass, just kept as a column through the filter
+        sel = sel.withColumn("_n_all", n)
+    sel = sel.filter(F.col("_w") > 0)
+    aggs = [(F.sum(F.col(value_col) * F.col("_w")) / F.lit(2.0)).alias(out_col)]
+    if count_col is not None:
+        aggs.append(F.min("_n_all").alias(count_col))
+    return sel.groupBy(*key_cols).agg(*aggs)
 
 
 def robust_stats(
@@ -442,8 +455,12 @@ def grouped_theil_sen(
             / (F.col("_xb") - F.col("_xa")).cast("double")
         ).alias("_s"),
     )
-    med = grouped_median(slopes, keys, "_s", out_col="_slope")
-    n_pairs = slopes.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_pairs"))
+    # ONE pass over the (quadratic) slopes frame: the median's rank
+    # windows carry the pair count, so no second aggregation re-runs
+    # the pair join (round 10; see grouped_median count_col)
+    med = grouped_median(
+        slopes, keys, "_s", out_col="_slope", count_col="n_pairs"
+    )
     resid = kept.join(F.broadcast(med), keys).select(
         *keys,
         (F.col("_y").cast("double") - F.col("_slope") * F.col("_x")).alias(
@@ -453,7 +470,6 @@ def grouped_theil_sen(
     icpt = grouped_median(resid, keys, "_r", out_col="_icpt")
     return (
         sizes.filter(F.col("_n") <= max_group_points)
-        .join(F.broadcast(n_pairs), keys)
         .join(F.broadcast(med), keys)
         .join(F.broadcast(icpt), keys)
         .select(
