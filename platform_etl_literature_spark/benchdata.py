@@ -23,6 +23,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _nrows(sf_dir: str, name: str) -> int:
+    """Row count of an input table straight from the parquet footer
+    metadata — the same number a distributed ``count()`` job returns,
+    read per invocation from the same input file (no caching).  Round
+    10: ``epmc_from`` needs three table sizes for its modulo keys, and
+    three count() JOBS cost ~0.3 s of scheduling per construction
+    (guide §1.2: don't compute things you throw away — the scan is
+    thrown away, only the footer's row count is used)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(f"{path}/*.parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def diseases_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return nation.select(
@@ -78,9 +100,9 @@ def epmc_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("_cdk"), F.col("s_name").alias("_cd_label")
     )
-    n_ds = nation.count()
-    n_gp = part.count()
-    n_cd = sup.count()
+    n_ds = _nrows(sf_dir, "nation")
+    n_gp = _nrows(sf_dir, "part")
+    n_cd = _nrows(sf_dir, "supplier")
 
     base = (
         docs.withColumn("_dsk", (F.col("doc_id") % n_ds).cast("int"))

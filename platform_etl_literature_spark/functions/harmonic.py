@@ -21,13 +21,33 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def harmonic_sql(arr: str) -> str:
+    """:func:`harmonic_value` as a staged SQL fragment over an array
+    SQL expression (round 10 expression staging): the two
+    Python-lambda HOF builds cost ~50 ms of py4j round trips per call
+    site, the f-string parses JVM-side in one.  Identical expression:
+    zip_with positional divide + aggregate fold, empty-array
+    short-circuit to 0.0 (``0.0D`` keeps every literal DOUBLE — a bare
+    0.0 would parse as DECIMAL)."""
+    idx = (
+        f"zip_with({arr}, sequence(1, greatest(size({arr}), 1)),"
+        " (_v, _i) -> _v / pow(CAST(_i AS DOUBLE), 2.0D))"
+    )
+    return (
+        f"CASE WHEN size({arr}) = 0 THEN 0.0D"
+        f" ELSE aggregate({idx}, 0.0D, (_acc, _x) -> _acc + _x) END"
+    )
+
+
 def harmonic_value(values: Column | str) -> Column:
     """Positional harmonic sum over an array column, as-ordered.
 
     Port of ``Processing.harmonicFn`` (Processing.scala:21-26):
-    ``sum(values[i] / (i+1)^2)`` with ``i`` 0-based.
-    """
-    values = F.col(values) if isinstance(values, str) else values
+    ``sum(values[i] / (i+1)^2)`` with ``i`` 0-based.  A ``str``
+    argument is treated as an array SQL expression and staged as one
+    parse-once string (round 10)."""
+    if isinstance(values, str):
+        return F.expr(harmonic_sql(values))
     indexed = F.zip_with(
         values,
         F.sequence(F.lit(1), F.greatest(F.size(values), F.lit(1))),
@@ -45,9 +65,10 @@ def harmonic_sorted(values: Column | str) -> Column:
 
     Port of ``Helpers.harmonicFn`` (spark/Helpers.scala:98-103): the
     largest value gets weight 1, the next 1/4, then 1/9 …  This is the
-    variant used for evidence scores (Evidence.scala:95-97).
-    """
-    values = F.col(values) if isinstance(values, str) else values
+    variant used for evidence scores (Evidence.scala:95-97).  A ``str``
+    argument is staged as one parse-once SQL string (round 10)."""
+    if isinstance(values, str):
+        return F.expr(harmonic_sql(f"sort_array({values}, false)"))
     return harmonic_value(F.sort_array(values, asc=False))
 
 

@@ -119,6 +119,49 @@ def _make_stem_udf():
 _stem_tokens = _make_stem_udf().asNondeterministic()
 
 
+# ---------------------------------------------------------------------------
+# expression staging (round 10): every helper below assembles its whole
+# expression as ONE SQL string parsed JVM-side (the layout.py staging
+# policy).  A Python-lambda higher-order function costs ~25 ms of py4j
+# round-trips PER CALL to build (measured: 50 HOF builds = 1.35 s of the
+# grounding chain's 3.4 s driver-side construction), and Column.isin over
+# the 340-word stopword list creates one JVM literal per word; an f-string
+# rendering of the same expression is one round-trip.  The SQL text
+# parses to the identical Catalyst expression the lambda API produced —
+# values are unchanged (gated by the full oracle suite).
+# ---------------------------------------------------------------------------
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a Spark SQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+_STOP_IN_SQL = "(" + ",".join(_sql_str(w) for w in ALL_STOP_WORDS) + ")"
+
+
+def _nonempty_sql(arr: str) -> str:
+    return f"filter({arr}, _t -> _t IS NOT NULL AND _t != '')"
+
+
+def _token_terms_sql(text: str) -> str:
+    return _nonempty_sql(
+        f"transform(split({text}, {_sql_str(_TT_SPLIT)}),"
+        f" _t -> regexp_replace(lower(_t), {_sql_str(_CLEANUP)}, ''))"
+    )
+
+
+def _label_terms_unstemmed_sql(text: str) -> str:
+    kept = (
+        f"filter(split({text}, {_sql_str(_LT_SPLIT)}),"
+        f" _t -> NOT (_t IN {_STOP_IN_SQL}))"
+    )
+    return _nonempty_sql(
+        f"transform({kept},"
+        f" _t -> regexp_replace(lower(_t), {_sql_str(_CLEANUP)}, ''))"
+    )
+
+
 def frozen_stem_terms(arr: Column) -> Column:
     """Frozen-map stemmer strategy (VERDICT r9 item 4 — the
     w2v_frozen / PQ-codebook build-once pattern applied to the
@@ -150,18 +193,26 @@ def _nonempty(arr: Column) -> Column:
     return F.filter(arr, lambda t: t.isNotNull() & (t != ""))
 
 
-def token_terms(text: Column) -> Column:
-    """TT branch: symbol tokens — split, lowercase, strip punctuation."""
+def token_terms(text: Column | str) -> Column:
+    """TT branch: symbol tokens — split, lowercase, strip punctuation.
+
+    Accepts a column NAME (fast path: one staged SQL expression) or a
+    Column (compat path for composed expressions)."""
+    if isinstance(text, str):
+        return F.expr(_token_terms_sql(f"`{text}`"))
     toks = F.split(text, _TT_SPLIT)
     return _nonempty(
         F.transform(toks, lambda t: F.regexp_replace(F.lower(t), _CLEANUP, ""))
     )
 
 
-def label_terms_unstemmed(text: Column) -> Column:
+def label_terms_unstemmed(text: Column | str) -> Column:
     """LT branch before stemming: split, case-sensitive stopword
     removal (on raw tokens, as the reference cleans before lowering),
-    lowercase, strip punctuation."""
+    lowercase, strip punctuation.  Accepts a column NAME (fast staged
+    path) or a Column (compat path)."""
+    if isinstance(text, str):
+        return F.expr(_label_terms_unstemmed_sql(f"`{text}`"))
     toks = F.split(text, _LT_SPLIT)
     kept = F.filter(toks, lambda t: ~t.isin(ALL_STOP_WORDS))
     return _nonempty(
@@ -180,10 +231,11 @@ def normalise_sentence(
     defaults to the Porter pandas UDF; pass
     :func:`frozen_stem_terms` for the SQL-replayable frozen-map
     strategy."""
-    t = F.col(text_col)
     st = stemmer if stemmer is not None else _stem_tokens
-    return df.withColumn(f"{prefix}_{TOKEN_T}", token_terms(t)).withColumn(
-        f"{prefix}_{LABEL_T}", st(label_terms_unstemmed(t))
+    return df.select(
+        "*",
+        token_terms(text_col).alias(f"{prefix}_{TOKEN_T}"),
+        st(label_terms_unstemmed(text_col)).alias(f"{prefix}_{LABEL_T}"),
     )
 
 
@@ -191,12 +243,17 @@ def generate_key(prefix: str, key_type: Column) -> Column:
     """Grounding key from the token columns (Grounding.scala:367-387):
     LT → sorted-distinct concatenation; TT → order-preserving
     concatenation."""
-    lt = F.col(f"{prefix}_{LABEL_T}")
-    tt = F.col(f"{prefix}_{TOKEN_T}")
-    return F.when(
-        key_type == LABEL_T,
-        F.array_join(F.array_sort(_nonempty(F.array_distinct(lt))), ""),
-    ).when(key_type == TOKEN_T, F.array_join(_nonempty(tt), ""))
+    lt_key = F.expr(
+        "array_join(array_sort("
+        + _nonempty_sql(f"array_distinct(`{prefix}_{LABEL_T}`)")
+        + "), '')"
+    )
+    tt_key = F.expr(
+        "array_join(" + _nonempty_sql(f"`{prefix}_{TOKEN_T}`") + ", '')"
+    )
+    return F.when(key_type == LABEL_T, lt_key).when(
+        key_type == TOKEN_T, tt_key
+    )
 
 
 def with_keys_column(

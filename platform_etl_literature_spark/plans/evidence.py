@@ -124,7 +124,7 @@ def evidence_from_matches(
         .withColumn(
             "harmonicSimilarity",
             harmonic_sorted(
-                F.array_repeat(F.col("similarity"), F.col("sharedPublicationCount"))
+                "array_repeat(similarity, sharedPublicationCount)"
             ),
         )
         .withColumn("resourceScore", F.col("harmonicSimilarity"))
@@ -150,7 +150,7 @@ def evidence_from_coocs(coocs: DataFrame) -> DataFrame:
         .withColumnRenamed("keywordId2", "diseaseFromSourceMappedId")
         .groupBy("targetFromSourceId", "diseaseFromSourceMappedId")
         .agg(
-            harmonic_sorted(F.collect_list("cooccurrenceScore")).alias(
+            harmonic_sorted("collect_list(cooccurrenceScore)").alias(
                 "harmonicCooccurrenceSentiment"
             ),
             F.countDistinct("pmid").cast("int").alias("cooccurredPublicationCount"),

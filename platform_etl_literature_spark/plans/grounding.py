@@ -84,27 +84,37 @@ def replace_spaces_schema(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _clean_and_score(c: Column, score: float, key_type: str) -> Column:
+def _clean_and_score_sql(c: str, score: float, key_type: str) -> str:
     """Wrap a synonym array into (key, factor, keyType) structs
-    (Grounding.cleanAndScoreArrayColumn:362-365)."""
-    return F.transform(
-        F.coalesce(c, F.array()),
-        lambda x: F.struct(
-            x.alias("key"), F.lit(score).alias("factor"), F.lit(key_type).alias("keyType")
-        ),
+    (Grounding.cleanAndScoreArrayColumn:362-365), as a staged SQL
+    fragment (round 10): the same transform(...) expression rendered
+    as one parse-once string — each Python-lambda HOF build costs
+    ~25 ms of py4j round trips, and the LUT builders stacked 18 of
+    them (guide §7.3: driver-side plan construction is real wall
+    time).  ``score`` is rendered as an explicit DOUBLE cast (a bare
+    0.999 literal would parse as DECIMAL)."""
+    return (
+        f"transform(coalesce({c}, array()), _x -> named_struct("
+        f"'key', _x, 'factor', CAST({score!r} AS DOUBLE), "
+        f"'keyType', '{key_type}'))"
     )
 
 
-def _explode_variants(df: DataFrame, variant_cols: list[str], distinct: bool) -> DataFrame:
-    arr = F.flatten(F.array(*[F.col(c) for c in variant_cols]))
+def _explode_variants(df: DataFrame, variant_frags: list[str], distinct: bool) -> DataFrame:
+    """Explode the per-entity variant arrays into (keywordId, text,
+    factor, keyType) rows.  ``variant_frags`` are SQL fragments (one
+    staged parse, round 10 — see :func:`_clean_and_score_sql`)."""
+    arr = f"flatten(array({', '.join(variant_frags)}))"
     if distinct:
-        arr = F.filter(F.array_distinct(arr), lambda c: F.length(c["key"]) > 0)
+        arr = f"filter(array_distinct({arr}), _c -> length(_c.key) > 0)"
     return (
-        df.withColumn("_text", F.explode(arr))
-        .withColumn("text", F.col("_text.key"))
-        .withColumn("factor", F.col("_text.factor"))
-        .withColumn("keyType", F.col("_text.keyType"))
-        .select("keywordId", "text", "factor", "keyType")
+        df.select("keywordId", F.explode(F.expr(arr)).alias("_text"))
+        .select(
+            "keywordId",
+            F.col("_text.key").alias("text"),
+            F.col("_text.factor").alias("factor"),
+            F.col("_text.keyType").alias("keyType"),
+        )
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
     )
 
@@ -119,16 +129,17 @@ def transform_diseases(diseases: DataFrame, stemmer=None) -> DataFrame:
     """Disease LUT variants (Grounding.transformDiseases:389-429):
     name=1.0, exact=0.999, narrow=0.998, broad=0.997, related=0.996 —
     all label-type keys."""
-    d = (
-        diseases.selectExpr("id as keywordId", "name", "synonyms.*")
-        .withColumn("nameC", _clean_and_score(F.array(F.col("name")), 1.0, LABEL_T))
-        .withColumn("exactC", _clean_and_score(F.col("hasExactSynonym"), 0.999, LABEL_T))
-        .withColumn("narrowC", _clean_and_score(F.col("hasNarrowSynonym"), 0.998, LABEL_T))
-        .withColumn("broadC", _clean_and_score(F.col("hasBroadSynonym"), 0.997, LABEL_T))
-        .withColumn("relatedC", _clean_and_score(F.col("hasRelatedSynonym"), 0.996, LABEL_T))
-    )
+    d = diseases.selectExpr("id as keywordId", "name", "synonyms.*")
     variants = _explode_variants(
-        d, ["nameC", "broadC", "exactC", "narrowC", "relatedC"], distinct=False
+        d,
+        [
+            _clean_and_score_sql("array(name)", 1.0, LABEL_T),
+            _clean_and_score_sql("hasBroadSynonym", 0.997, LABEL_T),
+            _clean_and_score_sql("hasExactSynonym", 0.999, LABEL_T),
+            _clean_and_score_sql("hasNarrowSynonym", 0.998, LABEL_T),
+            _clean_and_score_sql("hasRelatedSynonym", 0.996, LABEL_T),
+        ],
+        distinct=False,
     )
     return _normalise_and_key(variants, "efoTerms", stemmer)
 
@@ -150,30 +161,17 @@ def transform_targets(targets: DataFrame, stemmer=None) -> DataFrame:
                 F.coalesce(F.col("proteinIds.id"), F.lit([]).cast("array<string>"))
             ).alias("accessions"),
         )
-        .withColumn("nameC", _clean_and_score(F.array(F.col("name")), 1.0, LABEL_T))
-        .withColumn("symbolC", _clean_and_score(F.array(F.col("symbol")), 1.0, TOKEN_T))
-        .withColumn("nameSynonymsC", _clean_and_score(F.col("nameSynonyms"), 0.999, LABEL_T))
-        .withColumn(
-            "symbolSynonymsC", _clean_and_score(F.col("symbolSynonyms"), 0.999, TOKEN_T)
-        )
-        .withColumn("accessionsC", _clean_and_score(F.col("accessions"), 0.999, TOKEN_T))
-        .withColumn(
-            "obsoleteNamesC", _clean_and_score(F.col("obsoleteNames"), 0.998, LABEL_T)
-        )
-        .withColumn(
-            "obsoleteSymbolsC", _clean_and_score(F.col("obsoleteSymbols"), 0.998, TOKEN_T)
-        )
     )
     variants = _explode_variants(
         t,
         [
-            "nameC",
-            "symbolC",
-            "nameSynonymsC",
-            "symbolSynonymsC",
-            "obsoleteNamesC",
-            "obsoleteSymbolsC",
-            "accessionsC",
+            _clean_and_score_sql("array(name)", 1.0, LABEL_T),
+            _clean_and_score_sql("array(symbol)", 1.0, TOKEN_T),
+            _clean_and_score_sql("nameSynonyms", 0.999, LABEL_T),
+            _clean_and_score_sql("symbolSynonyms", 0.999, TOKEN_T),
+            _clean_and_score_sql("obsoleteNames", 0.998, LABEL_T),
+            _clean_and_score_sql("obsoleteSymbols", 0.998, TOKEN_T),
+            _clean_and_score_sql("accessions", 0.999, TOKEN_T),
         ],
         distinct=True,
     )
@@ -183,18 +181,17 @@ def transform_targets(targets: DataFrame, stemmer=None) -> DataFrame:
 def transform_drugs(drugs: DataFrame, stemmer=None) -> DataFrame:
     """Drug LUT variants (Grounding.transformDrugs:489-516): name and
     synonyms under BOTH key types."""
-    d = (
-        drugs.selectExpr("id as keywordId", "name", "tradeNames", "synonyms")
-        .withColumn("nameL", _clean_and_score(F.array(F.col("name")), 1.0, LABEL_T))
-        .withColumn("nameT", _clean_and_score(F.array(F.col("name")), 1.0, TOKEN_T))
-        .withColumn("tradeNamesL", _clean_and_score(F.col("tradeNames"), 0.999, LABEL_T))
-        .withColumn("tradeNamesT", _clean_and_score(F.col("tradeNames"), 0.999, TOKEN_T))
-        .withColumn("synonymsL", _clean_and_score(F.col("synonyms"), 0.999, LABEL_T))
-        .withColumn("synonymsT", _clean_and_score(F.col("synonyms"), 0.999, TOKEN_T))
-    )
+    d = drugs.selectExpr("id as keywordId", "name", "tradeNames", "synonyms")
     variants = _explode_variants(
         d,
-        ["nameL", "nameT", "tradeNamesL", "tradeNamesT", "synonymsL", "synonymsT"],
+        [
+            _clean_and_score_sql("array(name)", 1.0, LABEL_T),
+            _clean_and_score_sql("array(name)", 1.0, TOKEN_T),
+            _clean_and_score_sql("tradeNames", 0.999, LABEL_T),
+            _clean_and_score_sql("tradeNames", 0.999, TOKEN_T),
+            _clean_and_score_sql("synonyms", 0.999, LABEL_T),
+            _clean_and_score_sql("synonyms", 0.999, TOKEN_T),
+        ],
         distinct=False,
     )
     return _normalise_and_key(variants, "drugTerms", stemmer)
@@ -229,9 +226,10 @@ def load_entity_lut(
         )
         .withColumn(
             "uniqueKeywordIdsPerLabelN",
-            F.size(
-                F.array_distinct(F.transform("_entries", lambda e: e["keywordId"]))
-            ).cast("long"),
+            F.expr(
+                "CAST(size(array_distinct("
+                "transform(_entries, _e -> _e.keywordId))) AS BIGINT)"
+            ),
         )
         .withColumn("_e", F.explode("_entries"))
         .select(
@@ -283,18 +281,27 @@ def load_entities(
     e_ids = F.broadcast(epmcids)
     pm_ids = F.broadcast(epmcids)
 
-    traced = df.withColumn(
-        "trace_source", F.input_file_name() if trace_source else F.lit("")
-    )
-
+    # withColumns batches (round 10): each Dataset-producing call pays a
+    # py4j round trip plus an analyzer pass over the accumulated tree,
+    # so the former 17-step withColumn chain is grouped into dependency
+    # layers — same expressions, same values, ~4x fewer driver passes.
     repaired = (
-        traced
-        .withColumn("pmid", _null_out_sentinels(F.col("pmid")))
-        .withColumn("pmcid", _null_out_sentinels(F.col("pmcid")))
-        .withColumn("failed_pmid", F.col("pmid").isNull())
-        .withColumn("failed_pmcid", F.col("pmcid").isNull())
-        .withColumn(
-            "failed_pmcid_and_pmid", F.col("pmcid").isNull() & F.col("pmid").isNull()
+        df.withColumns(
+            {
+                "trace_source": (
+                    F.input_file_name() if trace_source else F.lit("")
+                ),
+                "pmid": _null_out_sentinels(F.col("pmid")),
+                "pmcid": _null_out_sentinels(F.col("pmcid")),
+            }
+        )
+        .withColumns(
+            {
+                "failed_pmid": F.col("pmid").isNull(),
+                "failed_pmcid": F.col("pmcid").isNull(),
+                "failed_pmcid_and_pmid": F.col("pmcid").isNull()
+                & F.col("pmid").isNull(),
+            }
         )
         # drop rows whose pmid is a known id but pmcid is missing
         .join(
@@ -309,30 +316,36 @@ def load_entities(
         .join(e_ids, F.col("pmcid") == F.col("pmcid_lut"), "left_outer")
         .withColumn("pmid", F.coalesce(F.col("pmid"), F.col("pmid_lut")))
         .drop("pmid_lut", "pmcid_lut")
-        .withColumn(
-            "failed_recover_pmid_not_pmcid",
-            F.col("failed_pmid_not_pmcid") & F.col("pmid").isNotNull(),
+        .withColumns(
+            {
+                "failed_recover_pmid_not_pmcid": F.col("failed_pmid_not_pmcid")
+                & F.col("pmid").isNotNull(),
+                "date": F.when(
+                    F.col("pubDate").isNotNull() & (F.col("pubDate") != ""),
+                    F.col("pubDate").cast("date"),
+                ),
+            }
         )
-        .withColumn(
-            "date",
-            F.when(
-                F.col("pubDate").isNotNull() & (F.col("pubDate") != ""),
-                F.col("pubDate").cast("date"),
-            ),
+        .withColumns(
+            {
+                "failed_date": F.col("date").isNull(),
+                "year": F.when(F.col("date").isNotNull(), F.year("date")),
+                "month": F.when(F.col("date").isNotNull(), F.month("date")),
+                "day": F.when(F.col("date").isNotNull(), F.dayofmonth("date")),
+            }
         )
-        .withColumn("failed_date", F.col("date").isNull())
-        .withColumn("year", F.when(F.col("date").isNotNull(), F.year("date")))
-        .withColumn("month", F.when(F.col("date").isNotNull(), F.month("date")))
-        .withColumn("day", F.when(F.col("date").isNotNull(), F.dayofmonth("date")))
     )
+    base = [c for c in repaired.columns if c != "sentences"]
     return (
-        repaired.withColumn("sentence", F.explode("sentences"))
-        .drop("sentences")
-        .select("*", "sentence.*")
-        .drop("sentence")
-        .withColumn("section", F.lower(F.col("section")))
-        .withColumn("failed_section", F.col("section").isNull())
-        .withColumn("failed_sentence", F.col("text").rlike("[^\\x20-\\x7e]"))
+        repaired.select(*base, F.explode("sentences").alias("sentence"))
+        .select(*base, "sentence.*")
+        .withColumns(
+            {
+                "section": F.lower(F.col("section")),
+                "failed_section": F.col("section").isNull(),
+                "failed_sentence": F.col("text").rlike("[^\\x20-\\x7e]"),
+            }
+        )
     )
 
 
@@ -363,35 +376,36 @@ def map_entities(entities: DataFrame, luts: DataFrame, stemmer=None) -> DataFram
     # mention.  (The reference normalizes the full mention stream and
     # dedups at the end, Grounding.scala:167-203 — same result, ~|mentions|
     # / |distinct labels| times the work.)
+    text_v = F.when(
+        F.col("type") == "DS",
+        F.array(
+            F.struct(
+                F.col("nLabel").alias("keyValue"), F.lit(LABEL_T).alias("keyType")
+            )
+        ),
+    ).when(
+        F.col("type").isin("GP", "CD"),
+        F.array(
+            F.struct(
+                F.col("nLabel").alias("keyValue"), F.lit(LABEL_T).alias("keyType")
+            ),
+            F.struct(
+                F.col("nLabel").alias("keyValue"), F.lit(TOKEN_T).alias("keyType")
+            ),
+        ),
+    )
     labels = (
-        entities.withColumn("match", F.explode("matches"))
+        entities.select(F.explode("matches").alias("match"))
         .select(F.col("match.type").alias("type"), F.col("match.label").alias("label"))
         .dropDuplicates(["type", "label"])
-        .withColumn("nLabel", normalise(F.col("label")))
-        .withColumn(
-            "textV",
-            F.when(
-                F.col("type") == "DS",
-                F.array(
-                    F.struct(
-                        F.col("nLabel").alias("keyValue"), F.lit(LABEL_T).alias("keyType")
-                    )
-                ),
-            ).when(
-                F.col("type").isin("GP", "CD"),
-                F.array(
-                    F.struct(
-                        F.col("nLabel").alias("keyValue"), F.lit(LABEL_T).alias("keyType")
-                    ),
-                    F.struct(
-                        F.col("nLabel").alias("keyValue"), F.lit(TOKEN_T).alias("keyType")
-                    ),
-                ),
-            ),
+        .select("*", normalise(F.col("label")).alias("nLabel"))
+        .select("*", F.explode(text_v).alias("_textV"))
+        .withColumns(
+            {
+                "text": F.col("_textV.keyValue"),
+                "keyType": F.col("_textV.keyType"),
+            }
         )
-        .withColumn("_textV", F.explode("textV"))
-        .withColumn("text", F.col("_textV.keyValue"))
-        .withColumn("keyType", F.col("_textV.keyType"))
     )
     keyed = with_keys_column(
         normalise_sentence(labels, "text", "nerTerms", stemmer),
@@ -435,10 +449,18 @@ def disambiguate(
     # hash(type, kw) (plans/r10/evidence_pipeline_before.txt).  Skew
     # exposure is unchanged: the second exchange already grouped by
     # (type, kw), so a hot keyword concentrated identically before.
+    # Both windows in ONE select (round 10): min is associative, so
+    # min(min-per-pub) over (type, kw) == min(label_counts) over
+    # (type, kw) — every row belongs to exactly one publication.  The
+    # fused form drops a driver-side analyzer pass per call and lets
+    # both Window nodes hang off the same child.
     return (
         df.repartition(type_col, keyword_col)
-        .withColumn(min_pub, F.min(label_counts_col).over(per_pub))
-        .withColumn(min_all, F.min(min_pub).over(overall))
+        .select(
+            "*",
+            F.min(label_counts_col).over(per_pub).alias(min_pub),
+            F.min(label_counts_col).over(overall).alias(min_all),
+        )
         .filter(F.col(min_pub) <= F.col(min_all))
         .drop(min_pub, min_all)
     )
@@ -465,11 +487,10 @@ def resolve_entities(
     """Attach grounded keywordIds to matches and co-occurrences,
     disambiguate, rebuild the nested output structs
     (Grounding.resolveEntities:208-312)."""
+    mcols = [c for c in entities.columns if c != "matches"]
     merged_matches = (
-        entities.withColumn("match", F.explode("matches"))
-        .drop("matches")
-        .select("*", "match.*")
-        .drop("match")
+        entities.select(*mcols, F.explode("matches").alias("match"))
+        .select(*mcols, "match.*")
         .join(F.broadcast(mapped_labels), ["type", "label"], "left_outer")
         .withColumn("isMapped", F.col("keywordId").isNotNull())
     )
@@ -509,13 +530,16 @@ def resolve_entities(
         F.col("uniqueKeywordIdsPerLabelN").alias("uniqueKeywordIdsPerLabelN2"),
     )
 
+    ccols = [c for c in entities.columns if c != "co-occurrence"]
     merged_cooc = (
-        entities.withColumn("cooc", F.explode("co-occurrence"))
-        .drop("co-occurrence")
-        .select("*", "cooc.*")
-        .drop("cooc")
-        .withColumn("type1", F.substring_index(F.col("type"), "-", 1))
-        .withColumn("type2", F.substring_index(F.col("type"), "-", -1))
+        entities.select(*ccols, F.explode("co-occurrence").alias("cooc"))
+        .select(*ccols, "cooc.*")
+        .withColumns(
+            {
+                "type1": F.substring_index(F.col("type"), "-", 1),
+                "type2": F.substring_index(F.col("type"), "-", -1),
+            }
+        )
         .drop("type")
         .join(
             F.broadcast(ml1),

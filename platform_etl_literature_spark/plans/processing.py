@@ -118,7 +118,7 @@ def literature_index(
         )
         .dropDuplicates(["pmid", "section", "keywordId"])
         .withColumn("relevanceV", F.flatten(F.collect_list("keywordSectionV").over(w_kw)))
-        .withColumn("relevance", harmonic_value(F.col("relevanceV")))
+        .withColumn("relevance", harmonic_value("relevanceV"))
         .dropDuplicates(["pmid", "keywordId"])
         .join(sentences_df, ["pmid"], "left_outer")
         .select(
