@@ -245,6 +245,24 @@ def zonemap_skip_stats(
         raise ValueError("zonemap_skip_stats needs at least one z column")
     if bins not in ("equiwidth", "equidepth"):
         raise ValueError(f"unknown bins {bins!r} (equiwidth|equidepth)")
+    # Guide §2.5 (unsplittable input): the harness corpus often arrives
+    # as one single-row-group parquet file, so an EXPENSIVE bin fold
+    # (the Hilbert quadrant-rotate aggregate, the equidepth threshold
+    # probe) and the checkpoint below would run as ONE task on a
+    # many-core box (measured: 1.3 s single-task checkpoint stage in
+    # hilbert_skip).  Project to the needed columns, then fan out to the
+    # session's parallelism — but only for the expensive folds: a
+    # keyless repartition pays a local sort of its input
+    # (sortBeforeRepartition), which measured a net LOSS under the
+    # cheap Morton interleave (zonemap_skip 1.00 -> 1.66 s) and a win
+    # for hilbert/equidepth (5.87 -> 3.73 s skewed).  Conditional on
+    # observed scan parallelism, so an already-parallel large scan
+    # never pays a gratuitous shuffle.
+    df = df.select(*dict.fromkeys([natural_col, *zcols]))
+    if bins == "equidepth" or curve == "hilbert":
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     if bins == "equidepth":
         if curve != "zorder":
             raise ValueError("equidepth bins are wired for curve='zorder'")
@@ -266,21 +284,35 @@ def zonemap_skip_stats(
     # the price every accountability pass pays once)
     slim_cols = list(dict.fromkeys([natural_col, *zcols]))  # dedup, keep order
     z = z.select(*slim_cols, "_z").localCheckpoint(eager=True)
-    stats = z.agg(
+    # Round 10: the corpus stats are ONE row over the just-materialized
+    # checkpoint — collect it and substitute the values as constants
+    # instead of crossJoin(broadcast(stats)).  The in-plan form rebuilt
+    # the identical one-row broadcast once per predicate leg (4 extra
+    # broadcast-subquery jobs measured in hilbert_skip); the literal
+    # form is one metadata-sized collect, and every div/threshold
+    # expression below constant-folds.  The SQL fragments keep the
+    # arithmetic in Spark (literal-for-column substitution only), so
+    # values are unchanged.
+    srow = z.agg(
         F.min("_z").alias("_mnz"),
         F.max("_z").alias("_mxz"),
         F.min(F.col(natural_col).cast("long")).alias("_mnn"),
         F.max(F.col(natural_col).cast("long")).alias("_mxn"),
         *[F.min(F.col(c).cast("long")).alias(f"_mn_{c}") for c in zcols],
         *[F.max(F.col(c).cast("long")).alias(f"_mx_{c}") for c in zcols],
-    )
-    b = z.crossJoin(F.broadcast(stats))
-    fz = F.expr(f"(_z - _mnz) * {n_files} div (_mxz - _mnz + 1)")
+    ).collect()[0]
+    if srow["_mnz"] is None:  # empty input: no files, zero rows out
+        mnz = mxz = mnn = mxn = 0
+    else:
+        mnz, mxz, mnn, mxn = (
+            srow["_mnz"], srow["_mxz"], srow["_mnn"], srow["_mxn"]
+        )
+    fz = F.expr(f"(_z - {mnz}L) * {n_files} div ({mxz}L - {mnz}L + 1)")
     fn = F.expr(
-        f"(CAST({natural_col} AS BIGINT) - _mnn) * {n_files}"
-        " div (_mxn - _mnn + 1)"
+        f"(CAST({natural_col} AS BIGINT) - {mnn}L) * {n_files}"
+        f" div ({mxn}L - {mnn}L + 1)"
     )
-    proj = b.select(
+    proj = z.select(
         fz.alias("_fz"),
         fn.alias("_fn"),
         *[F.col(c).cast("long").alias(c) for c in zcols],
@@ -292,10 +324,12 @@ def zonemap_skip_stats(
             *[F.min(c).alias(f"_fmn_{c}") for c in zcols],
             *[F.max(c).alias(f"_fmx_{c}") for c in zcols],
         )
-        zs = zone.crossJoin(F.broadcast(stats))
+        zs = zone
         for c in zcols:
-            plo = f"(_mn_{c} + (_mx_{c} - _mn_{c}) * {lo} div 100)"
-            phi = f"(_mn_{c} + (_mx_{c} - _mn_{c}) * {hi} div 100)"
+            mn_c = 0 if srow[f"_mn_{c}"] is None else srow[f"_mn_{c}"]
+            mx_c = 0 if srow[f"_mx_{c}"] is None else srow[f"_mx_{c}"]
+            plo = f"({mn_c}L + ({mx_c}L - {mn_c}L) * {lo} div 100)"
+            phi = f"({mn_c}L + ({mx_c}L - {mn_c}L) * {hi} div 100)"
             scanned = zs.agg(
                 F.count(F.lit(1)).alias("n_files_total"),
                 F.count_if(
