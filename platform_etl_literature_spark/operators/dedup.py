@@ -1201,6 +1201,16 @@ def embedding_cosine_pairs_lsh(
     from platform_etl_literature_spark.functions.vectors import array_cosine
     from platform_etl_literature_spark.operators.similarity import _bucket_rows
 
+    # Guide §2.5 (unsplittable input): a single-row-group corpus file
+    # scans as ONE task, and that partitioning sticks to the persisted
+    # bucket table — so the bucketing UDF AND the entire broadcast-join
+    # probe (bucket join + cosine verify) serialized on one core
+    # (measured: 2.2 s single-task probe stage per rep at sf0.1).  Fan
+    # out to the session parallelism first; conditional, so an
+    # already-parallel large scan pays nothing.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     eff_bits = adaptive_max_bits if adaptive_bits else n_bits
     raw = _bucket_rows(df, "id", id_col, vec_col, n_tables, eff_bits, dim)
     if adaptive_bits:
