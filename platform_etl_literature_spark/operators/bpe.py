@@ -62,6 +62,7 @@ a k-deep lineage.
 
 from __future__ import annotations
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -310,8 +311,8 @@ def bpe_merges_df(
     the suite-facing shape."""
     spark = docs.sparkSession
     rows = bpe_train(docs, text_col, n_merges, min_pair_count)
-    return spark.createDataFrame(
-        rows, "rank INT, left STRING, right STRING, pair_count BIGINT"
+    return local_df(
+        spark, rows, "rank INT, left STRING, right STRING, pair_count BIGINT"
     )
 
 

@@ -44,6 +44,7 @@ pipeline's only dedup is ``distinct``/``dropDuplicates``
 
 from __future__ import annotations
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -62,6 +63,20 @@ _CACHED: list[DataFrame] = []
 # byte-based estimates where they genuinely fit; see the
 # verify-strategy notes in prefix_jaccard_pairs and
 # timeseries.ts_similar_pairs.
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Guide §2.5 (unsplittable input): conditionally round-robin
+    repartition to the session parallelism when the upstream scan has
+    fewer partitions — the harness corpus is a single-row-group parquet
+    file, so its scan stage (and everything Spark fuses into it: gram
+    explodes, md5 hashing, Arrow UDFs, filter probes) runs as ONE task
+    on a many-core box.  No-op on an already-parallel scan, so a 100 TB
+    input never pays a gratuitous shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def _materialize_once(df: DataFrame) -> DataFrame:
@@ -639,6 +654,30 @@ def contamination(
     )
 
 
+def bloom_hash_sql(gram_sql: str) -> tuple[str, str]:
+    """The two Kirsch–Mitzenmacher base hashes (h1, h2) of a gram as
+    SQL fragments — engine-portable md5, non-negative 32-bit values.
+    Round 10: hot call sites project these ONCE into columns and derive
+    all ``k`` positions from the columns; inlining them per position
+    (the old :func:`bloom_positions_sql`-everywhere shape) both
+    recomputed 2 md5 per position at runtime and produced generated
+    code big enough that its Janino compile alone cost ~1.4 s per
+    query (measured: 32 tasks serialized behind one codegen lock in
+    every bloom query's probe stage)."""
+    h1 = f"CAST(conv(substring(md5({gram_sql}), 1, 8), 16, 10) AS BIGINT)"
+    h2 = (
+        f"CAST(conv(substring(md5(concat('b2:', {gram_sql})), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    return h1, h2
+
+
+def bloom_positions_from(h1: str, h2: str, m_bits: int, k: int) -> list[str]:
+    """The ``k`` Bloom bit positions from ALREADY-PROJECTED base-hash
+    columns/fragments (h1 + i·h2 mod m)."""
+    return [f"(({h1}) + {i} * ({h2})) % {m_bits}" for i in range(k)]
+
+
 def bloom_positions_sql(gram_sql: str, m_bits: int, k: int) -> list[str]:
     """SQL expressions for the ``k`` Bloom bit positions of a gram —
     Kirsch–Mitzenmacher double hashing (h1 + i·h2 mod m) over the
@@ -646,13 +685,11 @@ def bloom_positions_sql(gram_sql: str, m_bits: int, k: int) -> list[str]:
     replay every position (and therefore every false positive)
     bit-for-bit.  Both base hashes are non-negative 32-bit values, so
     plain ``%`` agrees across engines and ``h1 + (k-1)·h2`` never
-    overflows a long."""
-    h1 = f"CAST(conv(substring(md5({gram_sql}), 1, 8), 16, 10) AS BIGINT)"
-    h2 = (
-        f"CAST(conv(substring(md5(concat('b2:', {gram_sql})), 1, 8), 16, 10)"
-        " AS BIGINT)"
-    )
-    return [f"(({h1}) + {i} * ({h2})) % {m_bits}" for i in range(k)]
+    overflows a long.  Prefer :func:`bloom_hash_sql` +
+    :func:`bloom_positions_from` with the hashes projected once on hot
+    paths (see that docstring)."""
+    h1, h2 = bloom_hash_sql(gram_sql)
+    return bloom_positions_from(h1, h2, m_bits, k)
 
 
 def bloom_filter_words(
@@ -668,9 +705,11 @@ def bloom_filter_words(
         raise ValueError(f"m_bits must be a positive multiple of 64: {m_bits}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    pos = bloom_positions_sql(f"`{col}`", m_bits, k)
+    h1, h2 = bloom_hash_sql(f"`{col}`")
+    pos = bloom_positions_from("_bh1", "_bh2", m_bits, k)
     words = (
-        df.selectExpr(f"explode(array({', '.join(pos)})) AS p")
+        df.selectExpr(f"{h1} AS _bh1", f"{h2} AS _bh2")
+        .selectExpr(f"explode(array({', '.join(pos)})) AS p")
         .distinct()
         .selectExpr(
             "shiftright(p, 6) AS w",
@@ -722,14 +761,20 @@ def bloom_contamination(
     knob :func:`contamination`'s broadcast set lacks.
     """
     spark = corpus.sparkSession
+    # _fan_out both sides: the gram explode + per-gram double-md5 run
+    # map-side in the scan stage, which is ONE task on a
+    # single-row-group file (measured: 1.23 s probe + 0.89 s filter
+    # build, both single-task, at sf0.1).
+    corpus = _fan_out(corpus)
     bench_grams = staged_gram_arrays(
-        benchmark, id_col, text_col, n, hashed=False
+        _fan_out(benchmark), id_col, text_col, n, hashed=False
     ).select(F.explode("_grams").alias("_g"))
     arr = bloom_filter_words(bench_grams, "_g", m_bits, k)
     bloom_row = F.broadcast(
-        spark.createDataFrame([(arr,)], "_bloom array<long>")
+        local_df(spark, [(arr,)], "_bloom array<long>")
     )
-    pos = bloom_positions_sql("_g", m_bits, k)
+    h1, h2 = bloom_hash_sql("_g")
+    pos = bloom_positions_from("_bh1", "_bh2", m_bits, k)
     bit_tests = [
         f"(element_at(_bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
         f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) & 63 AS INT))) != 0"
@@ -742,6 +787,7 @@ def bloom_contamination(
     return (
         staged_gram_arrays(corpus, id_col, text_col, n, hashed=False)
         .select(F.col("id").alias(id_col), F.explode_outer("_grams").alias("_g"))
+        .selectExpr("*", f"{h1} AS _bh1", f"{h2} AS _bh2")
         .crossJoin(bloom_row)
         .select(F.col(id_col), F.col("_g"), hit.alias("_hit"))
         .groupBy(id_col)
@@ -841,7 +887,7 @@ def mixture_sample(
     spark = df.sparkSession
     rows = [(k, int(v)) for k, v in sorted(rates_bps.items())]
     rate_table = F.broadcast(
-        spark.createDataFrame(rows, f"{group_col} string, _bps int")
+        local_df(spark, rows, f"{group_col} string, _bps int")
     )
     bucket = token_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
     return (
@@ -1201,16 +1247,12 @@ def embedding_cosine_pairs_lsh(
     from platform_etl_literature_spark.functions.vectors import array_cosine
     from platform_etl_literature_spark.operators.similarity import _bucket_rows
 
-    # Guide §2.5 (unsplittable input): a single-row-group corpus file
-    # scans as ONE task, and that partitioning sticks to the persisted
-    # bucket table — so the bucketing UDF AND the entire broadcast-join
-    # probe (bucket join + cosine verify) serialized on one core
-    # (measured: 2.2 s single-task probe stage per rep at sf0.1).  Fan
-    # out to the session parallelism first; conditional, so an
-    # already-parallel large scan pays nothing.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # _fan_out: the single-row-group scan's partitioning sticks to the
+    # persisted bucket table, so the bucketing UDF AND the entire
+    # broadcast-join probe (bucket join + cosine verify) serialized on
+    # one core (measured: 2.2 s single-task probe stage per rep at
+    # sf0.1; warm rep 2.7 -> 0.7 s with the fan-out).
+    df = _fan_out(df)
     eff_bits = adaptive_max_bits if adaptive_bits else n_bits
     raw = _bucket_rows(df, "id", id_col, vec_col, n_tables, eff_bits, dim)
     if adaptive_bits:

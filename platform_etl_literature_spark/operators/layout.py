@@ -27,6 +27,7 @@ written parquet footers.
 
 from __future__ import annotations
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -472,7 +473,7 @@ def execute_compaction(
     ]
     if not listing:
         raise ValueError(f"no parquet files under {src_dir}")
-    files = spark.createDataFrame(listing, "file_id string, size_bytes long")
+    files = local_df(spark, listing, "file_id string, size_bytes long")
 
     rows = spark.read.parquet(src_dir).withColumn(
         "_fname", F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1)

@@ -50,6 +50,7 @@ coverage).  VERDICT r4 item 1.
 
 from __future__ import annotations
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -160,8 +161,8 @@ def ordered_global_index(
     off_schema = "_pid int, _row_off long" + "".join(
         f", _sum_off{i} long" for i in range(len(sum_cols))
     )
-    offsets = spark.createDataFrame(
-        rows or [(0, 0, *([0] * len(sum_cols)))], off_schema
+    offsets = local_df(
+        spark, rows or [(0, 0, *([0] * len(sum_cols)))], off_schema
     )
 
     out = ann.join(F.broadcast(offsets), "_pid", "left").withColumn(

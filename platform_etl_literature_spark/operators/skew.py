@@ -15,6 +15,7 @@ when partial aggregation is disabled by distinct operations.
 
 from __future__ import annotations
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -143,7 +144,8 @@ def bloom_join(
     sound)."""
     from platform_etl_literature_spark.operators.dedup import (
         bloom_filter_words,
-        bloom_positions_sql,
+        bloom_hash_sql,
+        bloom_positions_from,
     )
 
     if how not in ("inner", "left_semi", "semi"):
@@ -158,18 +160,24 @@ def bloom_join(
         k,
     )
     bloom_row = F.broadcast(
-        spark.createDataFrame([(arr,)], "_bloom array<long>")
+        local_df(spark, [(arr,)], "_bloom array<long>")
     )
-    pos = bloom_positions_sql(f"CAST(`{big_key}` AS STRING)", m_bits, k)
+    # hash once per row (round 10): projecting (h1, h2) before the k
+    # bit tests halves the per-row md5 count and keeps the generated
+    # code small (the fully-inlined form's Janino compile alone cost
+    # ~1.4 s per query -- see dedup.bloom_hash_sql)
+    h1, h2 = bloom_hash_sql(f"CAST(`{big_key}` AS STRING)")
+    pos = bloom_positions_from("_bh1", "_bh2", m_bits, k)
     bit_tests = [
         f"(element_at(_bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
         f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) & 63 AS INT))) != 0"
         for p in pos
     ]
     pre = (
-        big.crossJoin(bloom_row)
+        big.selectExpr("*", f"{h1} AS _bh1", f"{h2} AS _bh2")
+        .crossJoin(bloom_row)
         .where(F.expr(" AND ".join(f"({t})" for t in bit_tests)))
-        .drop("_bloom")
+        .drop("_bloom", "_bh1", "_bh2")
     )
     # the small side is deliberately NOT forced to broadcast: bloom
     # pruning matters most exactly when the small side is too large to

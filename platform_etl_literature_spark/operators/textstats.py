@@ -9,6 +9,7 @@ all except for corpus-level rollups the caller adds).
 
 from __future__ import annotations
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -586,7 +587,7 @@ def epoch_repeat(
 
     spark = df.sparkSession
     rows = [(k, int(v)) for k, v in sorted(weights_bps.items())]
-    wt = F.broadcast(spark.createDataFrame(rows, f"{group_col} string, _bps int"))
+    wt = F.broadcast(local_df(spark, rows, f"{group_col} string, _bps int"))
     bucket = token_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
     bps = F.coalesce(F.col("_bps"), F.lit(default_bps))
     n_copies = (bps / 10000).cast("long") + (

@@ -7,6 +7,7 @@ Re-expression of ``Processing`` (Processing.scala:28-125,180-223).
 
 from __future__ import annotations
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -23,7 +24,8 @@ def section_rank_table(
     """Lift the config section-rank list to a broadcastable table
     (Processing.scala:59-64)."""
     ranks = ranks if ranks is not None else DEFAULT_SECTION_RANKS
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(r.section, r.rank, r.weight) for r in ranks],
         "section STRING, rank INT, weight DOUBLE",
     )

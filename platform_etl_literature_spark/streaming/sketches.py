@@ -28,6 +28,7 @@ Streaming the same way ingest_dedup pairs its dropDuplicates.
 
 from __future__ import annotations
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
@@ -212,7 +213,7 @@ def bloom_stream_probe(
     arr = bloom_read_merged(spark, words_path)
     arr = arr + [0] * (m_bits // 64 - len(arr))
     bloom_row = F.broadcast(
-        spark.createDataFrame([(arr,)], "_bloom array<long>")
+        local_df(spark, [(arr,)], "_bloom array<long>")
     )
     pos = bloom_positions_sql(f"`{col}`", m_bits, k)
     tests = [

@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -180,7 +181,8 @@ def q_broadcast_rank_lut(spark: SparkSession, sf: str) -> DataFrame:
     """Local seq → broadcast table, left join + na.fill defaults.
     Covers S8 J6 P13 (Processing.scala:59-64,108-112)."""
     ev = _t(spark, sf, "events")
-    ranks = spark.createDataFrame(
+    ranks = local_df(
+        spark,
         [("click", 1, 1.0), ("view", 2, 0.5), ("purchase", 3, 2.0)],
         "event_type STRING, rank INT, weight DOUBLE",
     )
@@ -3044,7 +3046,8 @@ def q_range_join_bands(spark: SparkSession, sf: str) -> DataFrame:
     """Non-equi (range) join against a broadcast band dimension —
     training-pipeline extension."""
     orders = _t(spark, sf, "orders")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0), ("large", 150000.0, 1e12)],
         "band STRING, lo DOUBLE, hi DOUBLE",
     )
@@ -4557,8 +4560,8 @@ def q_evidence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         B.drugs_from(spark, sf),
         trace_source=False,
     )
-    vectors = spark.createDataFrame(
-        W2V_FROZEN, "word STRING, vector ARRAY<DOUBLE>"
+    vectors = local_df(
+        spark, W2V_FROZEN, "word STRING, vector ARRAY<DOUBLE>"
     )
     ev_m = ev.evidence_from_matches(
         vectors, out["matches"], spark, EvidenceConfig().threshold
@@ -6296,23 +6299,26 @@ def q_bloom_join_prune(spark: SparkSession, sf: str) -> DataFrame:
     # pruning accountability: total scanned vs passed-the-filter counts
     from platform_etl_literature_spark.operators.dedup import (
         bloom_filter_words,
-        bloom_positions_sql,
+        bloom_hash_sql,
+        bloom_positions_from,
     )
 
     arr = bloom_filter_words(
         small.selectExpr("CAST(c_custkey AS STRING) AS _g"), "_g", m_bits, k
     )
     bloom_row = F.broadcast(
-        spark.createDataFrame([(arr,)], "_bloom array<long>")
+        local_df(spark, [(arr,)], "_bloom array<long>")
     )
-    pos = bloom_positions_sql("CAST(o_custkey AS STRING)", m_bits, k)
+    h1, h2 = bloom_hash_sql("CAST(o_custkey AS STRING)")
+    pos = bloom_positions_from("_bh1", "_bh2", m_bits, k)
     bit_tests = [
         f"(element_at(_bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
         f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) & 63 AS INT))) != 0"
         for p in pos
     ]
     passed = (
-        orders.crossJoin(bloom_row)
+        orders.selectExpr("*", f"{h1} AS _bh1", f"{h2} AS _bh2")
+        .crossJoin(bloom_row)
         .where(F.expr(" AND ".join(f"({t})" for t in bit_tests)))
         .agg(F.count(F.lit(1)).alias("n_after_bloom"))
     )
@@ -10673,8 +10679,8 @@ def q_w2v_frozen_synonyms(spark: SparkSession, sf: str) -> DataFrame:
     same 6-decimal constants the evidence_pipeline oracle replays."""
     from platform_etl_literature_spark.plans.w2v_frozen import W2V_FROZEN
 
-    vec = spark.createDataFrame(
-        W2V_FROZEN, "word STRING, vector ARRAY<DOUBLE>"
+    vec = local_df(
+        spark, W2V_FROZEN, "word STRING, vector ARRAY<DOUBLE>"
     )
     anchors = vec.filter(F.col("word").startswith("EFO_"))
     return SIM.cosine_topk(vec, anchors, id_col="word", vec_col="vector", k=5)
