@@ -233,9 +233,21 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # one-pass symmetrize (round 10): the unionAll form read ``e`` --
+    # and with it the whole upstream pair-generation chain -- TWICE
+    # (two ~6 MB map stages in the sf0.1 profile; exchange reuse did
+    # not cover the union branches).  explode emits both arcs from one
+    # scan; same rows.
     adj = (
-        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("node"), F.col("v").alias("nbr")),
+                    F.struct(F.col("v").alias("node"), F.col("u").alias("nbr")),
+                )
+            ).alias("_a")
+        )
+        .select("_a.node", "_a.nbr")
         .localCheckpoint(eager=True)
     )
     spark = adj.sparkSession

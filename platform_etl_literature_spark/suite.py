@@ -2906,11 +2906,23 @@ FROM z GROUP BY 1
 
 def q_scan_provenance(spark: SparkSession, sf: str) -> DataFrame:
     """input_file_name provenance column — S6 (Grounding.scala:322).
-    Reduced to the distinct basename so the oracle is a constant."""
+    Reduced to the distinct basename so the oracle is a constant.
+    Round 10: distinct the raw path BEFORE the regexp — the basename
+    extract of the distinct paths is set-equal to the distinct of
+    per-row extracts, and the per-row regex over a constant filename
+    was the whole wall (1.3 s of single-task regex at sf0.1); the
+    map-side partial distinct hashes the raw string instead."""
     li = _t(spark, sf, "lineitem")
-    return li.select(
-        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("source_file")
-    ).distinct()
+    return (
+        li.select(F.input_file_name().alias("_path"))
+        .distinct()
+        .select(
+            F.regexp_extract(F.col("_path"), r"([^/]+)$", 1).alias(
+                "source_file"
+            )
+        )
+        .distinct()
+    )
 
 
 _ORACLE_PROVENANCE = "SELECT 'lineitem.parquet' AS source_file"
