@@ -36,6 +36,20 @@ def _ddl_field_names(schema: str) -> list[str]:
     return names
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Guide §2.5 (unsplittable input): conditionally round-robin
+    repartition to the session parallelism when the upstream scan has
+    fewer partitions — the harness corpus is a single-row-group parquet
+    file, so its scan stage (and everything Spark fuses into it:
+    tokenize+explode passes, md5 hashing, Arrow UDFs) runs as ONE task
+    on a many-core box.  No-op on an already-parallel scan, so a 100 TB
+    input never pays a gratuitous shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def local_df(spark: SparkSession, data, schema: str) -> DataFrame:
     """``spark.createDataFrame(data, schema)`` for small local tables,
     routed through pandas/Arrow (see module docstring).  ``data`` is a

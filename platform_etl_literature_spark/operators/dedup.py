@@ -66,17 +66,10 @@ _CACHED: list[DataFrame] = []
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Guide §2.5 (unsplittable input): conditionally round-robin
-    repartition to the session parallelism when the upstream scan has
-    fewer partitions — the harness corpus is a single-row-group parquet
-    file, so its scan stage (and everything Spark fuses into it: gram
-    explodes, md5 hashing, Arrow UDFs, filter probes) runs as ONE task
-    on a many-core box.  No-op on an already-parallel scan, so a 100 TB
-    input never pays a gratuitous shuffle."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    """See :func:`platform_etl_literature_spark.localdf.fan_out`."""
+    from platform_etl_literature_spark.localdf import fan_out
+
+    return fan_out(df)
 
 
 def _materialize_once(df: DataFrame) -> DataFrame:
