@@ -189,6 +189,36 @@ def user_value_ewma_segmented(
         F.round(F.col("_c.e"), 6).alias("ewma"),
     )
 
+def _parallel_grid(b: DataFrame) -> DataFrame:
+    """Dense per-key bucket grid for the gap-fill resamplers, exploded
+    in PARALLEL.  The (key, lo, hi) span aggregate is a few KB, so AQE
+    coalesces its shuffle to one partition — blind to the ~10³× row
+    amplification the sequence-explode behind it performs, which left
+    the explode, the grid join AND both window passes on a single task
+    (measured 1.5 s of the query's 1.9 s at sf0.1).  An explicit
+    hash repartition on the key BEFORE the explode spreads the grid
+    across the session cores; the explode output inherits the
+    partitioning, so the per-key windows downstream still add no
+    exchange.  The exchange itself moves only the tiny span frame, and
+    the explicit partition count is cores-proportional (not a local
+    constant) — at any scale the span frame stays key-sized and the
+    explode amplification stays invisible to AQE, so the fan-out is
+    exactly as necessary there as locally."""
+    # The count must DIFFER from the aggregate's own exchange count
+    # (spark.sql.shuffle.partitions): a repartition whose partitioning
+    # exactly matches its child's (same key, same count) is stripped by
+    # the planner, leaving only the ENSURE_REQUIREMENTS exchange — which
+    # AQE then coalesces to one partition again.  2·cores+1 both
+    # guarantees the mismatch and spreads uneven spans a little finer.
+    par = 2 * b.sparkSession.sparkContext.defaultParallelism + 1
+    return (
+        b.groupBy("_u")
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .repartition(par, "_u")
+        .select("_u", F.explode(F.sequence("_lo", "_hi")).alias("_b"))
+    )
+
+
 def gap_fill_ffill(
     events: DataFrame,
     bucket_seconds: int = 3600,
@@ -233,11 +263,7 @@ def gap_fill_ffill(
         .filter(F.col("_rn") == 1)
         .select("_u", "_b", "_v")
     )
-    grid = (
-        b.groupBy("_u")
-        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
-        .select("_u", F.explode(F.sequence("_lo", "_hi")).alias("_b"))
-    )
+    grid = _parallel_grid(b)
     wf = Window.partitionBy("_u").orderBy("_b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -311,11 +337,7 @@ def gap_fill_interpolate(
         .filter(F.col("_rn") == 1)
         .select("_u", "_b", "_v")
     )
-    grid = (
-        b.groupBy("_u")
-        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
-        .select("_u", F.explode(F.sequence("_lo", "_hi")).alias("_b"))
-    )
+    grid = _parallel_grid(b)
     # both brackets as RUNNING frames (unbounded-preceding..current):
     # Spark evaluates those incrementally in O(rows); the naive
     # [current, unboundedFollowing] frame re-scans to the partition
