@@ -50,9 +50,21 @@ def pair_edges(
     Groups larger than ``max_group`` distinct items are EXCLUDED
     before the pair self-join (the skew valve — see module
     docstring)."""
-    m = df.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
-    ).distinct()
+    # Key the whole chain by _g ONCE (round 10): the natural
+    # `.distinct()` partitions on (_g, _i), which satisfies neither the
+    # size aggregation nor the pair self-join — each leg then re-paid a
+    # full exchange of the membership table (two extra corpus-sized
+    # shuffle writes in the sf0.1 profile).  hashpartitioning(_g) is a
+    # subset of the distinct's (_g, _i) clustering, so one advisory
+    # REPARTITION_BY_COL exchange feeds the distinct, the size count,
+    # the valve semi-join AND both self-join legs (7 exchanges → 5 in
+    # the physical plan; the survivors are this one, the sizes
+    # broadcast builds, and the final pair dedup).
+    m = (
+        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+        .repartition("_g")
+        .distinct()
+    )
     sizes = m.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
     kept = m.join(
         sizes.filter(F.col("_sz") <= max_group).select("_g"), "_g"
@@ -120,14 +132,21 @@ def k_core(
     graph whose NODE set alone exceeds broadcast room (the pagerank
     ``broadcast_ranks`` rule; edges then shuffle per round instead).
     The peel is monotone (the survivor set only shrinks), so the
-    fixpoint test is one slim aggregate per round — total node count
-    vs surviving node count in the SAME job, no second action, no
-    exceptAll.  Rounds are checkpointed, not persisted (the
-    components.py rule: checkpoint for iteration), and the loop runs
-    under loop-scoped shuffle settings (the pagerank lesson — this
-    loop is join-heavy like pagerank's, and unlike the star
-    contraction it measurably benefits: 6.9 → 4.2 s at sf0.1;
-    BENCH_NOTES.md records both experiments).
+    fixpoint test is free: a round drops a node iff it drops that
+    node's edges, so EDGE COUNT UNCHANGED ⟺ every degree was already
+    ≥ k ⟺ fixpoint.  Each round therefore runs exactly ONE action —
+    the eager checkpoint of the peeled edge list (whose job computes
+    the degree aggregation once, as the broadcast keep side) — and
+    compares row counts of the already-materialized checkpoints
+    (round 10; the previous shape ran a separate degree-stats action
+    BEFORE the checkpoint, so every round computed the degree shuffle
+    twice — two actions and two aggregations per round for the same
+    peel).  Rounds are checkpointed, not persisted (the components.py
+    rule: checkpoint for iteration), and the loop runs under
+    loop-scoped shuffle settings (the pagerank lesson — this loop is
+    join-heavy like pagerank's, and unlike the star contraction it
+    measurably benefits: 6.9 → 4.2 s at sf0.1; BENCH_NOTES.md records
+    both experiments).
 
     Round complexity is the peel depth of the graph — O(n) worst case
     (a path with k=2 peels two endpoints per round), but real
@@ -150,30 +169,29 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     spark = e.sparkSession
-    loop_parts = max(8, e.count() // 50_000)  # edge-proportional
+    n_edges = e.count()  # cached count on the checkpoint — no recompute
+    loop_parts = max(8, n_edges // 50_000)  # edge-proportional
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_shuf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         for rounds in range(1, max_rounds + 1):
-            deg = degrees(e)
-            st = deg.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum((F.col("deg") >= k).cast("long")).alias("n_keep"),
-            ).first()
-            if st["n"] == (st["n_keep"] or 0):
-                last_peel_rounds = rounds
-                return deg.select("node", F.col("deg").alias("core_deg"))
-            keep = deg.filter(F.col("deg") >= k).select("node")
+            keep = degrees(e).filter(F.col("deg") >= k).select("node")
             if broadcast_keep:
                 keep = F.broadcast(keep)
-            e = (
+            e2 = (
                 e.join(keep.withColumnRenamed("node", "u"), "u")
                 .join(keep.withColumnRenamed("node", "v"), "v")
                 .select("u", "v")
                 .localCheckpoint(eager=True)
             )
+            n2 = e2.count()
+            if n2 == n_edges:  # nothing peeled ⟺ every degree ≥ k
+                last_peel_rounds = rounds
+                deg = degrees(e2)
+                return deg.select("node", F.col("deg").alias("core_deg"))
+            e, n_edges = e2, n2
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
