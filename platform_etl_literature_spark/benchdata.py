@@ -20,7 +20,15 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # read_table memoizes the bind per session — a raw read.parquet
+    # re-reads the footer (~80 ms of driver latency) on EVERY call, and
+    # one literature-chain construction binds 8 tables (4 of them
+    # duplicates of the entity builders' reads).  Same normalization
+    # contract as suite._t; none of the corpus tables carries a time
+    # column, so this is bind reuse only.
+    from platform_etl_literature_spark.sources.events import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _nrows(sf_dir: str, name: str) -> int:
