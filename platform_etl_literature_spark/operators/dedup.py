@@ -455,10 +455,13 @@ def ngram_jaccard_pairs(
     the pairs that remain are internally consistent and thresholds
     keep their meaning).
     """
+    # _fan_out: the single-row-group scan pins the tokenize + shingle +
+    # explode map stage (and the inverted-index exchange write behind
+    # it) to ONE task — measured 1.1 s of the query's 1.8 s at sf0.1.
     compact = _materialize_once(
-        staged_gram_arrays(df, id_col, text_col, shingle_n, hashed=True).select(
-            "id", F.size("_grams").alias("n_sh"), "_grams"
-        )
+        staged_gram_arrays(
+            _fan_out(df), id_col, text_col, shingle_n, hashed=True
+        ).select("id", F.size("_grams").alias("n_sh"), "_grams")
     )
     sh = compact.select("id", "n_sh", F.explode("_grams").alias("s"))
     if max_bucket_size is not None:
@@ -1984,10 +1987,11 @@ def ngram_containment_pairs(
     containment) with id_a < id_b and containment = max(directions)
     ≥ ``threshold``.
     """
+    # _fan_out: same single-task shingle-stage fix as ngram_jaccard_pairs.
     compact = _materialize_once(
-        staged_gram_arrays(df, id_col, text_col, shingle_n, hashed=True).select(
-            "id", F.size("_grams").alias("n_sh"), "_grams"
-        )
+        staged_gram_arrays(
+            _fan_out(df), id_col, text_col, shingle_n, hashed=True
+        ).select("id", F.size("_grams").alias("n_sh"), "_grams")
     )
     sh = compact.select("id", "n_sh", F.explode("_grams").alias("s"))
     if max_bucket_size is not None:
