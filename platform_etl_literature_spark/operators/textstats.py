@@ -9,7 +9,7 @@ all except for corpus-level rollups the caller adds).
 
 from __future__ import annotations
 
-from platform_etl_literature_spark.localdf import local_df
+from platform_etl_literature_spark.localdf import fan_out, local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -396,7 +396,10 @@ def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token array.  The intermediate alias survives CollapseProject (the
     split is non-cheap and multiply referenced), so the corpus is split
     once per row instead of once per stat — measured ~3× on sf0.1."""
-    staged = df.select(
+    # fan_out: a pure map over a single-row-group scan otherwise runs
+    # the whole profile (every HOF below) as ONE task — 1.1 s of the
+    # query's 1.2 s at sf0.1.
+    staged = fan_out(df).select(
         F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
     )
     w = F.col("_toks")
@@ -1044,7 +1047,7 @@ def skipgram_cooc(
             f" ELSE array() END"
         )
     pairs_expr = "flatten(array(" + ", ".join(branches) + "))"
-    toks = docs.select(tokens(F.col(text_col)).alias("_t"))
+    toks = fan_out(docs).select(tokens(F.col(text_col)).alias("_t"))
     return (
         toks.select(F.explode(F.expr(pairs_expr)).alias("_p"))
         .select("_p.w1", "_p.w2", "_p.wm")
