@@ -995,6 +995,11 @@ def window_dup_stats(
     """
     from pyspark.sql.window import Window as W
 
+    # NO _fan_out here: A/B'd 0.68 -> 0.81 s at sf0.1 (round 10) — the
+    # explode feeds a map-side-combining window/agg, so the fan-out
+    # shuffle costs more than the single-task scan it spreads (the
+    # LM-family negative-result class), unlike the pair generators
+    # whose inverted-index exchange write was the serialized wall.
     grams = staged_gram_arrays(df, id_col, text_col, window, hashed=True)
     wh = grams.select("id", F.explode_outer("_grams").alias("s"))
     wh = _drop_hot_buckets(wh, ["s"], max_bucket_size) if max_bucket_size else wh
@@ -1129,6 +1134,7 @@ def scrub_dup_passages(
     it takes a value-level oracle.
     """
     w = window
+    # NO _fan_out (A/B'd 0.82 -> 0.92 s at sf0.1 — see window_dup_stats)
     toks = df.selectExpr(
         f"`{id_col}` AS id", _TOKENS_SQL.format(text=f"`{text_col}`")
     )

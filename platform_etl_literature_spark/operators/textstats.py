@@ -346,7 +346,7 @@ def repetition_stats(
         nd = F.size(F.array_distinct(g))
         return F.when(total > 0, F.round((total - nd) / total, 6)).otherwise(0.0)
 
-    staged = df.select(
+    staged = fan_out(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(F.col(id_col), grams(2).alias("_g2"), grams(3).alias("_g3"))
     r3 = dup_ratio("_g3")
