@@ -113,35 +113,30 @@ def connected_components(
     """
     e = _canon_edges(edges, a, b).localCheckpoint(eager=True)
 
-    # Cheap one-job per-round signature: (count, order-independent
-    # hash sum).  Equal signatures do NOT declare the fixpoint — they
-    # only decide when to pay for the exact proof below — so a hash
-    # collision costs one wasted exceptAll job, never a wrong answer.
-    def _sig(d: DataFrame) -> tuple:
-        r = d.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (r["n"], r["h"])
-
-    sig = _sig(e)
+    # Per-round fixpoint trigger: the COUNT of the just-materialized
+    # checkpoint (a near-free cached-RDD job — round 10 dropped the
+    # previous (count, hash-sum) aggregation job here, one full
+    # cache-scan action per round).  Equal counts do NOT declare the
+    # fixpoint — they only decide when to pay for the exact proof
+    # below — so a same-size-different-set round costs one wasted
+    # exceptAll job, never a wrong answer.
+    n_e = e.count()
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig2 = _sig(e2)
+        n2 = e2.count()
         # exact fixpoint = set equality: no NEW edges (exceptAll empty)
         # AND no edges LOST (equal counts) — a round can strictly
         # shrink the set (e.g. a triangle loses its redundant edge),
         # and subset-only detection would declare a premature fixpoint
         # on a state that may not be a star forest yet.  The expensive
-        # exceptAll scan runs only when the signatures say the sets
-        # MIGHT be equal (in practice: exactly once, on the final
-        # round — every earlier round changes the count or the hash
-        # sum); both frames are materialized checkpoints, so the proof
-        # is one slim scan when it does run.
-        if sig2 == sig and e2.exceptAll(e).limit(1).count() == 0:
+        # exceptAll scan runs only when the counts say the sets MIGHT
+        # be equal (in practice: on the final round, rarely earlier);
+        # both frames are materialized checkpoints, so the proof is
+        # one slim scan when it does run.
+        if n2 == n_e and e2.exceptAll(e).limit(1).count() == 0:
             e = e2
             break
-        e, sig = e2, sig2
+        e, n_e = e2, n2
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     # star forest: every edge now points (component-min, member)
