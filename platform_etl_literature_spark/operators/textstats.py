@@ -283,6 +283,10 @@ def tfidf_top_terms(
     broadcast of the single-row corpus count (metadata-only parquet
     count), and the top-k window shuffling on doc_id only.
     """
+    # NO fan_out: A/B'd 1.64 -> 2.55 s at sf0.1 (round 10) — the explode
+    # feeds a map-side-combining (doc, term) aggregation, the LM-family
+    # negative-result class (the fan-out shuffle + wider exchange cost
+    # more than the single-task scan they spread).
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
