@@ -53,124 +53,135 @@ def _nrows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+# The builders below render each projection as ONE selectExpr parsed
+# JVM-side (the round-10 expression-staging policy, layout.py /
+# functions/text.py precedent): a literature-chain construction built
+# these frames through ~2,400 py4j round trips of Column-object
+# assembly (one trip per F.lit/F.col/alias), all of it pure driver
+# latency repeated every bench rep.  Schema (incl. nullability) and
+# values are identical — gated by a schema-equality + exceptAll check
+# and the full oracle suite.
+
+_EMPTY_STR_ARR = "CAST(array() AS ARRAY<STRING>)"
+
+
 def diseases_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
-    return nation.select(
-        F.concat(F.lit("EFO_"), F.col("n_nationkey")).alias("id"),
-        F.lower("n_name").alias("name"),
-        F.struct(
-            F.array(F.lower("n_name")).alias("hasExactSynonym"),
-            F.lit([]).cast("array<string>").alias("hasNarrowSynonym"),
-            F.lit([]).cast("array<string>").alias("hasBroadSynonym"),
-            F.lit([]).cast("array<string>").alias("hasRelatedSynonym"),
-        ).alias("synonyms"),
+    return nation.selectExpr(
+        "concat('EFO_', n_nationkey) AS id",
+        "lower(n_name) AS name",
+        "struct("
+        "array(lower(n_name)) AS hasExactSynonym, "
+        f"{_EMPTY_STR_ARR} AS hasNarrowSynonym, "
+        f"{_EMPTY_STR_ARR} AS hasBroadSynonym, "
+        f"{_EMPTY_STR_ARR} AS hasRelatedSynonym) AS synonyms",
     )
 
 
 def targets_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    empty_lab = F.lit([]).cast("array<struct<label:string>>")
-    return part.select(
-        F.concat(F.lit("ENSG"), F.col("p_partkey")).alias("id"),
-        F.col("p_name").alias("approvedName"),
-        F.concat(F.lit("P"), F.col("p_partkey")).alias("approvedSymbol"),
-        empty_lab.alias("symbolSynonyms"),
-        empty_lab.alias("nameSynonyms"),
-        empty_lab.alias("obsoleteSymbols"),
-        empty_lab.alias("obsoleteNames"),
-        F.lit([]).cast("array<struct<id:string>>").alias("proteinIds"),
+    empty_lab = "CAST(array() AS ARRAY<STRUCT<label: STRING>>)"
+    return part.selectExpr(
+        "concat('ENSG', p_partkey) AS id",
+        "p_name AS approvedName",
+        "concat('P', p_partkey) AS approvedSymbol",
+        f"{empty_lab} AS symbolSynonyms",
+        f"{empty_lab} AS nameSynonyms",
+        f"{empty_lab} AS obsoleteSymbols",
+        f"{empty_lab} AS obsoleteNames",
+        "CAST(array() AS ARRAY<STRUCT<id: STRING>>) AS proteinIds",
     )
 
 
 def drugs_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
-    return sup.select(
-        F.concat(F.lit("CHEMBL"), F.col("s_suppkey")).alias("id"),
-        F.col("s_name").alias("name"),
-        F.lit([]).cast("array<string>").alias("tradeNames"),
-        F.lit([]).cast("array<string>").alias("synonyms"),
+    return sup.selectExpr(
+        "concat('CHEMBL', s_suppkey) AS id",
+        "s_name AS name",
+        f"{_EMPTY_STR_ARR} AS tradeNames",
+        f"{_EMPTY_STR_ARR} AS synonyms",
     )
+
+
+def _match_sql(label_sql: str, type_: str) -> str:
+    return (
+        "struct("
+        f"{label_sql} AS label, '{type_}' AS type, "
+        "CAST(0 AS BIGINT) AS startInSentence, "
+        "CAST(5 AS BIGINT) AS endInSentence, "
+        "CAST(0 AS BIGINT) AS sectionStart, "
+        "CAST(5 AS BIGINT) AS sectionEnd)"
+    )
+
+
+_COOC_SQL = (
+    "struct("
+    "_gp_label AS label1, "
+    "CAST(0 AS BIGINT) AS start1, CAST(5 AS BIGINT) AS end1, "
+    "_ds_label AS label2, "
+    "CAST(6 AS BIGINT) AS start2, CAST(12 AS BIGINT) AS end2, "
+    "'GP-DS' AS type, "
+    # 10.0D: the D suffix keeps the literal DOUBLE — a bare SQL 10.0 is
+    # DECIMAL(3,1) and would flip sentEvidenceScore to decimal(27,6)
+    "(doc_id % 100) / 10.0D AS sentEvidenceScore)"
+)
+
+_SENTENCE_SQL = (
+    "struct("
+    "element_at(array('title', 'abstract', 'methods', 'results'), "
+    "CAST(doc_id % 4 + 1 AS INT)) AS section, "
+    "text AS text, "
+    f"array({_match_sql('_ds_label', 'DS')}, "
+    f"{_match_sql('_gp_label', 'GP')}, "
+    f"{_match_sql('_cd_label', 'CD')}) AS matches, "
+    f"array({_COOC_SQL}) AS `co-occurrence`)"
+)
 
 
 def epmc_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    nation = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("_dsk"), F.lower("n_name").alias("_ds_label")
+    nation = _t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS _dsk", "lower(n_name) AS _ds_label"
     )
     # mention the (unique) symbol, not p_name: TPC-H part names collide
     # heavily after stem+sort normalization, which makes every GP label
     # ground to hundreds of tied candidates — a pathological corpus, not
     # a representative one (the ambiguity path is covered by fixtures)
-    part = _t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("_gpk"),
-        F.concat(F.lit("P"), F.col("p_partkey")).alias("_gp_label"),
+    part = _t(spark, sf_dir, "part").selectExpr(
+        "p_partkey AS _gpk", "concat('P', p_partkey) AS _gp_label"
     )
-    sup = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("_cdk"), F.col("s_name").alias("_cd_label")
+    sup = _t(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS _cdk", "s_name AS _cd_label"
     )
     n_ds = _nrows(sf_dir, "nation")
     n_gp = _nrows(sf_dir, "part")
     n_cd = _nrows(sf_dir, "supplier")
 
     base = (
-        docs.withColumn("_dsk", (F.col("doc_id") % n_ds).cast("int"))
-        .withColumn("_gpk", F.col("doc_id") % n_gp)
-        .withColumn("_cdk", (F.col("doc_id") % n_cd).cast("int"))
+        docs.selectExpr(
+            "*",
+            f"CAST(doc_id % {n_ds} AS INT) AS _dsk",
+            f"doc_id % {n_gp} AS _gpk",
+            f"CAST(doc_id % {n_cd} AS INT) AS _cdk",
+        )
         .join(F.broadcast(nation), "_dsk")
         .join(part, "_gpk")
         .join(F.broadcast(sup), "_cdk")
     )
 
-    def match(label, type_):
-        return F.struct(
-            label.alias("label"),
-            F.lit(type_).alias("type"),
-            F.lit(0).cast("long").alias("startInSentence"),
-            F.lit(5).cast("long").alias("endInSentence"),
-            F.lit(0).cast("long").alias("sectionStart"),
-            F.lit(5).cast("long").alias("sectionEnd"),
-        )
-
-    cooc = F.struct(
-        F.col("_gp_label").alias("label1"),
-        F.lit(0).cast("long").alias("start1"),
-        F.lit(5).cast("long").alias("end1"),
-        F.col("_ds_label").alias("label2"),
-        F.lit(6).cast("long").alias("start2"),
-        F.lit(12).cast("long").alias("end2"),
-        F.lit("GP-DS").alias("type"),
-        (F.col("doc_id") % 100 / 10.0).alias("sentEvidenceScore"),
-    )
-
-    sentence = F.struct(
-        F.element_at(
-            F.array(F.lit("title"), F.lit("abstract"), F.lit("methods"), F.lit("results")),
-            (F.col("doc_id") % 4 + 1).cast("int"),
-        ).alias("section"),
-        F.col("text").alias("text"),
-        F.array(
-            match(F.col("_ds_label"), "DS"),
-            match(F.col("_gp_label"), "GP"),
-            match(F.col("_cd_label"), "CD"),
-        ).alias("matches"),
-        F.array(cooc).alias("co-occurrence"),
-    )
-
-    return base.select(
-        F.col("doc_id").cast("string").alias("pmid"),
-        F.concat(F.lit("PMC"), F.col("doc_id")).alias("pmcid"),
-        F.lit("2021-06-15").alias("pubDate"),
-        F.array(F.lit("Homo sapiens")).alias("organisms"),
-        F.array(sentence).alias("sentences"),
+    return base.selectExpr(
+        "CAST(doc_id AS STRING) AS pmid",
+        "concat('PMC', doc_id) AS pmcid",
+        "'2021-06-15' AS pubDate",
+        "array('Homo sapiens') AS organisms",
+        f"array({_SENTENCE_SQL}) AS sentences",
     )
 
 
 def epmcids_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("PMID"),
-        F.concat(F.lit("PMC"), F.col("doc_id")).alias("PMCID"),
-        F.lit("doi").alias("DOI"),
+    return docs.selectExpr(
+        "doc_id AS PMID", "concat('PMC', doc_id) AS PMCID", "'doi' AS DOI"
     )
 
 

@@ -72,6 +72,12 @@ def normalise(c: Column) -> Column:
     return F.translate(c, "αβγδεζηικλμνξπτυω", "abgdezhiklmnxptuo")
 
 
+def normalise_sql(c: str) -> str:
+    """:func:`normalise` as a staged SQL fragment (round 10 expression
+    staging) — the identical translate call, parsed JVM-side."""
+    return f"translate({c}, 'αβγδεζηικλμνξπτυω', 'abgdezhiklmnxptuo')"
+
+
 # Ship the stemmer by value inside the UDF pickle: executors must not
 # need this package on their import path (spark-submit without --py-files,
 # driver launched from another cwd, etc).

@@ -60,3 +60,31 @@ def array_cosine(a: Column | str, b: Column | str) -> Column:
     a, b = _c(a), _c(b)
     denom = array_norm(a) * array_norm(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(array_dot(a, b) / denom)
+
+
+def array_dot_sql(a: str, b: str) -> str:
+    """:func:`array_dot` as a staged SQL fragment (round 10 expression
+    staging, the harmonic_sql precedent: each Python-lambda HOF build
+    costs ~25 ms of py4j round trips; the f-string parses JVM-side in
+    one).  ``0.0D`` keeps the fold DOUBLE — a bare 0.0 would parse as
+    DECIMAL."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (_x, _y) -> _x * _y),"
+        " 0.0D, (_acc, _x) -> _acc + _x)"
+    )
+
+
+def array_norm_sql(a: str) -> str:
+    """:func:`array_norm` as a staged SQL fragment."""
+    return f"sqrt(aggregate({a}, 0.0D, (_acc, _x) -> _acc + _x * _x))"
+
+
+def array_cosine_sql(a: str, b: str) -> str:
+    """:func:`array_cosine` as a staged SQL fragment — identical
+    expression shape (the denominator is duplicated into the guard
+    exactly as the Column form duplicates its subtree)."""
+    denom = f"({array_norm_sql(a)} * {array_norm_sql(b)})"
+    return (
+        f"CASE WHEN {denom} = 0.0D THEN 0.0D"
+        f" ELSE {array_dot_sql(a, b)} / {denom} END"
+    )

@@ -23,8 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from platform_etl_literature_spark.config import EvidenceConfig, SectionRank
-from platform_etl_literature_spark.functions.harmonic import harmonic_sorted
-from platform_etl_literature_spark.functions.vectors import array_cosine
+from platform_etl_literature_spark.functions.harmonic import (
+    harmonic_sorted,
+    harmonic_sql,
+)
+from platform_etl_literature_spark.functions.vectors import array_cosine_sql
 from platform_etl_literature_spark.plans.processing import section_rank_table
 
 MATCHES_FIELDS = [
@@ -84,23 +87,27 @@ def evidence_from_matches(
         .drop("word")
     )
 
-    ds = (
-        m_with_v.filter(F.col("type") == "DS")
-        .drop("type")
-        .withColumnRenamed("keywordId", "diseaseFromSourceMappedId")
-        .withColumnRenamed("f", "diseaseF")
-        .withColumnRenamed("vector", "diseaseV")
-        .withColumnRenamed("pmid", "diseaseP")
+    # Rename chains and the scoring withColumn chain are staged as
+    # selectExpr strings (round 10 expression staging) — same columns,
+    # same order, same values; the similarity threshold stays a Column
+    # comparison so the float literal never round-trips through the
+    # SQL parser.
+    ds = m_with_v.filter(F.col("type") == "DS").selectExpr(
+        "pmid AS diseaseP",
+        "keywordId AS diseaseFromSourceMappedId",
+        "f AS diseaseF",
+        "vector AS diseaseV",
     )
-    gp = (
-        m_with_v.filter(F.col("type") == "GP")
-        .drop("type")
-        .withColumnRenamed("keywordId", "targetFromSourceId")
-        .withColumnRenamed("f", "targetF")
-        .withColumnRenamed("vector", "targetV")
-        .withColumnRenamed("pmid", "targetP")
+    gp = m_with_v.filter(F.col("type") == "GP").selectExpr(
+        "pmid AS targetP",
+        "keywordId AS targetFromSourceId",
+        "f AS targetF",
+        "vector AS targetV",
     )
 
+    harm = harmonic_sql(
+        "sort_array(array_repeat(similarity, sharedPublicationCount), false)"
+    )
     return (
         ds.join(
             gp,
@@ -116,21 +123,29 @@ def evidence_from_matches(
             F.mean("diseaseF").alias("meanDiseaseFreqPerPub"),
             F.count("targetP").alias("sharedPublicationCount"),
         )
-        .withColumn(
-            "sharedPublicationCount", F.col("sharedPublicationCount").cast("int")
+        .selectExpr(
+            "targetFromSourceId",
+            "diseaseFromSourceMappedId",
+            "targetV",
+            "diseaseV",
+            "meanTargetFreqPerPub",
+            "meanDiseaseFreqPerPub",
+            "CAST(sharedPublicationCount AS INT) AS sharedPublicationCount",
+            f"{array_cosine_sql('targetV', 'diseaseV')} AS similarity",
         )
-        .withColumn("similarity", array_cosine("targetV", "diseaseV"))
         .filter(F.col("similarity") > thresh)
-        .withColumn(
-            "harmonicSimilarity",
-            harmonic_sorted(
-                "array_repeat(similarity, sharedPublicationCount)"
-            ),
+        .selectExpr(
+            "'ew2v' AS datasourceId",
+            "'literature' AS datatypeId",
+            "targetFromSourceId",
+            "diseaseFromSourceMappedId",
+            f"{harm} AS resourceScore",
+            "similarity",
+            f"{harm} AS harmonicSimilarity",
+            "sharedPublicationCount",
+            "meanTargetFreqPerPub",
+            "meanDiseaseFreqPerPub",
         )
-        .withColumn("resourceScore", F.col("harmonicSimilarity"))
-        .withColumn("datasourceId", F.lit("ew2v"))
-        .withColumn("datatypeId", F.lit("literature"))
-        .select(*MATCHES_FIELDS)
     )
 
 
@@ -145,9 +160,15 @@ def evidence_from_coocs(coocs: DataFrame) -> DataFrame:
             & (F.col("type2") == "DS")
             & (F.length("text") < 600)
         )
-        .withColumn("cooccurrenceScore", F.col("evidence_score") / 10.0)
-        .withColumnRenamed("keywordId1", "targetFromSourceId")
-        .withColumnRenamed("keywordId2", "diseaseFromSourceMappedId")
+        # staged projection (round 10): the renames + score scaling in
+        # one parse; only the aggregation's inputs survive (column
+        # pruning dropped the rest anyway)
+        .selectExpr(
+            "pmid",
+            "keywordId1 AS targetFromSourceId",
+            "keywordId2 AS diseaseFromSourceMappedId",
+            "evidence_score / 10.0D AS cooccurrenceScore",
+        )
         .groupBy("targetFromSourceId", "diseaseFromSourceMappedId")
         .agg(
             harmonic_sorted("collect_list(cooccurrenceScore)").alias(

@@ -32,8 +32,8 @@ from pyspark.sql.window import Window
 from platform_etl_literature_spark.functions.text import (
     LABEL_T,
     TOKEN_T,
-    normalise,
     normalise_sentence,
+    normalise_sql,
     with_keys_column,
 )
 
@@ -265,10 +265,6 @@ def load_epmc_ids(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _null_out_sentinels(c: Column) -> Column:
-    return F.when(c.isNotNull() & (c != "") & (c != "0"), c)
-
-
 def load_entities(
     df: DataFrame, epmcids: DataFrame, trace_source: bool = True
 ) -> DataFrame:
@@ -281,27 +277,29 @@ def load_entities(
     e_ids = F.broadcast(epmcids)
     pm_ids = F.broadcast(epmcids)
 
-    # withColumns batches (round 10): each Dataset-producing call pays a
-    # py4j round trip plus an analyzer pass over the accumulated tree,
-    # so the former 17-step withColumn chain is grouped into dependency
-    # layers — same expressions, same values, ~4x fewer driver passes.
-    repaired = (
-        df.withColumns(
-            {
-                "trace_source": (
-                    F.input_file_name() if trace_source else F.lit("")
-                ),
-                "pmid": _null_out_sentinels(F.col("pmid")),
-                "pmcid": _null_out_sentinels(F.col("pmcid")),
-            }
+    # The former withColumns batches are staged as selectExpr layers
+    # (round 10 expression staging): each layer is ONE parse-once
+    # projection — same expressions, same values, same column order
+    # (in-place replacements keep their position, new columns append
+    # exactly as withColumns appended them); joins stay DataFrame API.
+    def null_out(c: str) -> str:
+        # _null_out_sentinels as SQL: NULL unless non-empty and not "0"
+        return (
+            f"CASE WHEN {c} IS NOT NULL AND {c} != '' AND {c} != '0'"
+            f" THEN {c} END AS {c}"
         )
-        .withColumns(
-            {
-                "failed_pmid": F.col("pmid").isNull(),
-                "failed_pmcid": F.col("pmcid").isNull(),
-                "failed_pmcid_and_pmid": F.col("pmcid").isNull()
-                & F.col("pmid").isNull(),
-            }
+
+    l1 = [
+        null_out(c) if c in ("pmid", "pmcid") else f"`{c}`"
+        for c in df.columns
+    ] + [("input_file_name()" if trace_source else "''") + " AS trace_source"]
+    joined = (
+        df.selectExpr(*l1)
+        .selectExpr(
+            "*",
+            "pmid IS NULL AS failed_pmid",
+            "pmcid IS NULL AS failed_pmcid",
+            "pmcid IS NULL AND pmid IS NULL AS failed_pmcid_and_pmid",
         )
         # drop rows whose pmid is a known id but pmcid is missing
         .join(
@@ -309,43 +307,46 @@ def load_entities(
             (F.col("pmid_lut") == F.col("pmid")) & F.col("pmcid").isNull(),
             "left_anti",
         )
-        .withColumn(
-            "failed_pmid_not_pmcid", F.col("pmid").isNull() & F.col("pmcid").isNotNull()
+        .selectExpr(
+            "*", "pmid IS NULL AND pmcid IS NOT NULL AS failed_pmid_not_pmcid"
         )
         # recover pmid from pmcid
         .join(e_ids, F.col("pmcid") == F.col("pmcid_lut"), "left_outer")
-        .withColumn("pmid", F.coalesce(F.col("pmid"), F.col("pmid_lut")))
-        .drop("pmid_lut", "pmcid_lut")
-        .withColumns(
-            {
-                "failed_recover_pmid_not_pmcid": F.col("failed_pmid_not_pmcid")
-                & F.col("pmid").isNotNull(),
-                "date": F.when(
-                    F.col("pubDate").isNotNull() & (F.col("pubDate") != ""),
-                    F.col("pubDate").cast("date"),
-                ),
-            }
+    )
+    kept = [c for c in joined.columns if c not in ("pmid_lut", "pmcid_lut")]
+    repaired = (
+        joined.selectExpr(
+            *[
+                "coalesce(pmid, pmid_lut) AS pmid" if c == "pmid" else f"`{c}`"
+                for c in kept
+            ]
         )
-        .withColumns(
-            {
-                "failed_date": F.col("date").isNull(),
-                "year": F.when(F.col("date").isNotNull(), F.year("date")),
-                "month": F.when(F.col("date").isNotNull(), F.month("date")),
-                "day": F.when(F.col("date").isNotNull(), F.dayofmonth("date")),
-            }
+        .selectExpr(
+            "*",
+            "failed_pmid_not_pmcid AND pmid IS NOT NULL"
+            " AS failed_recover_pmid_not_pmcid",
+            "CASE WHEN pubDate IS NOT NULL AND pubDate != ''"
+            " THEN CAST(pubDate AS DATE) END AS date",
+        )
+        .selectExpr(
+            "*",
+            "date IS NULL AS failed_date",
+            "CASE WHEN date IS NOT NULL THEN year(date) END AS year",
+            "CASE WHEN date IS NOT NULL THEN month(date) END AS month",
+            "CASE WHEN date IS NOT NULL THEN dayofmonth(date) END AS day",
         )
     )
     base = [c for c in repaired.columns if c != "sentences"]
-    return (
-        repaired.select(*base, F.explode("sentences").alias("sentence"))
-        .select(*base, "sentence.*")
-        .withColumns(
-            {
-                "section": F.lower(F.col("section")),
-                "failed_section": F.col("section").isNull(),
-                "failed_sentence": F.col("text").rlike("[^\\x20-\\x7e]"),
-            }
-        )
+    exploded = repaired.select(
+        *base, F.explode("sentences").alias("sentence")
+    ).select(*base, "sentence.*")
+    return exploded.selectExpr(
+        *[
+            "lower(section) AS section" if c == "section" else f"`{c}`"
+            for c in exploded.columns
+        ],
+        "section IS NULL AS failed_section",
+        r"text RLIKE '[^\\x20-\\x7e]' AS failed_sentence",
     )
 
 
@@ -376,36 +377,24 @@ def map_entities(entities: DataFrame, luts: DataFrame, stemmer=None) -> DataFram
     # mention.  (The reference normalizes the full mention stream and
     # dedups at the end, Grounding.scala:167-203 — same result, ~|mentions|
     # / |distinct labels| times the work.)
-    text_v = F.when(
-        F.col("type") == "DS",
-        F.array(
-            F.struct(
-                F.col("nLabel").alias("keyValue"), F.lit(LABEL_T).alias("keyType")
-            )
-        ),
-    ).when(
-        F.col("type").isin("GP", "CD"),
-        F.array(
-            F.struct(
-                F.col("nLabel").alias("keyValue"), F.lit(LABEL_T).alias("keyType")
-            ),
-            F.struct(
-                F.col("nLabel").alias("keyValue"), F.lit(TOKEN_T).alias("keyType")
-            ),
-        ),
+    # key-type variant fan-out, staged as one SQL fragment (round 10
+    # expression staging — same struct tree, parsed JVM-side in one)
+    text_v = (
+        "CASE"
+        f" WHEN type = 'DS' THEN array("
+        f"struct(nLabel AS keyValue, '{LABEL_T}' AS keyType))"
+        f" WHEN type IN ('GP', 'CD') THEN array("
+        f"struct(nLabel AS keyValue, '{LABEL_T}' AS keyType), "
+        f"struct(nLabel AS keyValue, '{TOKEN_T}' AS keyType))"
+        " END"
     )
     labels = (
         entities.select(F.explode("matches").alias("match"))
-        .select(F.col("match.type").alias("type"), F.col("match.label").alias("label"))
+        .selectExpr("match.type AS type", "match.label AS label")
         .dropDuplicates(["type", "label"])
-        .select("*", normalise(F.col("label")).alias("nLabel"))
-        .select("*", F.explode(text_v).alias("_textV"))
-        .withColumns(
-            {
-                "text": F.col("_textV.keyValue"),
-                "keyType": F.col("_textV.keyType"),
-            }
-        )
+        .selectExpr("*", f"{normalise_sql('label')} AS nLabel")
+        .selectExpr("*", f"explode({text_v}) AS _textV")
+        .selectExpr("*", "_textV.keyValue AS text", "_textV.keyType AS keyType")
     )
     keyed = with_keys_column(
         normalise_sentence(labels, "text", "nerTerms", stemmer),
@@ -487,58 +476,51 @@ def resolve_entities(
     """Attach grounded keywordIds to matches and co-occurrences,
     disambiguate, rebuild the nested output structs
     (Grounding.resolveEntities:208-312)."""
+    # Projections are staged as SQL strings parsed JVM-side (the
+    # round-10 expression-staging policy — same values, same schema,
+    # one driver round trip per select instead of one per
+    # F.col/alias); joins/filters stay DataFrame API.
     mcols = [c for c in entities.columns if c != "matches"]
     merged_matches = (
         entities.select(*mcols, F.explode("matches").alias("match"))
         .select(*mcols, "match.*")
         .join(F.broadcast(mapped_labels), ["type", "label"], "left_outer")
-        .withColumn("isMapped", F.col("keywordId").isNotNull())
+        .selectExpr("*", "keywordId IS NOT NULL AS isMapped")
     )
 
     valid_matches = (
         merged_matches.filter(F.col("isMapped"))
         .transform(lambda d: disambiguate(d, "keywordId", "uniqueKeywordIdsPerLabelN"))
-        .withColumn(
-            "match",
-            F.struct(
-                "endInSentence",
-                "label",
-                "labelN",
-                "sectionEnd",
-                "sectionStart",
-                "startInSentence",
-                "type",
-                "keywordId",
-                "isMapped",
-            ),
+        .selectExpr(
+            *_BASE_COLS,
+            "struct(endInSentence, label, labelN, sectionEnd, sectionStart,"
+            " startInSentence, type, keywordId, isMapped) AS match",
         )
-        .select(*_BASE_COLS, "match")
     )
 
-    ml1 = mapped_labels.select(
-        F.col("type").alias("_t1"),
-        F.col("label").alias("_l1"),
-        F.col("labelN").alias("labelN1"),
-        F.col("keywordId").alias("keywordId1"),
-        F.col("uniqueKeywordIdsPerLabelN").alias("uniqueKeywordIdsPerLabelN1"),
+    ml1 = mapped_labels.selectExpr(
+        "type AS _t1",
+        "label AS _l1",
+        "labelN AS labelN1",
+        "keywordId AS keywordId1",
+        "uniqueKeywordIdsPerLabelN AS uniqueKeywordIdsPerLabelN1",
     )
-    ml2 = mapped_labels.select(
-        F.col("type").alias("_t2"),
-        F.col("label").alias("_l2"),
-        F.col("labelN").alias("labelN2"),
-        F.col("keywordId").alias("keywordId2"),
-        F.col("uniqueKeywordIdsPerLabelN").alias("uniqueKeywordIdsPerLabelN2"),
+    ml2 = mapped_labels.selectExpr(
+        "type AS _t2",
+        "label AS _l2",
+        "labelN AS labelN2",
+        "keywordId AS keywordId2",
+        "uniqueKeywordIdsPerLabelN AS uniqueKeywordIdsPerLabelN2",
     )
 
     ccols = [c for c in entities.columns if c != "co-occurrence"]
     merged_cooc = (
         entities.select(*ccols, F.explode("co-occurrence").alias("cooc"))
         .select(*ccols, "cooc.*")
-        .withColumns(
-            {
-                "type1": F.substring_index(F.col("type"), "-", 1),
-                "type2": F.substring_index(F.col("type"), "-", -1),
-            }
+        .selectExpr(
+            "*",
+            "substring_index(type, '-', 1) AS type1",
+            "substring_index(type, '-', -1) AS type2",
         )
         .drop("type")
         .join(
@@ -553,8 +535,9 @@ def resolve_entities(
             "left_outer",
         )
         .drop("_t2", "_l2")
-        .withColumn(
-            "isMapped", F.col("keywordId1").isNotNull() & F.col("keywordId2").isNotNull()
+        .selectExpr(
+            "*",
+            "keywordId1 IS NOT NULL AND keywordId2 IS NOT NULL AS isMapped",
         )
     )
 
@@ -566,27 +549,13 @@ def resolve_entities(
         .transform(
             lambda d: disambiguate(d, "keywordId2", "uniqueKeywordIdsPerLabelN2", "type2")
         )
-        .withColumn(
-            "co-occurrence",
-            F.struct(
-                F.col("end1"),
-                F.col("end2"),
-                F.col("sentEvidenceScore").alias("evidence_score"),
-                F.col("label1"),
-                F.col("labelN1"),
-                F.col("keywordId1"),
-                F.col("label2"),
-                F.col("labelN2"),
-                F.col("keywordId2"),
-                F.col("start1"),
-                F.col("start2"),
-                F.concat_ws("-", "type1", "type2").alias("type"),
-                F.col("type1"),
-                F.col("type2"),
-                F.col("isMapped"),
-            ),
+        .selectExpr(
+            *_BASE_COLS,
+            "struct(end1, end2, sentEvidenceScore AS evidence_score,"
+            " label1, labelN1, keywordId1, label2, labelN2, keywordId2,"
+            " start1, start2, concat_ws('-', type1, type2) AS type,"
+            " type1, type2, isMapped) AS `co-occurrence`",
         )
-        .select(*_BASE_COLS, "co-occurrence")
     )
 
     return {
