@@ -10,11 +10,10 @@ from __future__ import annotations
 from platform_etl_literature_spark.localdf import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from platform_etl_literature_spark.config import DEFAULT_SECTION_RANKS, SectionRank
-from platform_etl_literature_spark.functions.harmonic import harmonic_value
+from platform_etl_literature_spark.functions.harmonic import harmonic_sql
 from platform_etl_literature_spark.plans import grounding
 
 
@@ -69,11 +68,18 @@ def literature_index(
     title_weight = next(r.weight for r in ranks if r.section == "title")
     rank_table = F.broadcast(section_rank_table(spark, ranks))
 
-    w_section_kw = Window.partitionBy("pmid", "section", "keywordId")
-    w_kw = Window.partitionBy("pmid", "keywordId").orderBy(F.col("rank").asc())
-
-    fdf = df.withColumn("pmid", F.col("pmid").cast("long")).withColumnRenamed(
-        "type", "keywordType"
+    # Projections and window expressions are staged as selectExpr
+    # strings (round 10 expression staging) — same values, same column
+    # order; the OVER clauses carry the identical partitioning/ordering
+    # (and collect_list over an ORDER BY window keeps the default
+    # running frame in both forms).
+    fdf = df.selectExpr(
+        *[
+            "CAST(pmid AS BIGINT) AS pmid"
+            if c == "pmid"
+            else ("type AS keywordType" if c == "type" else f"`{c}`")
+            for c in df.columns
+        ]
     )
     # ONE exchange for the whole index (guide §2.4): partitioning by
     # pmid alone satisfies every downstream clustering requirement —
@@ -89,38 +95,33 @@ def literature_index(
         fdf.filter(F.col("section").isin("title", "abstract"))
         .groupBy("pmid", "section")
         .agg(
-            F.struct(
-                F.col("section"),
-                F.collect_list(
-                    F.struct(
-                        "label",
-                        "keywordType",
-                        "keywordId",
-                        "startInSentence",
-                        "endInSentence",
-                        "sectionStart",
-                        "sectionEnd",
-                    )
-                ).alias("matches"),
+            F.expr(
+                "struct(section, collect_list(struct("
+                "label, keywordType, keywordId, startInSentence,"
+                " endInSentence, sectionStart, sectionEnd)) AS matches)"
             ).alias("sentencesBySection")
         )
         .groupBy("pmid")
-        .agg(F.to_json(F.collect_list("sentencesBySection")).alias("sentences"))
+        .agg(F.expr("to_json(collect_list(sentencesBySection))").alias("sentences"))
     )
 
     return (
         fdf.join(rank_table, ["section"], "left_outer")
         .na.fill({"rank": 100, "weight": 0.01})
-        .withColumn(
-            "keywordSectionV",
-            F.when(
-                F.col("section") != "title",
-                F.collect_list("weight").over(w_section_kw),
-            ).otherwise(F.array(F.lit(title_weight))),
+        .selectExpr(
+            "*",
+            "CASE WHEN section != 'title' THEN collect_list(weight)"
+            " OVER (PARTITION BY pmid, section, keywordId)"
+            f" ELSE array({title_weight!r}D) END AS keywordSectionV",
         )
         .dropDuplicates(["pmid", "section", "keywordId"])
-        .withColumn("relevanceV", F.flatten(F.collect_list("keywordSectionV").over(w_kw)))
-        .withColumn("relevance", harmonic_value("relevanceV"))
+        .selectExpr(
+            "*",
+            "flatten(collect_list(keywordSectionV)"
+            " OVER (PARTITION BY pmid, keywordId ORDER BY rank ASC))"
+            " AS relevanceV",
+        )
+        .selectExpr("*", f"{harmonic_sql('relevanceV')} AS relevance")
         .dropDuplicates(["pmid", "keywordId"])
         .join(sentences_df, ["pmid"], "left_outer")
         .select(
