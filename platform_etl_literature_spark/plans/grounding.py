@@ -109,13 +109,13 @@ def _explode_variants(df: DataFrame, variant_frags: list[str], distinct: bool) -
         arr = f"filter(array_distinct({arr}), _c -> length(_c.key) > 0)"
     return (
         df.select("keywordId", F.explode(F.expr(arr)).alias("_text"))
-        .select(
+        .selectExpr(
             "keywordId",
-            F.col("_text.key").alias("text"),
-            F.col("_text.factor").alias("factor"),
-            F.col("_text.keyType").alias("keyType"),
+            "_text.key AS text",
+            "_text.factor AS factor",
+            "_text.keyType AS keyType",
         )
-        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .where("text IS NOT NULL AND length(text) > 0")
     )
 
 
@@ -148,19 +148,16 @@ def transform_targets(targets: DataFrame, stemmer=None) -> DataFrame:
     """Target LUT variants (Grounding.transformTargets:431-487): name
     (label 1.0), symbol (token 1.0), synonyms 0.999, obsolete 0.998,
     protein accessions (token 0.999)."""
-    t = (
-        targets.select(
-            F.col("id").alias("keywordId"),
-            F.col("approvedName").alias("name"),
-            F.col("approvedSymbol").alias("symbol"),
-            F.col("symbolSynonyms.label").alias("symbolSynonyms"),
-            F.col("nameSynonyms.label").alias("nameSynonyms"),
-            F.col("obsoleteSymbols.label").alias("obsoleteSymbols"),
-            F.col("obsoleteNames.label").alias("obsoleteNames"),
-            F.array_distinct(
-                F.coalesce(F.col("proteinIds.id"), F.lit([]).cast("array<string>"))
-            ).alias("accessions"),
-        )
+    t = targets.selectExpr(
+        "id AS keywordId",
+        "approvedName AS name",
+        "approvedSymbol AS symbol",
+        "symbolSynonyms.label AS symbolSynonyms",
+        "nameSynonyms.label AS nameSynonyms",
+        "obsoleteSymbols.label AS obsoleteSymbols",
+        "obsoleteNames.label AS obsoleteNames",
+        "array_distinct(coalesce(proteinIds.id,"
+        " CAST(array() AS ARRAY<STRING>))) AS accessions",
     )
     variants = _explode_variants(
         t,
