@@ -474,16 +474,23 @@ def main() -> None:
     # per-query dict pushed the line past the capture buffer.
     detail.update(payload)
     payload["detail"] = "BENCH_DETAIL.json"
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-            ),
-            "w",
-        ) as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError as e:  # best-effort side file: never lose the stdout record
-        payload["detail_write_error"] = str(e)[:120]
+    # Two side files (round-11 harness ask): BENCH_DETAIL.json stays the
+    # "latest run" pointer the stdout line names, and a per-(sf, cpus)
+    # snapshot survives successive driver runs — the round-10 PERF diff
+    # came up empty because the 8-core scaling run OVERWROTE the 32-core
+    # per-query detail.  Additions-only: same content, one extra file.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail["cpus"] = int(cpus)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in (
+        "BENCH_DETAIL.json",
+        f"BENCH_DETAIL_sf{sf}_c{cpus}.json",
+    ):
+        try:
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError as e:  # best-effort side file: never lose stdout
+            payload["detail_write_error"] = str(e)[:120]
     sys.stdout.flush()
     print(json.dumps(payload, separators=(",", ":")))
     sys.stdout.flush()
