@@ -91,10 +91,22 @@ def _idiv(a: Column, b: Column) -> Column:
 
 
 def symmetrize(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
-    """Undirected (u, v) edge list → both directed arcs (src, dst)."""
+    """Undirected (u, v) edge list → both directed arcs (src, dst).
+
+    One-pass explode, not a self-union (round 11; the graph.py
+    label_propagation precedent): a union's two branches each read
+    ``edges`` — and with it the whole upstream pair-generation chain —
+    TWICE while the consumer's cache is still cold (the sf0.1 profile
+    showed the pair chain's exchanges computed once per branch).
+    explode emits both arcs from one scan; same rows."""
     return edges.select(
-        F.col(u).alias("src"), F.col(v).alias("dst")
-    ).unionAll(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col(u).alias("src"), F.col(v).alias("dst")),
+                F.struct(F.col(v).alias("src"), F.col(u).alias("dst")),
+            )
+        ).alias("_a")
+    ).select("_a.src", "_a.dst")
 
 
 def pagerank(
@@ -146,11 +158,25 @@ def pagerank(
     # appears as src, so a map-side-combined sum over tagged
     # endpoints replaces the outdeg groupBy + endpoint distinct +
     # flag join of the naive formulation (two edge shuffles → one).
+    # Tagged endpoints via ONE explode, not a self-union (round 11):
+    # the union's two branches each recomputed the edge chain while
+    # this first action was still populating the cache above — the
+    # sf0.1 profile showed the whole pair-generation chain paid twice
+    # inside the node_stats stage.  Same rows, one scan.
     node_stats = (
-        edges.select(F.col("src").alias("node"), F.lit(1).alias("_s"))
-        .unionAll(
-            edges.select(F.col("dst").alias("node"), F.lit(0).alias("_s"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"), F.lit(1).alias("_s")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"), F.lit(0).alias("_s")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.node", "_e._s")
         .groupBy("node")
         .agg(F.sum("_s").alias("outdeg"))
         .persist()
