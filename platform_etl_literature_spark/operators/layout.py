@@ -325,30 +325,56 @@ def zonemap_skip_stats(
             *[F.min(c).alias(f"_fmn_{c}") for c in zcols],
             *[F.max(c).alias(f"_fmx_{c}") for c in zcols],
         )
-        zs = zone
+        # ONE aggregation per layout carrying every predicate column's
+        # overlap count (round 11): the per-column form re-aggregated
+        # the SAME zone table once per zcol — with two zcols the warm
+        # hilbert_skip profile showed FOUR ~16 MB zone-map passes where
+        # two suffice (exchange reuse did not unify the per-column
+        # legs).  Identical integers: each count_if is unchanged and
+        # count(1) never depended on the predicate column; the per-
+        # column rows are exploded back out of the one-row aggregate.
+        aggs = [F.count(F.lit(1)).alias("n_files_total")]
         for c in zcols:
             mn_c = 0 if srow[f"_mn_{c}"] is None else srow[f"_mn_{c}"]
             mx_c = 0 if srow[f"_mx_{c}"] is None else srow[f"_mx_{c}"]
             plo = f"({mn_c}L + ({mx_c}L - {mn_c}L) * {lo} div 100)"
             phi = f"({mn_c}L + ({mx_c}L - {mn_c}L) * {hi} div 100)"
-            scanned = zs.agg(
-                F.count(F.lit(1)).alias("n_files_total"),
+            aggs.append(
                 F.count_if(
                     ~F.expr(f"(_fmx_{c} < {plo}) OR (_fmn_{c} > {phi})")
-                ).alias("n_scanned"),
-            ).select(
+                ).alias(f"_ns_{c}")
+            )
+        scanned = (
+            zone.agg(*aggs)
+            .select(
                 F.lit(layout).alias("layout"),
-                F.lit(c).alias("pred_col"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("pred_col"),
+                                F.col(f"_ns_{c}").alias("n_scanned"),
+                            )
+                            for c in zcols
+                        ]
+                    )
+                ).alias("_e"),
                 "n_files_total",
-                "n_scanned",
+            )
+            .select(
+                "layout",
+                F.col("_e.pred_col").alias("pred_col"),
+                "n_files_total",
+                F.col("_e.n_scanned").alias("n_scanned"),
                 F.round(
-                    F.col("n_scanned")
+                    F.col("_e.n_scanned")
                     / F.col("n_files_total").cast("double")
                     * 100,
                     2,
                 ).alias("scan_pct"),
             )
-            out = scanned if out is None else out.unionByName(scanned)
+        )
+        out = scanned if out is None else out.unionByName(scanned)
     return out
 
 
