@@ -1182,3 +1182,21 @@ def test_bootstrap_ci_map_side_explode_bounded_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "partial_sum" in plan, plan[:3000]
+
+
+def test_zonemap_skip_one_zone_aggregation_per_layout(spark, sf_dir):
+    """Round-11 fusion pin: with two predicate columns the plan must
+    aggregate each layout's zone-map table exactly ONCE (a count_if
+    per column riding one aggregate), not once per (layout, column) —
+    the pre-fusion shape re-ran the zone groupBy per predicate column
+    (4 ~16 MB passes where 2 suffice).  Zone tables group by the
+    simulated file id, so the `_file`-keyed partial aggregates count
+    the corpus-sized zone passes."""
+    import re
+
+    plan = _simple_plan(SUITE["hilbert_skip"].fn(spark, sf_dir))
+    # the `_file` alias resolves to the underlying _fz/_fn exprs in
+    # the physical plan; partial + final per layout = 2 each, 4 total
+    # (the old per-column shape had 8)
+    zone_aggs = len(re.findall(r"HashAggregate\(keys=\[_f[zn]#", plan))
+    assert zone_aggs == 4, f"{zone_aggs} file-keyed HashAggregates\n" + plan[:3000]
