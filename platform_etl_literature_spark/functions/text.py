@@ -74,7 +74,10 @@ def normalise(c: Column) -> Column:
 
 def normalise_sql(c: str) -> str:
     """:func:`normalise` as a staged SQL fragment (round 10 expression
-    staging) — the identical translate call, parsed JVM-side."""
+    staging) — the identical translate call, parsed JVM-side.
+    ``c`` is interpolated verbatim: pass a pre-validated SQL
+    expression or an already-backtick-quoted identifier (ADVICE
+    r10); nothing is escaped here."""
     return f"translate({c}, 'αβγδεζηικλμνξπτυω', 'abgdezhiklmnxptuo')"
 
 

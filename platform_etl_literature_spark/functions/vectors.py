@@ -67,7 +67,13 @@ def array_dot_sql(a: str, b: str) -> str:
     staging, the harmonic_sql precedent: each Python-lambda HOF build
     costs ~25 ms of py4j round trips; the f-string parses JVM-side in
     one).  ``0.0D`` keeps the fold DOUBLE — a bare 0.0 would parse as
-    DECIMAL."""
+    DECIMAL.
+
+    Arguments here and in the sibling ``*_sql`` helpers are
+    interpolated VERBATIM — they must be pre-validated SQL expressions
+    or plain identifiers (ADVICE r10).  A column name that needs
+    quoting must be passed already backtick-quoted, as the selectExpr
+    call sites do; nothing is escaped on this side."""
     return (
         f"aggregate(zip_with({a}, {b}, (_x, _y) -> _x * _y),"
         " 0.0D, (_acc, _x) -> _acc + _x)"

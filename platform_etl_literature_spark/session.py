@@ -51,6 +51,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The round-10 expression staging renders hot projections as
+        # SQL strings; their backslash escapes (e.g. the grounding
+        # `RLIKE '[^\\x20-\\x7e]'`) assume the modern parser default
+        # escapedStringLiterals=false.  Pin it explicitly so a legacy
+        # override can never silently change a staged regex (ADVICE
+        # r10); the driver's bare session gets the same value as the
+        # Spark default.
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
