@@ -261,9 +261,9 @@ def zonemap_skip_stats(
     # never pays a gratuitous shuffle.
     df = df.select(*dict.fromkeys([natural_col, *zcols]))
     if bins == "equidepth" or curve == "hilbert":
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
+        from platform_etl_literature_spark.localdf import fan_out
+
+        df = fan_out(df)  # memoized probe (round 11); same condition
     if bins == "equidepth":
         if curve != "zorder":
             raise ValueError("equidepth bins are wired for curve='zorder'")
